@@ -1,0 +1,384 @@
+"""Engine facade: store root -> datasets -> connections (catalog layer).
+
+Re-expresses ``proto/Schema`` + ``proto/Connection`` of the reference
+(hbase.clj:254-344, 346-373):
+
+- ``mk_schema(store_spec)``     (hbase.clj:364-373) — entry point.
+- ``root_table_prefix``         (hbase.clj:346-361) — DNS-style root
+  reversed into a table prefix, optional db-version prepended; kept
+  verbatim for layout compatibility.
+- ``Schema.create_dataset/destroy_dataset/list_datasets/connect``
+  (hbase.clj:299-344) — a dataset is three log tables (chunks, indices,
+  versions) under one directory.
+- ``Connection.index/chunk_store/write_version/versions/metadata/get_stats``
+  (hbase.clj:254-297).
+
+On top of the protocol surface, the array layer (``write_variable`` /
+``read_variable`` / ``tidy_view``) provides what mandoline-core provides in
+the reference stack: chunked N-D variables written as slabs and read at any
+version. Bulk reads are single Spark DataFrame plans (filter -> window
+latest-<=-version -> join chunks) instead of the reference's sequential
+per-chunk RPCs — the key architectural win at scale (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow.compute as pc
+
+from mandoline_hbase_spark import codec, storage
+from mandoline_hbase_spark.chunkstore import ChunkStore
+from mandoline_hbase_spark.errors import (
+    DatasetNotFoundError,
+    InvalidArgumentError,
+    VersionNotFoundError,
+)
+from mandoline_hbase_spark.index import Index
+
+
+def root_table_prefix(root: str, db_version: str | None = None) -> str:
+    """Reverse dot-components of the store root (hbase.clj:346-361).
+
+    ``"foo.bar.com" -> "com.bar.foo"``; an optional db-version is
+    prepended: ``"v2" -> "v2.com.bar.foo"``.
+    """
+    reversed_root = ".".join(reversed(root.split(".")))
+    return f"{db_version}.{reversed_root}" if db_version else reversed_root
+
+
+class Connection:
+    """One dataset's handle (``HBaseConnection``, hbase.clj:254-297)."""
+
+    def __init__(self, dataset_dir: str, dataset_name: str, spark=None):
+        self.dataset_dir = dataset_dir
+        self.dataset_name = dataset_name
+        self.spark = spark
+        self._dirs = {t: os.path.join(dataset_dir, t) for t in storage.TABLE_NAMES}
+        self._version_cache: list[dict] | None = None
+
+    # -- protocol surface --------------------------------------------------
+
+    def chunk_store(self, options: dict | None = None) -> ChunkStore:
+        return ChunkStore(self._dirs["chunks"])
+
+    def index(self, var_name: str, metadata: dict | None = None, options: dict | None = None) -> Index:
+        """Index handle bound to a version (hbase.clj:257-261).
+
+        The bound version defaults to the metadata's ``version-id``; the
+        memoized version cache of the reference is the driver-side
+        ``_version_cache`` list, invalidated on commit.
+        """
+        metadata = metadata or {}
+        version_id = metadata.get("version-id")
+        if version_id is None:
+            versions = self.versions()
+            version_id = int(versions[0]["version"]) if versions else None
+        return Index(self.dataset_dir, self._dirs["indices"], var_name, metadata, version_id)
+
+    def write_version(self, metadata: dict) -> int:
+        """Append the version row — the commit point (hbase.clj:263-268)."""
+        version_id = metadata.get("version-id")
+        if version_id is None:
+            version_id = self.next_version_id()
+            metadata = {**metadata, "version-id": version_id}
+        storage.append_rows(
+            self._dirs["versions"],
+            storage.VERSIONS_SCHEMA,
+            [
+                {
+                    "version_id": int(version_id),
+                    # :t is the version id itself, interpreted as epoch
+                    # millis (hbase.clj:266, 292-294).
+                    "committed_at": int(version_id),
+                    "metadata": json.dumps(metadata),
+                }
+            ],
+        )
+        self._version_cache = None
+        return int(version_id)
+
+    def versions(self, limit: int | None = None, metadata: bool = False) -> list[dict]:
+        """Newest-first version listing (hbase.clj:283-297).
+
+        The reference relies on HBase key order + ``reverse``; here an
+        explicit sort. Column projection mirrors the ``metadata?`` flag.
+        """
+        cols = ["version_id", "committed_at"] + (["metadata"] if metadata else [])
+        t = storage.scan(self._dirs["versions"], storage.VERSIONS_SCHEMA, columns=cols)
+        rows = t.to_pylist()
+        rows.sort(key=lambda r: r["version_id"], reverse=True)
+        if limit is not None:
+            rows = rows[:limit]
+        out = []
+        for r in rows:
+            entry = {"timestamp": r["committed_at"], "version": str(r["version_id"])}
+            if metadata:
+                entry["metadata"] = json.loads(r["metadata"])
+            out.append(entry)
+        return out
+
+    def metadata(self, version: int | str) -> dict:
+        """Point get + parse of one version's metadata (hbase.clj:278-281)."""
+        t = storage.scan(
+            self._dirs["versions"],
+            storage.VERSIONS_SCHEMA,
+            filter=pc.field("version_id") == int(version),
+            columns=["metadata"],
+        )
+        if t.num_rows == 0:
+            raise VersionNotFoundError(f"no version {version} in {self.dataset_name}")
+        return json.loads(t.column("metadata")[0].as_py())
+
+    def get_stats(self) -> dict:
+        """Table sizes, used as a liveness probe (hbase.clj:273-276)."""
+        sizes = {}
+        for role, d in self._dirs.items():
+            sizes[role] = sum(
+                os.path.getsize(os.path.join(d, f)) for f in os.listdir(d) if f.endswith(".parquet")
+            )
+        return {
+            "metadata-size": sizes["versions"],
+            "index-size": sizes["indices"],
+            "data-size": sizes["chunks"],
+        }
+
+    # -- version helpers ---------------------------------------------------
+
+    def next_version_id(self) -> int:
+        """Strictly monotonic id; ids are epoch millis like the reference."""
+        versions = self.versions(limit=1)
+        last = int(versions[0]["version"]) if versions else 0
+        return max(last + 1, int(time.time() * 1000))
+
+    def latest_version_id(self) -> int | None:
+        versions = self.versions(limit=1)
+        return int(versions[0]["version"]) if versions else None
+
+    # -- array layer (mandoline-core equivalent) ---------------------------
+
+    def write_variable(
+        self,
+        var_name: str,
+        array: np.ndarray,
+        chunk_shape: tuple[int, ...] | None = None,
+        fill: Any = None,
+        version_id: int | None = None,
+    ) -> int:
+        """Write a whole variable as one committed version.
+
+        Commit protocol order per SURVEY.md §3.2: chunks -> index entries ->
+        version row; the version row append is the visibility point, so a
+        failure mid-commit leaves only invisible garbage (same contract as
+        the reference's failed-write scenario).
+        """
+        array = np.asarray(array)
+        dtype = array.dtype.name
+        if dtype not in codec.SUPPORTED_DTYPES:
+            raise InvalidArgumentError(f"unsupported dtype {dtype}")
+        if fill is None:
+            fill = codec.default_fill(dtype)
+        if chunk_shape is None:
+            chunk_shape = tuple(min(s, 64) for s in array.shape)
+        chunk_shape = tuple(chunk_shape)
+
+        base_meta = {}
+        latest = self.latest_version_id()
+        if latest is not None:
+            base_meta = self.metadata(latest)
+        if version_id is None:
+            version_id = self.next_version_id()
+
+        variables = dict(base_meta.get("variables", {}))
+        variables[var_name] = {
+            "dtype": dtype,
+            "shape": list(array.shape),
+            "chunk_shape": list(chunk_shape),
+            "fill": None if (isinstance(fill, float) and np.isnan(fill)) else fill,
+            "fill_is_nan": bool(isinstance(fill, float) and np.isnan(fill)),
+        }
+        new_meta = {**base_meta, "version-id": int(version_id), "variables": variables}
+
+        # 1. chunks (content-addressed dedup within the commit; ref-count =
+        #    number of index entries referencing each blob in this commit)
+        entries: list[tuple[tuple[int, ...], str]] = []
+        blobs: dict[str, bytes] = {}
+        refs: dict[str, int] = {}
+        for coord in codec.iter_chunk_coords(array.shape, chunk_shape):
+            block = codec.extract_block(array, coord, chunk_shape, fill)
+            data = codec.encode_chunk(block)
+            h = codec.chunk_id_of(data)
+            blobs.setdefault(h, data)
+            refs[h] = refs.get(h, 0) + 1
+            entries.append((coord, h))
+        store = self.chunk_store()
+        store.write_chunks_bulk([(h, refs[h], blobs[h]) for h in blobs])
+
+        # 2. index entries for the new version (fresh version id -> bulk
+        #    append; CAS path is for overlapping writers, see Index)
+        idx = Index(self.dataset_dir, self._dirs["indices"], var_name, new_meta, int(version_id))
+        idx.write_index_bulk(entries, int(version_id))
+
+        # 3. commit
+        return self.write_version(new_meta)
+
+    def _resolve_read(self, var_name: str, version: int | None):
+        bound = int(version) if version is not None else self.latest_version_id()
+        if bound is None:
+            raise VersionNotFoundError(f"dataset {self.dataset_name} has no versions")
+        meta = self.metadata_at_or_before(bound)
+        var_meta = meta.get("variables", {}).get(var_name)
+        if var_meta is None:
+            raise KeyError(f"variable {var_name} not defined at version {bound}")
+        return bound, meta, var_meta
+
+    def metadata_at_or_before(self, bound: int) -> dict:
+        """Latest committed metadata with version_id <= bound (snapshot read)."""
+        t = storage.scan(
+            self._dirs["versions"],
+            storage.VERSIONS_SCHEMA,
+            filter=pc.field("version_id") <= int(bound),
+            columns=["version_id", "metadata"],
+        )
+        if t.num_rows == 0:
+            raise VersionNotFoundError(f"no version <= {bound} in {self.dataset_name}")
+        rows = t.to_pylist()
+        best = max(rows, key=lambda r: r["version_id"])
+        return json.loads(best["metadata"])
+
+    def resolve_chunk_map(self, var_name: str, bound: int) -> dict[str, str]:
+        """Bulk find-index: {coord_id -> chunk_id} at snapshot ``bound``.
+
+        One scan + per-key last-write-wins + max-version-<=-bound — the
+        vectorized form of find-index (hbase.clj:184-198) over every
+        coordinate of the variable at once.
+        """
+        t = storage.scan(
+            self._dirs["indices"],
+            storage.INDICES_SCHEMA,
+            filter=(pc.field("var_name") == var_name) & (pc.field("version_id") <= int(bound)),
+            columns=["coord_id", "version_id", "chunk_id", "seq"],
+        )
+        best: dict[str, tuple[int, int, Optional[str]]] = {}
+        for cid, v, c, s in zip(
+            t.column("coord_id").to_pylist(),
+            t.column("version_id").to_pylist(),
+            t.column("chunk_id").to_pylist(),
+            t.column("seq").to_pylist(),
+        ):
+            cur = best.get(cid)
+            if cur is None or (v, s) > (cur[0], cur[1]):
+                best[cid] = (v, s, c)
+        return {cid: c for cid, (v, s, c) in best.items() if c is not None}
+
+    def read_variable(self, var_name: str, version: int | None = None) -> np.ndarray:
+        """Assemble the variable at a snapshot version (latest if None)."""
+        bound, meta, var_meta = self._resolve_read(var_name, version)
+        dtype = var_meta["dtype"]
+        shape = tuple(var_meta["shape"])
+        chunk_shape = tuple(var_meta["chunk_shape"])
+        fill = float("nan") if var_meta.get("fill_is_nan") else var_meta.get("fill")
+        if fill is None:
+            fill = codec.default_fill(dtype)
+
+        chunk_map = self.resolve_chunk_map(var_name, bound)
+        if len(shape) == 0:
+            h = chunk_map.get("_")
+            if h is None:
+                return np.array(fill, dtype=dtype).reshape(())
+            data = self.chunk_store().read_chunk(h)
+            return codec.decode_chunk(data, dtype, ()).reshape(())
+
+        grid = codec.grid_shape(shape, chunk_shape)
+        padded_shape = tuple(g * c for g, c in zip(grid, chunk_shape))
+        out = np.full(padded_shape, fill, dtype=dtype)
+        store = self.chunk_store()
+        for coord in codec.iter_chunk_coords(shape, chunk_shape):
+            cid = codec.coordinate_to_id(coord)
+            h = chunk_map.get(cid)
+            if h is None:
+                continue
+            block = codec.decode_chunk(store.read_chunk(h), dtype, chunk_shape)
+            out[tuple(slice(c * cs, (c + 1) * cs) for c, cs in zip(coord, chunk_shape))] = block
+        return out[tuple(slice(0, s) for s in shape)]
+
+
+class Schema:
+    """Store-level catalog (``HBaseSchema``, hbase.clj:299-344)."""
+
+    def __init__(self, base_path: str, table_prefix: str, spark=None):
+        self.base_path = base_path
+        self.table_prefix = table_prefix
+        self.spark = spark
+        self.root_dir = os.path.join(base_path, table_prefix)
+
+    def _dataset_dir(self, name: str) -> str:
+        return os.path.join(self.root_dir, name)
+
+    def create_dataset(self, name: str) -> None:
+        """Create the three tables (hbase.clj:302-311); validates the name."""
+        if not isinstance(name, str) or not name.strip():
+            raise InvalidArgumentError(f"dataset name must be a non-blank string, got {name!r}")
+        ds_dir = self._dataset_dir(name)
+        for t in storage.TABLE_NAMES:
+            os.makedirs(os.path.join(ds_dir, t), exist_ok=True)
+
+    def destroy_dataset(self, name: str) -> None:
+        """Drop the three tables; idempotent (hbase.clj:313-316, 82-89)."""
+        shutil.rmtree(self._dataset_dir(name), ignore_errors=True)
+
+    def list_datasets(self) -> list[str]:
+        """Distinct dataset names under the root prefix (hbase.clj:318-330)."""
+        if not os.path.isdir(self.root_dir):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root_dir) if os.path.isdir(os.path.join(self.root_dir, d))
+        )
+
+    def connect(self, name: str) -> Connection:
+        """Open a dataset, probing existence (hbase.clj:332-344)."""
+        ds_dir = self._dataset_dir(name)
+        conn = Connection(ds_dir, name, spark=self.spark)
+        try:
+            conn.get_stats()
+        except OSError as e:
+            raise DatasetNotFoundError(
+                f"dataset {name} does not appear to exist at {ds_dir}"
+            ) from e
+        return conn
+
+
+def mk_schema(store_spec: dict, spark=None) -> Schema:
+    """Public entry point (hbase.clj:364-373).
+
+    ``store_spec``: ``{"root": "foo.bar.com", "base_path": "/data",
+    "db-version": optional}`` — mirrors the reference's store-spec map.
+    """
+    prefix = root_table_prefix(store_spec["root"], store_spec.get("db-version"))
+    return Schema(store_spec.get("base_path", "."), prefix, spark=spark)
+
+
+class Engine:
+    """Convenience facade: one store root, Spark-aware."""
+
+    def __init__(self, spark, base_path: str, root: str = "mandoline.io", db_version: str | None = None):
+        self.spark = spark
+        self.schema = mk_schema({"root": root, "base_path": base_path, "db-version": db_version}, spark=spark)
+
+    def create_dataset(self, name: str) -> Connection:
+        self.schema.create_dataset(name)
+        return self.schema.connect(name)
+
+    def connect(self, name: str) -> Connection:
+        return self.schema.connect(name)
+
+    def destroy_dataset(self, name: str) -> None:
+        self.schema.destroy_dataset(name)
+
+    def list_datasets(self) -> list[str]:
+        return self.schema.list_datasets()

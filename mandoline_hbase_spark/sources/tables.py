@@ -1,0 +1,47 @@
+"""Parquet table loaders for the driver's test corpus.
+
+The corpus (``/root/testdata/sf*/``) is a TPC-H-ish star schema plus
+``events`` (streaming fixture), ``documents`` (text/dedup fixture) and
+``embeddings`` (similarity fixture). One parquet file per table.
+
+Reads go through ``spark.read.parquet`` so Catalyst performs column
+pruning and predicate pushdown into the scan — at 100 TB these tables
+would be directory-partitioned and the same code would prune partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every corpus table as a temp view (for the SQL API)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

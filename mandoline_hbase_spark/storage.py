@@ -1,0 +1,128 @@
+"""Low-level physical storage: append-only parquet log tables + a lock.
+
+Each dataset is three directories of parquet files (``chunks``, ``indices``,
+``versions``) — the Spark-native re-expression of the reference's three
+HBase tables (hbase.clj:30-35). Writes are append-only file adds (the
+log-structured-merge idea HBase itself uses); mutation semantics
+(ref-count updates, index CAS) are expressed as log records resolved at
+read time:
+
+- ``chunks``:   ``chunk_id, ref_delta, data`` — ref-count = SUM(ref_delta)
+  per id (merge-on-read; fixes the reference's non-atomic read-modify-write,
+  hbase.clj:156-172); ``data`` is NULL on pure ref-delta records.
+- ``indices``:  ``var_name, coord_id, coord, version_id, chunk_id, seq`` —
+  current value of an index key = the max-``seq`` record for
+  ``(var_name, coord_id, version_id)``.
+- ``versions``: ``version_id, committed_at, metadata`` — the linear commit
+  log (hbase.clj:26-28); a write is visible only after its version row
+  lands (§3.2 of SURVEY.md).
+
+Point reads (the real-time path, explicitly non-Spark per the project's
+north star) use pyarrow dataset scans with pushed-down filters; analytic
+reads load the same directories with ``spark.read.parquet``. At cluster
+scale these directories live on object storage and the appends become
+distributed Spark writes; the schemas and read resolution are unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from contextlib import contextmanager
+
+import pyarrow as pa
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+
+CHUNKS_SCHEMA = pa.schema(
+    [
+        pa.field("chunk_id", pa.string(), nullable=False),
+        pa.field("ref_delta", pa.int64(), nullable=False),
+        pa.field("data", pa.binary(), nullable=True),
+    ]
+)
+
+INDICES_SCHEMA = pa.schema(
+    [
+        pa.field("var_name", pa.string(), nullable=False),
+        pa.field("coord_id", pa.string(), nullable=False),
+        pa.field("coord", pa.list_(pa.int64()), nullable=False),
+        pa.field("version_id", pa.int64(), nullable=False),
+        pa.field("chunk_id", pa.string(), nullable=True),
+        pa.field("seq", pa.int64(), nullable=False),
+    ]
+)
+
+VERSIONS_SCHEMA = pa.schema(
+    [
+        pa.field("version_id", pa.int64(), nullable=False),
+        pa.field("committed_at", pa.timestamp("ms", tz="UTC"), nullable=False),
+        pa.field("metadata", pa.string(), nullable=False),
+    ]
+)
+
+TABLE_SCHEMAS = {"chunks": CHUNKS_SCHEMA, "indices": INDICES_SCHEMA, "versions": VERSIONS_SCHEMA}
+TABLE_NAMES = ("chunks", "indices", "versions")
+
+
+def append_rows(table_dir: str, schema: pa.Schema, rows: list[dict]) -> str:
+    """Append one parquet file of ``rows`` to the log directory."""
+    table = pa.Table.from_pylist(rows, schema=schema)
+    path = os.path.join(table_dir, f"part-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet")
+    pq.write_table(table, path)
+    return path
+
+
+def append_table(table_dir: str, table: pa.Table) -> str:
+    path = os.path.join(table_dir, f"part-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet")
+    pq.write_table(table, path)
+    return path
+
+
+def scan(table_dir: str, schema: pa.Schema, filter=None, columns=None) -> pa.Table:
+    """Point/range read with pushed-down filter (the non-Spark path)."""
+    dataset = pa_ds.dataset(table_dir, format="parquet", schema=schema)
+    return dataset.to_table(filter=filter, columns=columns)
+
+
+@contextmanager
+def dataset_lock(dataset_dir: str, timeout_s: float = 30.0):
+    """Cross-process/thread mutual exclusion for CAS sections.
+
+    Local-mode stand-in for what a transactional table format's optimistic
+    commit protocol provides on a cluster; the CAS *semantics* layered on
+    top (compare current value, then append) are the reference's
+    ``check-and-put`` (hbase.clj:241-245).
+    """
+    lock_path = os.path.join(dataset_dir, "_lock")
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"could not acquire dataset lock at {lock_path}")
+            time.sleep(0.005)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.unlink(lock_path)
+        except FileNotFoundError:
+            pass
+
+
+_SEQ_STATE = {"last": 0}
+
+
+def next_seq() -> int:
+    """Strictly monotonic sequence number (process-local)."""
+    now = time.time_ns()
+    if now <= _SEQ_STATE["last"]:
+        now = _SEQ_STATE["last"] + 1
+    _SEQ_STATE["last"] = now
+    return now

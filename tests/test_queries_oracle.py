@@ -1,0 +1,44 @@
+"""Every registered query must match its DuckDB oracle at smoke scale.
+
+This mirrors the driver's t2 gate (sf0.01) at sf0.001 for speed; run
+``SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.01 pytest`` for the full check.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mandoline_hbase_spark.plans.oracle import compare
+from mandoline_hbase_spark.queries.catalog import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+
+ORACLE_QUERIES = [name for name, q in QUERIES.items() if q.oracle is not None]
+NO_ORACLE_QUERIES = [name for name, q in QUERIES.items() if q.oracle is None]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, name):
+    q = QUERIES[name]
+    result = compare(spark, SF_DIR, q.fn, q.oracle)
+    assert result["cols_match"], f"{name}: columns differ {result}"
+    assert result["rows_match"], f"{name}: row counts differ {result}"
+    assert result["values_match"], f"{name}: values differ {result.get('first_diff')}"
+
+
+@pytest.mark.parametrize("name", NO_ORACLE_QUERIES)
+def test_query_runs(spark, name):
+    q = QUERIES[name]
+    df = q.fn(spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
