@@ -162,6 +162,91 @@ class Connection:
 
     # -- array layer (mandoline-core equivalent) ---------------------------
 
+    @staticmethod
+    def _var_meta(dtype: str, shape, chunk_shape, fill) -> dict:
+        return {
+            "dtype": dtype,
+            "shape": list(shape),
+            "chunk_shape": list(chunk_shape),
+            "fill": None if (isinstance(fill, float) and np.isnan(fill)) else fill,
+            "fill_is_nan": bool(isinstance(fill, float) and np.isnan(fill)),
+        }
+
+    @staticmethod
+    def _fill_of(var_meta: dict):
+        if var_meta.get("fill_is_nan"):
+            return float("nan")
+        fill = var_meta.get("fill")
+        return codec.default_fill(var_meta["dtype"]) if fill is None else fill
+
+    def _commit(
+        self,
+        var_name: str,
+        new_var_meta: dict,
+        entries: list[tuple[tuple[int, ...], str]],
+        blobs: dict[str, bytes],
+        refs: dict[str, int],
+        version_id: int | None,
+    ) -> int:
+        with storage.dataset_lock(self.dataset_dir):
+            return self._commit_locked(var_name, new_var_meta, entries, blobs, refs, version_id)
+
+    def _commit_locked(
+        self,
+        var_name: str,
+        new_var_meta: dict,
+        entries: list[tuple[tuple[int, ...], str]],
+        blobs: dict[str, bytes],
+        refs: dict[str, int],
+        version_id: int | None,
+    ) -> int:
+        """Commit protocol per SURVEY.md §3.2: chunks -> index -> version row.
+
+        The version-row append is the visibility point; a failure mid-commit
+        leaves only invisible garbage (the reference's failed-write
+        contract). Callers hold the dataset lock, which makes local
+        concurrent commits serializable — the stand-in for a transactional
+        table format's optimistic commit on a cluster.
+        """
+        base_meta = {}
+        latest = self.latest_version_id()
+        if latest is not None:
+            base_meta = self.metadata(latest)
+        if version_id is None:
+            version_id = self.next_version_id()
+        variables = dict(base_meta.get("variables", {}))
+        variables[var_name] = new_var_meta
+        new_meta = {**base_meta, "version-id": int(version_id), "variables": variables}
+
+        store = self.chunk_store()
+        store.write_chunks_bulk([(h, refs[h], blobs[h]) for h in blobs])
+        idx = Index(self.dataset_dir, self._dirs["indices"], var_name, new_meta, int(version_id))
+        idx.write_index_bulk(entries, int(version_id))
+        return self.write_version(new_meta)
+
+    def create_variable(
+        self,
+        var_name: str,
+        shape: tuple[int, ...],
+        dtype: str = "float64",
+        chunk_shape: tuple[int, ...] | None = None,
+        fill: Any = None,
+    ) -> int:
+        """Declare a variable without writing data; reads yield all-fill.
+
+        Mirrors mandoline's create-then-write-slabs model: the variable's
+        dtype/shape/chunking/fill live in version metadata
+        (hbase.clj:266-268 — metadata JSON is the schema of record).
+        """
+        if dtype not in codec.SUPPORTED_DTYPES:
+            raise InvalidArgumentError(f"unsupported dtype {dtype}")
+        shape = tuple(int(s) for s in shape)
+        if chunk_shape is None:
+            chunk_shape = tuple(min(s, 64) for s in shape)
+        if fill is None:
+            fill = codec.default_fill(dtype)
+        return self._commit(var_name, self._var_meta(dtype, shape, chunk_shape, fill), [], {}, {}, None)
+
     def write_variable(
         self,
         var_name: str,
@@ -170,13 +255,7 @@ class Connection:
         fill: Any = None,
         version_id: int | None = None,
     ) -> int:
-        """Write a whole variable as one committed version.
-
-        Commit protocol order per SURVEY.md §3.2: chunks -> index entries ->
-        version row; the version row append is the visibility point, so a
-        failure mid-commit leaves only invisible garbage (same contract as
-        the reference's failed-write scenario).
-        """
+        """Write a whole variable as one committed version."""
         array = np.asarray(array)
         dtype = array.dtype.name
         if dtype not in codec.SUPPORTED_DTYPES:
@@ -184,28 +263,18 @@ class Connection:
         if fill is None:
             fill = codec.default_fill(dtype)
         if chunk_shape is None:
-            chunk_shape = tuple(min(s, 64) for s in array.shape)
+            prior = None
+            latest = self.latest_version_id()
+            if latest is not None:
+                prior = self.metadata(latest).get("variables", {}).get(var_name)
+            if prior is not None and len(prior["chunk_shape"]) == array.ndim:
+                chunk_shape = tuple(prior["chunk_shape"])
+            else:
+                chunk_shape = tuple(min(s, 64) for s in array.shape)
         chunk_shape = tuple(chunk_shape)
 
-        base_meta = {}
-        latest = self.latest_version_id()
-        if latest is not None:
-            base_meta = self.metadata(latest)
-        if version_id is None:
-            version_id = self.next_version_id()
-
-        variables = dict(base_meta.get("variables", {}))
-        variables[var_name] = {
-            "dtype": dtype,
-            "shape": list(array.shape),
-            "chunk_shape": list(chunk_shape),
-            "fill": None if (isinstance(fill, float) and np.isnan(fill)) else fill,
-            "fill_is_nan": bool(isinstance(fill, float) and np.isnan(fill)),
-        }
-        new_meta = {**base_meta, "version-id": int(version_id), "variables": variables}
-
-        # 1. chunks (content-addressed dedup within the commit; ref-count =
-        #    number of index entries referencing each blob in this commit)
+        # content-addressed dedup within the commit; ref-count = number of
+        # index entries referencing each blob in this commit
         entries: list[tuple[tuple[int, ...], str]] = []
         blobs: dict[str, bytes] = {}
         refs: dict[str, int] = {}
@@ -216,16 +285,104 @@ class Connection:
             blobs.setdefault(h, data)
             refs[h] = refs.get(h, 0) + 1
             entries.append((coord, h))
+
+        return self._commit(
+            var_name,
+            self._var_meta(dtype, array.shape, chunk_shape, fill),
+            entries,
+            blobs,
+            refs,
+            version_id,
+        )
+
+    def update_region(
+        self,
+        var_name: str,
+        subarray: np.ndarray,
+        offset: tuple[int, ...],
+        version_id: int | None = None,
+    ) -> int:
+        """Overwrite (and possibly extend) a region — a mandoline 'slab' write.
+
+        Only chunks intersecting the region are rewritten; untouched
+        coordinates keep resolving through older versions via the
+        latest-<=-version read (find-index semantics) — this is what makes
+        the reference's overwrite/overwrite-extend scenarios cheap. If
+        ``offset + subarray.shape`` exceeds the current shape the variable
+        grows (overwrite-extend, hbase_test.clj:118-124).
+        """
+        subarray = np.asarray(subarray)
+        offset = tuple(int(o) for o in offset)
+        with storage.dataset_lock(self.dataset_dir):
+            return self._update_region_locked(var_name, subarray, offset, version_id)
+
+    def _update_region_locked(
+        self, var_name: str, subarray: np.ndarray, offset: tuple[int, ...], version_id: int | None
+    ) -> int:
+        # Base-state read happens under the dataset lock so concurrent
+        # overlapping slab writers serialize (read-your-predecessor), the
+        # guarantee the reference gets from per-key CAS + caller retry.
+        latest = self.latest_version_id()
+        if latest is None:
+            raise VersionNotFoundError(f"dataset {self.dataset_name} has no versions")
+        meta = self.metadata(latest)
+        var_meta = meta.get("variables", {}).get(var_name)
+        if var_meta is None:
+            raise KeyError(f"variable {var_name} is not defined; create_variable first")
+        dtype = var_meta["dtype"]
+        chunk_shape = tuple(var_meta["chunk_shape"])
+        fill = self._fill_of(var_meta)
+        if subarray.ndim != len(chunk_shape):
+            raise InvalidArgumentError(
+                f"subarray ndim {subarray.ndim} != variable ndim {len(chunk_shape)}"
+            )
+        subarray = subarray.astype(np.dtype(dtype), copy=False)
+
+        old_shape = tuple(var_meta["shape"])
+        new_shape = tuple(
+            max(s, o + d) for s, o, d in zip(old_shape, offset, subarray.shape)
+        )
+        region_lo = offset
+        region_hi = tuple(o + d for o, d in zip(offset, subarray.shape))
+
+        # chunk coords intersecting the region
+        lo_chunk = tuple(lo // cs for lo, cs in zip(region_lo, chunk_shape))
+        hi_chunk = tuple((hi - 1) // cs for hi, cs in zip(region_hi, chunk_shape))
+        base_map = self.resolve_chunk_map(var_name, latest)
         store = self.chunk_store()
-        store.write_chunks_bulk([(h, refs[h], blobs[h]) for h in blobs])
 
-        # 2. index entries for the new version (fresh version id -> bulk
-        #    append; CAS path is for overlapping writers, see Index)
-        idx = Index(self.dataset_dir, self._dirs["indices"], var_name, new_meta, int(version_id))
-        idx.write_index_bulk(entries, int(version_id))
+        entries: list[tuple[tuple[int, ...], str]] = []
+        blobs: dict[str, bytes] = {}
+        refs: dict[str, int] = {}
+        for coord in _iter_box(lo_chunk, hi_chunk):
+            base_hash = base_map.get(codec.coordinate_to_id(coord))
+            if base_hash is not None:
+                block = codec.decode_chunk(store.read_chunk(base_hash), dtype, chunk_shape).copy()
+            else:
+                block = np.full(chunk_shape, fill, dtype=np.dtype(dtype))
+            # overlay the intersection of this chunk with the region
+            c_lo = tuple(c * cs for c, cs in zip(coord, chunk_shape))
+            sl_block, sl_sub = [], []
+            for d in range(len(chunk_shape)):
+                lo = max(region_lo[d], c_lo[d])
+                hi = min(region_hi[d], c_lo[d] + chunk_shape[d])
+                sl_block.append(slice(lo - c_lo[d], hi - c_lo[d]))
+                sl_sub.append(slice(lo - region_lo[d], hi - region_lo[d]))
+            block[tuple(sl_block)] = subarray[tuple(sl_sub)]
+            data = codec.encode_chunk(block)
+            h = codec.chunk_id_of(data)
+            blobs.setdefault(h, data)
+            refs[h] = refs.get(h, 0) + 1
+            entries.append((coord, h))
 
-        # 3. commit
-        return self.write_version(new_meta)
+        return self._commit_locked(
+            var_name,
+            self._var_meta(dtype, new_shape, chunk_shape, fill),
+            entries,
+            blobs,
+            refs,
+            version_id,
+        )
 
     def _resolve_read(self, var_name: str, version: int | None):
         bound = int(version) if version is not None else self.latest_version_id()
@@ -306,6 +463,119 @@ class Connection:
             block = codec.decode_chunk(store.read_chunk(h), dtype, chunk_shape)
             out[tuple(slice(c * cs, (c + 1) * cs) for c, cs in zip(coord, chunk_shape))] = block
         return out[tuple(slice(0, s) for s in shape)]
+
+    # -- Spark bulk read path ---------------------------------------------
+
+    def spark_table(self, role: str, spark=None):
+        """The raw log table as a Spark DataFrame (explicit schema)."""
+        spark = spark or self.spark
+        return spark.read.schema(storage.SPARK_DDL[role]).parquet(self._dirs[role])
+
+    def chunk_map_df(self, var_name: str, bound: int, spark=None):
+        """Distributed find-index: one DataFrame plan resolving every
+        coordinate of ``var_name`` at snapshot ``bound``.
+
+        filter (pushed to parquet) -> per-key last-write-wins + max version
+        via a single window — the vectorized form of hbase.clj:184-198.
+        Partitioned by coord_id, so at scale the shuffle is one exchange on
+        the natural key; z-ordering the indices table by (var_name,
+        coord_id) keeps the scan pruned.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        idx = self.spark_table("indices", spark)
+        w = Window.partitionBy("coord_id").orderBy(
+            F.desc("version_id"), F.desc("seq")
+        )
+        return (
+            idx.filter((F.col("var_name") == var_name) & (F.col("version_id") <= int(bound)))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .filter(F.col("chunk_id").isNotNull())
+            .select("coord_id", "coord", "chunk_id")
+        )
+
+    def tidy_view(self, var_name: str, version: int | None = None, spark=None):
+        """Exploded analytic view: one row per in-bounds cell of every
+        materialized chunk — ``dim0..dimK bigint, value double``.
+
+        Fully distributed: index resolution (window) -> join chunks on
+        chunk_id -> Arrow-batched decode in ``mapInPandas`` (no driver
+        collect). Cells of never-written chunks (pure fill) are absent; a
+        reader wanting dense output coalesces against the fill value.
+        """
+        from pyspark.sql import functions as F
+
+        spark = spark or self.spark
+        bound, meta, var_meta = self._resolve_read(var_name, version)
+        dtype = var_meta["dtype"]
+        shape = tuple(var_meta["shape"])
+        chunk_shape = tuple(var_meta["chunk_shape"])
+        ndim = len(shape)
+
+        latest = self.chunk_map_df(var_name, bound, spark)
+        chunks = (
+            self.spark_table("chunks", spark)
+            .filter(F.col("data").isNotNull())
+            .dropDuplicates(["chunk_id"])
+            .select("chunk_id", "data")
+        )
+        joined = latest.join(chunks, "chunk_id", "inner").select("coord", "data")
+
+        dim_cols = [f"dim{d}" for d in range(ndim)]
+        out_schema = ", ".join([f"{c} bigint" for c in dim_cols] + ["value double"])
+
+        def decode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                frames = []
+                for coord, data in zip(pdf["coord"], pdf["data"]):
+                    block = np.frombuffer(data, dtype=np.dtype(dtype)).reshape(chunk_shape)
+                    base = [int(c) * cs for c, cs in zip(coord, chunk_shape)]
+                    grids = np.indices(chunk_shape).reshape(len(chunk_shape), -1)
+                    cols = {}
+                    mask = np.ones(grids.shape[1], dtype=bool)
+                    for d in range(len(chunk_shape)):
+                        g = grids[d] + base[d]
+                        cols[f"dim{d}"] = g
+                        mask &= g < shape[d]
+                    frame = pd.DataFrame(cols)
+                    frame["value"] = block.reshape(-1).astype(np.float64)
+                    frames.append(frame[mask])
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        if ndim == 0:
+            # scalar: a single row with just the value
+            return joined.mapInPandas(
+                lambda batches: (
+                    __import__("pandas").DataFrame(
+                        {"value": [float(np.frombuffer(d, dtype=np.dtype(dtype))[0]) for d in pdf["data"]]}
+                    )
+                    for pdf in batches
+                ),
+                schema="value double",
+            )
+        return joined.mapInPandas(decode, schema=out_schema)
+
+
+def _iter_box(lo: tuple[int, ...], hi: tuple[int, ...]):
+    """Yield every integer coordinate in the inclusive box [lo, hi]."""
+    if len(lo) == 0:
+        yield ()
+        return
+    idx = list(lo)
+    while True:
+        yield tuple(idx)
+        for d in reversed(range(len(lo))):
+            idx[d] += 1
+            if idx[d] <= hi[d]:
+                break
+            idx[d] = lo[d]
+        else:
+            return
 
 
 class Schema:

@@ -65,6 +65,14 @@ VERSIONS_SCHEMA = pa.schema(
 TABLE_SCHEMAS = {"chunks": CHUNKS_SCHEMA, "indices": INDICES_SCHEMA, "versions": VERSIONS_SCHEMA}
 TABLE_NAMES = ("chunks", "indices", "versions")
 
+# Spark-side schemas for the same directories (explicit so empty tables read
+# cleanly and so the scan never pays schema inference).
+SPARK_DDL = {
+    "chunks": "chunk_id string, ref_delta bigint, data binary",
+    "indices": "var_name string, coord_id string, coord array<bigint>, version_id bigint, chunk_id string, seq bigint",
+    "versions": "version_id bigint, committed_at timestamp, metadata string",
+}
+
 
 def append_rows(table_dir: str, schema: pa.Schema, rows: list[dict]) -> str:
     """Append one parquet file of ``rows`` to the log directory."""

@@ -1,0 +1,76 @@
+"""Catalog-layer tests (Schema/Connection protocol surface, SURVEY §2 #22-33)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mandoline_hbase_spark.engine import mk_schema, root_table_prefix
+from mandoline_hbase_spark.errors import (
+    DatasetNotFoundError,
+    InvalidArgumentError,
+    VersionNotFoundError,
+)
+
+
+def test_root_table_prefix():
+    # hbase.clj:346-361 semantics
+    assert root_table_prefix("foo.bar.com") == "com.bar.foo"
+    assert root_table_prefix("foo.bar.com", "v2") == "v2.com.bar.foo"
+    assert root_table_prefix("single") == "single"
+
+
+def test_dataset_lifecycle(tmp_path):
+    schema = mk_schema({"root": "a.b.c", "base_path": str(tmp_path)})
+    assert schema.list_datasets() == []
+    schema.create_dataset("ds1")
+    schema.create_dataset("ds2")
+    assert schema.list_datasets() == ["ds1", "ds2"]
+    schema.destroy_dataset("ds1")
+    assert schema.list_datasets() == ["ds2"]
+    schema.destroy_dataset("ds1")  # idempotent (hbase.clj:82-89)
+    with pytest.raises(DatasetNotFoundError):
+        schema.connect("ds1")
+    with pytest.raises(InvalidArgumentError):
+        schema.create_dataset("   ")
+
+
+def test_versions_listing_and_projection(store):
+    vids = [store.write_variable("x", np.full((2,), i, dtype=np.float64)) for i in range(5)]
+    # newest-first + limit (hbase.clj:283-297)
+    out = store.versions(limit=3)
+    assert [v["version"] for v in out] == [str(v) for v in reversed(vids)][:3]
+    assert all("metadata" not in v for v in out)  # projection flag
+    out_meta = store.versions(limit=1, metadata=True)
+    assert out_meta[0]["metadata"]["version-id"] == vids[-1]
+    # timestamps decode as datetimes from the version-id millis
+    assert out[0]["timestamp"].timestamp() * 1000 == pytest.approx(vids[-1], abs=1)
+
+
+def test_metadata_point_get(store):
+    v = store.write_variable("m", np.ones((3,), dtype=np.float64))
+    meta = store.metadata(v)
+    assert meta["version-id"] == v
+    with pytest.raises(VersionNotFoundError):
+        store.metadata(123)
+
+
+def test_get_stats_probe(store):
+    stats = store.get_stats()
+    assert set(stats) == {"metadata-size", "index-size", "data-size"}
+    store.write_variable("x", np.ones((10, 10), dtype=np.float64))
+    stats2 = store.get_stats()
+    assert stats2["data-size"] > 0 and stats2["index-size"] > 0 and stats2["metadata-size"] > 0
+
+
+def test_index_exact_point_get_no_fallback(store):
+    """chunk_at(coord, version) is an exact get (hbase.clj:217-229)."""
+    v1 = store.write_variable("p", np.ones((4,), dtype=np.float64), chunk_shape=(4,))
+    meta = store.metadata(v1)
+    idx = store.index("p", meta)
+    assert idx.chunk_at((0,), v1) is not None
+    # exact arity does NOT fall back to earlier versions
+    assert idx.chunk_at((0,), v1 + 999) is None
+    # bound arity does
+    idx2 = store.index("p", {**meta, "version-id": v1 + 999})
+    assert idx2.chunk_at((0,)) == idx.chunk_at((0,), v1)

@@ -1,0 +1,43 @@
+"""Distributed read path: chunk_map_df + tidy_view (SURVEY §3.3 Spark win)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def test_chunk_map_df_matches_driver_resolution(spark, store):
+    arr = np.arange(64, dtype=np.float64).reshape(8, 8)
+    v1 = store.write_variable("x", arr, chunk_shape=(4, 4))
+    store.update_region("x", np.full((4, 4), -1.0), offset=(0, 0))
+    v2 = store.latest_version_id()
+
+    for bound in (v1, v2):
+        spark_map = {
+            r["coord_id"]: r["chunk_id"]
+            for r in store.chunk_map_df("x", bound, spark).collect()
+        }
+        assert spark_map == store.resolve_chunk_map("x", bound)
+    # the overwritten coord resolves differently across snapshots
+    assert store.resolve_chunk_map("x", v1)["0/0"] != store.resolve_chunk_map("x", v2)["0/0"]
+
+
+def test_tidy_view_round_trip(spark, store):
+    arr = np.arange(30, dtype=np.float64).reshape(5, 6)
+    store.write_variable("t", arr, chunk_shape=(2, 4))
+    pdf = store.tidy_view("t", spark=spark).toPandas()
+    assert len(pdf) == 30  # out-of-bounds pad cells trimmed
+    dense = np.full((5, 6), np.nan)
+    dense[pdf["dim0"], pdf["dim1"]] = pdf["value"]
+    np.testing.assert_array_equal(dense, arr)
+
+
+def test_tidy_view_snapshot(spark, store):
+    a1 = np.zeros((4, 4), dtype=np.float64)
+    v1 = store.write_variable("s", a1, chunk_shape=(2, 2))
+    store.update_region("s", np.ones((2, 2)), offset=(1, 1))
+    pdf1 = store.tidy_view("s", version=v1, spark=spark).toPandas()
+    assert (pdf1["value"] == 0).all()
+    pdf2 = store.tidy_view("s", spark=spark).toPandas()
+    dense = np.zeros((4, 4))
+    dense[pdf2["dim0"], pdf2["dim1"]] = pdf2["value"]
+    assert dense[1:3, 1:3].sum() == 4 and dense.sum() == 4
