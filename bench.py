@@ -1,0 +1,95 @@
+"""Headline benchmark: runs the engine's flagship queries at sf0.1.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+- Data dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+- Parallelism: local[$SPARK_GRAFT_CPUS] (default local[*])
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver collect). One untimed warmup of a trivial query absorbs JVM/codegen
+startup so numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mandoline_hbase_spark.queries.catalog import QUERIES  # noqa: E402
+from mandoline_hbase_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the relational core (scan-agg, joins, semi/anti, windows,
+# top-k) plus the LLM-pipeline scale paths (LSH dedup/ANN, scan-speed text
+# analysis). The exact quadratic baselines (dedup_ngram_jaccard,
+# sim_embedding_near_dups) are correctness fixtures, not headline paths.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "anti_customers_without_orders",
+    "window_top3_suppliers_per_nation",
+    "window_running_revenue",
+    "topk_latest_events",
+    "range_scan_events",
+    "rollup_revenue",
+    "scalar_functions_events",
+    "version_resolve_asof",
+    "text_token_stats",
+    "text_language_id",
+    "text_fingerprint",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan without materializing rows on the driver."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="mandoline-bench")
+    # warmup: JVM + codegen + parquet footer caches
+    _force(spark.read.parquet(os.path.join(SF_DIR, "region.parquet")))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall time (noop sink, local)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

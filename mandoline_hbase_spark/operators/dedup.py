@@ -1,0 +1,308 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The content-addressed chunk store of the storage layer (chunk_id =
+sha1(bytes), SURVEY §2 #12) is exact dedup at the blob level; these
+operators generalize it to document-level exact and *near* duplicate
+detection for LLM training data.
+
+Scale design:
+- exact: one groupBy on a hash — the minimal shuffle (map-side partial agg
+  on the digest).
+- MinHash LSH: shingle -> per-seed min-hash signature (single groupBy) ->
+  band hashes -> self-join on (band, band_hash) buckets. Candidate
+  generation touches only bucket collisions (no quadratic pair join);
+  verification computes exact Jaccard per candidate pair only.
+- SimHash: token hash sign-aggregation to one 64-bit code per doc; banding
+  on 16-bit sub-keys bounds the pair join the same way.
+
+Everything is JVM-side (xxhash64, explode, groupBy) — no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def word_shingles(n: int = 3, text_col: str = "text"):
+    """Word n-gram shingles as an array column (JVM-side transform)."""
+    toks = tokens_col(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: groups of identical texts.
+
+    Returns one row per duplicate group: canonical (min) id, group size.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact_keep_first(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The deduplicated corpus: keep the min-id row per content hash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def doc_shingle_features(
+    df: DataFrame,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc feature table: distinct shingle set + MinHash signature array.
+
+    Computed in ONE map-only pass — the signature is
+    ``array_min(transform(shingles, s -> xxhash64(s, seed_i)))`` per hash
+    function, so there is NO explode and NO groupBy shuffle. At 100 TB this
+    is embarrassingly parallel scan-speed work; the only shuffle in the
+    whole dedup pipeline is the downstream bucket join.
+
+    Input is repartitioned to the session default parallelism because the
+    small fixture parquet arrives as a single split; at real scale the scan
+    already has enough partitions and the repartition coalesces into AQE.
+    """
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(shingle_n, text_col)).alias("sh")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    def _min_hash(seed: int):
+        # closure, not a default arg: a 2-arg HOF lambda would receive the
+        # array index as its second argument
+        return F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(seed))))
+
+    sig = F.array(*[_min_hash(i) for i in range(num_hashes)])
+    return sh.withColumn("sig", sig)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc MinHash signature as ``sig ARRAY<BIGINT>`` (shuffle-free)."""
+    return doc_shingle_features(df, num_hashes, shingle_n, id_col, text_col).select(
+        id_col, "sig"
+    )
+
+
+def _band_stack(features: DataFrame, num_hashes: int, bands: int, id_col: str) -> DataFrame:
+    """Explode each signature into (id, band, band_hash) rows for bucketing."""
+    rows_per_band = num_hashes // bands
+    return features.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
+                            "bh"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    rows-per-band = num_hashes // bands; two docs collide if any band of
+    their signatures matches exactly. Returns distinct (id_a, id_b) with
+    id_a < id_b.
+    """
+    features = doc_shingle_features(df, num_hashes, shingle_n, id_col, text_col)
+    stacked = _band_stack(features, num_hashes, bands, id_col)
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-Jaccard for the given candidate pairs."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(shingle_n, text_col)).alias("sh")
+    )
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH near-dedup: candidates -> estimate -> exact verify.
+
+    The per-doc feature table (shingle set + signature) is persisted and
+    reused by the candidate self-join AND the verification joins — without
+    it the whole feature lineage would execute four times. Between the
+    bucket join and the exact-Jaccard verify sits a signature-estimate
+    prefilter (fraction of matching minhashes >= threshold - 0.15, >5 sigma
+    below any true pair at the default 64 hashes): at scale it discards
+    almost all accidental bucket collisions before the expensive
+    set-intersection work.
+    """
+    features = doc_shingle_features(df, num_hashes, shingle_n, id_col, text_col).persist()
+    stacked = _band_stack(features, num_hashes, bands, id_col)
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    fa = features.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
+    )
+    fb = features.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b")
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(est >= threshold - 0.15)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document (shuffle-free).
+
+    Token-frequency-weighted sign aggregation of per-bit token-hash
+    indicators, computed as higher-order array expressions: hash the token
+    array once, then bit b of the code is set iff more than half the token
+    hashes have bit b set (equivalent to sum(+1/-1) > 0). Map-only — no
+    explode, no groupBy; at scale this runs at scan speed.
+    """
+    hs = F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
+    out = df.withColumn("_hs", hs).withColumn("_n", F.size(F.col("_hs")))
+    def _bit_set(bit: int):
+        return lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
+
+    code = F.lit(0).cast("bigint")
+    for b in range(bits - 1):  # top bit left clear to stay in signed-64 range
+        cnt = F.size(F.filter(F.col("_hs"), _bit_set(b)))
+        code = code + F.when(cnt * 2 > F.col("_n"), F.lit(1).cast("bigint") * (2**b)).otherwise(0)
+    return (
+        out.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        .select(F.col(id_col), code.alias("simhash"))
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit code into 4x16-bit keys
+    (pigeonhole: hamming<=3 implies >=1 identical band), join per band,
+    verify exact Hamming distance.
+
+    The code table is persisted: it is tiny (id + one long per doc) and
+    both sides of the band self-join consume it."""
+    codes = simhash(df, id_col, text_col).persist()
+    bands = codes.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("e"),
+    ).select(F.col(id_col), F.col("simhash"), F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

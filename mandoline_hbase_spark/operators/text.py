@@ -1,0 +1,116 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY §7 M5).
+
+All hot-path logic is JVM-side column expressions (whole-stage codegen) —
+no Python UDFs. Every helper adds columns; the query catalog pairs them
+with DuckDB oracles.
+
+Design notes for 100 TB: these are embarrassingly parallel map-only
+operators — no shuffle at all; they pipeline into whatever follows
+(dedup groupBy, quality filter, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword alternations for the n-gram/stopword heuristic
+# language identifier. ASCII word-boundary regexes work identically in Java
+# regex (Spark) and RE2 (DuckDB).
+LANG_PATTERNS = {
+    "en": r"\b(?:the|of|and|to|in|is|it|a)\b",
+    "fr": r"\b(?:le|la|les|des|et|un|une|est|dans)\b",
+    "es": r"\b(?:el|los|las|de|y|un|una|es|en)\b",
+    "de": r"\b(?:der|die|das|und|ein|eine|ist|zu)\b",
+}
+CJK_PATTERN = r"[一-鿿]"
+
+# A BPE-ish pre-tokenizer: word pieces, single digits, punctuation marks.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def n_tokens(text: Column) -> Column:
+    """Whitespace token count, regex-free so every engine agrees:
+    ``len(text) - len(replace(text,' ','')) + 1`` for non-empty text."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    text = F.col(text_col)
+    toks = n_tokens(text)
+    return (
+        df.withColumn("n_tokens", toks.cast("bigint"))
+        .withColumn("n_bpe_tokens", F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("bigint"))
+        .withColumn("n_chars_obs", F.length(text).cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.length(F.replace(F.trim(text), F.lit(" "), F.lit("")))
+                / F.greatest(toks, F.lit(1)),
+                4,
+            ),
+        )
+    )
+
+
+def with_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, symbol ratio, length prior.
+
+    The score formula is arbitrary but deterministic — what matters for the
+    engine is that it runs as pure column arithmetic at scan speed.
+    """
+    text = F.col(text_col)
+    toks = F.greatest(n_tokens(text), F.lit(1))
+    stop_hits = F.regexp_count(text, F.lit(LANG_PATTERNS["en"]))
+    symbols = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    chars = F.greatest(F.length(text), F.lit(1))
+    stop_ratio = stop_hits / toks
+    symbol_ratio = symbols / chars
+    length_prior = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    return (
+        df.withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 4))
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.4
+                + (1.0 - symbol_ratio) * 0.3
+                + length_prior * 0.3,
+                4,
+            ),
+        )
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-heuristic language ID (no ML model, scan-speed).
+
+    Scores each language by stopword-regex hit count (CJK by codepoint
+    class), then argmax with a fixed tie-break order.
+    """
+    text = F.col(text_col)
+    scores = {lang: F.regexp_count(text, F.lit(pat)) for lang, pat in LANG_PATTERNS.items()}
+    scores["zh"] = F.regexp_count(text, F.lit(CJK_PATTERN))
+    out = df
+    for lang, score in scores.items():
+        out = out.withColumn(f"score_{lang}", score.cast("bigint"))
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in scores])
+    pred = F.lit("unknown")
+    # reversed so the CASE chain checks en first (ties resolve in this order)
+    for lang in reversed(list(scores)):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    for lang in scores:
+        pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase text
+    plus a short prefix usable as a shard/bucket key."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    fp = F.md5(norm)
+    return df.withColumn("fingerprint", fp).withColumn("fp_bucket", F.substring(fp, 1, 4))

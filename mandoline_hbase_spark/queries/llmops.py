@@ -1,0 +1,340 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis.
+
+These register the operators from ``mandoline_hbase_spark.operators``
+(dedup.py, similarity.py, text.py) as catalog queries over the driver's
+``documents`` and ``embeddings`` fixtures, each paired with a DuckDB
+oracle where SQL can express the semantics (hash/sketch-based ops like
+MinHash and SimHash depend on Spark's xxhash64 and get a rows-only
+check instead — except MinHash-LSH near-dedup, whose *verified* output
+equals exact-Jaccard thresholding whenever LSH recall is 1, which holds
+by construction here: 16 bands x 4 rows gives detection probability
+1-(1-j^4)^16 > 0.9999998 at the fixture's minimum true jaccard 0.88).
+
+Parity discipline (Spark <-> DuckDB must hash-match):
+- every double is produced by the same IEEE operation sequence on both
+  sides, then rounded identically;
+- DuckDB ``regexp_replace`` needs the explicit ``'g'`` flag (Spark's is
+  global by default);
+- integer-producing expressions are cast to BIGINT on both sides
+  (pandas int64 vs int32 would flip the canonical repr).
+
+Scale notes are on each query: the correctness-gated exact variants are
+the small-data baselines; the LSH variants are the 100 TB paths (bucket
+joins bound the candidate sets, no quadratic pair join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mandoline_hbase_spark.operators import dedup, similarity, text
+from mandoline_hbase_spark.queries.catalog import register
+from mandoline_hbase_spark.sources.tables import load_table
+
+# Shared DuckDB fragments -------------------------------------------------
+
+# 3-gram word shingles, mirroring operators.dedup.word_shingles (n=3).
+_DUCK_SHINGLES = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')
+                   )
+               ) AS sh
+        FROM toks
+    )
+"""
+
+# whitespace token count, mirroring operators.text.n_tokens
+_DUCK_NTOK = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END"
+)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+           substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 4) AS fp_bucket
+    FROM documents
+    """,
+    description="Document fingerprinting: md5 over whitespace-normalized text",
+    tags=("llm", "text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_fingerprint(docs).select("doc_id", "fingerprint", "fp_bucket")
+
+
+@register(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           ({_DUCK_NTOK})::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))::BIGINT
+               AS n_bpe_tokens,
+           length(text)::BIGINT AS n_chars_obs,
+           round(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+                 / greatest({_DUCK_NTOK}, 1), 4) AS avg_token_len
+    FROM documents
+    """,
+    description="Token counting: whitespace + BPE-ish regex tokenizers",
+    tags=("llm", "text", "tokens"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "n_chars_obs", "avg_token_len"
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=rf"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '\b(?:the|of|and|to|in|is|it|a)\b')) AS DOUBLE)
+                   / greatest({_DUCK_NTOK}, 1) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS symbol_ratio,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_prior
+        FROM documents
+    )
+    SELECT doc_id,
+           round(stop_ratio, 4) AS stopword_ratio,
+           round(symbol_ratio, 4) AS symbol_ratio,
+           round(least(stop_ratio * 4.0, 1.0) * 0.4
+                 + (1.0 - symbol_ratio) * 0.3
+                 + length_prior * 0.3, 4) AS quality_score
+    FROM q
+    """,
+    description="Heuristic quality scoring: stopword/symbol ratios + length prior",
+    tags=("llm", "text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_quality_scores(docs).select(
+        "doc_id", "stopword_ratio", "symbol_ratio", "quality_score"
+    )
+
+
+def _duck_lang_scores() -> str:
+    cols = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS score_{lang}"
+        for lang, pat in text.LANG_PATTERNS.items()
+    )
+    cjk = f"len(regexp_extract_all(text, '{text.CJK_PATTERN}'))::BIGINT AS score_zh"
+    return cols + ",\n               " + cjk
+
+
+@register(
+    "text_language_id",
+    oracle=rf"""
+    WITH s AS (
+        SELECT doc_id,
+               {_duck_lang_scores()}
+        FROM documents
+    )
+    SELECT doc_id, score_en, score_fr, score_es, score_de, score_zh,
+           CASE
+               WHEN greatest(score_en, score_fr, score_es, score_de, score_zh) = 0
+                   THEN 'unknown'
+               WHEN score_en = greatest(score_en, score_fr, score_es, score_de, score_zh)
+                   THEN 'en'
+               WHEN score_fr = greatest(score_en, score_fr, score_es, score_de, score_zh)
+                   THEN 'fr'
+               WHEN score_es = greatest(score_en, score_fr, score_es, score_de, score_zh)
+                   THEN 'es'
+               WHEN score_de = greatest(score_en, score_fr, score_es, score_de, score_zh)
+                   THEN 'de'
+               ELSE 'zh'
+           END AS lang_pred
+    FROM s
+    """,
+    description="N-gram/stopword heuristic language identification",
+    tags=("llm", "text", "langid"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_language_id(docs).select(
+        "doc_id", "score_en", "score_fr", "score_es", "score_de", "score_zh", "lang_pred"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    description="Exact dedup groups via content hash (groupBy on md5)",
+    tags=("llm", "dedup", "exact"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+    description="Deduplicated corpus: keep min-id row per content hash",
+    tags=("llm", "dedup", "exact"),
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact_keep_first(docs).select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_DUCK_SHINGLES
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+    """,
+    description="Exact 3-gram Jaccard near-dup pairs (brute-force baseline)",
+    tags=("llm", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.withColumnRenamed("doc_id", "id_a")
+        .join(ids.withColumnRenamed("doc_id", "id_b"), F.col("id_a") < F.col("id_b"))
+    )
+    return dedup.jaccard_pairs(docs, pairs).filter(F.col("jaccard") >= 0.7)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_DUCK_SHINGLES
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+    """,
+    description=(
+        "MinHash+LSH near-dedup, exact-Jaccard verified; oracle = exact "
+        "thresholding (LSH recall ~1 at the fixture's jaccard floor)"
+    ),
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(docs, threshold=0.7)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # depends on Spark xxhash64; driver records rows-only
+    description="SimHash near-dup pairs: 64-bit code, 4x16-bit band join, Hamming<=3",
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qvec, c.embedding::DOUBLE[]) AS sim
+        FROM q, embeddings c
+        WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC)::INT AS rank
+        FROM sims
+    )
+    WHERE rank <= 5
+    """,
+    description="Exact brute-force cosine top-5 neighbors for 10 query vectors",
+    tags=("llm", "similarity", "topk"),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "sim_embedding_near_dups",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+    description="Embedding near-duplicate pairs: cosine >= 0.4 (brute-force pair join)",
+    tags=("llm", "similarity", "neardup"),
+)
+def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.near_duplicate_pairs(emb, threshold=0.4)
+
+
+@register(
+    "sim_lsh_ann_topk",
+    oracle=None,  # approximate by construction (single-probe LSH recall < 1)
+    description="LSH-bucketed ANN top-5: hyperplane signatures, bucket join, re-rank",
+    tags=("llm", "similarity", "ann", "lsh"),
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
