@@ -1,0 +1,184 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+Design (SURVEY §7 M5, north-star spec): media travels through the engine
+as an opaque ``BINARY`` column with a typed metadata struct — exactly how
+the reference treats chunk payloads (opaque ByteBuffers, hbase.clj:130;
+dtype/shape interpretation lives in metadata, hbase.clj:266-268).
+
+Spark-side plumbing is REAL and tested: schemas, partitioning,
+``mapInPandas`` Arrow batch shapes, byte-level transforms (histogram
+features, fixed-stride frame sampling/windowing). Only the actual codec
+decode (JPEG/PNG/WAV/MP4) is stubbed — the image/audio libraries are not
+in this container — behind ``decode_media``, which raises
+``NotImplementedError`` unless a library is importable.
+
+Scale notes: every operator here is map-only over binary payloads — zero
+shuffle; Arrow moves the bytes Python-side in columnar batches (set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` down if payloads are
+large — 10k rows x 10 MB media would OOM an Arrow batch at the default).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+    ]
+)
+
+
+def attach_fake_media(
+    df: DataFrame, text_col: str = "text", frame_bytes: int = 64
+) -> DataFrame:
+    """Deterministic fake media: the UTF-8 text bytes become the payload.
+
+    Entirely JVM-side (encode + struct); gives every row a reproducible
+    BINARY column + metadata struct so the downstream plumbing is testable
+    without codec libraries.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("media", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            F.lit("video").alias("media_type"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(frame_bytes).alias("frame_bytes"),
+        ),
+    )
+
+
+def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Decode media payloads into pixel/sample arrays.
+
+    STUB: real decoding needs PIL/ffmpeg/soundfile, none of which ship in
+    this container. The Spark-side contract (input binary column ->
+    output ``ARRAY<DOUBLE>`` plus dims) is what the engine guarantees;
+    plug a decoder into ``_decode_batch`` when the library exists.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "media decode requires an image/audio codec library (e.g. Pillow); "
+            "not available in this environment — use byte_histogram_features "
+            "or frame_sample for codec-free paths"
+        )
+    raise NotImplementedError("decoder wiring pending — no codec library present")
+
+
+_HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def byte_histogram_features(
+    df: DataFrame, bins: int = 16, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Codec-free feature extraction: normalized byte-value histogram.
+
+    ``mapInPandas`` — Arrow-batched, vectorized inside the batch with
+    numpy (np.bincount over the concatenated payload per row). This IS
+    the real feature-extraction plumbing; a neural encoder would slot
+    into the same iterator shape.
+    """
+    width = 256 // bins
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(buf // width, minlength=bins)[:bins]
+                total = max(len(buf), 1)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(buf),
+                        [round(float(h) / total, 6) for h in hist],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "features"])
+
+    return df.select(id_col, media_col).mapInPandas(extract, _HIST_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_k: int = 4,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Sample every k-th fixed-stride frame from a video payload.
+
+    The payload is interpreted as concatenated ``frame_bytes``-sized
+    frames (the metadata struct carries the stride). Byte slicing is real;
+    only the codec that would produce such frames is faked upstream.
+    One output row per sampled frame — an explode-shaped mapInPandas.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf[id_col], pdf[media_col], pdf[meta_col]):
+                stride = int(meta["frame_bytes"])
+                n_frames = max(len(payload) // stride, 0)
+                for f_no in range(0, n_frames, every_k):
+                    out.append(
+                        (int(doc_id), f_no, payload[f_no * stride : (f_no + 1) * stride])
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "frame_no", "frame"])
+
+    return df.select(id_col, media_col, meta_col).mapInPandas(sample, _FRAME_SCHEMA)
+
+
+def media_metadata_summary(df: DataFrame, meta_col: str = "media_meta") -> DataFrame:
+    """Aggregate media stats from metadata only — no payload scan.
+
+    At scale this is the query you run BEFORE deciding what to decode:
+    column pruning means the binary column is never read (verify with
+    .explain: ReadSchema excludes `media`).
+    """
+    return df.groupBy(F.col(f"{meta_col}.media_type").alias("media_type")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(f"{meta_col}.n_bytes").alias("total_bytes"),
+        F.round(F.avg(f"{meta_col}.n_bytes"), 4).alias("avg_bytes"),
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mandoline_hbase_spark.operators import dedup, similarity, text
+from mandoline_hbase_spark.operators import dedup, multimodal, similarity, text
 from mandoline_hbase_spark.queries.catalog import register
 from mandoline_hbase_spark.sources.tables import load_table
 
@@ -326,6 +326,75 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.near_duplicate_pairs(emb, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_media_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           'fake/raw' AS format,
+           'video' AS media_type
+    FROM documents
+    """,
+    description="Media metadata projection: payload never scanned (column pruning)",
+    tags=("llm", "multimodal", "metadata"),
+)
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs)
+    return media.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.media_type").alias("media_type"),
+    )
+
+
+@register(
+    "mm_frame_counts",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN octet_length(encode(text)) // 64 = 0 THEN 0
+                ELSE ((octet_length(encode(text)) // 64 - 1) // 4 + 1)
+           END::BIGINT AS n_sampled_frames
+    FROM documents
+    """,
+    description="Frames sampled per doc at stride 64B / every 4th frame",
+    tags=("llm", "multimodal", "frames"),
+)
+def mm_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs, frame_bytes=64)
+    frames = multimodal.frame_sample(media, every_k=4)
+    counts = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled_frames")
+    )
+    # docs shorter than one frame produce zero rows from the sampler; a
+    # left join restores them with an explicit 0 so the oracle compare
+    # covers the edge case instead of silently dropping it
+    return (
+        docs.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_sampled_frames", F.lit(0)).alias("n_sampled_frames"))
+    )
+
+
+@register(
+    "mm_byte_histogram",
+    oracle=None,  # mapInPandas numpy path; driver records rows-only
+    description="Byte-histogram features via Arrow-batched mapInPandas",
+    tags=("llm", "multimodal", "features"),
+)
+def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs)
+    return multimodal.byte_histogram_features(media)
 
 
 @register(

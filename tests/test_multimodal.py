@@ -1,0 +1,95 @@
+"""Multimodal plumbing tests: schema, Arrow batch shapes, byte ops, pruning."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media_df():
+    from mandoline_hbase_spark.operators.multimodal import attach_fake_media
+    from mandoline_hbase_spark.session import get_spark
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="mandoline-tests")
+    return attach_fake_media(load_table(spark, SF_SMOKE, "documents")).cache()
+
+
+def test_media_schema(media_df):
+    schema = {f.name: f.dataType.simpleString() for f in media_df.schema.fields}
+    assert schema["media"] == "binary"
+    meta = dict(
+        (f.name, f.dataType.simpleString())
+        for f in media_df.schema["media_meta"].dataType.fields
+    )
+    assert meta == {
+        "format": "string",
+        "media_type": "string",
+        "n_bytes": "bigint",
+        "width": "int",
+        "height": "int",
+        "frame_bytes": "int",
+    }
+
+
+def test_payload_matches_text_bytes(media_df):
+    row = media_df.select("text", "media", "media_meta.n_bytes").first()
+    assert bytes(row.media) == row.text.encode("utf-8")
+    assert row.n_bytes == len(row.text.encode("utf-8"))
+
+
+def test_byte_histogram_features(media_df):
+    from mandoline_hbase_spark.operators.multimodal import byte_histogram_features
+
+    feats = byte_histogram_features(media_df, bins=16).toPandas()
+    assert len(feats) == media_df.count()
+    assert all(len(f) == 16 for f in feats.features)
+    # histograms are normalized: each sums to ~1
+    sums = feats.features.apply(sum)
+    assert ((sums - 1.0).abs() < 1e-3).all()
+
+
+def test_frame_sample_strides_and_counts(media_df):
+    from mandoline_hbase_spark.operators.multimodal import frame_sample
+
+    frames = frame_sample(media_df, every_k=4).toPandas()
+    one = media_df.select("doc_id", "media").first()
+    n_full = len(bytes(one.media)) // 64
+    expect = len(range(0, n_full, 4))
+    got = frames[frames.doc_id == one.doc_id]
+    assert len(got) == expect
+    # every sampled frame is exactly the 64-byte slice at its offset
+    payload = bytes(one.media)
+    for _, r in got.iterrows():
+        assert bytes(r.frame) == payload[r.frame_no * 64 : (r.frame_no + 1) * 64]
+
+
+def test_metadata_summary_prunes_payload(spark):
+    from mandoline_hbase_spark.operators.multimodal import (
+        attach_fake_media,
+        media_metadata_summary,
+    )
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    # uncached: pruning must reach the parquet scan (the cached fixture's
+    # InMemoryRelation would hold every column and mask the check — and
+    # Spark substitutes any matching cached subtree, so drop the cache)
+    spark.catalog.clearCache()
+    summary = media_metadata_summary(
+        attach_fake_media(load_table(spark, SF_SMOKE, "documents"))
+    )
+    out = summary.collect()
+    assert len(out) == 1 and out[0].media_type == "video"
+    # pruning must reach the scan: only `text` (the fake-payload source) is
+    # read; the binary media column never materializes
+    plan = summary._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_decode_media_is_gated(media_df):
+    from mandoline_hbase_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(media_df)
