@@ -41,6 +41,14 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_volume_customers",
     "anti_customers_without_orders",
+    "q7_nation_volume",
+    "q9_profit_by_nation_year",
+    "q13_customer_distribution",
+    "q19_discounted_revenue",
+    "asof_attribution",
+    "range_join_follow_clicks",
+    "percentiles_by_segment",
+    "pandas_udf_price_score",
     "window_top3_suppliers_per_nation",
     "window_running_revenue",
     "topk_latest_events",
