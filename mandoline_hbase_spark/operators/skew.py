@@ -1,0 +1,43 @@
+"""Skew mitigation: salted equi-join.
+
+AQE's skew-join split (spark.sql.adaptive.skewJoin, on by default in
+session.py) handles most skew at runtime by splitting oversized shuffle
+partitions. Salting is the static fallback for the pathological case AQE
+can't fix: ONE key so hot that even a split partition pins a single
+reducer — e.g. a null-ish default key holding 10% of 100 TB.
+
+``salted_join`` spreads each hot left key over ``n_salts`` shuffle
+partitions and replicates the matching right rows once per salt: the
+shuffle cost rises by |right| x (n_salts - 1) rows, the hot reducer
+shrinks by n_salts x. Worth it exactly when the right side is the small
+one — which is the usual dimension-join skew shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's keys salted ``n_salts`` ways.
+
+    The salt is derived from a per-row id (not the key!), so rows of one
+    hot key scatter uniformly; the right side is exploded once per salt
+    value. Result is row-identical to ``left.join(right, on, how)``.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_left.join(salted_right, on + ["_salt"], how)
+    return out.drop("_salt")

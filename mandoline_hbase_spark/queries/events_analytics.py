@@ -1,0 +1,124 @@
+"""Event-stream analytics in batch: sessionization, distinct counting.
+
+The batch twin of streaming/ingest.py: the same sessionization semantics
+expressed as gaps-and-islands windows (oracle-checkable in ANSI SQL),
+plus the exact/approx distinct-count pair — approx_count_distinct (HLL)
+is the 100 TB path (constant memory per group), the exact variant is the
+correctness baseline the oracle verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mandoline_hbase_spark.queries.catalog import register
+from mandoline_hbase_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# sessionize_events — gaps-and-islands sessionization (batch).
+# Two windows over one (user_id) shuffle: lag to mark session starts,
+# running sum to number sessions. Identical result to the streaming
+# session_window operator at the same gap.
+# --------------------------------------------------------------------------
+@register(
+    "sessionize_events",
+    oracle="""
+        WITH marks AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL 10 MINUTES
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM marks
+        )
+        SELECT user_id,
+               session_no::BIGINT AS session_no,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM numbered
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_no
+    """,
+    description="Gaps-and-islands sessionization (10-minute inactivity gap)",
+    tags=("events", "window", "sessionize"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # microsecond precision: cast-to-long truncates to seconds, which would
+    # disagree with the oracle's exact interval comparison on sub-second gaps
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    marked = events.withColumn(
+        "new_sess", F.when(gap > 600 * 1_000_000, 1).otherwise(0)
+    )
+    numbered = marked.withColumn(
+        "session_no", F.sum("new_sess").over(run).cast("bigint")
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct_users_by_type — exact distinct (the correctness baseline).
+# --------------------------------------------------------------------------
+@register(
+    "distinct_users_by_type",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Exact distinct users per event type",
+    tags=("events", "aggregate", "distinct"),
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# approx_distinct_users — the scale path: HyperLogLog++ sketch, constant
+# memory per group, one pass, no distinct-expand shuffle. No SQL oracle
+# (sketch internals are engine-specific); the exact twin above is the
+# accuracy reference, and the test asserts relative error < 5%.
+# --------------------------------------------------------------------------
+@register(
+    "approx_distinct_users",
+    oracle=None,
+    description="Approximate distinct users per event type (HLL++)",
+    tags=("events", "aggregate", "approx", "sketch"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("event_type")
+    )

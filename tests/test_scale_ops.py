@@ -1,0 +1,110 @@
+"""Scale-machinery tests: salted joins, partition pruning, bucketed joins."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_matches_plain_join(spark):
+    from mandoline_hbase_spark.operators.skew import salted_join
+
+    # skewed left: 90% of rows share key 0
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim")
+    )
+    plain = left.join(right, "k").select("k", "payload", "dim")
+    salted = salted_join(left, right, "k").select("k", "payload", "dim")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from mandoline_hbase_spark.operators.skew import salted_join
+
+    left = spark.range(1000).select(F.lit(0).alias("k"), F.col("id").alias("payload"))
+    right = spark.range(1).select(F.col("id").alias("k"), F.lit("x").alias("dim"))
+    out = salted_join(left, right, "k", n_salts=8)
+    assert out.count() == 1000
+    # the hot key's rows occupy >1 shuffle partition post-join
+    parts = (
+        out.withColumn("p", F.spark_partition_id()).select("p").distinct().count()
+    )
+    assert parts > 1
+
+
+def test_partition_pruning_skips_directories(spark, tmp_path):
+    from mandoline_hbase_spark.sources.lake import read_partitioned, write_partitioned
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, path, ["o_year"])
+
+    filtered = read_partitioned(spark, path).filter(F.col("o_year") == 1996)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_year" in plan and "(o_year" in plan
+    expected = orders.filter(F.col("o_year") == 1996).count()
+    assert filtered.count() == expected
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    from mandoline_hbase_spark.sources.lake import write_bucketed_table
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    suffix = uuid.uuid4().hex[:8]
+    t_orders, t_lineitem = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+    write_bucketed_table(
+        load_table(spark, SF_SMOKE, "orders"), t_orders, ["o_orderkey"], 4
+    )
+    write_bucketed_table(
+        load_table(spark, SF_SMOKE, "lineitem"), t_lineitem, ["l_orderkey"], 4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path: at this toy size Spark would
+        # (rightly) broadcast, which needs a BroadcastExchange and hides
+        # the property under test — that identically-bucketed tables
+        # sort-merge-join with NO shuffle Exchange on either side
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table(t_orders)
+            .join(
+                spark.table(t_lineitem),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .count()
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
+
+
+def test_approx_distinct_within_5pct_of_exact(spark):
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    exact = {
+        r.event_type: r.n_users
+        for r in QUERIES["distinct_users_by_type"].fn(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in QUERIES["approx_distinct_users"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05
