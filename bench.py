@@ -83,6 +83,9 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators that persist intermediates (LSH feature tables) must not
+        # hold executor memory against later queries
+        spark.catalog.clearCache()
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

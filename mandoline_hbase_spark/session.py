@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the catalog is codegen-heavy (multi-hash sketches, wide aggs); the
+        # JVM default 240m code cache fills over a long session and silently
+        # drops to interpreted execution
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
     )
     if extra_conf:
         for k, v in extra_conf.items():
