@@ -107,15 +107,20 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 12,
     seed: int = 42,
+    probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: candidates share the query's LSH bucket (single-probe),
+    """ANN top-k: candidates share one of the query's probed LSH buckets,
     exact cosine re-rank within candidates only.
 
-    Recall < 1 by construction; the scale win is that the join key is the
-    bucket, so each task touches one bucket's worth of vectors instead of
-    the corpus.
+    Multi-probe: besides its own bucket, each query probes every bucket
+    within Hamming distance ``probe_hamming`` of its signature (bit
+    flips) — the standard recall lift that costs extra probe keys on the
+    tiny query side instead of longer signatures on the corpus side.
+    Recall < 1 by construction; the scale win is that the join key is
+    the bucket, so each task touches buckets' worth of vectors instead
+    of the corpus.
     """
     from pyspark.sql import Window
 
@@ -124,18 +129,125 @@ def lsh_topk(
         F.col(vec_col).alias("cvec"),
         F.col("lsh_bucket").alias("cbucket"),
     )
-    query_sig = lsh_signatures(queries_df, dim, n_planes, seed, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.col("lsh_bucket").alias("qbucket"),
+    probes = [F.col("lsh_bucket")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("lsh_bucket").bitwiseXOR(F.lit(2**b)) for b in range(n_planes)
+        ]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("lsh_bucket").bitwiseXOR(F.lit(2**b1 + 2**b2))
+            for b1 in range(n_planes)
+            for b2 in range(b1 + 1, n_planes)
+        ]
+    query_sig = (
+        lsh_signatures(queries_df, dim, n_planes, seed, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(F.array(*probes)).alias("qbucket"),
+        )
     )
-    cands = corpus_sig.join(
-        F.broadcast(query_sig),
-        (F.col("cbucket") == F.col("qbucket")) & (F.col("query_id") != F.col("neighbor_id")),
-    ).withColumn("sim", cosine_sim(_as_double("qvec"), _as_double("cvec")))
+    cands = (
+        corpus_sig.join(
+            F.broadcast(query_sig),
+            (F.col("cbucket") == F.col("qbucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .drop("qbucket")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("sim", cosine_sim(_as_double("qvec"), _as_double("cvec")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _centroids(dim: int, n_centroids: int, seed: int = 7) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids.
+
+    A trained k-means codebook drops in here unchanged; random unit
+    vectors already give the partition property IVF needs (every vector
+    lands in exactly one cell, cells are roughly balanced for isotropic
+    data)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _cell_scores(vec_col, cents: np.ndarray):
+    """Array of dot products against every centroid (JVM-side)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in cents[i]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for i in range(len(cents))
+        ]
+    )
+
+
+def ivf_topk(
+    emb_df: DataFrame,
+    queries_df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid cells, probe
+    the query's top-``n_probe`` cells, exact-rerank candidates.
+
+    Corpus side: one argmax assignment per vector (map-only) — at scale
+    this is the partitioning/bucketing key, so cell scans are pruned
+    reads. Query side: explode ``n_probe`` cells per query, bucket-join,
+    rerank. Recall rises with n_probe; n_probe = n_centroids degrades
+    gracefully to exact brute force.
+    """
+    from pyspark.sql import Window
+
+    cents = _centroids(dim, n_centroids, seed)
+    corpus = (
+        emb_df.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec"))
+        .withColumn("cells", _cell_scores(F.col("cvec"), cents))
+        .withColumn("cell", (F.array_position("cells", F.array_max("cells")) - 1).cast("int"))
+        .drop("cells")
+    )
+    probes = (
+        queries_df.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec"))
+        .withColumn("cells", _cell_scores(F.col("qvec"), cents))
+        .withColumn(
+            "probe_cells",
+            F.slice(
+                F.expr(
+                    "transform(array_sort(zip_with(cells, sequence(0, size(cells)-1),"
+                    " (s, i) -> struct(-s AS negs, i AS idx))), p -> p.idx)"
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select("query_id", "qvec", F.explode("probe_cells").alias("cell"))
+    )
+    cands = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = cands.withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
     )

@@ -109,6 +109,98 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (sketch internals are engine-specific); the exact twin above is the
 # accuracy reference, and the test asserts relative error < 5%.
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# funnel_signup_to_purchase — sequence funnel: users converting after their
+# first signup. Two aggregations + one join, all on the user_id shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "funnel_signup_to_purchase",
+    oracle="""
+        WITH first_signup AS (
+            SELECT user_id, min(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id
+        ),
+        converted AS (
+            SELECT DISTINCT f.user_id
+            FROM first_signup f
+            JOIN events e ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > f.signup_ts
+        )
+        SELECT (SELECT count(*) FROM first_signup)::BIGINT AS n_signup_users,
+               (SELECT count(*) FROM converted)::BIGINT AS n_converted,
+               round((SELECT count(*) FROM converted)
+                     / (SELECT count(*) FROM first_signup)::DOUBLE, 4) AS conv_rate
+    """,
+    description="Funnel: signup -> later purchase conversion rate",
+    tags=("events", "funnel", "join"),
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    converted = (
+        first_signup.join(
+            events.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("p_ts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("p_ts") > F.col("signup_ts"))
+        .select("user_id")
+        .distinct()
+    )
+    totals = first_signup.agg(F.count(F.lit(1)).alias("n_signup_users")).crossJoin(
+        converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    )
+    return totals.select(
+        "n_signup_users",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_signup_users"), 4).alias("conv_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# retention_cohorts — daily cohort retention triangle: users active N days
+# after their first event. distinct-per-(cohort, offset); one shuffle each.
+# --------------------------------------------------------------------------
+@register(
+    "retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(ts::DATE) AS cohort_day
+            FROM events GROUP BY user_id
+        )
+        SELECT cohort_day::TIMESTAMP AS cohort_day,
+               date_diff('day', cohort_day, e.ts::DATE)::INT AS day_offset,
+               count(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN firsts USING (user_id)
+        WHERE date_diff('day', cohort_day, e.ts::DATE) BETWEEN 0 AND 7
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
+    """,
+    description="Daily cohort retention (day 0-7 active users)",
+    tags=("events", "retention", "aggregate"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    offset = F.datediff(F.to_date("ts"), F.col("cohort_day"))
+    return (
+        events.join(firsts, "user_id")
+        .withColumn("day_offset", offset.cast("int"))
+        .filter(F.col("day_offset").between(0, 7))
+        # DATE surfaces as datetime.date via Arrow but pandas Timestamp from
+        # DuckDB; cast to timestamp so both engines hash identically
+        .groupBy(F.col("cohort_day").cast("timestamp").alias("cohort_day"), F.col("day_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 @register(
     "approx_distinct_users",
     oracle=None,

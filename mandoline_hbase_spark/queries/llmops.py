@@ -406,4 +406,16 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
+    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=8, probe_hamming=2)
+
+
+@register(
+    "sim_ivf_ann_topk",
+    oracle=None,  # approximate by construction (cell-probe recall < 1)
+    description="IVF ANN top-5: coarse-quantizer cells, multi-probe, re-rank",
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=6)

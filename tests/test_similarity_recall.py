@@ -1,0 +1,65 @@
+"""ANN recall tests: the approximate paths must track the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _topk_sets(df):
+    """{query_id: set(neighbor_id)} from a top-k result frame."""
+    out: dict[int, set] = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """Probing every cell degrades IVF to exact brute force — results must
+    match the exact top-k exactly (same tie-break)."""
+    from mandoline_hbase_spark.operators.similarity import cosine_topk, ivf_topk
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    full_probe = ivf_topk(
+        emb, queries, dim=64, k=5, n_centroids=8, n_probe=8
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, exact), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, full_probe), key=lambda t: (t[0], t[1])
+    )
+
+
+def test_ivf_partial_probe_recall(spark):
+    """6-of-16-cell probing keeps recall@5 >= 0.6 on the fixture."""
+    from mandoline_hbase_spark.operators.similarity import cosine_topk, ivf_topk
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(cosine_topk(emb, queries, k=5))
+    approx = _topk_sets(ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=6))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6
+
+
+def test_lsh_topk_recall(spark):
+    from mandoline_hbase_spark.operators.similarity import cosine_topk, lsh_topk
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(cosine_topk(emb, queries, k=5))
+    approx = _topk_sets(
+        lsh_topk(emb, queries, dim=64, k=5, n_planes=8, probe_hamming=2)
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    # sign-LSH on near-orthogonal synthetic vectors (top cosine ~0.5) is the
+    # hardest case for hyperplane hashing; Hamming-2 multiprobe on 8 planes
+    # gives ~0.4 expected recall here vs ~1% random baseline
+    assert hits / total >= 0.25
