@@ -295,6 +295,109 @@ class Connection:
             version_id,
         )
 
+    def write_variable_from_df(
+        self,
+        df,
+        var_name: str,
+        shape: tuple[int, ...],
+        chunk_shape: tuple[int, ...],
+        dtype: str = "float64",
+        fill: Any = None,
+        version_id: int | None = None,
+        dim_cols: list[str] | None = None,
+        value_col: str = "value",
+    ) -> int:
+        """Distributed ingest: commit a version of ``var_name`` from a tidy
+        DataFrame (``dim0..dimN-1, value``) — the 100 TB write path.
+
+        The full array never exists on one machine: rows shuffle once on
+        their chunk coordinate, each executor builds its chunks' blocks
+        with ``applyInPandas`` (fill-padded, C-order — byte-identical to
+        the driver path, so content addressing dedups ACROSS the two
+        paths), and chunk payloads are appended to the chunks log directly
+        by the Spark writer. Only the (coordinate -> chunk-id) map — one
+        tiny row per chunk — and the version row go through the driver
+        commit, preserving the §3.2 ordering: chunks -> index -> version.
+        """
+        from pyspark.sql import functions as F
+
+        if dtype not in codec.SUPPORTED_DTYPES:
+            raise InvalidArgumentError(f"unsupported dtype {dtype}")
+        shape = tuple(int(s) for s in shape)
+        chunk_shape = tuple(int(c) for c in chunk_shape)
+        if fill is None:
+            fill = codec.default_fill(dtype)
+        ndim = len(shape)
+        dim_cols = dim_cols or [f"d{i}" for i in range(ndim)]
+
+        coord_keys = [
+            F.floor(F.col(c) / chunk_shape[i]).cast("long").alias(f"_cc{i}")
+            for i, c in enumerate(dim_cols)
+        ]
+        keyed = df.select(
+            *coord_keys, *[F.col(c).cast("long") for c in dim_cols], F.col(value_col)
+        )
+
+        cs, fl, dt, dcols, vcol = chunk_shape, fill, dtype, list(dim_cols), value_col
+
+        def build_chunk(pdf):
+            # self-contained: executor Python workers may not have the
+            # package on sys.path, so no module-level references here
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            coord = tuple(int(pdf[f"_cc{i}"].iloc[0]) for i in range(len(cs)))
+            block = np.full(cs, fl, dtype=dt)
+            local = tuple(
+                (pdf[c].to_numpy() - coord[i] * cs[i]).astype("int64")
+                for i, c in enumerate(dcols)
+            )
+            block[local] = pdf[vcol].to_numpy().astype(dt)
+            data = np.ascontiguousarray(block).tobytes()
+            coord_id = "/".join(str(c) for c in coord) if coord else "_"
+            return pd.DataFrame(
+                {
+                    "coord_id": [coord_id],
+                    "chunk_id": [hashlib.sha1(data).hexdigest()],
+                    "data": [data],
+                }
+            )
+
+        per_chunk = keyed.groupBy(*[f"_cc{i}" for i in range(ndim)]).applyInPandas(
+            build_chunk, "coord_id string, chunk_id string, data binary"
+        )
+        # one pass, reused by the payload write and the tiny entry collect
+        per_chunk = per_chunk.persist()
+        try:
+            # payload append straight from executors (content-addressed:
+            # identical blobs collapse to one row with the summed ref delta)
+            (
+                per_chunk.groupBy("chunk_id")
+                .agg(
+                    F.count(F.lit(1)).alias("ref_delta"),
+                    F.first("data").alias("data"),
+                )
+                .select("chunk_id", "ref_delta", "data")
+                .write.mode("append")
+                .parquet(self._dirs["chunks"])
+            )
+            entries = [
+                (codec.id_to_coordinate(r.coord_id), r.chunk_id)
+                for r in per_chunk.select("coord_id", "chunk_id").collect()
+            ]
+        finally:
+            per_chunk.unpersist()
+        return self._commit(
+            var_name,
+            self._var_meta(dtype, shape, chunk_shape, fill),
+            entries,
+            {},
+            {},
+            version_id,
+        )
+
     def update_region(
         self,
         var_name: str,
