@@ -114,3 +114,59 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     fp = F.md5(norm)
     return df.withColumn("fingerprint", fp).withColumn("fp_bucket", F.substring(fp, 1, 4))
+
+
+def with_winnowing_fingerprints(
+    df: DataFrame, k: int = 8, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: the plagiarism-detection /
+    near-copy fingerprint set that survives insertions and reorderings.
+
+    Per doc: hash every char k-gram (the rolling hash), slide a window of
+    ``window`` hashes, keep each window's minimum, distinct the kept set.
+    The winnowing guarantee: any shared substring of length >= k+window-1
+    yields at least one shared fingerprint. All JVM-side higher-order
+    array expressions — map-only, scan speed, no shuffle.
+    """
+    text = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n_grams = F.greatest(F.length(text) - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.xxhash64(F.substring(text, i, k)),
+    )
+    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(grams, j, window)),
+        )
+    )
+    return df.withColumn(
+        "winnow_fps", F.when(n_grams > 0, fps).otherwise(F.array().cast("array<bigint>"))
+    )
+
+
+def winnowing_similarity(
+    df: DataFrame, pairs: DataFrame, k: int = 8, window: int = 4,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Fingerprint-overlap similarity for candidate pairs (winnowing's
+    containment measure: |A ∩ B| / |A ∪ B| over fingerprint sets)."""
+    fps = with_winnowing_fingerprints(df, k, window, text_col).select(
+        F.col(id_col), F.col("winnow_fps")
+    )
+    a = fps.select(F.col(id_col).alias("id_a"), F.col("winnow_fps").alias("fp_a"))
+    b = fps.select(F.col(id_col).alias("id_b"), F.col("winnow_fps").alias("fp_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "fp_jaccard",
+            F.round(
+                F.size(F.array_intersect("fp_a", "fp_b"))
+                / F.size(F.array_union("fp_a", "fp_b")),
+                4,
+            ),
+        )
+        .select("id_a", "id_b", "fp_jaccard")
+    )

@@ -176,6 +176,19 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_winnowing_stats",
+    oracle=None,  # rolling hash is xxhash64-based; driver records rows-only
+    description="Winnowing rolling-hash fingerprints: per-doc set size",
+    tags=("llm", "text", "fingerprint", "winnowing"),
+)
+def text_winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_winnowing_fingerprints(docs).select(
+        "doc_id", F.size("winnow_fps").alias("n_fingerprints")
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------

@@ -337,6 +337,37 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q16_supplier_counts — TPC-H Q16 (adapted: supplier linkage via lineitem,
+# no partsupp): distinct suppliers per brand/type. countDistinct after a
+# broadcast join; deterministic top-20 (full key in the sort).
+# --------------------------------------------------------------------------
+@register(
+    "q16_supplier_counts",
+    oracle="""
+        SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+        GROUP BY p_brand, p_type
+        ORDER BY supplier_cnt DESC, p_brand, p_type
+        LIMIT 20
+    """,
+    description="TPC-H Q16 adapted: distinct supplier count per brand/type",
+    tags=("tpch", "join", "distinct", "topk"),
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # q17_small_quantity — TPC-H Q17: revenue from below-half-average-quantity
 # orders of one brand. Correlated per-part average -> window, no self-join.
 # --------------------------------------------------------------------------

@@ -153,6 +153,22 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, key_cols: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once stream dedup: drop key repeats within the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    its state once the watermark passes — bounded state, unlike a global
+    ``dropDuplicates`` whose state grows forever on an unbounded stream.
+    This is the at-least-once-source -> exactly-once-sink adapter for
+    sources that can replay events (the same contract the versioned
+    ingest sink gets from content addressing).
+    """
+    key_cols = key_cols or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 # --------------------------------------------------------------------------
 # Versioned ingest sink: one storage-engine version per micro-batch
 # --------------------------------------------------------------------------
