@@ -62,5 +62,6 @@ def oracle_sql_map() -> dict[str, str]:
 # Populate the registry (import order defines catalog order).
 from mandoline_hbase_spark.queries import relational  # noqa: E402,F401
 from mandoline_hbase_spark.queries import relational_ext  # noqa: E402,F401
+from mandoline_hbase_spark.queries import tpch_remaining  # noqa: E402,F401
 from mandoline_hbase_spark.queries import events_analytics  # noqa: E402,F401
 from mandoline_hbase_spark.queries import llmops  # noqa: E402,F401
