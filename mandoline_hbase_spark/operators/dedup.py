@@ -29,12 +29,42 @@ def tokens_col(text_col: str = "text"):
 
 
 def word_shingles(n: int = 3, text_col: str = "text"):
-    """Word n-gram shingles as an array column (JVM-side transform)."""
+    """Word n-gram shingles as an array column (JVM-side transform).
+
+    NOTE: the split expression is captured inside the lambda, so it is
+    re-evaluated per shingle position — fine for short texts, quadratic
+    for long documents. Prefer :func:`with_shingle_set` (staged, linear)
+    in any pipeline path.
+    """
     toks = tokens_col(text_col)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+
+
+def with_shingle_set(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "sh",
+) -> DataFrame:
+    """``(id_col, out_col)`` with the distinct word n-gram shingle set.
+
+    Stages the token array as a column so the whitespace split runs once
+    per row instead of once per shingle position (lambda-captured
+    expressions are re-evaluated per element — the same quadratic trap as
+    text.with_winnowing_fingerprints): linear in document length, which
+    is what a 100 TB corpus with megabyte documents requires.
+    """
+    staged = df.withColumn("_sh_toks", tokens_col(text_col))
+    t = F.col("_sh_toks")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return staged.select(F.col(id_col), F.array_distinct(shingles).alias(out_col))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -58,6 +88,47 @@ def dedup_exact_keep_first(df: DataFrame, id_col: str = "doc_id", text_col: str 
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def segment_hashes(
+    df: DataFrame, seg_len: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Explode documents into fixed-length non-overlapping word segments,
+    keyed by md5 — the "line/paragraph" unit for corpus-level exact
+    segment dedup (CCNet-style line dedup, with fixed word windows as the
+    segment proxy since the fixture text has no line structure).
+
+    The token array is staged as a column so the split runs once per row,
+    not once per segment (see text.with_winnowing_fingerprints).
+    Map-only until the explode; at 100 TB the downstream groupBy shuffles
+    only (seg_md5, doc_id) pairs, never the text.
+    """
+    staged = df.withColumn("_seg_toks", tokens_col(text_col))
+    t = F.col("_seg_toks")
+    n_segs = F.ceil(F.size(t) / F.lit(seg_len)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_segs - 1, F.lit(0))),
+        lambda s: F.md5(F.concat_ws(" ", F.slice(t, s * seg_len + 1, seg_len))),
+    )
+    return staged.withColumn("_segs", segs).select(
+        F.col(id_col), F.posexplode(F.col("_segs")).alias("seg_idx", "seg_md5")
+    )
+
+
+def segment_duplicates(
+    df: DataFrame, seg_len: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Segments appearing in more than one document: one row per
+    cross-document duplicated segment with its spread and frequency."""
+    return (
+        segment_hashes(df, seg_len, id_col, text_col)
+        .groupBy("seg_md5")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def doc_shingle_features(
     df: DataFrame,
     num_hashes: int = 64,
@@ -77,9 +148,9 @@ def doc_shingle_features(
     small fixture parquet arrives as a single split; at real scale the scan
     already has enough partitions and the repartition coalesces into AQE.
     """
-    sh = df.select(
-        F.col(id_col), F.array_distinct(word_shingles(shingle_n, text_col)).alias("sh")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    sh = with_shingle_set(df, shingle_n, id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
     # ONE aggregate pass builds all minima: the zip_with accumulator beats
     # num_hashes separate array_min(transform(...)) trees by ~25% (each of
     # those re-traverses the shingle array and materializes a hash array)
@@ -165,9 +236,7 @@ def jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Exact shingle-Jaccard for the given candidate pairs."""
-    sh = df.select(
-        F.col(id_col), F.array_distinct(word_shingles(shingle_n, text_col)).alias("sh")
-    )
+    sh = with_shingle_set(df, shingle_n, id_col, text_col)
     return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

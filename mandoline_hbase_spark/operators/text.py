@@ -128,12 +128,23 @@ def with_winnowing_fingerprints(
     yields at least one shared fingerprint. All JVM-side higher-order
     array expressions — map-only, scan speed, no shuffle.
     """
-    text = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    n_grams = F.greatest(F.length(text) - (k - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        lambda i: F.xxhash64(F.substring(text, i, k)),
+    # Stage the normalized text and the gram-hash array as real columns:
+    # each is referenced more than once downstream, and CollapseProject
+    # refuses to inline non-cheap multiply-referenced aliases, so every
+    # row computes the regex normalization once and the n gram hashes once
+    # (inlining them into the windows lambda recomputes both per window —
+    # O(n^2) regex + hash calls per document).
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    staged = df.withColumn("_wn_norm", norm)
+    n_grams = F.greatest(F.length(F.col("_wn_norm")) - (k - 1), F.lit(0))
+    staged = staged.withColumn(
+        "_wn_grams",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.xxhash64(F.substring(F.col("_wn_norm"), i, k)),
+        ),
     )
+    grams = F.col("_wn_grams")
     n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
     fps = F.array_distinct(
         F.transform(
@@ -141,8 +152,75 @@ def with_winnowing_fingerprints(
             lambda j: F.array_min(F.slice(grams, j, window)),
         )
     )
-    return df.withColumn(
-        "winnow_fps", F.when(n_grams > 0, fps).otherwise(F.array().cast("array<bigint>"))
+    return (
+        staged.withColumn(
+            "winnow_fps",
+            F.when(
+                F.length(F.col("_wn_norm")) >= k, fps
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
+        .drop("_wn_norm", "_wn_grams")
+    )
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, map-only (no shuffle).
+
+    Per document: ``n_words``, ``dup_word_ratio`` (1 - distinct/total),
+    ``top_word_ratio`` (most frequent word's share), ``dup_bigram_ratio``
+    (1 - distinct bigrams / total bigrams; 0 for single-word docs).
+    High values flag boilerplate / degenerate repetition, the standard
+    pre-training corpus filter signals.
+
+    The token and bigram arrays are staged as columns so each is computed
+    once per row (see with_winnowing_fingerprints for why inlining them
+    into the downstream lambdas goes quadratic).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    staged = (
+        df.withColumn("_rep_toks", toks)
+        .withColumn("_rep_distinct", F.array_distinct(F.col("_rep_toks")))
+    )
+    t = F.col("_rep_toks")
+    n = F.size(t)
+    nd = F.size(F.col("_rep_distinct"))
+    top_freq = F.array_max(
+        F.transform(
+            F.col("_rep_distinct"),
+            lambda w: F.size(F.filter(t, lambda x: x == w)),
+        )
+    )
+    staged = staged.withColumn(
+        "_rep_bigrams",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        ),
+    )
+    bg = F.col("_rep_bigrams")
+    denom = F.greatest(n, F.lit(1))
+    return (
+        staged.withColumn("n_words", n.cast("bigint"))
+        .withColumn(
+            "dup_word_ratio",
+            F.round(F.lit(1.0) - nd.cast("double") / denom, 4),
+        )
+        .withColumn(
+            "top_word_ratio",
+            F.round(top_freq.cast("double") / denom, 4),
+        )
+        .withColumn(
+            "dup_bigram_ratio",
+            F.round(
+                F.when(
+                    n >= 2,
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+        .drop("_rep_toks", "_rep_distinct", "_rep_bigrams")
     )
 
 

@@ -189,9 +189,80 @@ def text_winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_signals",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id,
+                   len(w) AS n,
+                   len(list_distinct(w)) AS nd,
+                   list_max(list_transform(list_distinct(w),
+                       u -> len(list_filter(w, x -> x = u)))) AS topf,
+                   CASE WHEN len(w) >= 2 THEN
+                       1.0 - CAST(len(list_distinct(list_transform(
+                                 range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+                             / (len(w) - 1)
+                   ELSE 0.0 END AS dbg
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_words,
+               round(1.0 - CAST(nd AS DOUBLE) / greatest(n, 1), 4) AS dup_word_ratio,
+               round(CAST(topf AS DOUBLE) / greatest(n, 1), 4) AS top_word_ratio,
+               round(dbg, 4) AS dup_bigram_ratio
+        FROM base
+    """,
+    description="Gopher-style repetition signals: dup-word/top-word/dup-bigram ratios",
+    tags=("llm", "text", "quality", "repetition"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_repetition_signals(docs).select(
+        "doc_id", "n_words", "dup_word_ratio", "top_word_ratio", "dup_bigram_ratio"
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_segment_exact",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(CAST(ceil(len(w) / 3.0) AS BIGINT)),
+                       s -> md5(array_to_string(w[(s*3+1):(s*3+3)], ' '))
+                   )) AS seg_md5
+            FROM t
+        )
+        SELECT seg_md5,
+               count(DISTINCT doc_id)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_occurrences
+        FROM segs
+        GROUP BY seg_md5
+        HAVING count(DISTINCT doc_id) > 1
+        ORDER BY n_occurrences DESC, n_docs DESC, seg_md5
+    """,
+    description="CCNet-style cross-document exact segment (line) dedup",
+    tags=("llm", "dedup", "segment"),
+)
+def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.segment_duplicates(docs, seg_len=3).orderBy(
+        F.desc("n_occurrences"), F.desc("n_docs"), "seg_md5"
+    )
 
 
 @register(
