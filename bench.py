@@ -59,9 +59,14 @@ HEADLINE = [
     "text_token_stats",
     "text_language_id",
     "text_fingerprint",
+    "text_repetition_signals",
+    "text_winnowing_stats",
     "dedup_exact_keep_first",
+    "dedup_segment_exact",
     "dedup_minhash_lsh",
+    "dedup_cluster_assign",
     "dedup_simhash",
+    "sample_stratified_documents",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
 ]

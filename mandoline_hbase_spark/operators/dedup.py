@@ -392,3 +392,77 @@ def simhash_near_duplicates(
     return pairs.withColumn("hamming", hamming.cast("int")).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Distributed connected components by hash-min label propagation.
+
+    ``nodes`` is one row per vertex (``id_col``); ``edges`` is an
+    undirected pair list (each pair once, either direction). Returns
+    ``(id_col, cluster_id)`` where ``cluster_id`` is the minimum vertex
+    id in the component — singletons map to themselves.
+
+    Scale design: each round is one shuffle (edge join + min-agg on the
+    vertex key); rounds = graph diameter. Near-dup graphs are star-like
+    (clusters of near-identical docs), so diameter is tiny and 2–3
+    rounds converge. ``localCheckpoint`` truncates the plan each round —
+    without it the lineage doubles per iteration and Catalyst analysis
+    time goes exponential. Convergence is detected with a single count
+    of changed labels (no driver collect of data rows).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        # min label over {self} ∪ neighbors, one shuffle on "node"
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .select(F.col("u").alias("node"), F.col("label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("changed")).limit(1).count()
+        labels = updated.drop("changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical-document assignment: MinHash-LSH near-dup pairs (the
+    100 TB candidate path, exact-Jaccard verified) -> connected
+    components -> every doc labeled with its cluster's min doc id and an
+    ``is_canonical`` flag (keep-one-per-cluster dedup policy)."""
+    pairs = minhash_near_duplicates(df, threshold=threshold, id_col=id_col, text_col=text_col)
+    cc = connected_components(df.select(id_col), pairs, id_col=id_col)
+    return cc.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )

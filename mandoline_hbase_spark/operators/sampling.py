@@ -1,0 +1,93 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100 TB pipeline cannot use ``df.sample`` for corpus curation: RNG
+sampling is not reproducible across re-runs/partitionings, and the same
+document must keep or drop identically in every incremental rebuild.
+These operators derive the keep decision from a salted content hash of
+the row's stable id, so the sample is
+
+- deterministic (same id + salt -> same decision, any cluster layout),
+- cheap (one md5 per row, no shuffle for the bernoulli form),
+- incremental-friendly (new data joins an existing sample seamlessly).
+
+The hex-threshold trick: the first 8 hex chars of md5 are uniform over
+[0, 16^8); lexicographic comparison of lowercase hex strings equals
+numeric comparison, so ``hex8 < threshold_hex(fraction)`` keeps an
+(almost) exact ``fraction`` of ids — and the identical predicate is
+expressible in any engine with ``md5`` (the DuckDB oracles use it
+verbatim).
+
+Reference parity note: the reference backend has no sampling surface
+(SURVEY.md §2.2); these are north-star LLM-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8
+
+
+def hash_bucket_hex(id_col: Column, salt: str) -> Column:
+    """First 8 hex chars of md5 over ``id:salt`` — the sampling key."""
+    return F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt))), 1, 8)
+
+
+def fraction_to_hex(fraction: float) -> str:
+    """Hex threshold such that hex8 < threshold keeps ~``fraction``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def sample_deterministic(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "s42"
+) -> DataFrame:
+    """Bernoulli sample at ``fraction`` keyed on a salted id hash.
+
+    Narrow (no shuffle): a filter evaluated per row wherever it lives.
+    """
+    return df.filter(hash_bucket_hex(F.col(id_col), salt) < F.lit(fraction_to_hex(fraction)))
+
+
+def sample_stratified(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "s42",
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downsample dominant
+    languages, keep all of rare ones). Still narrow — the per-stratum
+    threshold is a CASE expression, not a join."""
+    thr: Column = F.lit(fraction_to_hex(default_fraction))
+    for value, fraction in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(fraction_to_hex(fraction))).otherwise(thr)
+    return df.filter(hash_bucket_hex(F.col(id_col), salt) < thr)
+
+
+def sample_topk_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "s42",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (hash-ordered, id
+    tiebreak) — the reproducible analog of per-group reservoir
+    sampling. One shuffle on the group key; rank() over the salted
+    hash means re-runs and incremental additions agree on the first k.
+    Skew note: a hot group funnels to one task; at 100 TB pre-filter
+    with :func:`sample_deterministic` so per-group row counts are
+    bounded before the window sort."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket_hex(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+    )

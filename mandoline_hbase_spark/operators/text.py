@@ -179,16 +179,29 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     staged = (
         df.withColumn("_rep_toks", toks)
-        .withColumn("_rep_distinct", F.array_distinct(F.col("_rep_toks")))
+        .withColumn("_rep_sorted", F.array_sort(F.col("_rep_toks")))
     )
     t = F.col("_rep_toks")
     n = F.size(t)
-    nd = F.size(F.col("_rep_distinct"))
-    top_freq = F.array_max(
-        F.transform(
-            F.col("_rep_distinct"),
-            lambda w: F.size(F.filter(t, lambda x: x == w)),
-        )
+    nd = F.size(F.array_distinct(F.col("_rep_sorted")))
+    # Top word frequency = longest equal-run in the sorted token array:
+    # one O(n) aggregate pass with a flat struct accumulator, instead of
+    # filter-per-distinct-word (O(distinct*n) with an array materialized
+    # per distinct word — interpreted-eval cost dominates at corpus scale).
+    top_freq = F.aggregate(
+        F.col("_rep_sorted"),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     staged = staged.withColumn(
         "_rep_bigrams",
@@ -220,7 +233,7 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
                 4,
             ),
         )
-        .drop("_rep_toks", "_rep_distinct", "_rep_bigrams")
+        .drop("_rep_toks", "_rep_sorted", "_rep_bigrams")
     )
 
 

@@ -503,3 +503,95 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=6)
+
+
+@register(
+    "dedup_cluster_assign",
+    oracle=_DUCK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + r""",
+    pairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id,
+           node = min(lab) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    description=(
+        "Near-dup cluster assignment: MinHash-LSH verified pairs -> "
+        "distributed connected components (hash-min propagation, one "
+        "shuffle per round, rounds = component diameter) -> canonical "
+        "min-id per cluster. Oracle = recursive-CTE transitive closure "
+        "over exact-Jaccard edges (LSH recall ~1 at the fixture floor)."
+    ),
+    tags=("llm", "dedup", "cluster", "iterative"),
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_duplicate_clusters(docs, threshold=0.7)
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling (training-data curation)
+# --------------------------------------------------------------------------
+
+from mandoline_hbase_spark.operators import sampling  # noqa: E402
+
+
+@register(
+    "sample_stratified_documents",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(doc_id::VARCHAR || ':s42'), 1, 8) <
+          CASE lang WHEN 'en' THEN '40000000'
+                    WHEN 'zh' THEN '80000000'
+                    ELSE 'ffffffff' END
+    """,
+    description=(
+        "Deterministic stratified corpus sample: salted-md5 hex threshold "
+        "per language (downsample dominant en to 25%, zh to 50%, keep the "
+        "rest) — narrow filter, reproducible across re-runs and partitionings"
+    ),
+    tags=("llm", "sampling", "stratified"),
+)
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_stratified(
+        docs, {"en": 0.25, "zh": 0.5}, strata_col="lang", default_fraction=1.0
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "sample_per_source_topk",
+    oracle="""
+    SELECT doc_id, source, sample_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(doc_id::VARCHAR || ':s42'), 1, 8), doc_id
+               ) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 5
+    """,
+    description=(
+        "Exactly-5-per-source deterministic sample (hash-ordered window "
+        "rank) — the reproducible analog of per-group reservoir sampling"
+    ),
+    tags=("llm", "sampling", "reservoir"),
+)
+def sample_per_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_topk_per_group(docs, k=5, group_col="source").select(
+        "doc_id", "source", "sample_rank"
+    )

@@ -1,0 +1,91 @@
+"""Unit semantics for deterministic sampling and connected components."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mandoline_hbase_spark.operators import dedup, sampling
+
+
+def _cc(spark, nodes, edges):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id bigint")
+    edf = spark.createDataFrame(edges or [(None, None)], "id_a bigint, id_b bigint")
+    if not edges:
+        edf = edf.filter(F.lit(False))
+    out = dedup.connected_components(ndf, edf)
+    return {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_cc_two_components_and_singleton(spark):
+    # component {1,2,3} (triangle), component {10,11}, singleton {99}
+    got = _cc(spark, [1, 2, 3, 10, 11, 99], [(1, 2), (2, 3), (1, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_cc_long_chain_needs_iterations(spark):
+    # path graph 1-2-3-...-8: diameter 7 forces multiple propagation rounds
+    nodes = list(range(1, 9))
+    edges = [(i, i + 1) for i in range(1, 8)]
+    got = _cc(spark, nodes, edges)
+    assert got == {n: 1 for n in nodes}
+
+
+def test_cc_edge_direction_irrelevant(spark):
+    assert _cc(spark, [5, 7], [(7, 5)]) == {5: 5, 7: 5}
+
+
+def test_cc_empty_edges(spark):
+    assert _cc(spark, [3, 4], []) == {3: 3, 4: 4}
+
+
+def _expected_keep(doc_id: int, salt: str, fraction: float) -> bool:
+    hex8 = hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:8]
+    return hex8 < sampling.fraction_to_hex(fraction)
+
+
+def test_sample_deterministic_matches_reference_hash(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    kept = {r["doc_id"] for r in sampling.sample_deterministic(df, 0.3).collect()}
+    expected = {i for i in range(200) if _expected_keep(i, "s42", 0.3)}
+    assert kept == expected
+    # and a second run is identical (no RNG anywhere)
+    again = {r["doc_id"] for r in sampling.sample_deterministic(df, 0.3).collect()}
+    assert again == kept
+
+
+def test_sample_fraction_bounds():
+    import pytest
+
+    with pytest.raises(ValueError):
+        sampling.fraction_to_hex(1.5)
+
+
+def test_stratified_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = sampling.sample_stratified(df, {"en": 0.2}, "lang", default_fraction=1.0)
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    # every fr row kept (fraction_to_hex(1.0) excludes only hex8=='ffffffff')
+    fr_expected = {(i, "fr") for i in range(1, 400, 2) if _expected_keep(i, "s42", 1.0)}
+    en_expected = {(i, "en") for i in range(0, 400, 2) if _expected_keep(i, "s42", 0.2)}
+    assert got == fr_expected | en_expected
+
+
+def test_topk_per_group_exact_k_and_stable(spark):
+    rows = [(i, f"g{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = sampling.sample_topk_per_group(df, k=4, group_col="source")
+    rows1 = sorted((r["source"], r["sample_rank"], r["doc_id"]) for r in out.collect())
+    assert len(rows1) == 12
+    rows2 = sorted(
+        (r["source"], r["sample_rank"], r["doc_id"])
+        for r in sampling.sample_topk_per_group(df, k=4, group_col="source").collect()
+    )
+    assert rows1 == rows2
+    # ranks are 1..k per group
+    per_group = {}
+    for src, rank, _ in rows1:
+        per_group.setdefault(src, []).append(rank)
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per_group.values())
