@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_cluster_assign",
     "dedup_simhash",
     "sample_stratified_documents",
+    "curate_corpus",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
 ]

@@ -466,3 +466,36 @@ def near_duplicate_clusters(
         "cluster_id",
         (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def decontamination_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    min_shared: int = 5,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= ``min_shared``
+    distinct word shingles with any eval/benchmark document.
+
+    Scale design: an inverted-index join, not a pair join — corpus
+    shingles explode to (doc, gram) rows and probe the *broadcast*
+    exploded eval set (eval corpora are tiny next to training corpora),
+    so the plan is scan -> broadcast hash join -> partial-agg count, no
+    shuffle of the corpus beyond the final groupBy on (doc, eval) pairs
+    that actually collide. Returns (doc_id, eval_id, n_shared) pairs.
+    """
+    c = with_shingle_set(corpus, shingle_n, id_col, text_col).select(
+        F.col(id_col), F.explode("sh").alias("gram")
+    )
+    e = with_shingle_set(eval_set, shingle_n, id_col, text_col).select(
+        F.col(id_col).alias("eval_id"), F.explode("sh").alias("gram")
+    )
+    return (
+        c.join(F.broadcast(e), "gram")
+        .filter(F.col(id_col) != F.col("eval_id"))
+        .groupBy(id_col, "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

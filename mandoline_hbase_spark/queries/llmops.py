@@ -595,3 +595,146 @@ def sample_per_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.sample_topk_per_group(docs, k=5, group_col="source").select(
         "doc_id", "source", "sample_rank"
     )
+
+
+@register(
+    "curate_corpus",
+    oracle=rf"""
+    WITH canon AS (
+        SELECT doc_id, text, lang,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text,
+                    '\b(?:the|of|and|to|in|is|it|a)\b')) AS DOUBLE)
+                   / greatest({_DUCK_NTOK}, 1) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS symbol_ratio,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_prior
+        FROM canon WHERE rn = 1
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               round(least(stop_ratio * 4.0, 1.0) * 0.4
+                     + (1.0 - symbol_ratio) * 0.3
+                     + length_prior * 0.3, 4) AS quality_score
+        FROM q
+    )
+    SELECT doc_id, lang, quality_score
+    FROM scored
+    WHERE quality_score >= 0.55
+      AND substr(md5(doc_id::VARCHAR || ':s42'), 1, 8) <
+          CASE lang WHEN 'en' THEN '80000000' ELSE 'ffffffff' END
+    """,
+    description=(
+        "End-to-end corpus curation pipeline: exact dedup (keep min-id per "
+        "content hash) -> heuristic quality scoring -> threshold filter -> "
+        "deterministic stratified sample (en halved). One Spark plan: "
+        "window dedup and scoring fuse into the scan stage; the sample "
+        "predicate is narrow, so the only shuffle is the dedup window."
+    ),
+    tags=("llm", "pipeline", "curation"),
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = dedup.dedup_exact_keep_first(docs)
+    scored = text.with_quality_scores(deduped).filter(F.col("quality_score") >= 0.55)
+    sampled = sampling.sample_stratified(scored, {"en": 0.5}, strata_col="lang", default_fraction=1.0)
+    return sampled.select("doc_id", "lang", "quality_score")
+
+
+from mandoline_hbase_spark.operators import packing  # noqa: E402
+
+_PACK_BUDGET = 128
+_PACK_BUCKETS = 8
+
+# Exclusive running token total per hash bucket; a doc's pack is the
+# budget-window its prefix sum lands in (operators/packing.py semantics).
+_DUCK_PACKED = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               doc_id % {_PACK_BUCKETS} AS bucket,
+               CAST({_DUCK_NTOK} AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, bucket, n_tok,
+               CAST(floor(
+                   (sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id)
+                    - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_seq
+        FROM toks
+    )
+"""
+
+
+@register(
+    "pack_sequences",
+    oracle=_DUCK_PACKED + "SELECT doc_id, bucket, n_tok, pack_seq FROM packed",
+    description=(
+        "Sequence packing: assign documents to fixed token-budget packs "
+        "via per-bucket exclusive running sums. The bucket hash makes the "
+        "window partitions independent and executor-sized at 100 TB; one "
+        "shuffle total (the window sort)."
+    ),
+    tags=("llm", "packing"),
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_sequences(docs, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS)
+
+
+@register(
+    "pack_utilization",
+    oracle=_DUCK_PACKED
+    + f"""
+    SELECT bucket, pack_seq,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+           round(sum(n_tok) / {_PACK_BUDGET}.0, 4) AS utilization
+    FROM packed
+    GROUP BY bucket, pack_seq
+    """,
+    description=(
+        "Per-pack fill statistics over pack_sequences output: doc count, "
+        "token total, utilization vs budget. Partial aggregation reuses "
+        "the packing window's (bucket) clustering, so the final groupBy "
+        "shuffles only pack-grain rows."
+    ),
+    tags=("llm", "packing", "agg"),
+)
+def pack_utilization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    packed = packing.pack_sequences(docs, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS)
+    return packing.pack_utilization(packed, budget=_PACK_BUDGET)
+
+
+@register(
+    "decontam_overlap",
+    oracle=_DUCK_SHINGLES
+    + """,
+    c AS (
+        SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 10 <> 0
+    ),
+    e AS (
+        SELECT doc_id AS eval_id, unnest(sh) AS gram FROM sh WHERE doc_id % 10 = 0
+    )
+    SELECT c.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM c JOIN e USING (gram)
+    GROUP BY c.doc_id, e.eval_id
+    HAVING count(*) >= 3
+    """,
+    description=(
+        "Benchmark decontamination: corpus docs (doc_id % 10 != 0) sharing "
+        ">= 3 distinct word 3-grams with any eval doc (doc_id % 10 == 0). "
+        "Inverted-index broadcast join - the corpus streams past the tiny "
+        "exploded eval set; no corpus-side pair shuffle."
+    ),
+    tags=("llm", "dedup", "decontamination"),
+)
+def decontam_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.decontamination_overlap(corpus, eval_set, min_shared=3)

@@ -108,3 +108,58 @@ def test_approx_distinct_within_5pct_of_exact(spark):
     assert set(exact) == set(approx)
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05
+
+
+def test_pack_sequences_semantics(spark):
+    from mandoline_hbase_spark.operators.packing import pack_sequences, pack_utilization
+
+    # one bucket -> deterministic id-order greedy fill; tokens: 3,3,3,10,3
+    rows = [
+        (0, "a b c"),
+        (1, "d e f"),
+        (2, "g h i"),
+        (3, " ".join("x" * 10)),
+        (4, "j k l"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = pack_sequences(df, budget=8, n_buckets=1)
+    got = {r.doc_id: (r.n_tok, r.pack_seq) for r in packed.collect()}
+    # prefix sums (exclusive): 0,3,6,9,19 -> packs 0,0,0,1,2
+    assert got == {0: (3, 0), 1: (3, 0), 2: (3, 0), 3: (10, 1), 4: (3, 2)}
+
+    util = {
+        (r.bucket, r.pack_seq): (r.n_docs, r.pack_tokens)
+        for r in pack_utilization(packed, budget=8).collect()
+    }
+    assert util == {(0, 0): (3, 9), (0, 1): (1, 10), (0, 2): (1, 3)}
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    import pytest
+
+    from mandoline_hbase_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
+
+
+def test_decontamination_overlap_broadcast(spark):
+    from mandoline_hbase_spark.operators.dedup import decontamination_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high today")], ["doc_id", "text"]
+    )
+    out = decontamination_overlap(corpus, ev, min_shared=2)
+    rows = out.collect()
+    # doc 1 shares 'the quick brown','quick brown fox','brown fox jumps'
+    assert [(r.doc_id, r.eval_id, r.n_shared) for r in rows] == [(1, 100, 3)]
+    # the eval side must be broadcast (no corpus-side shuffle for the join)
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
