@@ -68,6 +68,9 @@ HEADLINE = [
     "dedup_simhash",
     "sample_stratified_documents",
     "curate_corpus",
+    "vocab_top_terms",
+    "tfidf_top_terms",
+    "emb_quantize_int8",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
 ]

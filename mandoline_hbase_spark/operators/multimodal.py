@@ -170,6 +170,55 @@ def frame_sample(
     return df.select(id_col, media_col, meta_col).mapInPandas(sample, _FRAME_SCHEMA)
 
 
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("media", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    out_width: int,
+    out_height: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Resize image payloads to ``out_width x out_height``.
+
+    The payload is interpreted as a row-major ``height x width`` byte
+    raster (1 byte/pixel, the metadata struct carries the dims) and
+    resampled by nearest-neighbor index selection — a deterministic,
+    codec-free resize that numpy expresses exactly; a real interpolating
+    resizer (PIL/cv2) would slot into the same iterator unchanged.
+    Map-only over Arrow batches: zero shuffle, binary column pruned
+    until this operator runs.
+    """
+    if out_width <= 0 or out_height <= 0:
+        raise ValueError(f"output dims must be positive, got {out_width}x{out_height}")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf[id_col], pdf[media_col], pdf[meta_col]):
+                w, h = int(meta["width"]), int(meta["height"])
+                raster = np.frombuffer(payload, dtype=np.uint8)[: w * h]
+                if len(raster) < w * h:  # short payload: pad with zeros
+                    raster = np.pad(raster, (0, w * h - len(raster)))
+                img = raster.reshape(h, w)
+                ys = (np.arange(out_height) * h) // out_height
+                xs = (np.arange(out_width) * w) // out_width
+                resized = img[np.ix_(ys, xs)]
+                out.append((int(doc_id), out_width, out_height, resized.tobytes()))
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "media"])
+
+    return df.select(id_col, media_col, meta_col).mapInPandas(resize, _RESIZE_SCHEMA)
+
+
 def media_metadata_summary(df: DataFrame, meta_col: str = "media_meta") -> DataFrame:
     """Aggregate media stats from metadata only — no payload scan.
 

@@ -272,3 +272,29 @@ def near_duplicate_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q = floor(v/scale + 0.5)``
+    with ``scale = max(|v|) / 127``.
+
+    The ANN storage path at 100 TB: 4x smaller than float32 before
+    dot-products, and entirely JVM-side column arithmetic (higher-order
+    array functions — no UDF, no shuffle, pipelines into the scan).
+    ``floor(x + 0.5)`` instead of ``round`` because half-even vs
+    half-away rounding differs across engines; floor is exact everywhere.
+    Zero vectors quantize to zeros with scale 0.
+    """
+    v = _as_double(vec_col)
+    absmax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    q = F.when(absmax == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("q_scale"),
+        q.cast("array<int>").alias("q_vec"),
+    )

@@ -11,7 +11,7 @@ operators — no shuffle at all; they pipeline into whatever follows
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword alternations for the n-gram/stopword heuristic
@@ -260,4 +260,85 @@ def winnowing_similarity(
             ),
         )
         .select("id_a", "id_b", "fp_jaccard")
+    )
+
+
+def term_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, term, tf)`` — per-document lowercase whitespace-token counts.
+
+    The vocabulary-building primitive: explode is map-side, the count is
+    one shuffle keyed on (doc, term). At 100 TB the (doc, term) key space
+    is huge but uniform — no skew salt needed; hot *global* terms only
+    concentrate in the corpus-level rollup, which aggregates partially
+    before shuffling pre-combined (term, count) rows.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def vocab_top_terms(
+    df: DataFrame, k: int = 50, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k terms by total frequency (ties: term asc).
+
+    Two-stage aggregate (per-doc then global) keeps the global shuffle at
+    vocabulary grain, then TakeOrderedAndProject collects only k rows.
+    """
+    totals = (
+        term_frequencies(df, id_col, text_col)
+        .groupBy("term")
+        .agg(
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+        )
+    )
+    # limit() first so the plan is TakeOrderedAndProject over the whole
+    # vocabulary; the single-partition rank window then sees only k rows.
+    top = totals.orderBy(F.desc("total_tf"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("total_tf"), F.asc("term"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "term",
+        "total_tf",
+        "doc_freq",
+    )
+
+
+def tf_idf_topk(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF (ties: term asc).
+
+    ``idf = ln((N + 1) / (doc_freq + 1)) + 1`` (sklearn's smooth variant —
+    never negative, division-safe). The document count N is a scalar
+    subquery -> literal broadcast, not a driver collect; doc_freq joins
+    back on term. Rounded to 6 so any engine reproduces the double.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+    n = df.select(F.countDistinct(id_col).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tf_idf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf_idf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "tf_idf")
     )

@@ -738,3 +738,114 @@ def decontam_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     eval_set = docs.filter(F.col("doc_id") % 10 == 0)
     return dedup.decontamination_overlap(corpus, eval_set, min_shared=3)
+
+
+# Per-doc lowercase whitespace term counts, mirroring text.term_frequencies.
+_DUCK_TF = r"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents
+        )
+        WHERE length(term) > 0
+        GROUP BY doc_id, term
+    )
+"""
+
+
+@register(
+    "vocab_top_terms",
+    oracle=_DUCK_TF
+    + """,
+    totals AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf,
+               CAST(count(*) AS BIGINT) AS doc_freq
+        FROM tf GROUP BY term
+    )
+    SELECT * FROM (
+        SELECT CAST(row_number() OVER (ORDER BY total_tf DESC, term ASC) AS BIGINT) AS rank,
+               term, total_tf, doc_freq
+        FROM totals
+    ) WHERE rank <= 50
+    """,
+    description=(
+        "Vocabulary building: corpus top-50 terms by total frequency. "
+        "Two-stage aggregate — per-doc counts partial-combine before the "
+        "vocabulary-grain shuffle; the top-k is TakeOrderedAndProject, "
+        "never a full sort."
+    ),
+    tags=("llm", "text", "vocab"),
+)
+def vocab_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_top_terms(docs, k=50)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=_DUCK_TF
+    + """,
+    docfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (docfreq.doc_freq + 1.0)) + 1.0),
+                     6) AS tf_idf
+        FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, rank, term, tf, tf_idf FROM (
+        SELECT doc_id, term, tf, tf_idf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tf_idf DESC, term ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    description=(
+        "Per-document top-3 terms by smoothed TF-IDF. doc-count is a "
+        "broadcast scalar, doc_freq a vocabulary-grain join; ties break "
+        "on term so ranks are deterministic across engines."
+    ),
+    tags=("llm", "text", "tfidf"),
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tf_idf_topk(docs, k=3)
+
+
+@register(
+    "emb_quantize_int8",
+    oracle=r"""
+    SELECT vec_id,
+           round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0, 9) AS q_scale,
+           CASE WHEN list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) = 0.0
+                THEN array_to_string(list_transform(embedding, x -> 0), ',')
+                ELSE array_to_string(list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE)
+                          / (list_max(list_transform(embedding,
+                               y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+                          + 0.5) AS INT)), ',')
+           END AS q_csv
+    FROM embeddings
+    """,
+    description=(
+        "Symmetric per-vector int8 quantization of the embedding column "
+        "(the 4x-smaller ANN storage path). floor(v/scale + 0.5) instead "
+        "of round() so every engine produces identical codes; the array "
+        "is CSV-joined so the oracle compares element-exact."
+    ),
+    tags=("llm", "similarity", "quantization"),
+)
+def emb_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "q_scale",
+        F.concat_ws(",", F.col("q_vec")).alias("q_csv"),
+    )

@@ -93,3 +93,43 @@ def test_decode_media_is_gated(media_df):
 
     with pytest.raises(NotImplementedError):
         decode_media(media_df)
+
+
+def test_resize_media_nearest_neighbor(spark):
+    import numpy as np
+
+    from mandoline_hbase_spark.operators.multimodal import resize_media
+
+    # 4x4 raster 0..15; 2x2 nearest-neighbor picks rows/cols 0 and 2
+    raster = bytes(range(16))
+    meta = {"format": "fake/raw", "media_type": "image", "n_bytes": 16,
+            "width": 4, "height": 4, "frame_bytes": 16}
+    df = spark.createDataFrame([(1, bytearray(raster), meta)],
+                               "doc_id long, media binary, media_meta map<string,string>")
+    out = resize_media(df, out_width=2, out_height=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height) == (2, 2)
+    expect = np.frombuffer(raster, dtype=np.uint8).reshape(4, 4)[np.ix_([0, 2], [0, 2])]
+    assert bytes(r.media) == expect.tobytes()
+
+
+def test_resize_media_pads_short_payload(spark):
+    from mandoline_hbase_spark.operators.multimodal import resize_media
+
+    meta = {"width": 4, "height": 4}
+    df = spark.createDataFrame([(1, bytearray(b"\xff" * 3), meta)],
+                               "doc_id long, media binary, media_meta map<string,string>")
+    r = resize_media(df, out_width=4, out_height=4).collect()[0]
+    assert bytes(r.media)[:3] == b"\xff" * 3 and set(bytes(r.media)[3:]) == {0}
+
+
+def test_resize_media_rejects_bad_dims(spark):
+    import pytest
+
+    from mandoline_hbase_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame([(1, bytearray(b"x"), {"width": 1, "height": 1})],
+                               "doc_id long, media binary, media_meta map<string,string>")
+    with pytest.raises(ValueError):
+        resize_media(df, out_width=0, out_height=2)
