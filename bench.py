@@ -70,7 +70,9 @@ HEADLINE = [
     "curate_corpus",
     "vocab_top_terms",
     "tfidf_top_terms",
+    "text_pii_redaction",
     "emb_quantize_int8",
+    "emb_l2_normalize",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
 ]

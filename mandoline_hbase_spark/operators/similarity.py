@@ -298,3 +298,26 @@ def quantize_int8(
         F.round(scale, 9).alias("q_scale"),
         q.cast("array<int>").alias("q_vec"),
     )
+
+
+def l2_normalize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Unit-normalize embeddings: ``u = v / ||v||``, zero vectors pass
+    through as zeros with norm 0.
+
+    The mandatory step before cosine reduces to a dot product (what every
+    ANN index wants stored). Pure higher-order array functions — map-only,
+    no UDF, no shuffle. Left-fold (sequential) norm accumulation keeps
+    parity with scalar SQL engines.
+    """
+    v = _as_double(vec_col)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    unit = F.when(norm == 0.0, v).otherwise(F.transform(v, lambda x: x / norm))
+    return df.select(
+        F.col(id_col),
+        norm.alias("l2_norm"),
+        unit.alias("unit_vec"),
+    )

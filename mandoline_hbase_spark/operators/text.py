@@ -342,3 +342,36 @@ def tf_idf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "tf_idf")
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no lookaround, no backreferences, greedy quantifiers only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, IPv4 addresses, and phone-like digit runs from text.
+
+    The standard pre-training privacy pass: map-only column expressions
+    (regexp_count + regexp_replace), zero shuffle, pipelines into the
+    scan. Replacement order matters — emails first (their local part can
+    contain digits), then IPs (dotted quads would otherwise feed the
+    phone pattern), then phones. Adds ``n_pii`` (total matches before
+    redaction) and ``text_redacted``.
+    """
+    text = F.col(text_col)
+    n_pii = (
+        F.regexp_count(text, F.lit(PII_EMAIL))
+        + F.regexp_count(text, F.lit(PII_IPV4))
+        + F.regexp_count(text, F.lit(PII_PHONE))
+    ).cast("bigint")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.withColumn("n_pii", n_pii).withColumn("text_redacted", redacted)

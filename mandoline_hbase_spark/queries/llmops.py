@@ -849,3 +849,78 @@ def emb_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_scale",
         F.concat_ws(",", F.col("q_vec")).alias("q_csv"),
     )
+
+
+@register(
+    "text_pii_redaction",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+              + len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d'))
+              AS BIGINT) AS n_pii,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS text_redacted
+    FROM documents
+    """,
+    description=(
+        "PII scrubbing (emails, IPv4, phone-like digit runs) — the "
+        "pre-training privacy pass. Map-only regexp_replace chain, "
+        "patterns restricted to the Java-regex/RE2 common subset so "
+        "Spark and the oracle agree byte-for-byte."
+    ),
+    tags=("llm", "text", "pii"),
+)
+def text_pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.redact_pii(docs).select("doc_id", "n_pii", "text_redacted")
+
+
+@register(
+    "emb_l2_normalize",
+    oracle=r"""
+    WITH n AS (
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        FROM embeddings
+    )
+    SELECT e.vec_id, round(n.norm, 6) AS l2_norm,
+           CASE WHEN n.norm = 0.0
+                THEN array_to_string(list_transform(e.embedding, x -> 0), ',')
+                ELSE array_to_string(list_transform(e.embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / n.norm * 1000000.0
+                               + 0.5) AS BIGINT)), ',')
+           END AS unit_micro_csv
+    FROM embeddings e JOIN n USING (vec_id)
+    """,
+    description=(
+        "L2 unit-normalization of the embedding column — the step that "
+        "turns cosine into a plain dot product for ANN storage. "
+        "Higher-order array functions only; the compare scales unit "
+        "elements to integer micro-units (floor(u*1e6 + 0.5)) so the "
+        "check is element-exact with no float-formatting ambiguity."
+    ),
+    tags=("llm", "similarity", "normalize"),
+)
+def emb_l2_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = similarity.l2_normalize(emb)
+    micro = F.when(
+        F.col("l2_norm") == 0.0,
+        F.transform(F.col("unit_vec"), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            F.col("unit_vec"),
+            lambda x: F.floor(x * 1000000.0 + F.lit(0.5)).cast("bigint"),
+        )
+    )
+    return u.select(
+        "vec_id",
+        F.round("l2_norm", 6).alias("l2_norm"),
+        F.concat_ws(",", micro).alias("unit_micro_csv"),
+    )
