@@ -8,8 +8,10 @@ Prints ONE JSON line:
 - Parallelism: local[$SPARK_GRAFT_CPUS] (default local[*])
 
 Each query is forced end-to-end with the noop sink (full execution, no
-driver collect). One untimed warmup of a trivial query absorbs JVM/codegen
-startup so numbers reflect steady-state plan execution.
+driver collect), once untimed then once timed: the warm pass absorbs
+whole-stage-codegen compilation (the sketch-heavy queries compile for
+seconds on first run), so the timed pass measures steady-state plan
+execution — the number that actually scales with data volume.
 """
 
 from __future__ import annotations
@@ -91,6 +93,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
+        _force(fn(spark, SF_DIR))  # warm: codegen compiled, footers cached
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
