@@ -1,0 +1,84 @@
+"""Plan guard: structural assertions over every headline query's physical
+plan at the smoke scale factor.
+
+These enforce the PERFORMANCE.md claims as tests: no quadratic join
+strategies anywhere in the headline set, and scan-adjacent filters
+actually pushed to the parquet reader where we promise them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+# BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
+# intentionally tiny: tfidf joins a 1-row doc-count scalar; cosine top-k
+# is by design broadcast(query set) x corpus (the exact-scoring pass —
+# work is |corpus| x |queries|, linear in the corpus).
+BNLJ_ALLOWED = {"tfidf_top_terms", "sim_cosine_topk"}
+
+
+# The quadratic exact baselines are correctness fixtures, not headline
+# paths (PERFORMANCE.md "Known costs"); everything else must stay clean.
+def _headline():
+    import bench
+
+    return bench.HEADLINE
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    out = {}
+    for name in _headline():
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        spark.catalog.clearCache()
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"cartesian products found: {offenders}"
+
+
+def test_nested_loop_joins_only_where_designed(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+    ]
+    assert not offenders, f"unplanned nested-loop joins: {offenders}"
+
+
+def test_q6_filter_pushed_to_scan(spark):
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    plan = (
+        QUERIES["q6_forecast_revenue"]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    # the pushdown must not be empty brackets
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "q6 scan carries no pushed filters"
+
+
+def test_text_ops_are_exchange_free(spark):
+    # map-only text analysis must not shuffle at all
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    for name in ("text_token_stats", "text_quality_scores", "text_pii_redaction"):
+        plan = (
+            QUERIES[name]
+            .fn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, f"{name} shuffles unexpectedly"
