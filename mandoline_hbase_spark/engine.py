@@ -511,17 +511,25 @@ class Connection:
         best = max(rows, key=lambda r: r["version_id"])
         return json.loads(best["metadata"])
 
-    def resolve_chunk_map(self, var_name: str, bound: int) -> dict[str, str]:
+    def resolve_chunk_map(
+        self, var_name: str, bound: int, coord_ids: Optional[list[str]] = None
+    ) -> dict[str, str]:
         """Bulk find-index: {coord_id -> chunk_id} at snapshot ``bound``.
 
         One scan + per-key last-write-wins + max-version-<=-bound — the
         vectorized form of find-index (hbase.clj:184-198) over every
-        coordinate of the variable at once.
+        coordinate of the variable at once. ``coord_ids`` narrows the
+        scan to a coordinate subset — the analog of the reference's
+        bounded start/stop-row scan (hbase.clj:191-192), pushed to the
+        parquet reader as an isin filter.
         """
+        flt = (pc.field("var_name") == var_name) & (pc.field("version_id") <= int(bound))
+        if coord_ids is not None:
+            flt = flt & pc.field("coord_id").isin(coord_ids)
         t = storage.scan(
             self._dirs["indices"],
             storage.INDICES_SCHEMA,
-            filter=(pc.field("var_name") == var_name) & (pc.field("version_id") <= int(bound)),
+            filter=flt,
             columns=["coord_id", "version_id", "chunk_id", "seq"],
         )
         best: dict[str, tuple[int, int, Optional[str]]] = {}
@@ -566,6 +574,70 @@ class Connection:
             block = codec.decode_chunk(store.read_chunk(h), dtype, chunk_shape)
             out[tuple(slice(c * cs, (c + 1) * cs) for c, cs in zip(coord, chunk_shape))] = block
         return out[tuple(slice(0, s) for s in shape)]
+
+    def read_region(
+        self,
+        var_name: str,
+        region: tuple[tuple[int, int], ...],
+        version: int | None = None,
+    ) -> np.ndarray:
+        """Read a slab ``region`` = ((start, stop), ...) per dimension at a
+        snapshot version — without touching chunks outside the slab.
+
+        The read-side mirror of writing slabs: only the chunk coordinates
+        overlapping the region are resolved (coord-pruned index scan, see
+        ``resolve_chunk_map``) and fetched. A 1-chunk read of a
+        million-chunk variable does O(1) chunk IO, matching the
+        reference's bounded scan + point get (hbase.clj:184-198, 97-103).
+        """
+        import itertools
+
+        bound, meta, var_meta = self._resolve_read(var_name, version)
+        dtype = var_meta["dtype"]
+        shape = tuple(var_meta["shape"])
+        chunk_shape = tuple(var_meta["chunk_shape"])
+        fill = float("nan") if var_meta.get("fill_is_nan") else var_meta.get("fill")
+        if fill is None:
+            fill = codec.default_fill(dtype)
+
+        if len(region) != len(shape):
+            raise InvalidArgumentError(
+                f"region has {len(region)} dims, variable has {len(shape)}"
+            )
+        for d, ((start, stop), size) in enumerate(zip(region, shape)):
+            if not (0 <= start < stop <= size):
+                raise InvalidArgumentError(
+                    f"region dim {d} [{start}, {stop}) out of bounds for size {size}"
+                )
+        if len(shape) == 0:
+            return self.read_variable(var_name, version)
+
+        chunk_ranges = [
+            range(start // cs, (stop - 1) // cs + 1)
+            for (start, stop), cs in zip(region, chunk_shape)
+        ]
+        coords = [tuple(c) for c in itertools.product(*chunk_ranges)]
+        chunk_map = self.resolve_chunk_map(
+            var_name, bound, coord_ids=[codec.coordinate_to_id(c) for c in coords]
+        )
+
+        out_shape = tuple(stop - start for start, stop in region)
+        out = np.full(out_shape, fill, dtype=dtype)
+        store = self.chunk_store()
+        for coord in coords:
+            h = chunk_map.get(codec.coordinate_to_id(coord))
+            if h is None:
+                continue
+            block = codec.decode_chunk(store.read_chunk(h), dtype, chunk_shape)
+            # overlap of this chunk with the region, in both frames
+            src, dst = [], []
+            for (start, stop), c, cs in zip(region, coord, chunk_shape):
+                lo = max(start, c * cs)
+                hi = min(stop, (c + 1) * cs)
+                src.append(slice(lo - c * cs, hi - c * cs))
+                dst.append(slice(lo - start, hi - start))
+            out[tuple(dst)] = block[tuple(src)]
+        return out
 
     # -- Spark bulk read path ---------------------------------------------
 

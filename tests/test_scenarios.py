@@ -206,3 +206,48 @@ def test_update_chunk_refs_atomic(store):
     with cf.ThreadPoolExecutor(max_workers=8) as ex:
         list(ex.map(bump, range(50)))
     assert cs.chunk_refs("h1") == 50
+
+
+def test_read_region_matches_numpy_slicing(store):
+    arr = np.arange(10 * 20, dtype=np.float64).reshape(10, 20)
+    store.write_variable("r", arr, chunk_shape=(4, 8))
+    for region in [((0, 10), (0, 20)), ((3, 7), (5, 17)), ((9, 10), (19, 20)), ((4, 8), (8, 16))]:
+        got = store.read_region("r", region)
+        (r0, r1), (c0, c1) = region
+        assert np.array_equal(got, arr[r0:r1, c0:c1]), region
+
+
+def test_read_region_is_version_bound(store):
+    a1 = np.zeros((6, 6), dtype=np.float64)
+    a2 = np.ones((6, 6), dtype=np.float64)
+    v1 = store.write_variable("rv", a1, chunk_shape=(3, 3))
+    store.write_variable("rv", a2)
+    assert np.array_equal(store.read_region("rv", ((1, 4), (2, 5)), version=v1), a1[1:4, 2:5])
+    assert np.array_equal(store.read_region("rv", ((1, 4), (2, 5))), a2[1:4, 2:5])
+
+
+def test_read_region_prunes_chunk_io(store, monkeypatch):
+    # a 1-chunk region of a 25-chunk variable must fetch exactly 1 chunk
+    arr = np.arange(20 * 20, dtype=np.float64).reshape(20, 20)
+    store.write_variable("p", arr, chunk_shape=(4, 4))
+    cs = store.chunk_store()
+    calls = []
+    orig = type(cs).read_chunk
+
+    def counting(self, h):
+        calls.append(h)
+        return orig(self, h)
+
+    monkeypatch.setattr(type(cs), "read_chunk", counting)
+    got = store.read_region("p", ((4, 8), (8, 12)))
+    assert np.array_equal(got, arr[4:8, 8:12])
+    assert len(calls) == 1
+
+
+def test_read_region_rejects_bad_bounds(store):
+    from mandoline_hbase_spark.errors import InvalidArgumentError
+
+    store.write_variable("b", np.zeros((4, 4), dtype=np.float64), chunk_shape=(2, 2))
+    for bad in [((0, 5), (0, 4)), ((2, 2), (0, 4)), ((-1, 2), (0, 4)), ((0, 4),)]:
+        with pytest.raises(InvalidArgumentError):
+            store.read_region("b", bad)
