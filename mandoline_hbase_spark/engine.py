@@ -148,6 +148,26 @@ class Connection:
             "data-size": sizes["chunks"],
         }
 
+    # -- maintenance (SURVEY.md §7 "ref-count GC") --------------------------
+
+    def compact_chunks(self, spark=None) -> dict:
+        """Collapse the chunks ref-delta log (see maintenance.py)."""
+        from mandoline_hbase_spark import maintenance
+
+        return maintenance.compact_chunks(self, spark)
+
+    def gc_chunks(self, spark=None) -> dict:
+        """Reclaim chunks with ref-count <= 0 and no index reference."""
+        from mandoline_hbase_spark import maintenance
+
+        return maintenance.gc_chunks(self, spark)
+
+    def prune_versions(self, keep_last: int, spark=None) -> dict:
+        """Retention: keep the newest ``keep_last`` versions."""
+        from mandoline_hbase_spark import maintenance
+
+        return maintenance.prune_versions(self, keep_last, spark)
+
     # -- version helpers ---------------------------------------------------
 
     def next_version_id(self) -> int:

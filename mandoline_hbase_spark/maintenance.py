@@ -1,0 +1,210 @@
+"""Maintenance: ref-log compaction, chunk GC, version retention.
+
+The storage layer is append-only (storage.py): ref-count updates are
+``(chunk_id, ref_delta, NULL)`` log records summed at read time, and CAS
+index writes append per-key records resolved by max ``seq``. That makes
+every write atomic but lets the log grow without bound. This module is
+the engine-side counterpart of SURVEY.md §7's "ref-count GC" item — the
+piece the reference delegates to operators deleting HBase rows by hand
+(it has no GC; chunks whose ref-count reaches zero simply stay,
+hbase.clj:156-172 only ever rewrites the count).
+
+All heavy rewrites are Spark jobs (one shuffle each, keyed on the
+table's natural key), so at cluster scale they parallelize like any
+other plan; only the tiny ``versions`` table is rewritten driver-side.
+Each rewrite lands in a temp directory and is swapped in under the
+dataset lock — locally a file swap, at cluster scale the same move is a
+transactional table format's REPLACE commit.
+
+Operations:
+
+- :func:`compact_chunks` — collapse the chunks log to one record per
+  ``chunk_id`` (ref-count pre-summed, payload carried over). Pure
+  space/read-amplification win; read results are unchanged.
+- :func:`gc_chunks` — compact, then drop chunks whose total ref-count
+  is <= 0 *and* which no index record references (the anti-join guard
+  keeps GC safe even if a caller under-counted refs).
+- :func:`prune_versions` — retention: keep the newest ``keep_last``
+  versions; per (var, coord) the newest index entry at-or-below the
+  retention floor is kept as the snapshot anchor (so latest-<=-bound
+  reads at any retained version are byte-identical), everything older
+  is dropped and its chunk refs released.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from mandoline_hbase_spark import storage
+
+
+def _swap_in(table_dir: str, tmp_dir: str) -> None:
+    """Replace ``table_dir``'s parquet files with ``tmp_dir``'s.
+
+    Caller holds the dataset lock. The move-then-delete order means a
+    crash mid-swap leaves extra (duplicate-free, already-compacted)
+    files rather than data loss.
+    """
+    old = [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
+    for i, f in enumerate(sorted(os.listdir(tmp_dir))):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(tmp_dir, f),
+                os.path.join(table_dir, f"part-{time.time_ns():020d}-{i:05d}.parquet"),
+            )
+    for f in old:
+        os.unlink(os.path.join(table_dir, f))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def _rewrite(conn, role: str, df) -> None:
+    """Materialize ``df`` as the new content of the ``role`` log table."""
+    tmp = conn._dirs[role] + f".rewrite-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    _swap_in(conn._dirs[role], tmp)
+
+
+def _compacted_chunks_df(conn, spark):
+    from pyspark.sql import functions as F
+
+    # Content addressing guarantees all non-null payloads for one id are
+    # identical, so max() (null-ignoring) is a safe "any non-null" pick.
+    return (
+        conn.spark_table("chunks", spark)
+        .groupBy("chunk_id")
+        .agg(F.sum("ref_delta").alias("ref_delta"), F.max("data").alias("data"))
+    )
+
+
+def compact_chunks(conn, spark=None) -> dict:
+    """Collapse the chunks log to one record per chunk_id.
+
+    One shuffle on ``chunk_id`` (uniform by construction — the ids are
+    content hashes, so no skew), then a directory swap. Ref-counts and
+    payload reads are unchanged; the per-read SUM now sums one record.
+    """
+    spark = spark or conn.spark
+    stats = {"records_before": conn.spark_table("chunks", spark).count()}
+    with storage.dataset_lock(conn.dataset_dir):
+        compacted = _compacted_chunks_df(conn, spark)
+        stats["records_after"] = compacted.count()
+        _rewrite(conn, "chunks", compacted)
+    return stats
+
+
+def gc_chunks(conn, spark=None) -> dict:
+    """Drop dead chunks: total ref <= 0 and unreferenced by any index.
+
+    The liveness check is an anti-join against the distinct ``chunk_id``
+    set of the indices log — both sides keyed on ``chunk_id``, so at
+    scale this is one co-partitioned join, and the reference set is tiny
+    relative to payload bytes (ids only, no data movement).
+    """
+    from pyspark.sql import functions as F
+
+    spark = spark or conn.spark
+    with storage.dataset_lock(conn.dataset_dir):
+        compacted = _compacted_chunks_df(conn, spark)
+        live = (
+            conn.spark_table("indices", spark)
+            .filter(F.col("chunk_id").isNotNull())
+            .select("chunk_id")
+            .distinct()
+            .withColumn("_live", F.lit(True))
+        )
+        keep = (
+            compacted.join(live, "chunk_id", "left")
+            .filter((F.col("ref_delta") > 0) | F.col("_live").isNotNull())
+            .drop("_live")
+        )
+        before = compacted.count()
+        after = keep.count()
+        _rewrite(conn, "chunks", keep)
+    return {"chunks_before": before, "chunks_after": after, "chunks_removed": before - after}
+
+
+def prune_versions(conn, keep_last: int, spark=None) -> dict:
+    """Retention: keep the newest ``keep_last`` versions.
+
+    Let F be the oldest retained version id. Reads at any bound >= F are
+    unchanged: exact-version entries at retained versions survive, and
+    for latest-<=-bound resolution each (var, coord) keeps its newest
+    entry with version <= F as the snapshot anchor. Entries strictly
+    older than that anchor are unreachable from every retained version
+    and are dropped; each dropped key releases one ref on its current
+    chunk (append-only ref deltas, so the release itself is atomic).
+    Run :func:`gc_chunks` afterwards to reclaim the payload bytes.
+
+    Superseded CAS records (same key, lower ``seq``) are compacted away
+    in the same rewrite — their refs were already released by the CAS
+    caller when it swapped hashes, so no delta is appended for them.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    spark = spark or conn.spark
+    with storage.dataset_lock(conn.dataset_dir):
+        version_ids = sorted(int(v["version"]) for v in conn.versions())
+        if len(version_ids) <= keep_last:
+            return {"floor": None, "versions_dropped": 0, "index_keys_dropped": 0, "refs_released": 0}
+        floor = version_ids[-keep_last]
+
+        idx = conn.spark_table("indices", spark)
+        key_w = Window.partitionBy("var_name", "coord_id", "version_id").orderBy(F.desc("seq"))
+        current = (
+            idx.withColumn("_rn", F.row_number().over(key_w)).filter(F.col("_rn") == 1).drop("_rn")
+        )
+        anchor_w = Window.partitionBy("var_name", "coord_id").orderBy(F.desc("version_id"))
+        le = current.filter(F.col("version_id") <= floor)
+        anchored = le.withColumn("_rn", F.row_number().over(anchor_w))
+        keep = current.filter(F.col("version_id") > floor).unionByName(
+            anchored.filter(F.col("_rn") == 1).drop("_rn")
+        )
+        dropped = anchored.filter(F.col("_rn") > 1).drop("_rn")
+
+        released_rows = (
+            dropped.filter(F.col("chunk_id").isNotNull())
+            .groupBy("chunk_id")
+            .agg((-F.count("*")).cast("long").alias("ref_delta"))
+            .collect()
+        )
+        keys_dropped = int(sum(-r["ref_delta"] for r in released_rows))
+        # Cheap count of dropped keys before the rewrite invalidates `idx`.
+        total_dropped = dropped.count()
+
+        _rewrite(conn, "indices", keep)
+        if released_rows:
+            storage.append_rows(
+                conn._dirs["chunks"],
+                storage.CHUNKS_SCHEMA,
+                [
+                    {"chunk_id": r["chunk_id"], "ref_delta": int(r["ref_delta"]), "data": None}
+                    for r in released_rows
+                ],
+            )
+
+        # versions is tiny at any scale (one row per commit): driver rewrite.
+        import pyarrow.compute as pc
+
+        kept_versions = storage.scan(
+            conn._dirs["versions"],
+            storage.VERSIONS_SCHEMA,
+            filter=pc.field("version_id") >= floor,
+        )
+        tmp = conn._dirs["versions"] + f".rewrite-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        storage.append_table(tmp, kept_versions)
+        _swap_in(conn._dirs["versions"], tmp)
+        conn._version_cache = None
+
+    return {
+        "floor": floor,
+        "versions_dropped": len(version_ids) - keep_last,
+        "index_keys_dropped": total_dropped,
+        "refs_released": keys_dropped,
+    }

@@ -1,0 +1,113 @@
+"""Maintenance layer: ref-log compaction, chunk GC, version retention.
+
+The reference has no GC at all — ref-counts are maintained
+(hbase.clj:156-172) but nothing ever deletes a dead chunk. These tests
+pin the engine-side semantics from SURVEY.md §7: compaction and GC never
+change any read result for retained versions, and retention keeps
+latest-<=-bound resolution byte-identical at every retained bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _n_parquet_files(conn, role: str) -> int:
+    import os
+
+    d = conn._dirs[role]
+    return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def test_compact_chunks_preserves_reads(store, spark):
+    store.spark = spark
+    cs = store.chunk_store()
+    cs.write_chunk("aaa", 2, b"payload-a")
+    cs.write_chunk("bbb", 1, b"payload-b")
+    for _ in range(5):
+        cs.update_chunk_refs("aaa", 1)
+    cs.update_chunk_refs("bbb", -1)
+
+    stats = store.compact_chunks()
+    assert stats["records_before"] == 8
+    assert stats["records_after"] == 2
+    assert cs.chunk_refs("aaa") == 7
+    assert cs.chunk_refs("bbb") == 0
+    assert cs.read_chunk("aaa") == b"payload-a"
+    assert cs.read_chunk("bbb") == b"payload-b"
+    assert _n_parquet_files(store, "chunks") <= 2
+
+
+def test_gc_drops_dead_unreferenced_chunks_only(store, spark):
+    store.spark = spark
+    arr = np.arange(64, dtype=np.float64).reshape(8, 8)
+    store.write_variable("x", arr, chunk_shape=(4, 4))
+
+    cs = store.chunk_store()
+    # Dead orphan: never indexed, refs driven to zero.
+    cs.write_chunk("orphan", 1, b"dead-bytes")
+    cs.update_chunk_refs("orphan", -1)
+    # Zero-ref but still referenced by an index record: must survive (the
+    # anti-join guard protects against under-counted refs).
+    live_id = store.chunk_map_df("x", store.latest_version_id()).select("chunk_id").first()[0]
+    refs_now = cs.chunk_refs(live_id)
+    cs.update_chunk_refs(live_id, -refs_now)
+
+    stats = store.gc_chunks()
+    assert stats["chunks_removed"] == 1
+    with pytest.raises(Exception):
+        cs.read_chunk("orphan")
+    assert cs.read_chunk(live_id)  # still readable
+    assert np.array_equal(store.read_variable("x"), arr)
+
+
+def test_prune_versions_keeps_reads_at_retained_bounds(store, spark):
+    store.spark = spark
+    arrs = [np.full((6, 6), i, dtype=np.float64) for i in range(4)]
+    vids = [store.write_variable("x", a, chunk_shape=(3, 3)) for a in arrs]
+
+    stats = store.prune_versions(keep_last=2)
+    assert stats["floor"] == vids[2]
+    assert stats["versions_dropped"] == 2
+
+    # Retained bounds read byte-identically (incl. latest-<= resolution).
+    assert np.array_equal(store.read_variable("x", version=vids[2]), arrs[2])
+    assert np.array_equal(store.read_variable("x", version=vids[3]), arrs[3])
+    assert np.array_equal(store.read_variable("x"), arrs[3])
+    # Dropped versions are gone from the listing.
+    listed = [v["version"] for v in store.versions()]
+    assert listed == [str(vids[3]), str(vids[2])]
+
+    # Released refs + GC reclaims the dropped versions' chunk bytes.
+    gc = store.gc_chunks()
+    assert gc["chunks_removed"] >= 1
+    assert np.array_equal(store.read_variable("x"), arrs[3])
+
+
+def test_prune_versions_keeps_anchor_below_floor(store, spark):
+    """A coord last written BEFORE the floor must keep its anchor entry."""
+    store.spark = spark
+    a0 = np.arange(36, dtype=np.float64).reshape(6, 6)
+    v0 = store.write_variable("x", a0, chunk_shape=(3, 3))
+    # Later versions touch a different variable only; x's entries all sit
+    # below the retention floor but stay reachable.
+    store.write_variable("y", np.ones((4,), dtype=np.float64))
+    v2 = store.write_variable("y", np.zeros((4,), dtype=np.float64))
+
+    stats = store.prune_versions(keep_last=2)
+    assert stats["floor"] is not None and stats["floor"] > v0
+    assert np.array_equal(store.read_variable("x"), a0)
+    assert np.array_equal(store.read_variable("x", version=v2), a0)
+
+
+def test_prune_noop_when_history_fits(store, spark):
+    store.spark = spark
+    store.write_variable("x", np.ones((4,), dtype=np.float64))
+    stats = store.prune_versions(keep_last=5)
+    assert stats == {
+        "floor": None,
+        "versions_dropped": 0,
+        "index_keys_dropped": 0,
+        "refs_released": 0,
+    }
