@@ -77,6 +77,9 @@ HEADLINE = [
     "emb_l2_normalize",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
+    "dedup_semantic_prune",
+    "text_top_bigrams",
+    "mix_sources_token_budget",
 ]
 
 

@@ -91,3 +91,54 @@ def sample_topk_per_group(
         df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def mix_to_token_budget(
+    df: DataFrame,
+    tokens_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4,
+    salt: str = "mix42",
+) -> DataFrame:
+    """Deterministic data mixing: fill each source's token budget.
+
+    Training mixtures are specified as token budgets per source ("200 B
+    tokens of web, 40 B of books, ..."). This selects documents to meet
+    the budget reproducibly: within each source, documents are ordered
+    by salted id hash (so the selection is a stable, unbiased sample of
+    the source, invariant to partitioning and incremental rebuilds) and
+    taken while the running token total fits the budget.
+
+    Scale design: a single per-source running sum would serialize a 100
+    TB source through one task, so the budget is split evenly over
+    ``n_buckets`` id-sliced sub-buckets and the running sum is windowed
+    per (source, bucket) — parallelism = sources x buckets, each window
+    partition 1/n_buckets of a source. Raise ``n_buckets`` until a
+    bucket fits an executor; the mixture stays deterministic because
+    bucket assignment is a pure function of the id.
+
+    Output: selected docs with ``bucket``, ``n_tok``, ``cum_tok``.
+    """
+    if tokens_per_source % n_buckets != 0:
+        raise ValueError("tokens_per_source must divide evenly by n_buckets")
+    t = F.trim(F.col(text_col))
+    n_tok = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1)
+        .cast("bigint")
+    )
+    bucket = (F.col(id_col) % n_buckets).cast("bigint")
+    w = (
+        Window.partitionBy(source_col, "bucket")
+        .orderBy(hash_bucket_hex(F.col(id_col), salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tok", n_tok)
+        .withColumn("bucket", bucket)
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= tokens_per_source // n_buckets)
+        .select(id_col, source_col, "bucket", "n_tok", "cum_tok")
+    )

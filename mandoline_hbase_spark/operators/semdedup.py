@@ -1,0 +1,139 @@
+"""SemDeDup-style semantic deduplication over embedding columns.
+
+Cluster-bounded near-duplicate pruning (the SemDeDup recipe: cluster the
+embedding space, compare pairs only *within* a cluster, keep one
+representative per near-duplicate pair): the O(n^2) pair join becomes
+sum_c O(|c|^2), and the expensive step — centroid assignment — is a
+map-only pass against broadcast centroid literals with ZERO shuffles.
+The only shuffle in the whole pipeline is the intra-cluster self-join,
+keyed on ``cluster_id``.
+
+Centroid choice here is deterministic (the ``k`` lowest-id vectors), so
+every stage is oracle-checkable against ANSI SQL. At 100 TB the same
+operators take k-means centroids fit offline (or a few Lloyd passes);
+the plan shapes are identical, and cluster-size skew is controlled by
+raising ``k`` (more, smaller clusters) exactly as in the paper.
+
+The reference backend has no similarity surface (SURVEY.md §2.2); this
+is a north-star LLM-pipeline extension over the ``embeddings`` fixture.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(x, y):
+    """Left-fold dot product — sequential summation, parity with SQL engines."""
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def deterministic_centroids(
+    emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """The ``k`` lowest-id vectors as (id, vector) centroid pairs.
+
+    Driver-side collect of k rows (k is tiny, e.g. 8-65536); swap in
+    k-means centroids at scale without touching the operators below.
+    """
+    rows = emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    return [(int(r[0]), [float(v) for v in r[1]]) for r in rows]
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (max cosine) assignment as a pure map.
+
+    Centroids are inlined as literal arrays — the broadcast is the plan
+    itself, so assignment is embarrassingly parallel: no join, no
+    shuffle, whole-stage codegen end to end. Ties break to the smallest
+    centroid id. Adds ``cluster_id`` and ``centroid_sim``.
+    """
+    a = F.col(vec_col).cast("array<double>")
+    with_norm = emb.withColumn("_vnorm", F.sqrt(_dot(a, a)))
+    candidates = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(v)) for v in cvec])
+        cnorm = math.sqrt(math.fsum(float(v) * float(v) for v in cvec))
+        sim = _dot(a, c) / (F.col("_vnorm") * F.lit(cnorm))
+        # struct ordering: max sim first, then smallest centroid id.
+        candidates.append(F.struct(sim.alias("s"), F.lit(-cid).cast("long").alias("nid")))
+    best = F.array_max(F.array(*candidates))
+    return (
+        with_norm.withColumn("cluster_id", (-best["nid"]).cast("bigint"))
+        .withColumn("centroid_sim", best["s"])
+        .drop("_vnorm")
+    )
+
+
+def semantic_near_dup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs: cosine >= threshold, id_a < id_b.
+
+    One shuffle: the self-join on ``cluster_id``. Pair work is bounded by
+    the largest cluster, not the corpus — tune ``k`` so clusters fit the
+    executor (SemDeDup uses ~100k clusters at web scale).
+    """
+    centroids = deterministic_centroids(emb, k, id_col, vec_col)
+    assigned = assign_clusters(emb, centroids, id_col, vec_col).select(
+        F.col("cluster_id"), F.col(id_col), F.col(vec_col)
+    )
+    a = assigned.select(
+        "cluster_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        "cluster_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    va, vb = F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")
+    sim = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= float(threshold))
+        .select("cluster_id", "id_a", "id_b", "sim")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector keep/drop: drop the larger id of every near-dup pair.
+
+    Output: ``(vec_id, cluster_id, is_kept)`` for the whole corpus. The
+    keep rule (smallest id survives its duplicate set) is deterministic
+    across re-runs and partitionings — required for incremental corpus
+    rebuilds.
+    """
+    centroids = deterministic_centroids(emb, k, id_col, vec_col)
+    assigned = assign_clusters(emb, centroids, id_col, vec_col)
+    dropped = (
+        semantic_near_dup_pairs(emb, k, threshold, id_col, vec_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("_drop").isNull().alias("is_kept"),
+        )
+    )

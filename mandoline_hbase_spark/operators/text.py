@@ -311,6 +311,46 @@ def vocab_top_terms(
     )
 
 
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 25, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k word n-grams (heavy hitters) by total frequency.
+
+    Same two-stage shape as :func:`vocab_top_terms`: the per-doc count
+    partial-combines before the gram-grain shuffle, and the top-k is
+    TakeOrderedAndProject over pre-aggregated (gram, count) rows — the
+    exact heavy-hitter baseline a sketch (count-min / SpaceSaving) would
+    approximate when even the gram-grain shuffle is too wide.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    totals = per_doc.groupBy("gram").agg(
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+    )
+    top = totals.orderBy(F.desc("total_tf"), F.asc("gram")).limit(k)
+    w = Window.orderBy(F.desc("total_tf"), F.asc("gram"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "gram",
+        "total_tf",
+        "doc_freq",
+    )
+
+
 def tf_idf_topk(
     df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -65,3 +65,4 @@ from mandoline_hbase_spark.queries import relational_ext  # noqa: E402,F401
 from mandoline_hbase_spark.queries import tpch_remaining  # noqa: E402,F401
 from mandoline_hbase_spark.queries import events_analytics  # noqa: E402,F401
 from mandoline_hbase_spark.queries import llmops  # noqa: E402,F401
+from mandoline_hbase_spark.queries import curation_ext  # noqa: E402,F401

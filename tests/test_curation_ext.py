@@ -1,0 +1,103 @@
+"""Semantic dedup, n-gram mining, and token-budget mixing semantics.
+
+Oracle equivalence runs in the driver's sweep (and
+tests/test_queries_oracle.py); these pin the operator-level properties
+the oracle compare can't see: plan shape, determinism under
+repartitioning, and the budget/cluster bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def _load_emb(spark, sf):
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    return load_table(spark, sf, "embeddings")
+
+
+def test_assign_clusters_is_shuffle_free(spark):
+    from mandoline_hbase_spark.operators import semdedup
+
+    emb = _load_emb(spark, SF_SMOKE)
+    cents = semdedup.deterministic_centroids(emb, k=8)
+    plan = (
+        semdedup.assign_clusters(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_semantic_pairs_stay_within_cluster(spark):
+    from mandoline_hbase_spark.operators import semdedup
+
+    emb = _load_emb(spark, SF_ORACLE)
+    cents = semdedup.deterministic_centroids(emb, k=8)
+    assigned = {
+        r["vec_id"]: r["cluster_id"]
+        for r in semdedup.assign_clusters(emb, cents).select("vec_id", "cluster_id").collect()
+    }
+    pairs = semdedup.semantic_near_dup_pairs(emb, k=8, threshold=0.4).collect()
+    assert pairs, "fixture should contain within-cluster near-dups"
+    for p in pairs:
+        assert p["id_a"] < p["id_b"]
+        assert assigned[p["id_a"]] == assigned[p["id_b"]] == p["cluster_id"]
+        assert p["sim"] >= 0.4
+
+
+def test_semantic_dedup_drops_larger_ids_only(spark):
+    from mandoline_hbase_spark.operators import semdedup
+
+    emb = _load_emb(spark, SF_ORACLE)
+    out = semdedup.semantic_dedup(emb, k=8, threshold=0.4)
+    rows = {r["vec_id"]: r["is_kept"] for r in out.collect()}
+    assert len(rows) == emb.count()  # total function: every vector decided
+    dropped = {v for v, kept in rows.items() if not kept}
+    assert dropped, "threshold 0.4 should drop something at sf0.01"
+    pair_bs = {
+        r["id_b"] for r in semdedup.semantic_near_dup_pairs(emb, k=8, threshold=0.4).collect()
+    }
+    assert dropped == pair_bs
+
+
+def test_mix_budget_respected_and_deterministic(spark):
+    from mandoline_hbase_spark.operators import sampling
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = sampling.mix_to_token_budget(docs, tokens_per_source=800, n_buckets=4)
+    per_bucket = (
+        out.groupBy("source", "bucket").agg(F.sum("n_tok").alias("tot")).collect()
+    )
+    assert per_bucket
+    for r in per_bucket:
+        assert r["tot"] <= 200  # 800 / 4 buckets
+    # Partitioning-invariant: identical selection from a reshuffled input.
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.mix_to_token_budget(
+            docs.repartition(13), tokens_per_source=800, n_buckets=4
+        ).collect()
+    }
+    assert a == b
+
+
+def test_top_ngrams_counts_and_short_docs(spark):
+    from mandoline_hbase_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "one"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {r["gram"]: (r["total_tf"], r["doc_freq"]) for r in text.top_ngrams(df, n=2, k=10).collect()}
+    # doc1 bigrams: "a b","b a","a b","b c"; doc2: "a b"; docs 3-4: none.
+    assert rows["a b"] == (3, 2)
+    assert rows["b a"] == (1, 1)
+    assert rows["b c"] == (1, 1)
+    assert len(rows) == 3
