@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_semantic_prune",
     "text_top_bigrams",
     "mix_sources_token_budget",
+    "dedup_incremental_minhash",
 ]
 
 

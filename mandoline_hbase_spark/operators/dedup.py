@@ -499,3 +499,86 @@ def decontamination_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def incremental_exact_new(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Admission filter for incremental corpus builds: exact-dup gate.
+
+    Returns incoming docs whose content hash is unseen in the existing
+    corpus AND first-of-kind within the batch (min id wins, so re-runs
+    admit the same rows). The corpus side reduces to distinct content
+    hashes before the anti-join — at 100 TB that is a pre-built
+    fingerprint index table, so admitting a batch never rescans corpus
+    text; the anti-join shuffles only (hash) keys.
+    """
+    from pyspark.sql import Window
+
+    inc = incoming.withColumn("content_hash", F.md5(F.col(text_col)))
+    seen = corpus.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    return (
+        inc.join(seen, "content_hash", "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def incremental_minhash_new(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup admission: incoming docs with no corpus near-duplicate.
+
+    The probe is one-directional LSH: incoming band rows join corpus
+    band rows (never corpus x corpus), candidates pass the signature-
+    estimate prefilter, survivors are exact-Jaccard verified, and any
+    incoming doc with a verified corpus match >= threshold is rejected.
+    At scale the corpus band/signature tables are materialized once and
+    reused across batches, so admission cost is proportional to the
+    BATCH, not the corpus — the property that makes continuous corpus
+    ingestion tractable.
+    """
+    f_inc = doc_shingle_features(incoming, num_hashes, shingle_n, id_col, text_col).persist()
+    f_cor = doc_shingle_features(corpus, num_hashes, shingle_n, id_col, text_col).persist()
+    s_inc = _band_stack(f_inc, num_hashes, bands, id_col)
+    s_cor = _band_stack(f_cor, num_hashes, bands, id_col)
+    cands = (
+        s_inc.alias("i")
+        .join(
+            s_cor.alias("c"),
+            (F.col("i.band") == F.col("c.band")) & (F.col("i.bh") == F.col("c.bh")),
+        )
+        .select(F.col(f"i.{id_col}").alias("inc_id"), F.col(f"c.{id_col}").alias("cor_id"))
+        .distinct()
+    )
+    fi = f_inc.select(F.col(id_col).alias("inc_id"), F.col("sh").alias("sh_i"), F.col("sig").alias("sig_i"))
+    fc = f_cor.select(F.col(id_col).alias("cor_id"), F.col("sh").alias("sh_c"), F.col("sig").alias("sig_c"))
+    est = F.size(
+        F.filter(F.zip_with("sig_i", "sig_c", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
+    rejected = (
+        cands.join(fi, "inc_id")
+        .join(fc, "cor_id")
+        .filter(est >= threshold - 0.15)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_i", "sh_c"))
+            / F.size(F.array_union("sh_i", "sh_c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("inc_id").alias(id_col))
+        .distinct()
+    )
+    return incoming.join(rejected, id_col, "left_anti")

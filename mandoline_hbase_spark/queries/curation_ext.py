@@ -13,8 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mandoline_hbase_spark.operators import sampling, semdedup, text
+from mandoline_hbase_spark.operators import dedup, sampling, semdedup, text
 from mandoline_hbase_spark.queries.catalog import register
+from mandoline_hbase_spark.queries.llmops import _DUCK_SHINGLES
 from mandoline_hbase_spark.sources.tables import load_table
 
 # Shared DuckDB fragment: nearest-centroid assignment over the 8
@@ -177,3 +178,81 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mix_sources_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sampling.mix_to_token_budget(docs, tokens_per_source=800, n_buckets=4)
+
+
+# Batch split for the incremental-admission queries: every third doc is
+# the "incoming" batch, the rest is the existing corpus.
+_INC = "doc_id % 3 = 0"
+_COR = "doc_id % 3 <> 0"
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH inc AS (
+        SELECT doc_id, md5(text) AS content_hash
+        FROM documents WHERE {_INC}
+    ),
+    seen AS (SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE {_COR})
+    SELECT doc_id, content_hash
+    FROM inc
+    WHERE content_hash NOT IN (SELECT content_hash FROM seen)
+    QUALIFY row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1
+    """,
+    description=(
+        "Incremental exact-dup admission: incoming batch (doc_id%3=0) "
+        "anti-joined on content hash against the existing corpus's "
+        "distinct-hash index, then min-id within batch. Admission "
+        "shuffles hash keys only — never corpus text."
+    ),
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    admitted = dedup.incremental_exact_new(
+        docs.filter(F.col("doc_id") % 3 == 0), docs.filter(F.col("doc_id") % 3 != 0)
+    )
+    return admitted.select("doc_id", "content_hash")
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_DUCK_SHINGLES.replace("FROM documents", f"FROM documents WHERE {_INC}")
+    + f""",
+    shc AS (
+        SELECT doc_id, list_distinct(
+                   list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')
+                   )
+               ) AS sh
+        FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE {_COR}
+        )
+    )
+    SELECT i.doc_id
+    FROM sh i
+    WHERE NOT EXISTS (
+        SELECT 1 FROM shc c
+        WHERE len(list_intersect(i.sh, c.sh))::DOUBLE
+              / len(list_distinct(list_concat(i.sh, c.sh))) >= 0.7
+    )
+    """,
+    description=(
+        "Incremental near-dup admission: incoming LSH bands probe the "
+        "corpus band table one-directionally (cost proportional to the "
+        "batch, not the corpus), estimate-prefiltered and exact-Jaccard "
+        "verified; oracle = exact NOT EXISTS thresholding (LSH recall "
+        "~1 at the fixture's jaccard floor, as for dedup_minhash_lsh)."
+    ),
+    tags=("llm", "dedup", "incremental", "minhash"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    admitted = dedup.incremental_minhash_new(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        threshold=0.7,
+    )
+    return admitted.select("doc_id")

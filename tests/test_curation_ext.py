@@ -101,3 +101,41 @@ def test_top_ngrams_counts_and_short_docs(spark):
     assert rows["b a"] == (1, 1)
     assert rows["b c"] == (1, 1)
     assert len(rows) == 3
+
+
+def test_incremental_admission_properties(spark):
+    from mandoline_hbase_spark.operators import dedup
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+
+    admitted = dedup.incremental_minhash_new(incoming, corpus, threshold=0.7)
+    adm_ids = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+    inc_ids = {r["doc_id"] for r in incoming.select("doc_id").collect()}
+    assert adm_ids <= inc_ids
+    assert adm_ids != inc_ids, "fixture should reject some near-dups"
+
+    # Every rejected doc really has a corpus near-duplicate at >= 0.7.
+    rejected = incoming.filter(~F.col("doc_id").isin(list(adm_ids)))
+    pairs = dedup.jaccard_pairs(
+        docs,
+        rejected.select(F.col("doc_id").alias("id_a")).crossJoin(
+            corpus.select(F.col("doc_id").alias("id_b"))
+        ),
+    )
+    best = {
+        r["id_a"]: r["jaccard"]
+        for r in pairs.groupBy("id_a").agg(F.max("jaccard").alias("jaccard")).collect()
+    }
+    for doc_id in inc_ids - adm_ids:
+        assert best.get(doc_id, 0.0) >= 0.7
+
+    # Exact gate: no admitted hash may exist in the corpus.
+    adm_exact = dedup.incremental_exact_new(incoming, corpus)
+    corpus_hashes = {
+        r[0] for r in corpus.select(F.md5("text")).collect()
+    }
+    for r in adm_exact.select("content_hash").collect():
+        assert r["content_hash"] not in corpus_hashes
