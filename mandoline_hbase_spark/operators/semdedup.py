@@ -98,13 +98,21 @@ def semantic_near_dup_pairs(
     is ~1.6x faster here and the honest GPU/matmul path at web scale.
     """
     centroids = deterministic_centroids(emb, k, id_col, vec_col)
+    return _pairs_from_assigned(
+        assign_clusters(emb, centroids, id_col, vec_col), threshold, id_col, vec_col
+    )
+
+
+def _pairs_from_assigned(
+    assigned_in: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
     av = F.col(vec_col).cast("array<double>")
     # Normalize ONCE per row (n norm computations, not n^2): the pair
     # predicate then costs a single dot product. The norm lands in its
     # own column first so the transform lambda doesn't re-inline the
     # norm expression per element.
     assigned = (
-        assign_clusters(emb, centroids, id_col, vec_col)
+        assigned_in
         .withColumn("_ad", av)
         .withColumn("_n", F.sqrt(_dot(F.col("_ad"), F.col("_ad"))))
         .select(
@@ -117,7 +125,7 @@ def semantic_near_dup_pairs(
     # tasks instead of serializing per cluster key — the local analog of
     # the salting needed when cluster count < core count (at web scale
     # k is large and slicing becomes unnecessary).
-    n_slices = max(emb.sparkSession.sparkContext.defaultParallelism, 8)
+    n_slices = max(assigned.sparkSession.sparkContext.defaultParallelism, 8)
     a = assigned.select(
         "cluster_id",
         F.col(id_col).alias("id_a"),
@@ -154,9 +162,10 @@ def semantic_dedup(
     rebuilds.
     """
     centroids = deterministic_centroids(emb, k, id_col, vec_col)
+    # One assignment pass feeds both the output and the pair join.
     assigned = assign_clusters(emb, centroids, id_col, vec_col)
     dropped = (
-        semantic_near_dup_pairs(emb, k, threshold, id_col, vec_col)
+        _pairs_from_assigned(assigned, threshold, id_col, vec_col)
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("_drop", F.lit(True))
@@ -169,3 +178,49 @@ def semantic_dedup(
             F.col("_drop").isNull().alias("is_kept"),
         )
     )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Each iteration is one map-only assignment (broadcast literal
+    centroids, same plan as :func:`assign_clusters`) plus one groupBy
+    shuffle that reduces to k rows of per-dimension means — the driver
+    only ever holds k x dim floats. Initialization is the deterministic
+    k lowest-id vectors, so a fit is reproducible across runs and
+    partitionings. Empty clusters keep their previous centroid.
+
+    This supplies the real centroids for :func:`assign_clusters` /
+    :func:`semantic_dedup` at scale; the oracle-checked queries use the
+    deterministic initialization directly so they stay SQL-expressible.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    centroids = deterministic_centroids(emb, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = assign_clusters(emb, centroids, id_col, vec_col)
+        means = (
+            assigned.withColumn("_ad", F.col(vec_col).cast("array<double>"))
+            .groupBy("cluster_id")
+            .agg(*[F.avg(F.element_at("_ad", i + 1)).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        by_id = {int(r["cluster_id"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        centroids = [(cid, by_id.get(cid, old)) for cid, old in centroids]
+    return centroids
+
+
+def kmeans_inertia(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean (1 - cosine) to the assigned centroid — the fit objective."""
+    assigned = assign_clusters(emb, centroids, id_col, vec_col)
+    return float(assigned.agg(F.avg(1.0 - F.col("centroid_sim"))).first()[0])

@@ -256,3 +256,24 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.7,
     )
     return admitted.select("doc_id")
+
+
+@register(
+    "dedup_semantic_kmeans",
+    oracle=None,  # iterative Lloyd fit; driver records rows-only
+    description=(
+        "Semantic dedup with FITTED centroids: 2 Lloyd iterations "
+        "(map-only assignment + k-row mean shuffle per iteration), then "
+        "cluster sizes. The scale path behind dedup_semantic_*; not "
+        "SQL-expressible because the fit is iterative."
+    ),
+    tags=("llm", "dedup", "semantic", "kmeans"),
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fitted = semdedup.kmeans_fit(emb, k=8, iters=2)
+    return (
+        semdedup.assign_clusters(emb, fitted)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    )

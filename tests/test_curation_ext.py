@@ -139,3 +139,21 @@ def test_incremental_admission_properties(spark):
     }
     for r in adm_exact.select("content_hash").collect():
         assert r["content_hash"] not in corpus_hashes
+
+
+def test_kmeans_fit_reduces_inertia_and_is_deterministic(spark):
+    from mandoline_hbase_spark.operators import semdedup
+
+    emb = _load_emb(spark, SF_ORACLE)
+    init = semdedup.deterministic_centroids(emb, k=8)
+    i0 = semdedup.kmeans_inertia(emb, init)
+    fitted = semdedup.kmeans_fit(emb, k=8, iters=3)
+    i1 = semdedup.kmeans_inertia(emb, fitted)
+    assert i1 <= i0 + 1e-12, (i0, i1)
+    # Reproducible across partitionings (avg is order-sensitive in
+    # principle, but per-dimension means here agree to ~1e-12; the fit
+    # contract is "same data -> same clusters", checked via assignment).
+    fitted2 = semdedup.kmeans_fit(emb.repartition(7), k=8, iters=3)
+    a1 = semdedup.assign_clusters(emb, fitted).select("vec_id", "cluster_id").collect()
+    a2 = semdedup.assign_clusters(emb, fitted2).select("vec_id", "cluster_id").collect()
+    assert {(r[0], r[1]) for r in a1} == {(r[0], r[1]) for r in a2}
