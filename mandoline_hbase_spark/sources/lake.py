@@ -44,3 +44,60 @@ def write_bucketed_table(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) key interleaving the low ``bits`` of two
+    non-negative integer columns.
+
+    Sorting a table by this key clusters rows so that BOTH dimensions
+    are locally coherent inside every parquet row group: min/max stats
+    then prune row groups for a predicate on either column (or a box on
+    both), where a plain lexicographic sort only prunes on its leading
+    column. This is the layout SURVEY §4 prescribes for the chunk index
+    at scale — z-order by (var hash, linearized coord) keeps the
+    latest-<=-version scan pruned over billions of index rows.
+
+    Pure column arithmetic (shifts + masks), whole-stage codegen; no
+    shuffle beyond the final range sort.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(col_a.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(col_b.cast("long"), i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(bit_a, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i)
+        )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    row_group_rows: int = 4096,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet range-sorted by the Morton key of (col_a, col_b).
+
+    ``orderBy`` is a range shuffle (one exchange — the one-time
+    clustering cost); small row groups make the min/max stats fine-
+    grained enough that point/box predicates on either column skip most
+    groups at read time.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("_zkey", zorder_key(F.col(col_a), F.col(col_b), bits))
+        .orderBy("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .option("parquet.block.size", 1024 * 1024)
+        .option("spark.sql.files.maxRecordsPerFile", 10_000_000)
+        .option("parquet.page.row.count.limit", row_group_rows)
+        .parquet(path)
+    )

@@ -250,3 +250,63 @@ def read_ingested_events(connection, spark: SparkSession, version: int | None = 
     if not frames:
         return spark.createDataFrame([], EVENTS_SCHEMA)
     return spark.createDataFrame(pd.concat(frames, ignore_index=True), EVENTS_SCHEMA)
+
+
+def enrich_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join.
+
+    The static side is re-resolved every micro-batch (a dim-table refresh
+    is picked up without restarting the query) and broadcast, so the join
+    keeps NO streaming state and adds no shuffle to the stream side —
+    the standard shape for joining a 100 TB/day stream against a small
+    slowly-changing dimension.
+    """
+    return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
+def click_purchase_stream_join(
+    events: DataFrame,
+    max_gap_minutes: int = 60,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: purchases within ``max_gap_minutes`` of a
+    preceding click by the same user.
+
+    Both sides carry watermarks AND the join condition bounds event time
+    in both directions — the two ingredients Structured Streaming needs
+    to purge join state: a click older than watermark + gap can never
+    match a future purchase, so its buffered row is dropped. Without the
+    time bound the join state grows forever at ingest scale.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {int(max_gap_minutes)} MINUTES")
+            ),
+            "inner",
+        )
+        .drop("p_user_id")
+    )

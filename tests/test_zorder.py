@@ -1,0 +1,84 @@
+"""Z-order clustering quality: row-group pruning on BOTH dimensions.
+
+SURVEY §4 prescribes z-ordering the chunk index by (var, coord) so the
+latest-<=-version scan stays pruned at billions of rows. This test pins
+the property that makes that work: after sorting by the Morton key,
+parquet row-group min/max stats prune a predicate on EITHER dimension,
+whereas a lexicographic sort only prunes its leading column.
+
+The row-group layout is materialized with a fixed group size so the
+pruning counts are deterministic; Spark computes the orderings.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _candidate_groups(path: str, col: str, lo: int, hi: int) -> int:
+    """Row groups whose [min,max] stats overlap [lo, hi] — the groups a
+    reader must actually fetch for this predicate."""
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().names.index(col)
+    n = 0
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(idx).statistics
+        if st.min <= hi and st.max >= lo:
+            n += 1
+    return n
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mandoline_hbase_spark.sources.lake import zorder_key
+
+    side = 128  # 16384 rows over a 128x128 (var, coord) grid
+    df = (
+        spark.range(side * side)
+        .select(
+            (F.col("id") % side).alias("var_hash"),
+            (F.col("id") / side).cast("long").alias("coord_lin"),
+        )
+    )
+    zsorted = (
+        df.withColumn("_z", zorder_key(F.col("var_hash"), F.col("coord_lin"), bits=8))
+        .orderBy("_z")
+        .drop("_z")
+        .toPandas()
+    )
+    lexsorted = df.orderBy("var_hash", "coord_lin").toPandas()
+
+    zpath, lpath = str(tmp_path / "z.parquet"), str(tmp_path / "lex.parquet")
+    pq.write_table(pa.Table.from_pandas(zsorted, preserve_index=False), zpath, row_group_size=512)
+    pq.write_table(pa.Table.from_pandas(lexsorted, preserve_index=False), lpath, row_group_size=512)
+    total = pq.ParquetFile(zpath).metadata.num_row_groups
+    assert total == side * side // 512
+
+    # Leading-column predicate: both layouts prune well.
+    assert _candidate_groups(zpath, "var_hash", 0, 7) <= total // 4
+    assert _candidate_groups(lpath, "var_hash", 0, 7) <= total // 4
+
+    # Trailing-column predicate: lexicographic cannot prune AT ALL
+    # (every group spans the full coord range); z-order still prunes.
+    z_coord = _candidate_groups(zpath, "coord_lin", 0, 7)
+    lex_coord = _candidate_groups(lpath, "coord_lin", 0, 7)
+    assert lex_coord == total
+    assert z_coord <= total // 4, (z_coord, total)
+
+    # The scan from SURVEY §3.3 — a (var, coord) box — fetches a small
+    # fraction of groups under z-order.
+    zbox = sum(
+        1
+        for g in range(total)
+        if _overlaps(zpath, g, "var_hash", 0, 7) and _overlaps(zpath, g, "coord_lin", 0, 7)
+    )
+    assert zbox <= total // 8, (zbox, total)
+
+
+def _overlaps(path: str, group: int, col: str, lo: int, hi: int) -> bool:
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().names.index(col)
+    st = md.row_group(group).column(idx).statistics
+    return st.min <= hi and st.max >= lo
