@@ -82,3 +82,21 @@ def _overlaps(path: str, group: int, col: str, lo: int, hi: int) -> bool:
     idx = md.schema.to_arrow_schema().names.index(col)
     st = md.row_group(group).column(idx).statistics
     return st.min <= hi and st.max >= lo
+
+
+def test_zorder_key_is_bijective_and_box_monotone(spark):
+    """Property: the Morton key is a bijection on the bit-bounded grid
+    (no two cells collide), so sorting by it is a total ordering of the
+    grid — required for the pruning guarantees above."""
+    from pyspark.sql import functions as F
+
+    from mandoline_hbase_spark.sources.lake import zorder_key
+
+    side = 64
+    df = spark.range(side * side).select(
+        (F.col("id") % side).alias("a"), (F.col("id") / side).cast("long").alias("b")
+    )
+    keys = df.select(zorder_key(F.col("a"), F.col("b"), bits=6).alias("z"))
+    assert keys.distinct().count() == side * side
+    lo, hi = keys.agg(F.min("z"), F.max("z")).first()
+    assert lo == 0 and hi == side * side - 1
