@@ -415,3 +415,79 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         "<PHONE>",
     )
     return df.withColumn("n_pii", n_pii).withColumn("text_redacted", redacted)
+
+
+def countmin_sketch(
+    grams: DataFrame,
+    term_col: str = "gram",
+    count_col: str = "tf",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch over (term, count) rows: ``(d, bucket, total)``.
+
+    The mergeable-sketch scale path for heavy hitters: when even the
+    gram-grain shuffle of :func:`top_ngrams` is too wide (trillions of
+    distinct n-grams), the sketch shuffles at most ``depth x width``
+    keys regardless of corpus size, and sketches from disjoint corpus
+    shards merge by plain addition. Estimates only ever OVER-count
+    (bucket collisions add, never subtract), within eps*N where
+    eps ~ e/width with probability 1 - (1/2)^depth.
+    """
+    rows = grams.select(
+        F.col(count_col).alias("_c"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(F.xxhash64(F.col(term_col), F.lit(d)), F.lit(width)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("e"),
+    )
+    return (
+        rows.select(F.col("e.d").alias("d"), F.col("e.bucket").alias("bucket"), "_c")
+        .groupBy("d", "bucket")
+        .agg(F.sum("_c").cast("bigint").alias("total"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str = "gram",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Frequency estimates for ``terms`` from a count-min sketch.
+
+    Each probe term derives its ``depth`` buckets (map-only), joins the
+    tiny sketch (broadcast — depth x width rows), and takes the min
+    across rows. Missing buckets count as 0.
+    """
+    probes = terms.select(
+        F.col(term_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(F.xxhash64(F.col(term_col), F.lit(d)), F.lit(width)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select(F.col(term_col), F.col("e.d").alias("d"), F.col("e.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(term_col)
+        .agg(F.min(F.coalesce("total", F.lit(0))).cast("bigint").alias("est_tf"))
+    )

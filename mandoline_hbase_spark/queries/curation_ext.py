@@ -277,3 +277,32 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
     )
+
+
+@register(
+    "text_bigram_cms_estimate",
+    oracle=None,  # sketch buckets depend on Spark xxhash64; rows-only
+    description=(
+        "Count-min sketch heavy hitters: sketch all bigram occurrences "
+        "into a 4x1024 counter table (the ONLY shuffle is 4096 keys, "
+        "corpus-size-independent, shards merge by addition), then "
+        "estimate the exact top-25 grams. est_tf >= total_tf always; "
+        "accuracy bound asserted in tests/test_curation_ext.py."
+    ),
+    tags=("llm", "text", "sketch", "heavy-hitters"),
+)
+def text_bigram_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: F.length(t) > 0)
+    grams_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occurrences = docs.select(F.explode(grams_arr).alias("gram")).withColumn("tf", F.lit(1))
+    sketch = text.countmin_sketch(occurrences, "gram", "tf", depth=4, width=1024)
+    top = text.top_ngrams(docs, n=2, k=25)
+    est = text.countmin_estimate(sketch, top.select("gram"), "gram", depth=4, width=1024)
+    return top.join(est, "gram").select("rank", "gram", "total_tf", "est_tf")

@@ -157,3 +157,31 @@ def test_kmeans_fit_reduces_inertia_and_is_deterministic(spark):
     a1 = semdedup.assign_clusters(emb, fitted).select("vec_id", "cluster_id").collect()
     a2 = semdedup.assign_clusters(emb, fitted2).select("vec_id", "cluster_id").collect()
     assert {(r[0], r[1]) for r in a1} == {(r[0], r[1]) for r in a2}
+
+
+def test_countmin_overestimates_within_bound(spark):
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    rows = QUERIES["text_bigram_cms_estimate"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 25
+    # Total bigram occurrences = the sketch's N.
+    from mandoline_hbase_spark.operators import text
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n = (
+        docs.select(
+            F.greatest(
+                F.size(F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: F.length(t) > 0)) - 1,
+                F.lit(0),
+            ).alias("m")
+        )
+        .agg(F.sum("m"))
+        .first()[0]
+    )
+    bound = 3 * 2.718 / 1024 * n  # 3x the eps*N guarantee (depth-4 failure slack)
+    for r in rows:
+        assert r["est_tf"] >= r["total_tf"], r  # CMS never undercounts
+        assert r["est_tf"] - r["total_tf"] <= bound, (r, bound)
