@@ -531,19 +531,33 @@ class Connection:
         best = max(rows, key=lambda r: r["version_id"])
         return json.loads(best["metadata"])
 
+    def _committed_versions_le(self, bound: int) -> list[int]:
+        """Committed version ids <= bound — the visibility set for reads.
+
+        A crashed commit leaves chunk/index rows with a version id that
+        never reached the versions table (§3.2: the version append is
+        the commit point); restricting index resolution to this set is
+        what makes that garbage invisible (the contract of the
+        reference's disabled failed-write test, hbase_test.clj:144-146).
+        """
+        return [int(v["version"]) for v in self.versions() if int(v["version"]) <= int(bound)]
+
     def resolve_chunk_map(
         self, var_name: str, bound: int, coord_ids: Optional[list[str]] = None
     ) -> dict[str, str]:
         """Bulk find-index: {coord_id -> chunk_id} at snapshot ``bound``.
 
-        One scan + per-key last-write-wins + max-version-<=-bound — the
-        vectorized form of find-index (hbase.clj:184-198) over every
-        coordinate of the variable at once. ``coord_ids`` narrows the
-        scan to a coordinate subset — the analog of the reference's
-        bounded start/stop-row scan (hbase.clj:191-192), pushed to the
-        parquet reader as an isin filter.
+        One scan + per-key last-write-wins + max-committed-version-<=-
+        bound — the vectorized form of find-index (hbase.clj:184-198)
+        over every coordinate of the variable at once. ``coord_ids``
+        narrows the scan to a coordinate subset — the analog of the
+        reference's bounded start/stop-row scan (hbase.clj:191-192),
+        pushed to the parquet reader as an isin filter. Only entries of
+        COMMITTED versions participate (see _committed_versions_le).
         """
-        flt = (pc.field("var_name") == var_name) & (pc.field("version_id") <= int(bound))
+        flt = (pc.field("var_name") == var_name) & (
+            pc.field("version_id").isin(self._committed_versions_le(bound))
+        )
         if coord_ids is not None:
             flt = flt & pc.field("coord_id").isin(coord_ids)
         t = storage.scan(
@@ -670,8 +684,11 @@ class Connection:
         """Distributed find-index: one DataFrame plan resolving every
         coordinate of ``var_name`` at snapshot ``bound``.
 
-        filter (pushed to parquet) -> per-key last-write-wins + max version
-        via a single window — the vectorized form of hbase.clj:184-198.
+        filter (pushed to parquet) -> committed-version semi-join -> per-key
+        last-write-wins + max version via a single window — the vectorized
+        form of hbase.clj:184-198. The semi-join against the (tiny,
+        broadcast) versions table enforces commit-point visibility: index
+        rows of a crashed, never-committed version are excluded.
         Partitioned by coord_id, so at scale the shuffle is one exchange on
         the natural key; z-ordering the indices table by (var_name,
         coord_id) keeps the scan pruned.
@@ -679,12 +696,19 @@ class Connection:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
+        spark = spark or self.spark
+        committed = (
+            self.spark_table("versions", spark)
+            .filter(F.col("version_id") <= int(bound))
+            .select("version_id")
+        )
         idx = self.spark_table("indices", spark)
         w = Window.partitionBy("coord_id").orderBy(
             F.desc("version_id"), F.desc("seq")
         )
         return (
             idx.filter((F.col("var_name") == var_name) & (F.col("version_id") <= int(bound)))
+            .join(F.broadcast(committed), "version_id", "left_semi")
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .filter(F.col("chunk_id").isNotNull())

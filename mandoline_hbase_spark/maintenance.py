@@ -162,13 +162,24 @@ def prune_versions(conn, keep_last: int, spark=None) -> dict:
         anchor_w = Window.partitionBy("var_name", "coord_id").orderBy(F.desc("version_id"))
         le = current.filter(F.col("version_id") <= floor)
         anchored = le.withColumn("_rn", F.row_number().over(anchor_w))
+        # Each coord's anchor is REMAPPED to the floor version: reads
+        # resolve only through versions that exist in the versions table
+        # (commit-point visibility, engine.py _committed_versions_le),
+        # and the anchor's original version row is being dropped. The
+        # remap preserves latest-<=-bound results at every retained
+        # bound — the anchor was already the coord's state as of floor.
+        anchors = (
+            anchored.filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("version_id", F.lit(floor).cast("long"))
+        )
         # Rewrite sorted by the scan key: point reads and chunk_map_df both
         # filter on (var_name, coord_id), so clustering the surviving
         # records makes every post-retention scan a contiguous range —
         # the maintenance pass doubles as layout optimization (SURVEY §4).
         keep = (
             current.filter(F.col("version_id") > floor)
-            .unionByName(anchored.filter(F.col("_rn") == 1).drop("_rn"))
+            .unionByName(anchors)
             .orderBy("var_name", "coord_id", "version_id")
         )
         dropped = anchored.filter(F.col("_rn") > 1).drop("_rn")

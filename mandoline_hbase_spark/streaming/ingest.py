@@ -205,7 +205,7 @@ def commit_events_batch(connection, batch_df: DataFrame, batch_id: int) -> int |
     idx.write_index_bulk([((int(batch_id),), chunk_id)], version_id)
     connection.write_version(
         {
-            "version": version_id,
+            "version-id": version_id,
             "variables": {"events": {"kind": "event-log", "batch_id": int(batch_id)}},
             "n_rows": int(len(pdf)),
         }

@@ -251,3 +251,44 @@ def test_read_region_rejects_bad_bounds(store):
     for bad in [((0, 5), (0, 4)), ((2, 2), (0, 4)), ((-1, 2), (0, 4)), ((0, 4),)]:
         with pytest.raises(InvalidArgumentError):
             store.read_region("b", bad)
+
+
+def test_failed_write_leaves_no_visible_state(store):
+    """The reference's disabled ``failed-write`` test (hbase_test.clj:144-146),
+    passing here: a commit that dies after writing chunks and index rows
+    but BEFORE the version-row append (the §3.2 commit point) is invisible
+    to every reader — versions list, metadata, and array reads are all
+    unchanged; completing the commit later makes the data visible."""
+    import numpy as np
+
+    from mandoline_hbase_spark.engine import Index
+
+    arr0 = np.zeros((4, 4), dtype=np.float64)
+    v0 = store.write_variable("x", arr0, chunk_shape=(2, 2))
+
+    # Simulate the crash: steps 1-3 of the commit protocol, no step 4.
+    from mandoline_hbase_spark import codec
+
+    arr1 = np.ones((4, 4), dtype=np.float64)
+    doomed_version = store.next_version_id()
+    blobs, entries = {}, []
+    for coord in codec.iter_chunk_coords(arr1.shape, (2, 2)):
+        data = codec.encode_chunk(codec.extract_block(arr1, coord, (2, 2), 0.0))
+        h = codec.chunk_id_of(data)
+        blobs[h] = data
+        entries.append((coord, h))
+    store.chunk_store().write_chunks_bulk([(h, 1, d) for h, d in blobs.items()])
+    idx = Index(store.dataset_dir, store._dirs["indices"], "x", {}, doomed_version)
+    idx.write_index_bulk(entries, doomed_version)
+    # -- crash here: no write_version --
+
+    assert [v["version"] for v in store.versions()] == [str(v0)]
+    assert np.array_equal(store.read_variable("x"), arr0)
+    assert np.array_equal(store.read_variable("x", version=doomed_version), arr0)
+
+    # Recovery: replaying the commit is safe (content-addressed chunks,
+    # idempotent appends) and the version append flips visibility.
+    v1 = store.write_variable("x", arr1, chunk_shape=(2, 2), version_id=doomed_version)
+    assert v1 == doomed_version
+    assert np.array_equal(store.read_variable("x"), arr1)
+    assert np.array_equal(store.read_variable("x", version=v0), arr0)
