@@ -1,0 +1,522 @@
+"""Native Spark Data Source for mandoline datasets: ``format("mandoline")``.
+
+The idiomatic end state of the storage engine: the versioned-array store
+is surfaced through Spark's Python Data Source API (pyspark 4) so every
+consumer — SQL, DataFrame, Structured Streaming — reads and writes
+datasets without touching engine internals.
+
+Three surfaces, all mapped onto the reference's protocol semantics
+(SURVEY.md §2/§3; /root/reference/src/io/mandoline/backend/hbase.clj):
+
+- **batch read** (``form=array``, the default): the tidy exploded view of
+  one variable at a snapshot version — ``dim0..dimK bigint, value
+  double``. Planning resolves find-index (hbase.clj:184-198: per-
+  coordinate last-write-wins, max committed version <= bound) on the
+  driver over the tiny index table; data movement is fully distributed —
+  one ``InputPartition`` per chunk group, each executor task scanning the
+  chunks log with a pushed-down ``chunk_id`` filter and yielding decoded
+  Arrow record batches.
+- **batch write** (``form=records``): ``df.write.format("mandoline")``
+  commits the DataFrame as ONE new version of a record-log variable.
+  Executor tasks serialize their partition to a content-addressed parquet
+  chunk (blind idempotent put, hbase.clj:138-154 semantics) and report a
+  ``WriterCommitMessage``; the driver-side ``commit()`` appends index
+  entries and then the version row — the commit point (hbase.clj:263-268).
+  ``abort()`` deliberately leaves the orphaned chunks in place: without a
+  version row they are invisible to every reader (the failed-write
+  contract) and reclaimable by chunk GC. ``mode("overwrite")`` tombstones
+  all prior record coordinates (NULL chunk-id index entries) in the same
+  version, so the old records disappear atomically with the new ones
+  appearing.
+- **stream read** (``form=changes``): a change feed over the version log.
+  Offsets are version ids; each micro-batch contains the cells written by
+  versions committed in ``(start, end]`` — ``version bigint, dim0..dimK
+  bigint, value double``. The linear version log doubles as a replayable
+  stream, exactly the Delta change-feed idea applied to the reference's
+  versions table (hbase.clj:26-28).
+
+Executor self-containment: this module is registered for pickle-by-value
+(``register(spark)``) so executor workers never need the package on
+``sys.path``. Everything that runs inside ``read()``/``write()`` uses
+only stdlib + pyarrow + numpy + pandas + pyspark; engine imports happen
+exclusively in driver-side methods (``commit``) as function-local
+imports.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+# ---------------------------------------------------------------------------
+# driver-side planning helpers (pyarrow only — no engine imports)
+# ---------------------------------------------------------------------------
+
+
+def _committed_versions(dataset_dir: str) -> list[tuple[int, str]]:
+    """(version_id, metadata_json) for every committed version, ascending."""
+    import pyarrow.dataset as pa_ds
+
+    vdir = os.path.join(dataset_dir, "versions")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"not a mandoline dataset (no versions table): {dataset_dir}")
+    t = pa_ds.dataset(vdir, format="parquet").to_table(columns=["version_id", "metadata"])
+    rows = sorted(zip(t.column("version_id").to_pylist(), t.column("metadata").to_pylist()))
+    return rows
+
+
+def _snapshot(dataset_dir: str, variable: str, version: int | None):
+    """Resolve (bound, var_meta, entries) at the requested snapshot.
+
+    ``entries`` is the committed last-write-wins chunk map — the
+    vectorized find-index (hbase.clj:184-198): per coord_id, the max
+    (version_id, seq) record among committed versions <= bound;
+    tombstones (NULL chunk_id) drop the coordinate.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+
+    versions = _committed_versions(dataset_dir)
+    if not versions:
+        raise ValueError(f"dataset at {dataset_dir} has no committed versions")
+    bound = int(version) if version is not None else versions[-1][0]
+    committed_le = [v for v, _ in versions if v <= bound]
+    if not committed_le:
+        raise ValueError(f"no committed version <= {bound}")
+    meta = json.loads(dict(versions)[committed_le[-1]])
+    var_meta = meta.get("variables", {}).get(variable)
+    if var_meta is None:
+        raise KeyError(f"variable {variable!r} not defined at version {bound}")
+
+    idx = pa_ds.dataset(os.path.join(dataset_dir, "indices"), format="parquet")
+    t = idx.to_table(
+        filter=(pc.field("var_name") == variable)
+        & pc.field("version_id").isin(committed_le),
+        columns=["coord_id", "coord", "version_id", "chunk_id", "seq"],
+    )
+    best: dict[str, tuple] = {}
+    for r in t.to_pylist():
+        key = r["coord_id"]
+        rank = (r["version_id"], r["seq"])
+        if key not in best or rank > best[key][0]:
+            best[key] = (rank, r["coord"], r["chunk_id"])
+    entries = [
+        (coord, chunk_id) for (_, coord, chunk_id) in best.values() if chunk_id is not None
+    ]
+    entries.sort(key=lambda e: e[0])
+    return bound, var_meta, entries
+
+
+def _chunk_file_path(chunks_dir: str) -> str:
+    return os.path.join(
+        chunks_dir, f"part-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
+    )
+
+
+def _opt(options, key: str, default=None):
+    # Spark lowercases python-data-source option keys
+    return options.get(key.lower(), options.get(key, default))
+
+
+# ---------------------------------------------------------------------------
+# partitions
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ChunkScanPartition(InputPartition):
+    """One executor task: decode ``entries``' chunks into tidy rows."""
+
+    chunks_dir: str
+    entries: list  # [(coord list, chunk_id)]
+    dtype: str
+    shape: list
+    chunk_shape: list
+    version: int | None = None  # set on change-feed partitions
+
+
+@dataclass
+class RecordScanPartition(InputPartition):
+    """One executor task: replay record-log payload chunks."""
+
+    chunks_dir: str
+    chunk_ids: list
+
+
+def _group(seq: list, n: int) -> list[list]:
+    n = max(1, int(n))
+    return [seq[i : i + n] for i in range(0, len(seq), n)]
+
+
+def _read_payloads(chunks_dir: str, chunk_ids: list[str]) -> dict[str, bytes]:
+    """Fetch chunk payloads by id — pushed-down isin scan of the chunks log.
+
+    The log may hold pure ref-delta records (NULL data) and duplicate
+    content-addressed payload rows; any non-NULL payload per id is THE
+    payload (hbase.clj:138-154: same hash == same bytes).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+
+    if not chunk_ids:
+        return {}
+    ds = pa_ds.dataset(chunks_dir, format="parquet")
+    t = ds.to_table(
+        filter=pc.field("chunk_id").isin(chunk_ids) & pc.field("data").is_valid(),
+        columns=["chunk_id", "data"],
+    )
+    out: dict[str, bytes] = {}
+    for cid, data in zip(t.column("chunk_id").to_pylist(), t.column("data").to_pylist()):
+        out.setdefault(cid, data)
+    return out
+
+
+def _decode_entries(partition: ChunkScanPartition):
+    """Yield one Arrow RecordBatch per chunk: in-bounds cells as tidy rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    payloads = _read_payloads(partition.chunks_dir, [cid for _, cid in partition.entries])
+    shape = tuple(partition.shape)
+    chunk_shape = tuple(partition.chunk_shape)
+    ndim = len(shape)
+    for coord, chunk_id in partition.entries:
+        data = payloads.get(chunk_id)
+        if data is None:
+            raise LookupError(f"chunk {chunk_id} missing from {partition.chunks_dir}")
+        block = np.frombuffer(data, dtype=np.dtype(partition.dtype)).reshape(chunk_shape)
+        if ndim == 0:
+            arrays = [pa.array([float(block.reshape(-1)[0])], type=pa.float64())]
+            names = ["value"]
+        else:
+            grids = np.indices(chunk_shape).reshape(ndim, -1)
+            mask = np.ones(grids.shape[1], dtype=bool)
+            dims = []
+            for d in range(ndim):
+                g = grids[d] + int(coord[d]) * chunk_shape[d]
+                dims.append(g)
+                mask &= g < shape[d]
+            arrays = [pa.array(g[mask], type=pa.int64()) for g in dims]
+            arrays.append(
+                pa.array(block.reshape(-1).astype(np.float64)[mask], type=pa.float64())
+            )
+            names = [f"dim{d}" for d in range(ndim)] + ["value"]
+        if partition.version is not None:
+            arrays = [pa.array([int(partition.version)] * len(arrays[0]), type=pa.int64())] + arrays
+            names = ["version"] + names
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+# ---------------------------------------------------------------------------
+# batch reader
+# ---------------------------------------------------------------------------
+
+
+class MandolineBatchReader(DataSourceReader):
+    def __init__(self, options, form: str):
+        self.path = _opt(options, "path")
+        self.variable = _opt(options, "variable", "records")
+        version = _opt(options, "version")
+        self.version = int(version) if version is not None else None
+        self.per_partition = int(_opt(options, "chunks_per_partition", 1))
+        self.form = form
+        self._bound, self._var_meta, self._entries = _snapshot(
+            self.path, self.variable, self.version
+        )
+
+    def partitions(self):
+        chunks_dir = os.path.join(self.path, "chunks")
+        if self.form == "records":
+            groups = _group([cid for _, cid in self._entries], self.per_partition)
+            return [RecordScanPartition(chunks_dir, g) for g in groups] or [
+                RecordScanPartition(chunks_dir, [])
+            ]
+        vm = self._var_meta
+        groups = _group(self._entries, self.per_partition)
+        return [
+            ChunkScanPartition(chunks_dir, g, vm["dtype"], vm["shape"], vm["chunk_shape"])
+            for g in groups
+        ] or [ChunkScanPartition(chunks_dir, [], vm["dtype"], vm["shape"], vm["chunk_shape"])]
+
+    def read(self, partition):
+        if isinstance(partition, RecordScanPartition):
+            import pyarrow.parquet as pq
+
+            payloads = _read_payloads(partition.chunks_dir, partition.chunk_ids)
+            for cid in partition.chunk_ids:
+                table = pq.read_table(io.BytesIO(payloads[cid]))
+                yield from table.to_batches()
+            return
+        yield from _decode_entries(partition)
+
+
+# ---------------------------------------------------------------------------
+# stream reader — the version log as a change feed
+# ---------------------------------------------------------------------------
+
+
+class MandolineStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = _opt(options, "path")
+        self.variable = _opt(options, "variable")
+        self.per_partition = int(_opt(options, "chunks_per_partition", 1))
+        start = _opt(options, "start_version")
+        self._start = int(start) if start is not None else 0
+
+    def initialOffset(self):
+        return {"version": self._start}
+
+    def latestOffset(self):
+        versions = _committed_versions(self.path)
+        latest = versions[-1][0] if versions else self._start
+        return {"version": max(latest, self._start)}
+
+    def partitions(self, start, end):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pa_ds
+
+        lo, hi = int(start["version"]), int(end["version"])
+        versions = _committed_versions(self.path)
+        in_range = [v for v, _ in versions if lo < v <= hi]
+        chunks_dir = os.path.join(self.path, "chunks")
+        if not in_range:
+            return [ChunkScanPartition(chunks_dir, [], "float64", [], [], None)]
+        # per committed version in range: that version's NEW index entries
+        idx = pa_ds.dataset(os.path.join(self.path, "indices"), format="parquet")
+        t = idx.to_table(
+            filter=(pc.field("var_name") == self.variable)
+            & pc.field("version_id").isin(in_range),
+            columns=["coord_id", "coord", "version_id", "chunk_id", "seq"],
+        )
+        best: dict[tuple, tuple] = {}
+        for r in t.to_pylist():
+            key = (r["version_id"], r["coord_id"])
+            if key not in best or r["seq"] > best[key][0]:
+                best[key] = (r["seq"], r["coord"], r["chunk_id"])
+        meta_by_version = {v: json.loads(m) for v, m in versions}
+        parts = []
+        for vid in in_range:
+            vm = meta_by_version[vid].get("variables", {}).get(self.variable)
+            if vm is None:
+                continue
+            entries = [
+                (coord, cid)
+                for (v, _), (_, coord, cid) in best.items()
+                if v == vid and cid is not None
+            ]
+            entries.sort(key=lambda e: e[0])
+            for g in _group(entries, self.per_partition):
+                parts.append(
+                    ChunkScanPartition(
+                        chunks_dir, g, vm["dtype"], vm["shape"], vm["chunk_shape"], version=vid
+                    )
+                )
+        return parts or [ChunkScanPartition(chunks_dir, [], "float64", [], [], None)]
+
+    def read(self, partition):
+        yield from _decode_entries(partition)
+
+    def commit(self, end):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# batch writer — the §3.2 commit protocol over WriterCommitMessages
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ChunkCommitMessage(WriterCommitMessage):
+    chunk_id: str | None
+    n_rows: int
+
+
+class MandolineWriter(DataSourceWriter):
+    """Each task writes one content-addressed payload chunk; the driver
+    commits index entries + the version row. Ordering IS the §3.2 write
+    path: chunks (executors) -> indices -> version (driver commit point).
+    """
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = _opt(options, "path")
+        self.variable = _opt(options, "variable", "records")
+        self.overwrite = overwrite
+        self.schema = schema
+        self.schema_json = schema.json()
+
+    def write(self, iterator):
+        import hashlib
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        names = [f.name for f in self.schema.fields]
+        rows = [tuple(r) for r in iterator]
+        if not rows:
+            return ChunkCommitMessage(chunk_id=None, n_rows=0)
+        pdf = pd.DataFrame.from_records(rows, columns=names)
+        table = pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        payload = buf.getvalue()
+        chunk_id = hashlib.sha1(payload).hexdigest()
+        # blind idempotent content-addressed put (hbase.clj:138-154): the
+        # chunk row is invisible garbage until the driver's version append
+        store = pa.Table.from_pydict(
+            {"chunk_id": [chunk_id], "ref_delta": [1], "data": [payload]},
+            schema=pa.schema(
+                [
+                    pa.field("chunk_id", pa.string(), nullable=False),
+                    pa.field("ref_delta", pa.int64(), nullable=False),
+                    pa.field("data", pa.binary(), nullable=True),
+                ]
+            ),
+        )
+        pq.write_table(store, _chunk_file_path(os.path.join(self.path, "chunks")))
+        return ChunkCommitMessage(chunk_id=chunk_id, n_rows=len(rows))
+
+    # -- driver side --------------------------------------------------------
+
+    def commit(self, messages):
+        from mandoline_hbase_spark import storage
+        from mandoline_hbase_spark.engine import Connection
+
+        conn = Connection(self.path, os.path.basename(self.path))
+        new_ids = [m.chunk_id for m in messages if m and m.chunk_id]
+        with storage.dataset_lock(self.path):
+            latest = conn.latest_version_id()
+            existing: list = []
+            base = 0
+            if latest is not None:
+                prior = conn.metadata(latest).get("variables", {}).get(self.variable)
+                if prior is not None:
+                    cmap = conn.resolve_chunk_map(self.variable, latest)
+                    existing = [k for k in cmap]
+                    base = max((int(k) for k in existing), default=-1) + 1
+            version_id = conn.next_version_id()
+            entries: list[tuple[tuple[int, ...], str | None]] = []
+            if self.overwrite:
+                # tombstone every prior coordinate the new records don't
+                # reuse: old records vanish at exactly the version the new
+                # ones appear (atomic truncate). Reused coordinates are
+                # simply overwritten — a tombstone there would tie with the
+                # new entry inside the same version.
+                base = 0
+                entries.extend(
+                    ((int(k),), None) for k in existing if int(k) >= len(new_ids)
+                )
+            entries.extend(((base + i,), cid) for i, cid in enumerate(new_ids))
+            from mandoline_hbase_spark.engine import Index
+
+            meta = {}
+            if latest is not None:
+                meta = conn.metadata(latest)
+            variables = dict(meta.get("variables", {}))
+            variables[self.variable] = {
+                "kind": "records",
+                "schema_json": self.schema_json,
+                "dtype": "binary",
+                "shape": [],
+                "chunk_shape": [],
+            }
+            new_meta = {**meta, "version-id": int(version_id), "variables": variables}
+            idx = Index(self.path, os.path.join(self.path, "indices"), self.variable, new_meta, version_id)
+            idx.write_index_bulk(entries, version_id)
+            conn.write_version(new_meta)  # commit point
+
+    def abort(self, messages):
+        # no version row was appended, so nothing the tasks wrote is
+        # reachable — the failed-write contract (hbase_test.clj:144-146);
+        # orphaned content-addressed chunks are left for gc_chunks()
+        pass
+
+
+# ---------------------------------------------------------------------------
+# the DataSource
+# ---------------------------------------------------------------------------
+
+
+class MandolineDataSource(DataSource):
+    """``spark.read/write/readStream.format("mandoline")``.
+
+    Options:
+      path                  dataset directory (required)
+      variable              variable name (default "records")
+      version               snapshot bound for batch reads (default latest)
+      form                  "array" (default) | "records" | "changes"
+      chunks_per_partition  chunk group size per task (default 1)
+      start_version         change-feed start offset (default 0)
+    """
+
+    @classmethod
+    def name(cls):
+        return "mandoline"
+
+    def _form(self) -> str:
+        return _opt(self.options, "form", "array")
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        form = self._form()
+        path = _opt(self.options, "path")
+        variable = _opt(self.options, "variable", "records")
+        if form == "records":
+            version = _opt(self.options, "version")
+            _, var_meta, _ = _snapshot(path, variable, int(version) if version else None)
+            if "schema_json" not in var_meta:
+                raise ValueError(f"variable {variable!r} is not a record-log variable")
+            return StructType.fromJson(json.loads(var_meta["schema_json"]))
+        version = _opt(self.options, "version")
+        ndim = None
+        try:
+            _, var_meta, _ = _snapshot(path, variable, int(version) if version else None)
+            ndim = len(var_meta["shape"])
+        except (FileNotFoundError, ValueError, KeyError):
+            if form != "changes":
+                raise
+            ndim = int(_opt(self.options, "ndim", 1))
+        dims = ", ".join(f"dim{d} bigint" for d in range(ndim))
+        core = f"{dims}, value double" if ndim else "value double"
+        if form == "changes":
+            return f"version bigint, {core}"
+        return core
+
+    def reader(self, schema):
+        return MandolineBatchReader(self.options, self._form())
+
+    def streamReader(self, schema):
+        return MandolineStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return MandolineWriter(self.options, schema, overwrite)
+
+
+def register(spark) -> None:
+    """Register ``format("mandoline")`` on this session.
+
+    Pickles this module by value so executor python workers don't need
+    the package importable; everything executor-side is stdlib + arrow.
+    """
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(MandolineDataSource)

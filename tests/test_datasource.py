@@ -1,0 +1,222 @@
+"""``format("mandoline")`` — the Python Data Source surface.
+
+Covers the three forms: array snapshot reads (with time travel and
+partition-per-chunk planning), record-log writes through the DSv2-style
+commit protocol (append, overwrite-with-tombstones, commit-point
+visibility), and the change-feed stream reader.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ds_spark(tmp_path_factory):
+    from mandoline_hbase_spark.session import get_spark
+    from mandoline_hbase_spark.sources.datasource import register
+
+    spark = get_spark(
+        app_name="mandoline-datasource-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark-warehouse"},
+    )
+    register(spark)
+    yield spark
+
+
+@pytest.fixture()
+def store(tmp_path):
+    from mandoline_hbase_spark.engine import mk_schema
+
+    schema = mk_schema({"root": "integration-testing.mandoline.io", "base_path": str(tmp_path)})
+    schema.create_dataset("test-dataset")
+    yield schema.connect("test-dataset")
+
+
+def test_array_read_matches_numpy(ds_spark, store):
+    arr = np.arange(30, dtype=np.float64).reshape(5, 6)
+    store.write_variable("v", arr, chunk_shape=(2, 4))
+    df = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "v")
+        .load()
+    )
+    assert df.columns == ["dim0", "dim1", "value"]
+    got = {(r.dim0, r.dim1): r.value for r in df.collect()}
+    assert len(got) == 30
+    for (i, j), v in got.items():
+        assert v == arr[i, j]
+
+
+def test_array_read_time_travel(ds_spark, store):
+    a0 = np.zeros((4, 4), dtype=np.float64)
+    a1 = np.ones((4, 4), dtype=np.float64)
+    v0 = store.write_variable("v", a0, chunk_shape=(2, 2))
+    store.write_variable("v", a1, chunk_shape=(2, 2))
+    df0 = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "v")
+        .option("version", v0)
+        .load()
+    )
+    assert {r.value for r in df0.collect()} == {0.0}
+    df1 = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "v")
+        .load()
+    )
+    assert {r.value for r in df1.collect()} == {1.0}
+
+
+def test_array_read_partition_per_chunk(store):
+    """Planning yields one input partition per chunk by default — the scan
+    parallelizes across the chunk grid, no driver-side data movement."""
+    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+
+    arr = np.arange(64, dtype=np.float64).reshape(8, 8)
+    store.write_variable("v", arr, chunk_shape=(2, 2))  # 16 chunks
+    reader = MandolineBatchReader({"path": store.dataset_dir, "variable": "v"}, "array")
+    parts = reader.partitions()
+    assert len(parts) == 16
+    grouped = MandolineBatchReader(
+        {"path": store.dataset_dir, "variable": "v", "chunks_per_partition": 4}, "array"
+    )
+    assert len(grouped.partitions()) == 4
+
+
+def test_writer_append_and_read_back(ds_spark, store, tmp_path):
+    rows = [(i, f"doc-{i}", float(i) * 1.5) for i in range(50)]
+    df = ds_spark.createDataFrame(rows, "id bigint, name string, score double")
+    (
+        df.repartition(4)
+        .write.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "docs")
+        .mode("append")
+        .save()
+    )
+    back = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "docs")
+        .option("form", "records")
+        .load()
+    )
+    assert back.schema.simpleString() == "struct<id:bigint,name:string,score:double>"
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == sorted(rows)
+
+    # second append: both visible, one new version each
+    n_versions = len(store.versions())
+    df2 = ds_spark.createDataFrame([(99, "late", 9.9)], "id bigint, name string, score double")
+    (
+        df2.write.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "docs")
+        .mode("append")
+        .save()
+    )
+    assert len(store.versions()) == n_versions + 1
+    again = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "docs")
+        .option("form", "records")
+        .load()
+    )
+    assert again.count() == 51
+
+
+def test_writer_overwrite_tombstones_prior_records(ds_spark, store):
+    ddl = "id bigint, name string"
+    d1 = ds_spark.createDataFrame([(1, "old-a"), (2, "old-b")], ddl)
+    d1.write.format("mandoline").option("path", store.dataset_dir).option(
+        "variable", "docs"
+    ).mode("append").save()
+    v_before = store.latest_version_id()
+    d2 = ds_spark.createDataFrame([(3, "new")], ddl)
+    d2.write.format("mandoline").option("path", store.dataset_dir).option(
+        "variable", "docs"
+    ).mode("overwrite").save()
+
+    def read(version=None):
+        r = (
+            ds_spark.read.format("mandoline")
+            .option("path", store.dataset_dir)
+            .option("variable", "docs")
+            .option("form", "records")
+        )
+        if version is not None:
+            r = r.option("version", version)
+        return sorted((x.id, x.name) for x in r.load().collect())
+
+    assert read() == [(3, "new")]
+    # time travel still sees the pre-overwrite records (tombstones are
+    # versioned index entries, not physical deletes)
+    assert read(version=v_before) == [(1, "old-a"), (2, "old-b")]
+
+
+def test_writer_commit_point_visibility(ds_spark, store):
+    """Chunks written by executor tasks are invisible until the driver's
+    commit() appends the version row: simulate by running only write()."""
+    from pyspark.sql.types import StructType
+
+    from mandoline_hbase_spark.sources.datasource import MandolineWriter
+
+    ddl_schema = (
+        ds_spark.createDataFrame([(1, "x")], "id bigint, name string").schema
+    )
+    assert isinstance(ddl_schema, StructType)
+    w = MandolineWriter({"path": store.dataset_dir, "variable": "docs"}, ddl_schema, False)
+    from pyspark.sql import Row
+
+    msg = w.write(iter([Row(id=1, name="orphan")]))
+    assert msg.chunk_id is not None
+    # no commit() -> no versions, nothing readable
+    assert store.versions() == []
+    # completing the protocol flips visibility
+    w.commit([msg])
+    assert len(store.versions()) == 1
+    back = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "docs")
+        .option("form", "records")
+        .load()
+    )
+    assert [(r.id, r.name) for r in back.collect()] == [(1, "orphan")]
+
+
+def test_change_feed_stream(ds_spark, store, tmp_path):
+    """The version log as a stream: each committed version's cells arrive
+    tagged with their version id; a later commit extends the feed."""
+    a0 = np.zeros((2, 2), dtype=np.float64)
+    v0 = store.write_variable("v", a0, chunk_shape=(2, 2))
+    a1 = np.full((2, 2), 7.0, dtype=np.float64)
+    v1 = store.write_variable("v", a1, chunk_shape=(2, 2))
+
+    q = (
+        ds_spark.readStream.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "v")
+        .option("form", "changes")
+        .load()
+        .writeStream.format("memory")
+        .queryName("mandoline_changes")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = ds_spark.sql("select * from mandoline_changes").collect()
+    by_version = {}
+    for r in rows:
+        by_version.setdefault(r.version, set()).add((r.dim0, r.dim1, r.value))
+    assert set(by_version) == {v0, v1}
+    assert by_version[v0] == {(i, j, 0.0) for i in range(2) for j in range(2)}
+    assert by_version[v1] == {(i, j, 7.0) for i in range(2) for j in range(2)}
