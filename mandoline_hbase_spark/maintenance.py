@@ -79,19 +79,35 @@ def _compacted_chunks_df(conn, spark):
     )
 
 
+def _cluster_by_chunk_id(df, spark):
+    """Range-cluster a chunks rewrite by ``chunk_id``.
+
+    Every point fetch (ChunkStore.read_chunk, the datasource's
+    ``_read_payloads``) filters on chunk_id; writing the rewrite as
+    disjoint sorted id ranges turns those scans into one-file reads via
+    parquet min/max stats — the same scan-key clustering the retention
+    rewrite applies to the index log. Hash ids are uniform, so ranges
+    balance without sampling skew.
+    """
+    n = max(2, spark.sparkContext.defaultParallelism)
+    return df.repartitionByRange(n, "chunk_id").sortWithinPartitions("chunk_id")
+
+
 def compact_chunks(conn, spark=None) -> dict:
     """Collapse the chunks log to one record per chunk_id.
 
     One shuffle on ``chunk_id`` (uniform by construction — the ids are
     content hashes, so no skew), then a directory swap. Ref-counts and
-    payload reads are unchanged; the per-read SUM now sums one record.
+    payload reads are unchanged; the per-read SUM now sums one record,
+    and the rewrite lands range-clustered by chunk_id so point fetches
+    prune to one file.
     """
     spark = spark or conn.spark
     stats = {"records_before": conn.spark_table("chunks", spark).count()}
     with storage.dataset_lock(conn.dataset_dir):
         compacted = _compacted_chunks_df(conn, spark)
         stats["records_after"] = compacted.count()
-        _rewrite(conn, "chunks", compacted)
+        _rewrite(conn, "chunks", _cluster_by_chunk_id(compacted, spark))
     return stats
 
 
@@ -122,7 +138,7 @@ def gc_chunks(conn, spark=None) -> dict:
         )
         before = compacted.count()
         after = keep.count()
-        _rewrite(conn, "chunks", keep)
+        _rewrite(conn, "chunks", _cluster_by_chunk_id(keep, spark))
     return {"chunks_before": before, "chunks_after": after, "chunks_removed": before - after}
 
 

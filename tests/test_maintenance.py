@@ -111,3 +111,42 @@ def test_prune_noop_when_history_fits(store, spark):
         "index_keys_dropped": 0,
         "refs_released": 0,
     }
+
+
+def test_compaction_clusters_chunks_by_id_for_point_pruning(store, spark):
+    """The compacted chunks log is range-clustered by chunk_id: files hold
+    disjoint sorted id ranges, so a point fetch's min/max-stats candidate
+    set is exactly one file — the scan-key clustering that keeps
+    read_chunk O(1) files at billions of chunks."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cs = store.chunk_store()
+    for i in range(64):
+        cs.write_chunk(f"{i:02d}-" + "c" * 38, 1, f"payload-{i}".encode())
+    store.spark = spark
+    store.compact_chunks()
+
+    d = store._dirs["chunks"]
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(d, f)).metadata
+        idx = md.schema.to_arrow_schema().names.index("chunk_id")
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # actually split across files
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint: every point id maps to exactly one file
+
+    probe = "33-" + "c" * 38
+    candidates = [r for r in ranges if r[0] <= probe <= r[1]]
+    assert len(candidates) == 1
+    assert cs.read_chunk(probe) == b"payload-33"
