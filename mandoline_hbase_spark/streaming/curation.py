@@ -1,0 +1,255 @@
+"""Continuous corpus ingestion: streaming dedup admission.
+
+The batch-side admission operators (``operators.dedup.incremental_*``)
+promise that admitting a batch costs work proportional to the BATCH,
+never the corpus. This module is that promise made real under
+Structured Streaming: the corpus maintains its own **fingerprint
+index** (content hashes, LSH band rows, MinHash signatures + shingle
+sets), and every micro-batch is admitted by probing those index tables
+— corpus text is never rescanned.
+
+Layout under ``corpus_dir`` (all parquet, one file per micro-batch,
+deterministically named ``batch-{id}.parquet``):
+
+- ``docs/``   admitted documents, the incoming schema verbatim
+- ``hashes/`` ``content_hash string`` — the exact-dup gate index
+- ``bands/``  ``band int, bh bigint, doc_id bigint`` — LSH probe index
+- ``feats/``  ``doc_id bigint, sh array<string>, sig array<bigint>`` —
+  verify-stage features (signature prefilter + exact-Jaccard)
+
+Deterministic per-batch file names make ``foreachBatch`` replays
+idempotent: a restarted query rewrites the same files instead of
+appending duplicates — the same replay-safety idea as the versioned
+ingest sink (streaming/ingest.py), with file identity replacing
+content addressing.
+
+Admission per batch, in order (cheapest gate first):
+
+1. exact self-dedup — first-of-kind per content hash within the batch
+   (min id wins, so replays admit identical rows);
+2. exact corpus gate — anti-join of batch hashes vs the hash index;
+3. near-dup self-dedup — in-batch LSH candidate pairs, signature
+   prefilter, exact-Jaccard verify, larger id of each pair rejected;
+4. near-dup corpus gate — one-directional probe: batch band rows join
+   corpus band rows (never corpus x corpus), survivors verified
+   against corpus features.
+
+At 100 TB the index tables are exactly what would live in a lakehouse
+table keyed by hash/band — the per-batch joins shuffle only batch-sized
+key sets against them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mandoline_hbase_spark.operators import dedup
+
+_HASHES_DDL = "content_hash string"
+_BANDS_DDL = "band bigint, bh bigint, doc_id bigint"
+_FEATS_DDL = "doc_id bigint, sh array<string>, sig array<bigint>"
+
+_ROLES = ("docs", "hashes", "bands", "feats")
+
+
+def _batch_file(corpus_dir: str, role: str, batch_id: int) -> str:
+    return os.path.join(corpus_dir, role, f"batch-{int(batch_id):010d}.parquet")
+
+
+def _read_role(
+    spark: SparkSession,
+    corpus_dir: str,
+    role: str,
+    ddl: str,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """Read one corpus index table.
+
+    ``exclude_batch`` drops that batch's own output file from the read:
+    a foreachBatch replay must probe the corpus as it stood BEFORE its
+    first attempt, or it would reject its documents against themselves
+    and overwrite its output with an empty delta.
+    """
+    d = os.path.join(corpus_dir, role)
+    if not os.path.isdir(d):
+        return spark.createDataFrame([], ddl)
+    skip = None if exclude_batch is None else os.path.basename(_batch_file(corpus_dir, role, exclude_batch))
+    files = [
+        os.path.join(d, f)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet") and f != skip
+    ]
+    if not files:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(*files)
+
+
+def read_corpus(spark: SparkSession, corpus_dir: str, schema_ddl: str) -> DataFrame:
+    """All admitted documents (the incoming schema, passed explicitly so
+    an empty corpus still reads cleanly)."""
+    d = os.path.join(corpus_dir, "docs")
+    if not os.path.isdir(d) or not any(f.endswith(".parquet") for f in os.listdir(d)):
+        return spark.createDataFrame([], schema_ddl)
+    return spark.read.schema(schema_ddl).parquet(d)
+
+
+def _est(num_hashes: int):
+    return F.size(
+        F.filter(F.zip_with("sig_i", "sig_c", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
+
+
+def _verified_reject_ids(
+    cands: DataFrame,
+    feats_inc: DataFrame,
+    feats_ref: DataFrame,
+    threshold: float,
+    num_hashes: int,
+) -> DataFrame:
+    """inc ids with a verified (exact-Jaccard >= threshold) match in ref.
+
+    ``cands``: (inc_id, ref_id) LSH candidates. The signature-estimate
+    prefilter (slack 0.15 below threshold) kills accidental band
+    collisions before the set intersection, as in the batch operators.
+    """
+    fi = feats_inc.select(
+        F.col("doc_id").alias("inc_id"), F.col("sh").alias("sh_i"), F.col("sig").alias("sig_i")
+    )
+    fc = feats_ref.select(
+        F.col("doc_id").alias("ref_id"), F.col("sh").alias("sh_c"), F.col("sig").alias("sig_c")
+    )
+    return (
+        cands.join(fi, "inc_id")
+        .join(fc, "ref_id")
+        .filter(_est(num_hashes) >= threshold - 0.15)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_i", "sh_c")) / F.size(F.array_union("sh_i", "sh_c")),
+        )
+        .filter(F.col("jaccard") >= float(threshold))
+        .select(F.col("inc_id").alias("doc_id"))
+        .distinct()
+    )
+
+
+def admit_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Admit one micro-batch against the corpus index; returns #admitted.
+
+    Idempotent per ``batch_id``: outputs are fixed-name files, so a
+    foreachBatch replay overwrites its own previous attempt.
+    """
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    for role in _ROLES:
+        os.makedirs(os.path.join(corpus_dir, role), exist_ok=True)
+
+    # 1+2: exact gates — in-batch first-of-kind, then the hash index
+    inc = batch_df.withColumn("content_hash", F.md5(F.col(text_col)))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    inc = inc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    seen = _read_role(spark, corpus_dir, "hashes", _HASHES_DDL, exclude_batch=batch_id)
+    inc = inc.join(seen, "content_hash", "left_anti")
+    inc = inc.persist()
+    try:
+        # batch features, computed once, reused by both near-dup gates
+        feats = dedup.doc_shingle_features(
+            inc, num_hashes=num_hashes, shingle_n=shingle_n, id_col=id_col, text_col=text_col
+        ).select(F.col(id_col).alias("doc_id"), "sh", "sig").persist()
+        band_rows = (
+            dedup._band_stack(
+                feats.select(F.col("doc_id").alias(id_col), "sh", "sig"),
+                num_hashes,
+                bands,
+                id_col,
+            )
+            .select(
+                F.col("band").cast("bigint").alias("band"),
+                F.col("bh").cast("bigint").alias("bh"),
+                F.col(id_col).cast("bigint").alias("doc_id"),
+            )
+            .persist()
+        )
+
+        # 3: in-batch near-dup — candidates among batch docs, larger id loses
+        self_cands = (
+            band_rows.alias("a")
+            .join(band_rows.alias("b"), ["band", "bh"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("b.doc_id").alias("inc_id"), F.col("a.doc_id").alias("ref_id"))
+            .distinct()
+        )
+        self_reject = _verified_reject_ids(self_cands, feats, feats, threshold, num_hashes)
+
+        # 4: corpus near-dup — one-directional probe of the band index
+        corpus_bands = _read_role(spark, corpus_dir, "bands", _BANDS_DDL, exclude_batch=batch_id)
+        corpus_feats = _read_role(spark, corpus_dir, "feats", _FEATS_DDL, exclude_batch=batch_id)
+        probe_cands = (
+            band_rows.alias("i")
+            .join(corpus_bands.alias("c"), ["band", "bh"])
+            .select(F.col("i.doc_id").alias("inc_id"), F.col("c.doc_id").alias("ref_id"))
+            .distinct()
+        )
+        probe_reject = _verified_reject_ids(probe_cands, feats, corpus_feats, threshold, num_hashes)
+
+        rejected = self_reject.union(probe_reject).distinct().withColumnRenamed("doc_id", id_col)
+        admitted = inc.join(rejected, id_col, "left_anti").persist()
+        n_admitted = admitted.count()
+
+        # materialize this batch's corpus delta under fixed names (replay-safe)
+        admitted_ids = admitted.select(F.col(id_col).cast("bigint").alias("doc_id"))
+        admitted.drop("content_hash").toPandas().to_parquet(
+            _batch_file(corpus_dir, "docs", batch_id), index=False
+        )
+        admitted.select("content_hash").toPandas().to_parquet(
+            _batch_file(corpus_dir, "hashes", batch_id), index=False
+        )
+        band_rows.join(admitted_ids, "doc_id", "left_semi").toPandas().to_parquet(
+            _batch_file(corpus_dir, "bands", batch_id), index=False
+        )
+        feats.join(admitted_ids, "doc_id", "left_semi").toPandas().to_parquet(
+            _batch_file(corpus_dir, "feats", batch_id), index=False
+        )
+        return n_admitted
+    finally:
+        inc.unpersist()
+        try:
+            feats.unpersist()
+            band_rows.unpersist()
+            admitted.unpersist()
+        except NameError:
+            pass  # unbound if the batch failed before those stages
+
+
+def start_corpus_ingest(
+    stream_df: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    **admit_kwargs,
+):
+    """Start the continuous-ingest query: every micro-batch is admitted
+    against (and appended to) the corpus index via ``foreachBatch``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        admit_batch(batch_df, batch_id, corpus_dir, threshold=threshold, **admit_kwargs)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
