@@ -479,14 +479,14 @@ class MandolineDataSource(DataSource):
         variable = _opt(self.options, "variable", "records")
         if form == "records":
             version = _opt(self.options, "version")
-            _, var_meta, _ = _snapshot(path, variable, int(version) if version else None)
+            _, var_meta, _ = _snapshot(path, variable, int(version) if version is not None else None)
             if "schema_json" not in var_meta:
                 raise ValueError(f"variable {variable!r} is not a record-log variable")
             return StructType.fromJson(json.loads(var_meta["schema_json"]))
         version = _opt(self.options, "version")
         ndim = None
         try:
-            _, var_meta, _ = _snapshot(path, variable, int(version) if version else None)
+            _, var_meta, _ = _snapshot(path, variable, int(version) if version is not None else None)
             ndim = len(var_meta["shape"])
         except (FileNotFoundError, ValueError, KeyError):
             if form != "changes":
