@@ -185,3 +185,22 @@ def test_countmin_overestimates_within_bound(spark):
     for r in rows:
         assert r["est_tf"] >= r["total_tf"], r  # CMS never undercounts
         assert r["est_tf"] - r["total_tf"] <= bound, (r, bound)
+
+
+def test_matmul_pairs_match_fold_pairs(spark):
+    """The BLAS scale path (per-cluster gram matrix in applyInPandas) finds
+    exactly the fold path's pair set, with sims equal to float tolerance —
+    the two execution strategies implement one operator."""
+    from mandoline_hbase_spark.operators import semdedup
+
+    emb = _load_emb(spark, SF_ORACLE)
+    fold = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in semdedup.semantic_near_dup_pairs(emb, k=8, threshold=0.4).collect()
+    }
+    blas = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in semdedup.semantic_near_dup_pairs_matmul(emb, k=8, threshold=0.4).collect()
+    }
+    assert set(fold) == set(blas)
+    assert max(abs(fold[p] - blas[p]) for p in fold) < 1e-9

@@ -82,3 +82,20 @@ def test_text_ops_are_exchange_free(spark):
             .toString()
         )
         assert "Exchange" not in plan, f"{name} shuffles unexpectedly"
+
+
+def test_chunk_map_resolution_broadcasts_version_visibility(spark, tmp_path):
+    """chunk_map_df's committed-version visibility gate must be a BROADCAST
+    left-semi join (the versions table is tiny); a shuffled semi or a
+    cartesian here would dominate index resolution at billions of rows."""
+    import numpy as np
+
+    from mandoline_hbase_spark.engine import mk_schema
+
+    schema = mk_schema({"root": "plan.mandoline.io", "base_path": str(tmp_path)})
+    schema.create_dataset("ds")
+    conn = schema.connect("ds")
+    conn.write_variable("v", np.ones((8, 8), dtype=np.float64), chunk_shape=(4, 4))
+    plan = conn.chunk_map_df("v", conn.latest_version_id(), spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
