@@ -78,6 +78,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
     "dedup_semantic_prune",
+    "dedup_semantic_pairs_blas",
     "text_top_bigrams",
     "mix_sources_token_budget",
     "dedup_incremental_minhash",

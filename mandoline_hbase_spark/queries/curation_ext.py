@@ -100,6 +100,24 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_pairs_blas",
+    oracle=None,  # float64 matmul vs sequential fold differ in the last
+    # ulp, so this path is pinned by the fold-equivalence test
+    # (test_curation_ext.py::test_matmul_pairs_match_fold_pairs), not a
+    # hash-matching SQL oracle
+    description=(
+        "SemDeDup pair stage, matmul scale path: one BLAS gram matrix "
+        "per cluster inside grouped applyInPandas — 3.7x the JVM-fold "
+        "variant at sf0.1, identical pair set"
+    ),
+    tags=("llm", "dedup", "semantic", "embeddings", "scale-path"),
+)
+def dedup_semantic_pairs_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup.semantic_near_dup_pairs_matmul(emb, k=8, threshold=0.4)
+
+
+@register(
     "text_top_bigrams",
     oracle=r"""
     WITH toks AS (
