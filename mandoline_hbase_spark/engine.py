@@ -168,6 +168,18 @@ class Connection:
 
         return maintenance.prune_versions(self, keep_last, spark)
 
+    def compact_indices(self, spark=None) -> dict:
+        """Drop superseded CAS records; cluster the index log by scan key."""
+        from mandoline_hbase_spark import maintenance
+
+        return maintenance.compact_indices(self, spark)
+
+    def optimize(self, spark=None) -> dict:
+        """Compact both logs and reclaim dead chunks (no history change)."""
+        from mandoline_hbase_spark import maintenance
+
+        return maintenance.optimize(self, spark)
+
     # -- version helpers ---------------------------------------------------
 
     def next_version_id(self) -> int:

@@ -241,3 +241,53 @@ def prune_versions(conn, keep_last: int, spark=None) -> dict:
         "index_keys_dropped": total_dropped,
         "refs_released": keys_dropped,
     }
+
+
+def compact_indices(conn, spark=None) -> dict:
+    """Collapse the indices log to each key's current record.
+
+    Per ``(var_name, coord_id, version_id)`` only the max-``seq`` record
+    is the key's value (storage.py resolution rule); superseded CAS
+    attempts below it are unreachable by every reader and are dropped.
+    Tombstones (NULL chunk_id) are current values and survive — removing
+    one would resurface the older version it shadows. No refs move: the
+    CAS caller already released the superseded hash when it swapped.
+
+    The rewrite lands range-clustered by the scan key
+    ``(var_name, coord_id, version_id)``, so find-index scans and the
+    data source's planning read contiguous ranges — the same layout the
+    retention rewrite produces, available without dropping history.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = spark or conn.spark
+    with storage.dataset_lock(conn.dataset_dir):
+        idx = conn.spark_table("indices", spark)
+        key_w = Window.partitionBy("var_name", "coord_id", "version_id").orderBy(F.desc("seq"))
+        current = (
+            idx.withColumn("_rn", F.row_number().over(key_w)).filter(F.col("_rn") == 1).drop("_rn")
+        )
+        before = idx.count()
+        after = current.count()
+        n = max(2, spark.sparkContext.defaultParallelism)
+        clustered = current.repartitionByRange(
+            n, "var_name", "coord_id", "version_id"
+        ).sortWithinPartitions("var_name", "coord_id", "version_id")
+        _rewrite(conn, "indices", clustered)
+    return {"records_before": before, "records_after": after, "records_dropped": before - after}
+
+
+def optimize(conn, spark=None) -> dict:
+    """One-call maintenance: compact both logs, reclaim dead chunks.
+
+    Equivalent to OPTIMIZE on a transactional table format; run it
+    periodically (or after heavy CAS contention / many small commits) to
+    bound read amplification. Retention stays a separate, explicit call
+    because it CHANGES visible history.
+    """
+    return {
+        "indices": compact_indices(conn, spark),
+        "chunks": compact_chunks(conn, spark),
+        "gc": gc_chunks(conn, spark),
+    }

@@ -150,3 +150,44 @@ def test_compaction_clusters_chunks_by_id_for_point_pruning(store, spark):
     candidates = [r for r in ranges if r[0] <= probe <= r[1]]
     assert len(candidates) == 1
     assert cs.read_chunk(probe) == b"payload-33"
+
+
+def test_compact_indices_drops_superseded_cas_only(store, spark):
+    """Superseded CAS attempts vanish; current values (including
+    tombstones) and every read at every bound are unchanged."""
+    import numpy as np
+
+    store.spark = spark
+    a0 = np.zeros((4, 4), dtype=np.float64)
+    a1 = np.ones((4, 4), dtype=np.float64)
+    v0 = store.write_variable("x", a0, chunk_shape=(2, 2))
+    v1 = store.write_variable("x", a1, chunk_shape=(2, 2))
+
+    # CAS churn on one key at v1: each successful swap supersedes the
+    # previous record for (x, (0,0), v1)
+    idx = store.index("x", store.metadata(v1))
+    orig = idx.chunk_at((0, 0), v1)
+    cur = orig
+    for other in ["h1", "h2"]:
+        assert idx.write_index((0, 0), cur, other)
+        cur = other
+    assert idx.write_index((0, 0), cur, orig)  # swap back to the real chunk
+
+    n_before = store.spark_table("indices", spark).count()
+    stats = store.compact_indices()
+    assert stats["records_dropped"] == 3  # the three superseded attempts
+    assert stats["records_after"] == n_before - 3
+    assert np.array_equal(store.read_variable("x", version=v0), a0)
+    assert np.array_equal(store.read_variable("x", version=v1), a1)
+
+
+def test_optimize_runs_all_passes_and_preserves_reads(store, spark):
+    import numpy as np
+
+    store.spark = spark
+    arr = np.arange(16, dtype=np.float64).reshape(4, 4)
+    store.write_variable("x", arr, chunk_shape=(2, 2))
+    store.write_variable("x", arr + 1, chunk_shape=(2, 2))
+    out = store.optimize()
+    assert set(out) == {"indices", "chunks", "gc"}
+    assert np.array_equal(store.read_variable("x"), arr + 1)
