@@ -692,7 +692,7 @@ class Connection:
         spark = spark or self.spark
         return spark.read.schema(storage.SPARK_DDL[role]).parquet(self._dirs[role])
 
-    def chunk_map_df(self, var_name: str, bound: int, spark=None):
+    def chunk_map_df(self, var_name: str, bound: int, spark=None, coord_ids: list[str] | None = None):
         """Distributed find-index: one DataFrame plan resolving every
         coordinate of ``var_name`` at snapshot ``bound``.
 
@@ -718,8 +718,14 @@ class Connection:
         w = Window.partitionBy("coord_id").orderBy(
             F.desc("version_id"), F.desc("seq")
         )
+        scan = idx.filter((F.col("var_name") == var_name) & (F.col("version_id") <= int(bound)))
+        if coord_ids is not None:
+            # bounded-scan analog (hbase.clj:191-192): the isin filter is
+            # pushed to the parquet reader, so a region read of a
+            # million-chunk variable scans only its chunks' index rows
+            scan = scan.filter(F.col("coord_id").isin(list(coord_ids)))
         return (
-            idx.filter((F.col("var_name") == var_name) & (F.col("version_id") <= int(bound)))
+            scan
             .join(F.broadcast(committed), "version_id", "left_semi")
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -727,7 +733,13 @@ class Connection:
             .select("coord_id", "coord", "chunk_id")
         )
 
-    def tidy_view(self, var_name: str, version: int | None = None, spark=None):
+    def tidy_view(
+        self,
+        var_name: str,
+        version: int | None = None,
+        spark=None,
+        region: tuple[tuple[int, int], ...] | None = None,
+    ):
         """Exploded analytic view: one row per in-bounds cell of every
         materialized chunk — ``dim0..dimK bigint, value double``.
 
@@ -735,7 +747,15 @@ class Connection:
         chunk_id -> Arrow-batched decode in ``mapInPandas`` (no driver
         collect). Cells of never-written chunks (pure fill) are absent; a
         reader wanting dense output coalesces against the fill value.
+
+        ``region`` = ((start, stop), ...) restricts the view to a slab:
+        only intersecting chunks are resolved (their coord_ids become a
+        pushed-down isin filter on the index scan — the distributed
+        mirror of ``read_region``'s bounded scan) and the decode emits
+        only cells inside the slab.
         """
+        import itertools
+
         from pyspark.sql import functions as F
 
         spark = spark or self.spark
@@ -745,7 +765,26 @@ class Connection:
         chunk_shape = tuple(var_meta["chunk_shape"])
         ndim = len(shape)
 
-        latest = self.chunk_map_df(var_name, bound, spark)
+        coord_ids = None
+        if region is not None:
+            if len(region) != ndim:
+                raise InvalidArgumentError(
+                    f"region has {len(region)} dims, variable has {ndim}"
+                )
+            for d, ((start, stop), size) in enumerate(zip(region, shape)):
+                if not (0 <= start < stop <= size):
+                    raise InvalidArgumentError(
+                        f"region dim {d} [{start}, {stop}) out of bounds for size {size}"
+                    )
+            chunk_ranges = [
+                range(start // cs, (stop - 1) // cs + 1)
+                for (start, stop), cs in zip(region, chunk_shape)
+            ]
+            coord_ids = [
+                codec.coordinate_to_id(c) for c in itertools.product(*chunk_ranges)
+            ]
+
+        latest = self.chunk_map_df(var_name, bound, spark, coord_ids=coord_ids)
         chunks = (
             self.spark_table("chunks", spark)
             .filter(F.col("data").isNotNull())
@@ -756,6 +795,12 @@ class Connection:
 
         dim_cols = [f"dim{d}" for d in range(ndim)]
         out_schema = ", ".join([f"{c} bigint" for c in dim_cols] + ["value double"])
+        los = [r[0] for r in region] if region is not None else [0] * ndim
+        his = (
+            [min(s, r[1]) for s, r in zip(shape, region)]
+            if region is not None
+            else list(shape)
+        )
 
         def decode(batches):
             import pandas as pd
@@ -771,7 +816,7 @@ class Connection:
                     for d in range(len(chunk_shape)):
                         g = grids[d] + base[d]
                         cols[f"dim{d}"] = g
-                        mask &= g < shape[d]
+                        mask &= (g >= los[d]) & (g < his[d])
                     frame = pd.DataFrame(cols)
                     frame["value"] = block.reshape(-1).astype(np.float64)
                     frames.append(frame[mask])

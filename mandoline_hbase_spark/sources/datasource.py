@@ -146,6 +146,7 @@ class ChunkScanPartition(InputPartition):
     shape: list
     chunk_shape: list
     version: int | None = None  # set on change-feed partitions
+    region: list | None = None  # [(start, stop)] per dim, cell-level bound
 
 
 @dataclass
@@ -205,10 +206,13 @@ def _decode_entries(partition: ChunkScanPartition):
             grids = np.indices(chunk_shape).reshape(ndim, -1)
             mask = np.ones(grids.shape[1], dtype=bool)
             dims = []
+            region = partition.region
             for d in range(ndim):
                 g = grids[d] + int(coord[d]) * chunk_shape[d]
                 dims.append(g)
-                mask &= g < shape[d]
+                lo = region[d][0] if region is not None else 0
+                hi = min(shape[d], region[d][1]) if region is not None else shape[d]
+                mask &= (g >= lo) & (g < hi)
             arrays = [pa.array(g[mask], type=pa.int64()) for g in dims]
             arrays.append(
                 pa.array(block.reshape(-1).astype(np.float64)[mask], type=pa.float64())
@@ -225,6 +229,17 @@ def _decode_entries(partition: ChunkScanPartition):
 # ---------------------------------------------------------------------------
 
 
+def _parse_region(spec: str | None):
+    """``"0:10,5:20"`` -> [(0, 10), (5, 20)]; None passes through."""
+    if spec is None:
+        return None
+    out = []
+    for part in str(spec).split(","):
+        lo, hi = part.split(":")
+        out.append((int(lo), int(hi)))
+    return out
+
+
 class MandolineBatchReader(DataSourceReader):
     def __init__(self, options, form: str):
         self.path = _opt(options, "path")
@@ -233,9 +248,24 @@ class MandolineBatchReader(DataSourceReader):
         self.version = int(version) if version is not None else None
         self.per_partition = int(_opt(options, "chunks_per_partition", 1))
         self.form = form
+        self.region = _parse_region(_opt(options, "region"))
         self._bound, self._var_meta, self._entries = _snapshot(
             self.path, self.variable, self.version
         )
+        if self.region is not None:
+            # partition pruning at planning: only chunks intersecting the
+            # region produce tasks (the bounded-scan analog)
+            cs = self._var_meta["chunk_shape"]
+            if len(self.region) != len(cs):
+                raise ValueError(
+                    f"region has {len(self.region)} dims, variable has {len(cs)}"
+                )
+            def hits(coord):
+                return all(
+                    c * w < hi and (c + 1) * w > lo
+                    for c, w, (lo, hi) in zip(coord, cs, self.region)
+                )
+            self._entries = [(c, cid) for c, cid in self._entries if hits(c)]
 
     def partitions(self):
         chunks_dir = os.path.join(self.path, "chunks")
@@ -247,9 +277,15 @@ class MandolineBatchReader(DataSourceReader):
         vm = self._var_meta
         groups = _group(self._entries, self.per_partition)
         return [
-            ChunkScanPartition(chunks_dir, g, vm["dtype"], vm["shape"], vm["chunk_shape"])
+            ChunkScanPartition(
+                chunks_dir, g, vm["dtype"], vm["shape"], vm["chunk_shape"], region=self.region
+            )
             for g in groups
-        ] or [ChunkScanPartition(chunks_dir, [], vm["dtype"], vm["shape"], vm["chunk_shape"])]
+        ] or [
+            ChunkScanPartition(
+                chunks_dir, [], vm["dtype"], vm["shape"], vm["chunk_shape"], region=self.region
+            )
+        ]
 
     def read(self, partition):
         if isinstance(partition, RecordScanPartition):
@@ -459,6 +495,8 @@ class MandolineDataSource(DataSource):
       path                  dataset directory (required)
       variable              variable name (default "records")
       version               snapshot bound for batch reads (default latest)
+      region                slab bound "l0:h0,l1:h1" — prunes partitions to
+                            intersecting chunks, masks cells to the slab
       form                  "array" (default) | "records" | "changes"
       chunks_per_partition  chunk group size per task (default 1)
       start_version         change-feed start offset (default 0)

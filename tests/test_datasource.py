@@ -220,3 +220,26 @@ def test_change_feed_stream(ds_spark, store, tmp_path):
     assert set(by_version) == {v0, v1}
     assert by_version[v0] == {(i, j, 0.0) for i in range(2) for j in range(2)}
     assert by_version[v1] == {(i, j, 7.0) for i in range(2) for j in range(2)}
+
+
+def test_array_read_region_prunes_partitions(ds_spark, store):
+    import numpy as np
+
+    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+
+    arr = np.arange(256, dtype=np.float64).reshape(16, 16)
+    store.write_variable("v", arr, chunk_shape=(4, 4))  # 16 chunks
+    reader = MandolineBatchReader(
+        {"path": store.dataset_dir, "variable": "v", "region": "0:4,0:8"}, "array"
+    )
+    assert len(reader.partitions()) == 2  # only the two intersecting chunks
+
+    df = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "v")
+        .option("region", "2:6,3:9")
+        .load()
+    )
+    got = {(r.dim0, r.dim1): r.value for r in df.collect()}
+    assert got == {(i, j): arr[i, j] for i in range(2, 6) for j in range(3, 9)}

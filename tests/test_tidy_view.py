@@ -41,3 +41,37 @@ def test_tidy_view_snapshot(spark, store):
     dense = np.zeros((4, 4))
     dense[pdf2["dim0"], pdf2["dim1"]] = pdf2["value"]
     assert dense[1:3, 1:3].sum() == 4 and dense.sum() == 4
+
+
+def test_tidy_view_region_matches_numpy_slice(spark, store):
+    import numpy as np
+
+    store.spark = spark
+    arr = np.arange(144, dtype=np.float64).reshape(12, 12)
+    store.write_variable("v", arr, chunk_shape=(4, 4))
+    region = ((2, 7), (5, 11))
+    rows = store.tidy_view("v", region=region).collect()
+    got = {(r.dim0, r.dim1): r.value for r in rows}
+    expect = {
+        (i, j): arr[i, j]
+        for i in range(2, 7)
+        for j in range(5, 11)
+    }
+    assert got == expect
+
+
+def test_tidy_view_region_pushes_coord_filter_to_scan(spark, store):
+    """The region's chunk coord_ids must reach the parquet index scan as a
+    pushed filter — the distributed analog of the reference's bounded
+    start/stop-row scan (hbase.clj:191-192)."""
+    import numpy as np
+
+    store.spark = spark
+    arr = np.ones((16, 16), dtype=np.float64)
+    store.write_variable("v", arr, chunk_shape=(4, 4))  # 16 chunks
+    df = store.tidy_view("v", region=((0, 4), (0, 4)))  # 1 chunk
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "coord_id" in plan and "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "coord_id" in ln]
+    assert pushed, plan
+    assert len(df.collect()) == 16  # 4x4 cells of the single chunk
