@@ -705,3 +705,32 @@ def pandas_udf_price_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(1000)
     )
+
+
+# --------------------------------------------------------------------------
+# approx_percentiles_by_segment — the sketch-scale path for percentiles.
+# percentile_approx (Greenwald-Khanna) is mergeable across partitions:
+# at 100 TB the exact sort-based percentile's full shuffle of every value
+# is replaced by fixed-size per-partition sketches. Approximate by
+# construction, so rows-only; accuracy is pinned against the exact
+# variant in tests/test_scale_ops.py.
+# --------------------------------------------------------------------------
+@register(
+    "approx_percentiles_by_segment",
+    oracle=None,  # approximate by construction (GK sketch, accuracy=10000)
+    description="Mergeable-sketch p50/p90 per segment (percentile_approx)",
+    tags=("aggregate", "percentile", "sketch", "scale-path"),
+)
+def approx_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_price"),
+            F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -243,3 +243,34 @@ def test_array_read_region_prunes_partitions(ds_spark, store):
     )
     got = {(r.dim0, r.dim1): r.value for r in df.collect()}
     assert got == {(i, j): arr[i, j] for i in range(2, 6) for j in range(3, 9)}
+
+
+def test_reader_errors_are_clear(ds_spark, store, tmp_path):
+    import pytest
+
+    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+
+    # not a dataset directory
+    with pytest.raises(Exception, match="versions"):
+        MandolineBatchReader({"path": str(tmp_path / "nope"), "variable": "v"}, "array")
+    # dataset exists but variable does not
+    arr = np.zeros((2, 2), dtype=np.float64)
+    store.write_variable("v", arr, chunk_shape=(2, 2))
+    with pytest.raises(KeyError, match="ghost"):
+        MandolineBatchReader({"path": store.dataset_dir, "variable": "ghost"}, "array")
+    # region rank mismatch
+    with pytest.raises(ValueError, match="dims"):
+        MandolineBatchReader(
+            {"path": store.dataset_dir, "variable": "v", "region": "0:1"}, "array"
+        )
+    # records form on an array variable
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="record-log"):
+        (
+            ds_spark.read.format("mandoline")
+            .option("path", store.dataset_dir)
+            .option("variable", "v")
+            .option("form", "records")
+            .load()
+        )

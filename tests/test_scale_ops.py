@@ -163,3 +163,24 @@ def test_decontamination_overlap_broadcast(spark):
     assert [(r.doc_id, r.eval_id, r.n_shared) for r in rows] == [(1, 100, 3)]
     # the eval side must be broadcast (no corpus-side shuffle for the join)
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """The GK-sketch percentiles stay within 1% relative error of the
+    exact interpolated percentiles at the oracle scale factor."""
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    from tests.conftest import SF_ORACLE
+
+    exact = {
+        r["c_mktsegment"]: (r["p50_price"], r["p90_price"])
+        for r in QUERIES["percentiles_by_segment"].fn(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r["c_mktsegment"]: (r["p50_price"], r["p90_price"])
+        for r in QUERIES["approx_percentiles_by_segment"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(approx)
+    for seg in exact:
+        for e, a in zip(exact[seg], approx[seg]):
+            assert abs(a - e) / e < 0.01, (seg, e, a)
