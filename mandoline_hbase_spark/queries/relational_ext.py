@@ -734,3 +734,32 @@ def approx_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# skyline_parts — Pareto-optimal set, an operator Spark SQL lacks
+# (pattern ref: "Integration of Skyline Queries into Spark SQL", EDBT'23).
+# Two-phase distributed BNL: partition-local skyline via mapInPandas,
+# one-task global merge of the (small) local survivors. The oracle is the
+# dominance definition itself as a NOT EXISTS anti-join.
+# --------------------------------------------------------------------------
+@register(
+    "skyline_parts",
+    oracle="""
+        SELECT a.p_partkey, a.p_retailprice, a.p_size
+        FROM part a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part b
+            WHERE b.p_retailprice <= a.p_retailprice
+              AND b.p_size >= a.p_size
+              AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+        )
+    """,
+    description="Skyline of parts: minimize retail price, maximize size",
+    tags=("skyline", "pareto", "operator"),
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators.skyline import skyline
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return skyline(part, ["p_retailprice", "p_size"], ["min", "max"])
