@@ -75,3 +75,41 @@ def test_tidy_view_region_pushes_coord_filter_to_scan(spark, store):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "coord_id" in ln]
     assert pushed, plan
     assert len(df.collect()) == 16  # 4x4 cells of the single chunk
+
+
+def test_cross_variable_join_analytics(spark, store):
+    """Two variables in one dataset, independently versioned, joined on
+    their dimension columns — the array-store analog of a relational
+    join, fully distributed through two tidy views."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    store.spark = spark
+    rng = np.random.default_rng(3)
+    temp = rng.uniform(10, 30, size=(6, 8))
+    humid = rng.uniform(0, 1, size=(6, 8))
+    store.write_variable("temperature", temp, chunk_shape=(3, 4))
+    store.write_variable("humidity", humid, chunk_shape=(2, 8))  # different chunking
+
+    t = store.tidy_view("temperature").withColumnRenamed("value", "t")
+    h = store.tidy_view("humidity").withColumnRenamed("value", "h")
+    joined = t.join(h, ["dim0", "dim1"])
+    assert joined.count() == 48
+
+    # heat index-ish derived field, checked cell-exact against numpy
+    out = {
+        (r.dim0, r.dim1): r.hi
+        for r in joined.select(
+            "dim0", "dim1", (F.col("t") + 5.0 * F.col("h")).alias("hi")
+        ).collect()
+    }
+    for i in range(6):
+        for j in range(8):
+            assert abs(out[(i, j)] - (temp[i, j] + 5.0 * humid[i, j])) < 1e-12
+
+    # writing one variable must not disturb the other's latest read
+    store.write_variable("humidity", humid * 2, chunk_shape=(2, 8))
+    assert np.allclose(store.read_variable("temperature"), temp)
+    assert np.allclose(store.read_variable("humidity"), humid * 2)
+    meta = store.metadata(store.latest_version_id())
+    assert set(meta["variables"]) == {"temperature", "humidity"}
