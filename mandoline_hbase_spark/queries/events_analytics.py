@@ -214,3 +214,32 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# hll_union_distinct_users — mergeable-sketch distinct counting: one HLL
+# sketch per (event_type) group, then a SKETCH UNION to the global
+# distinct estimate without re-touching the data. This is the 100 TB
+# pattern: per-partition/per-day sketches persist as bytes and any
+# rollup is a cheap union — the raw values never shuffle twice. No SQL
+# oracle (sketch binary is engine-specific); accuracy pinned vs exact
+# in tests/test_scale_ops.py.
+# --------------------------------------------------------------------------
+@register(
+    "hll_union_distinct_users",
+    oracle=None,  # Datasketches HLL binary; accuracy-bound test instead
+    description="Per-type HLL sketches + sketch-union rollup to global distinct",
+    tags=("events", "aggregate", "approx", "sketch", "mergeable"),
+)
+def hll_union_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    per_type_counts = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("n_users_approx")
+    )
+    overall = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_approx")
+    ).select(F.lit("__all__").alias("event_type"), "n_users_approx")
+    return per_type_counts.unionByName(overall).orderBy("event_type")

@@ -184,3 +184,29 @@ def test_approx_percentiles_close_to_exact(spark):
     for seg in exact:
         for e, a in zip(exact[seg], approx[seg]):
             assert abs(a - e) / e < 0.01, (seg, e, a)
+
+
+def test_hll_union_rollup_close_to_exact(spark):
+    """The sketch-union global distinct stays within 2% of exact, and the
+    union is computed from the per-group sketches alone (mergeability —
+    the property that makes sketch tables rollup-able at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    got = {
+        r["event_type"]: r["n_users_approx"]
+        for r in QUERIES["hll_union_distinct_users"].fn(spark, SF_ORACLE).collect()
+    }
+    events = load_table(spark, SF_ORACLE, "events")
+    exact_all = events.select("user_id").distinct().count()
+    assert abs(got["__all__"] - exact_all) / exact_all < 0.02
+    exact_types = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for t, n in exact_types.items():
+        assert abs(got[t] - n) / n < 0.02, (t, n, got[t])
