@@ -71,18 +71,42 @@ class Index:
         i = pc.index(t.column("seq"), pc.max(t.column("seq")).as_py()).as_py()
         return t.column("chunk_id")[i].as_py()
 
+    def _committed_le(self, bound: int) -> list[int]:
+        """Committed version ids <= bound — the visibility set.
+
+        Same rule as Connection._committed_versions_le: index rows whose
+        version never reached the versions table (a crashed commit, §3.2)
+        are invisible to every latest-<=-bound read. The exact-key paths
+        (current_value / 2-arity chunk_at) stay unfiltered — the CAS
+        write protocol must see its own in-flight version.
+        """
+        import os
+
+        vdir = os.path.join(self._dataset_dir, "versions")
+        t = storage.scan(
+            vdir,
+            storage.VERSIONS_SCHEMA,
+            filter=pc.field("version_id") <= int(bound),
+            columns=["version_id"],
+        )
+        return t.column("version_id").to_pylist()
+
     def find_index(self, coord, bound_version: int) -> Optional[str]:
         """latest-<=-bound resolution (``find-index``, hbase.clj:184-198).
 
-        Bounded scan on (var, coord) with version <= bound — the start/stop
-        row + RowFilter(LESS_OR_EQUAL) of the reference — then exact match
-        if present, else the entry with the max version.
+        Bounded scan on (var, coord) restricted to COMMITTED versions <=
+        bound — the start/stop row + RowFilter(LESS_OR_EQUAL) of the
+        reference, plus the commit-point visibility rule — then exact
+        match if present, else the entry with the max version.
         """
         coord_id = coordinate_to_id(tuple(coord))
+        committed = self._committed_le(bound_version)
+        if not committed:
+            return None
         t = storage.scan(
             self._dir,
             storage.INDICES_SCHEMA,
-            filter=self._key_filter(coord_id) & (pc.field("version_id") <= int(bound_version)),
+            filter=self._key_filter(coord_id) & pc.field("version_id").isin(committed),
             columns=["version_id", "chunk_id", "seq"],
         )
         if t.num_rows == 0:

@@ -501,6 +501,49 @@ def decontamination_overlap(
     )
 
 
+def lsh_verified_match_ids(
+    cands: DataFrame,
+    feats_a: DataFrame,
+    feats_b: DataFrame,
+    threshold: float,
+    num_hashes: int = 64,
+    a_key: str = "inc_id",
+    b_key: str = "ref_id",
+    a_id_col: str = "doc_id",
+    b_id_col: str = "doc_id",
+    slack: float = 0.15,
+) -> DataFrame:
+    """a-side ids of ``cands`` with a VERIFIED match on the b side.
+
+    The shared verify chain of every LSH probe (batch incremental
+    admission, streaming corpus ingest): join candidate pairs to both
+    feature tables, kill accidental band collisions with the signature-
+    estimate prefilter (``threshold - slack``), then exact-Jaccard
+    verify. Returns one distinct column named ``a_key``.
+    """
+    fa = feats_a.select(
+        F.col(a_id_col).alias(a_key), F.col("sh").alias("sh_i"), F.col("sig").alias("sig_i")
+    )
+    fb = feats_b.select(
+        F.col(b_id_col).alias(b_key), F.col("sh").alias("sh_c"), F.col("sig").alias("sig_c")
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_i", "sig_c", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
+    return (
+        cands.join(fa, a_key)
+        .join(fb, b_key)
+        .filter(est >= threshold - slack)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_i", "sh_c")) / F.size(F.array_union("sh_i", "sh_c")),
+        )
+        .filter(F.col("jaccard") >= float(threshold))
+        .select(a_key)
+        .distinct()
+    )
+
+
 def incremental_exact_new(
     incoming: DataFrame,
     corpus: DataFrame,
@@ -563,22 +606,15 @@ def incremental_minhash_new(
         .select(F.col(f"i.{id_col}").alias("inc_id"), F.col(f"c.{id_col}").alias("cor_id"))
         .distinct()
     )
-    fi = f_inc.select(F.col(id_col).alias("inc_id"), F.col("sh").alias("sh_i"), F.col("sig").alias("sig_i"))
-    fc = f_cor.select(F.col(id_col).alias("cor_id"), F.col("sh").alias("sh_c"), F.col("sig").alias("sig_c"))
-    est = F.size(
-        F.filter(F.zip_with("sig_i", "sig_c", lambda x, y: x == y), lambda m: m)
-    ) / F.lit(num_hashes)
-    rejected = (
-        cands.join(fi, "inc_id")
-        .join(fc, "cor_id")
-        .filter(est >= threshold - 0.15)
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_i", "sh_c"))
-            / F.size(F.array_union("sh_i", "sh_c")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("inc_id").alias(id_col))
-        .distinct()
-    )
+    rejected = lsh_verified_match_ids(
+        cands,
+        f_inc,
+        f_cor,
+        threshold,
+        num_hashes,
+        a_key="inc_id",
+        b_key="cor_id",
+        a_id_col=id_col,
+        b_id_col=id_col,
+    ).withColumnRenamed("inc_id", id_col)
     return incoming.join(rejected, id_col, "left_anti")

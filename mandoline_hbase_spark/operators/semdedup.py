@@ -174,6 +174,9 @@ def semantic_near_dup_pairs_matmul(
         "cluster_id", id_col, vec_col
     )
     thr, idc, vc = float(threshold), id_col, vec_col
+    # id columns keep the input's id type (string ids work like the fold
+    # variant's) — the output schema is derived, not hardcoded
+    id_type = dict(emb.dtypes)[id_col]
 
     def cluster_pairs(pdf):
         import numpy as np
@@ -181,8 +184,13 @@ def semantic_near_dup_pairs_matmul(
 
         if len(pdf) < 2:
             return pd.DataFrame(
-                {"cluster_id": [], "id_a": [], "id_b": [], "sim": []}
-            ).astype({"cluster_id": "int64", "id_a": "int64", "id_b": "int64", "sim": "float64"})
+                {
+                    "cluster_id": pd.Series([], dtype="int64"),
+                    "id_a": pdf[idc].iloc[0:0],
+                    "id_b": pdf[idc].iloc[0:0],
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
         order = pdf[idc].to_numpy().argsort()
         ids = pdf[idc].to_numpy()[order]
         X = np.stack(pdf[vc].to_numpy()[order]).astype(np.float64)
@@ -200,7 +208,7 @@ def semantic_near_dup_pairs_matmul(
         )
 
     return assigned.groupBy("cluster_id").applyInPandas(
-        cluster_pairs, "cluster_id bigint, id_a bigint, id_b bigint, sim double"
+        cluster_pairs, f"cluster_id bigint, id_a {id_type}, id_b {id_type}, sim double"
     )
 
 

@@ -42,6 +42,9 @@ def skyline(
     directions = directions or ["min"] * len(cols)
     if len(directions) != len(cols):
         raise ValueError("directions must match cols")
+    bad = [d for d in directions if d not in ("min", "max")]
+    if bad:
+        raise ValueError(f"directions must be 'min' or 'max', got {bad}")
     signs = [1.0 if d == "min" else -1.0 for d in directions]
     out_schema = df.schema
     names = list(df.columns)
@@ -58,18 +61,24 @@ def skyline(
         keep = np.ones(n, dtype=bool)
         order = np.lexsort(v.T[::-1])  # sorted by first dim, then ties
         v = v[order]
-        kept_rows = []
+        # the skyline accumulator lives in a preallocated ndarray so the
+        # per-row dominance test is one vectorized compare — no list ->
+        # array conversion per input row (skyline appends are rare
+        # relative to rows, so growth cost amortizes)
+        kept = np.empty_like(v)
+        n_kept = 0
         for i in range(n):
             row = v[i]
-            if kept_rows:
-                k = np.array(kept_rows)
+            if n_kept:
+                k = kept[:n_kept]
                 # SFS invariant: checking against prior SKYLINE rows
                 # suffices — domination is transitive
                 dominated = ((k <= row).all(axis=1) & (k < row).any(axis=1)).any()
                 if dominated:
                     keep[order[i]] = False
                     continue
-            kept_rows.append(row)
+            kept[n_kept] = row
+            n_kept += 1
         return np.flatnonzero(keep)
 
     def local(batches):

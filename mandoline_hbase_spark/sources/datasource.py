@@ -241,7 +241,7 @@ def _parse_region(spec: str | None):
 
 
 class MandolineBatchReader(DataSourceReader):
-    def __init__(self, options, form: str):
+    def __init__(self, options, form: str, snapshot=None):
         self.path = _opt(options, "path")
         self.variable = _opt(options, "variable", "records")
         version = _opt(options, "version")
@@ -249,17 +249,25 @@ class MandolineBatchReader(DataSourceReader):
         self.per_partition = int(_opt(options, "chunks_per_partition", 1))
         self.form = form
         self.region = _parse_region(_opt(options, "region"))
-        self._bound, self._var_meta, self._entries = _snapshot(
+        # `snapshot` lets the DataSource reuse the resolution its
+        # schema() call already did instead of re-scanning the index
+        self._bound, self._var_meta, self._entries = snapshot or _snapshot(
             self.path, self.variable, self.version
         )
         if self.region is not None:
             # partition pruning at planning: only chunks intersecting the
             # region produce tasks (the bounded-scan analog)
             cs = self._var_meta["chunk_shape"]
+            shape = self._var_meta["shape"]
             if len(self.region) != len(cs):
                 raise ValueError(
                     f"region has {len(self.region)} dims, variable has {len(cs)}"
                 )
+            for d, ((lo, hi), size) in enumerate(zip(self.region, shape)):
+                if not (0 <= lo < hi <= size):
+                    raise ValueError(
+                        f"region dim {d} [{lo}, {hi}) out of bounds for size {size}"
+                    )
             def hits(coord):
                 return all(
                     c * w < hi and (c + 1) * w > lo
@@ -392,6 +400,18 @@ class MandolineWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.schema = schema
         self.schema_json = schema.json()
+        # fail BEFORE any task runs if the target is an array/scalar
+        # variable: its coordinates aren't record indices, and dying in
+        # commit() would leave orphan chunks behind
+        try:
+            _, var_meta, _ = _snapshot(self.path, self.variable, None)
+        except (FileNotFoundError, ValueError, KeyError):
+            var_meta = None
+        if var_meta is not None and "schema_json" not in var_meta:
+            raise ValueError(
+                f"variable {self.variable!r} is not a record-log variable; "
+                "records writes cannot target an array variable"
+            )
 
     def write(self, iterator):
         import hashlib
@@ -412,10 +432,12 @@ class MandolineWriter(DataSourceWriter):
         pq.write_table(table, buf)
         payload = buf.getvalue()
         chunk_id = hashlib.sha1(payload).hexdigest()
-        # blind idempotent content-addressed put (hbase.clj:138-154): the
-        # chunk row is invisible garbage until the driver's version append
+        # blind idempotent content-addressed put (hbase.clj:138-154) with
+        # ref_delta=0: the ref is granted by the driver's commit(), so a
+        # task that ran but never reached commit leaves a zero-ref,
+        # index-unreferenced chunk that gc_chunks() CAN reclaim
         store = pa.Table.from_pydict(
-            {"chunk_id": [chunk_id], "ref_delta": [1], "data": [payload]},
+            {"chunk_id": [chunk_id], "ref_delta": [0], "data": [payload]},
             schema=pa.schema(
                 [
                     pa.field("chunk_id", pa.string(), nullable=False),
@@ -439,8 +461,10 @@ class MandolineWriter(DataSourceWriter):
             latest = conn.latest_version_id()
             existing: list = []
             base = 0
+            meta = {}
             if latest is not None:
-                prior = conn.metadata(latest).get("variables", {}).get(self.variable)
+                meta = conn.metadata(latest)
+                prior = meta.get("variables", {}).get(self.variable)
                 if prior is not None:
                     cmap = conn.resolve_chunk_map(self.variable, latest)
                     existing = [k for k in cmap]
@@ -460,9 +484,6 @@ class MandolineWriter(DataSourceWriter):
             entries.extend(((base + i,), cid) for i, cid in enumerate(new_ids))
             from mandoline_hbase_spark.engine import Index
 
-            meta = {}
-            if latest is not None:
-                meta = conn.metadata(latest)
             variables = dict(meta.get("variables", {}))
             variables[self.variable] = {
                 "kind": "records",
@@ -472,14 +493,21 @@ class MandolineWriter(DataSourceWriter):
                 "chunk_shape": [],
             }
             new_meta = {**meta, "version-id": int(version_id), "variables": variables}
+            if new_ids:
+                # grant the refs the tasks deliberately withheld (§3.2
+                # step 2, driver-side so an uncommitted write stays at
+                # ref 0 and GC-able)
+                conn.chunk_store().write_chunks_bulk([(cid, 1, None) for cid in new_ids])
             idx = Index(self.path, os.path.join(self.path, "indices"), self.variable, new_meta, version_id)
             idx.write_index_bulk(entries, version_id)
             conn.write_version(new_meta)  # commit point
 
     def abort(self, messages):
         # no version row was appended, so nothing the tasks wrote is
-        # reachable — the failed-write contract (hbase_test.clj:144-146);
-        # orphaned content-addressed chunks are left for gc_chunks()
+        # reachable — the failed-write contract (hbase_test.clj:144-146).
+        # Task chunks carry ref_delta=0 and no index reference, so
+        # gc_chunks() reclaims them on the next maintenance pass; no
+        # compensating writes needed here (abort may itself never run)
         pass
 
 
@@ -509,22 +537,30 @@ class MandolineDataSource(DataSource):
     def _form(self) -> str:
         return _opt(self.options, "form", "array")
 
+    def _snap(self):
+        """Resolve (and cache) the snapshot for this read's options."""
+        path = _opt(self.options, "path")
+        variable = _opt(self.options, "variable", "records")
+        version = _opt(self.options, "version")
+        key = (path, variable, None if version is None else int(version))
+        cached = getattr(self, "_snap_cache", None)
+        if cached is None or cached[0] != key:
+            self._snap_cache = (key, _snapshot(path, variable, key[2]))
+        return self._snap_cache[1]
+
     def schema(self):
         from pyspark.sql.types import StructType
 
         form = self._form()
-        path = _opt(self.options, "path")
         variable = _opt(self.options, "variable", "records")
         if form == "records":
-            version = _opt(self.options, "version")
-            _, var_meta, _ = _snapshot(path, variable, int(version) if version is not None else None)
+            _, var_meta, _ = self._snap()
             if "schema_json" not in var_meta:
                 raise ValueError(f"variable {variable!r} is not a record-log variable")
             return StructType.fromJson(json.loads(var_meta["schema_json"]))
-        version = _opt(self.options, "version")
         ndim = None
         try:
-            _, var_meta, _ = _snapshot(path, variable, int(version) if version is not None else None)
+            _, var_meta, _ = self._snap()
             ndim = len(var_meta["shape"])
         except (FileNotFoundError, ValueError, KeyError):
             if form != "changes":
@@ -537,7 +573,11 @@ class MandolineDataSource(DataSource):
         return core
 
     def reader(self, schema):
-        return MandolineBatchReader(self.options, self._form())
+        try:
+            snap = self._snap()
+        except (FileNotFoundError, ValueError, KeyError):
+            snap = None
+        return MandolineBatchReader(self.options, self._form(), snapshot=snap)
 
     def streamReader(self, schema):
         return MandolineStreamReader(self.options)

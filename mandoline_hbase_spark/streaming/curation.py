@@ -96,12 +96,6 @@ def read_corpus(spark: SparkSession, corpus_dir: str, schema_ddl: str) -> DataFr
     return spark.read.schema(schema_ddl).parquet(d)
 
 
-def _est(num_hashes: int):
-    return F.size(
-        F.filter(F.zip_with("sig_i", "sig_c", lambda x, y: x == y), lambda m: m)
-    ) / F.lit(num_hashes)
-
-
 def _verified_reject_ids(
     cands: DataFrame,
     feats_inc: DataFrame,
@@ -111,28 +105,13 @@ def _verified_reject_ids(
 ) -> DataFrame:
     """inc ids with a verified (exact-Jaccard >= threshold) match in ref.
 
-    ``cands``: (inc_id, ref_id) LSH candidates. The signature-estimate
-    prefilter (slack 0.15 below threshold) kills accidental band
-    collisions before the set intersection, as in the batch operators.
+    Thin wrapper over the batch operators' shared verify chain
+    (``dedup.lsh_verified_match_ids``) so the streaming gate and the
+    incremental-admission operator can never drift apart.
     """
-    fi = feats_inc.select(
-        F.col("doc_id").alias("inc_id"), F.col("sh").alias("sh_i"), F.col("sig").alias("sig_i")
-    )
-    fc = feats_ref.select(
-        F.col("doc_id").alias("ref_id"), F.col("sh").alias("sh_c"), F.col("sig").alias("sig_c")
-    )
-    return (
-        cands.join(fi, "inc_id")
-        .join(fc, "ref_id")
-        .filter(_est(num_hashes) >= threshold - 0.15)
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_i", "sh_c")) / F.size(F.array_union("sh_i", "sh_c")),
-        )
-        .filter(F.col("jaccard") >= float(threshold))
-        .select(F.col("inc_id").alias("doc_id"))
-        .distinct()
-    )
+    return dedup.lsh_verified_match_ids(
+        cands, feats_inc, feats_ref, threshold, num_hashes
+    ).withColumnRenamed("inc_id", "doc_id")
 
 
 def admit_batch(

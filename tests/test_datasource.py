@@ -274,3 +274,41 @@ def test_reader_errors_are_clear(ds_spark, store, tmp_path):
             .option("form", "records")
             .load()
         )
+
+
+def test_aborted_write_chunks_are_gc_reclaimable(ds_spark, store):
+    """Task chunks carry ref 0 until commit grants the ref, so a write
+    that never commits leaves only chunks gc_chunks() can reclaim."""
+    from pyspark.sql import Row
+
+    from mandoline_hbase_spark.sources.datasource import MandolineWriter
+
+    schema = ds_spark.createDataFrame([(1, "x")], "id bigint, name string").schema
+    w = MandolineWriter({"path": store.dataset_dir, "variable": "docs"}, schema, False)
+    msg = w.write(iter([Row(id=1, name="doomed")]))
+    assert msg.chunk_id is not None
+    store.spark = ds_spark
+    out = store.gc_chunks()
+    assert out["chunks_removed"] == 1  # the orphan is reclaimed
+    # a committed write's chunk survives GC (ref granted at commit)
+    msg2 = w.write(iter([Row(id=2, name="kept")]))
+    w.commit([msg2])
+    out2 = store.gc_chunks()
+    assert out2["chunks_removed"] == 0
+    assert store.chunk_store().chunk_refs(msg2.chunk_id) == 1
+
+
+def test_records_write_to_array_variable_fails_fast(ds_spark, store):
+    import numpy as np
+    import pytest
+
+    store.write_variable("v", np.ones((2, 2), dtype=np.float64), chunk_shape=(2, 2))
+    df = ds_spark.createDataFrame([(1, "x")], "id bigint, name string")
+    with pytest.raises(Exception, match="not a record-log variable"):
+        (
+            df.write.format("mandoline")
+            .option("path", store.dataset_dir)
+            .option("variable", "v")
+            .mode("append")
+            .save()
+        )

@@ -285,6 +285,12 @@ def test_failed_write_leaves_no_visible_state(store):
     assert [v["version"] for v in store.versions()] == [str(v0)]
     assert np.array_equal(store.read_variable("x"), arr0)
     assert np.array_equal(store.read_variable("x", version=doomed_version), arr0)
+    # the Index protocol path agrees: find-index resolution never sees
+    # the uncommitted version either
+    v0_map = store.resolve_chunk_map("x", v0)
+    reader_idx = store.index("x")
+    assert reader_idx.chunk_at((0, 0)) == v0_map["0/0"]
+    assert reader_idx.find_index((0, 0), doomed_version) == v0_map["0/0"]
 
     # Recovery: replaying the commit is safe (content-addressed chunks,
     # idempotent appends) and the version append flips visibility.
