@@ -251,7 +251,10 @@ class Connection:
         new_meta = {**base_meta, "version-id": int(version_id), "variables": variables}
 
         store = self.chunk_store()
-        store.write_chunks_bulk([(h, refs[h], blobs[h]) for h in blobs])
+        # union: payload rows (blobs) plus ref-only grants for chunks whose
+        # payload was already appended by executors (write_variable_from_df)
+        all_hashes = set(blobs) | set(refs)
+        store.write_chunks_bulk([(h, refs.get(h, 0), blobs.get(h)) for h in all_hashes])
         idx = Index(self.dataset_dir, self._dirs["indices"], var_name, new_meta, int(version_id))
         idx.write_index_bulk(entries, int(version_id))
         return self.write_version(new_meta)
@@ -403,12 +406,16 @@ class Connection:
         # one pass, reused by the payload write and the tiny entry collect
         per_chunk = per_chunk.persist()
         try:
-            # payload append straight from executors (content-addressed:
-            # identical blobs collapse to one row with the summed ref delta)
+            # payload append straight from executors with ref_delta=0
+            # (content-addressed: identical blobs collapse to one row).
+            # The refs are granted by the driver commit below, so a job
+            # that dies here leaves only zero-ref, index-unreferenced
+            # chunks that gc_chunks() can reclaim — same crash contract
+            # as the data source writer.
             (
                 per_chunk.groupBy("chunk_id")
                 .agg(
-                    F.count(F.lit(1)).alias("ref_delta"),
+                    F.lit(0).cast("long").alias("ref_delta"),
                     F.first("data").alias("data"),
                 )
                 .select("chunk_id", "ref_delta", "data")
@@ -421,12 +428,15 @@ class Connection:
             ]
         finally:
             per_chunk.unpersist()
+        refs: dict[str, int] = {}
+        for _, h in entries:
+            refs[h] = refs.get(h, 0) + 1
         return self._commit(
             var_name,
             self._var_meta(dtype, shape, chunk_shape, fill),
             entries,
             {},
-            {},
+            refs,
             version_id,
         )
 

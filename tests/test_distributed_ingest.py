@@ -62,3 +62,28 @@ def test_distributed_write_sparse_fill(spark, store):
     mask = np.ones((4, 6), dtype=bool)
     mask[0, 0] = mask[3, 5] = False
     assert np.isnan(out[mask]).all()
+
+
+def test_distributed_ingest_refs_granted_at_commit(spark, store):
+    """Executor-appended payload rows carry ref 0; the driver commit
+    grants the refs — so a job that dies before commit leaves only
+    GC-reclaimable chunks, and a committed write has exact ref counts."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    store.spark = spark
+    n = 8
+    df = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") / n).cast("long").alias("d0"),
+            (F.col("id") % n).alias("d1"),
+            F.lit(1.0).alias("value"),  # identical blocks -> one chunk, 4 refs
+        )
+    )
+    store.write_variable_from_df(df, "u", shape=(n, n), chunk_shape=(4, 4), dim_cols=["d0", "d1"])
+    cmap = store.resolve_chunk_map("u", store.latest_version_id())
+    assert len(set(cmap.values())) == 1  # content addressing collapsed
+    the_chunk = next(iter(cmap.values()))
+    assert store.chunk_store().chunk_refs(the_chunk) == 4  # one per coord
+    assert store.gc_chunks()["chunks_removed"] == 0
