@@ -34,15 +34,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # The events fixture stores TIMESTAMP(NANOS) which the Spark parquet
-        # reader rejects. Read the physical int64 (nanosAsLong) and truncate
-        # to microseconds — exactly what DuckDB does when it surfaces the
-        # same column as TIMESTAMP, so oracle comparisons stay bit-equal.
+        # The events fixture has stored ``ts`` as TIMESTAMP(NANOS) (which the
+        # Spark parquet reader rejects) in some corpus generations and as
+        # TIMESTAMP(MICROS) — sometimes without timezone (TIMESTAMP_NTZ) — in
+        # others. Read with nanosAsLong enabled so the nanos variant surfaces
+        # as int64, then normalize every variant to TIMESTAMP (micros, UTC
+        # session tz): a long column is nanos → truncate to micros (what
+        # DuckDB does, so oracle comparisons stay bit-equal); an NTZ column is
+        # reinterpreted in the UTC session timezone, which preserves the
+        # stored micros value exactly.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
