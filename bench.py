@@ -29,10 +29,11 @@ from mandoline_hbase_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the relational core (scan-agg, joins, semi/anti, windows,
-# top-k) plus the LLM-pipeline scale paths (LSH dedup/ANN, scan-speed text
-# analysis). The exact quadratic baselines (dedup_ngram_jaccard,
-# sim_embedding_near_dups) are correctness fixtures, not headline paths.
+# Headline set: all 22 TPC-H query structures, the windows/rollup/events
+# analytics families, and the LLM-pipeline scale paths (LSH dedup/ANN,
+# scan-speed text analysis, packing, decontamination). The exact quadratic
+# baselines (dedup_ngram_jaccard, sim_embedding_near_dups) are correctness
+# fixtures, not headline paths.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -43,10 +44,20 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_volume_customers",
     "anti_customers_without_orders",
+    "q2_min_cost_supplier",
     "q7_nation_volume",
+    "q8_market_share",
     "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "q12_priority_lines",
     "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
     "q19_discounted_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
     "asof_attribution",
     "range_join_follow_clicks",
     "percentiles_by_segment",
@@ -56,9 +67,18 @@ HEADLINE = [
     "topk_latest_events",
     "range_scan_events",
     "rollup_revenue",
+    "cube_segment_status",
+    "grouping_sets_revenue",
+    "window_order_gaps",
     "scalar_functions_events",
     "version_resolve_asof",
+    "sessionize_events",
+    "funnel_signup_to_purchase",
+    "retention_cohorts",
+    "hll_union_distinct_users",
+    "skyline_parts",
     "text_token_stats",
+    "text_quality_scores",
     "text_language_id",
     "text_fingerprint",
     "text_repetition_signals",
@@ -77,6 +97,9 @@ HEADLINE = [
     "emb_l2_normalize",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
+    "pack_sequences",
+    "decontam_overlap",
     "dedup_semantic_prune",
     "dedup_semantic_pairs_blas",
     "text_top_bigrams",
