@@ -112,8 +112,13 @@ def segment_hashes(
         F.sequence(F.lit(0), F.greatest(n_segs - 1, F.lit(0))),
         lambda s: F.md5(F.concat_ws(" ", F.slice(t, s * seg_len + 1, seg_len))),
     )
+    # posexplode_outer, NOT posexplode: the non-outer generate makes the
+    # optimizer infer a size(_segs)>0 filter that predicate pushdown then
+    # inlines BELOW the exchange — re-running the whole md5 segment
+    # pipeline per row on the single pre-exchange scan task. The segment
+    # array is never empty, so outer is row-identical.
     return staged.withColumn("_segs", segs).select(
-        F.col(id_col), F.posexplode(F.col("_segs")).alias("seg_idx", "seg_md5")
+        F.col(id_col), F.posexplode_outer(F.col("_segs")).alias("seg_idx", "seg_md5")
     )
 
 
@@ -497,11 +502,20 @@ def decontamination_overlap(
     shuffle of the corpus beyond the final groupBy on (doc, eval) pairs
     that actually collide. Returns (doc_id, eval_id, n_shared) pairs.
     """
-    c = with_shingle_set(corpus, shingle_n, id_col, text_col).select(
-        F.col(id_col), F.explode("sh").alias("gram")
-    )
+    # Spread the corpus scan before shingling (single-split fixture; no-op
+    # at real scale) — the probe side is the big side of this join.
+    # explode_outer, NOT explode: see segment_hashes — the inferred
+    # size>0 filter of a non-outer generate gets pushed below the
+    # exchange and re-runs the shingle pipeline serially on the scan
+    # task. Shingle sets are never empty, so outer is row-identical.
+    c = with_shingle_set(
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism, id_col),
+        shingle_n,
+        id_col,
+        text_col,
+    ).select(F.col(id_col), F.explode_outer("sh").alias("gram"))
     e = with_shingle_set(eval_set, shingle_n, id_col, text_col).select(
-        F.col(id_col).alias("eval_id"), F.explode("sh").alias("gram")
+        F.col(id_col).alias("eval_id"), F.explode_outer("sh").alias("gram")
     )
     return (
         c.join(F.broadcast(e), "gram")

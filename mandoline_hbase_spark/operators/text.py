@@ -286,7 +286,11 @@ def term_frequencies(
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     return (
-        _spread(df, id_col).select(F.col(id_col), F.explode(toks).alias("term"))
+        # explode_outer: a non-outer generate's inferred size>0 filter is
+        # pushed below the _spread exchange, inlining the split onto the
+        # single scan task. split() never yields an empty array, and the
+        # length filter already drops any null/empty term.
+        _spread(df, id_col).select(F.col(id_col), F.explode_outer(toks).alias("term"))
         .filter(F.length("term") > 0)
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
@@ -343,7 +347,14 @@ def top_ngrams(
         ),
     ).otherwise(F.array().cast("array<string>"))
     per_doc = (
-        _spread(df, id_col).select(F.col(id_col), F.explode(grams).alias("gram"))
+        # explode_outer + null filter: non-outer explode would infer a
+        # size>0 filter that pushdown inlines below the _spread exchange,
+        # re-running the gram construction serially on the scan task.
+        # Docs with < n tokens have an EMPTY gram array, which outer
+        # surfaces as a null gram row — dropped explicitly (a filter on
+        # the generated column cannot be pushed below the Generate).
+        _spread(df, id_col).select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )

@@ -322,7 +322,13 @@ def text_bigram_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occurrences = docs.select(F.explode(grams_arr).alias("gram")).withColumn("tf", F.lit(1))
+    # explode_outer + null filter (see text.top_ngrams): keeps the gram
+    # construction out of the scan-side inferred filter.
+    occurrences = (
+        docs.select(F.explode_outer(grams_arr).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .withColumn("tf", F.lit(1))
+    )
     sketch = text.countmin_sketch(occurrences, "gram", "tf", depth=4, width=1024)
     top = text.top_ngrams(docs, n=2, k=25)
     est = text.countmin_estimate(sketch, top.select("gram"), "gram", depth=4, width=1024)

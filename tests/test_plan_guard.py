@@ -15,8 +15,17 @@ from tests.conftest import SF_SMOKE
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
 # intentionally tiny: tfidf joins a 1-row doc-count scalar; cosine top-k
 # is by design broadcast(query set) x corpus (the exact-scoring pass —
-# work is |corpus| x |queries|, linear in the corpus).
-BNLJ_ALLOWED = {"tfidf_top_terms", "sim_cosine_topk"}
+# work is |corpus| x |queries|, linear in the corpus); q11's 0.1%%
+# threshold, q22's positive-balance average, and the funnel's two
+# conversion totals are each a broadcast 1-row aggregate (TPC-H's own
+# scalar-subquery semantics).
+BNLJ_ALLOWED = {
+    "tfidf_top_terms",
+    "sim_cosine_topk",
+    "q11_important_parts",
+    "q22_idle_customers",
+    "funnel_signup_to_purchase",
+}
 
 
 # The quadratic exact baselines are correctness fixtures, not headline
