@@ -26,6 +26,15 @@ def _as_double(col):
     return F.col(col).cast("array<double>")
 
 
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition the corpus side to session parallelism before per-row
+    fold math (signatures, cell scores, rerank). The local fixture scan is
+    a single split, and a broadcast join executes in the scan's stage — so
+    without this the whole candidate rerank runs on one core. No-op at
+    real scale (the scan has enough splits; AQE coalesces)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key_col)
+
+
 def cosine_sim(a, b):
     """JVM-side cosine similarity between two array<double> columns.
 
@@ -55,7 +64,9 @@ def cosine_topk(
     q = queries_df.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
     )
-    c = emb_df.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec"))
+    c = _spread(emb_df, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    )
     sims = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
@@ -124,7 +135,9 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
-    corpus_sig = lsh_signatures(emb_df, dim, n_planes, seed, id_col, vec_col).select(
+    corpus_sig = lsh_signatures(
+        _spread(emb_df, id_col), dim, n_planes, seed, id_col, vec_col
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         F.col("lsh_bucket").alias("cbucket"),
@@ -220,7 +233,8 @@ def ivf_topk(
 
     cents = _centroids(dim, n_centroids, seed)
     corpus = (
-        emb_df.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec"))
+        _spread(emb_df, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec"))
         .withColumn("cells", _cell_scores(F.col("cvec"), cents))
         .withColumn("cell", (F.array_position("cells", F.array_max("cells")) - 1).cast("int"))
         .drop("cells")
@@ -293,6 +307,7 @@ def quantize_int8(
     q = F.when(absmax == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
         F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
     )
+    df = _spread(df, id_col)
     return df.select(
         F.col(id_col),
         F.round(scale, 9).alias("q_scale"),
@@ -316,6 +331,7 @@ def l2_normalize(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     unit = F.when(norm == 0.0, v).otherwise(F.transform(v, lambda x: x / norm))
+    df = _spread(df, id_col)
     return df.select(
         F.col(id_col),
         norm.alias("l2_norm"),
