@@ -76,6 +76,7 @@ HEADLINE = [
     "funnel_signup_to_purchase",
     "retention_cohorts",
     "hll_union_distinct_users",
+    "kmv_user_overlap_by_type",
     "skyline_parts",
     "text_token_stats",
     "text_quality_scores",

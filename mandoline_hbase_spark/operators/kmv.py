@@ -1,0 +1,173 @@
+"""KMV (k-minimum-values, theta-style) sketches for distinct-count SET
+OPERATIONS over groups.
+
+HLL (``hll_sketch_agg``/``hll_union``, used by the events rollups) merges
+unions only; a KMV sketch additionally answers INTERSECTION estimates —
+"how many users did BOTH A and B" — without an exact distinct, via the
+classic estimator (Beyer et al., "On Synopses for Distinct-Value
+Estimation Under Multiset Operations", SIGMOD'07):
+
+- sketch(S)    = the k smallest distinct 64-bit hashes of S
+- distinct(S) ≈ (k - 1) / u_k          where u_k = the k-th minimum,
+                                       mapped to (0, 1]
+- union:   merge = k smallest of (A ∪ B)   (sketches are mergeable)
+- A ∩ B:  rho = |merge ∩ A ∩ B| / k; estimate = rho * distinct(A ∪ B)
+
+Scale design: the sketch build is the standard two-level combine —
+stage 1 computes a per-partition partial sketch per group *inside* each
+task (bounded state: k hashes per (group, partition)), stage 2 merges
+partials with one groupBy whose input is at most ``k x n_partitions``
+hashes per group. No collect_set over raw values ever happens, so a
+group with a billion distinct members still shuffles only partial
+sketches. All estimator math is JVM-side array expressions.
+
+The reference backend has no sketch surface (SURVEY.md §2.2 lists only
+primitive aggregation); this extends the engine's mergeable-sketch
+family (HLL union rollups, count-min heavy hitters, quantile sketches)
+with distinct-set algebra for the LLM-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# xxhash64 is signed; shift into [1, 2^64-1] double space for the
+# (k-1)/u_k estimator. Stored sketch values stay signed longs (sorted
+# signed order == sorted unsigned order after the +2^63 shift applied
+# uniformly, because we sort the raw signed values and shift only when
+# estimating — signed sort IS the shifted sort).
+_TWO_63 = float(2**63)
+_TWO_64 = float(2**64)
+
+
+def _norm(h):
+    """Map a signed-64 hash to (0, 1]: u = (h + 2^63 + 1) / 2^64."""
+    return (h.cast("double") + F.lit(_TWO_63) + F.lit(1.0)) / F.lit(_TWO_64)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """One row per group: ``sketch ARRAY<BIGINT>`` (ascending, ≤ k hashes).
+
+    Two-level combine (see module docstring): partial sketches are built
+    per (group, input partition) with bounded state, then merged. The
+    only shuffle carries partial sketches, never raw distinct values.
+    """
+    hashed = df.select(*group_cols, F.xxhash64(F.col(value_col)).alias("_h"))
+    # Stage 1: per-partition partial sketches via mapInPandas — the k-min
+    # selection happens INSIDE the task, so each task emits at most one
+    # k-hash row per group it saw and the downstream shuffle carries only
+    # partial sketches, never raw distinct hashes. (A groupBy(collect_set)
+    # here would serialize every partition's full distinct set into the
+    # shuffle — unbounded by k.)
+    gtypes = dict(df.dtypes)
+    schema = (
+        ", ".join(f"`{c}` {gtypes[c]}" for c in group_cols) + ", _partial array<bigint>"
+    )
+    kk = int(k)
+    gcols = list(group_cols)
+
+    def _partial_sketches(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for key, sub in pdf.groupby(gcols, sort=False, dropna=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                h = np.unique(sub["_h"].to_numpy())  # sorted ascending
+                rows.append((*key, h[:kk].tolist()))
+            yield pd.DataFrame(rows, columns=[*gcols, "_partial"])
+
+    partials = hashed.mapInPandas(_partial_sketches, schema)
+    # Stage 2: merge ≤ k x n_partitions hashes per group.
+    return (
+        partials.groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("_partial")))),
+                1,
+                k,
+            ).alias("sketch")
+        )
+    )
+
+
+def kmv_merge_two(a, b, k: int):
+    """Column expression merging two sketch arrays (union sketch, ≤ k)."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_estimate(sketch, k: int):
+    """Distinct-count estimate column from a sketch array column.
+
+    Exact (== size) when the group had fewer than k distinct values;
+    (k-1)/u_k otherwise.
+    """
+    full = F.size(sketch) >= k
+    u_k = _norm(F.element_at(sketch, k))
+    return F.when(full, (F.lit(float(k - 1)) / u_k)).otherwise(
+        F.size(sketch).cast("double")
+    )
+
+
+def kmv_intersect_estimate(a, b, k: int):
+    """Intersection-cardinality estimate column for two sketch arrays.
+
+    rho = |merge ∩ A ∩ B| / |merge| over the union sketch, scaled by the
+    union estimate. Exact when both sides were under k (sketches are the
+    full hash sets, so the intersection of the sets IS the answer).
+    """
+    merge = kmv_merge_two(a, b, k)
+    both = F.size(F.array_intersect(merge, F.array_intersect(a, b)))
+    exact = (F.size(a) < k) & (F.size(b) < k)
+    est = both.cast("double") / F.size(merge) * kmv_estimate(merge, k)
+    return F.when(exact, F.size(F.array_intersect(a, b)).cast("double")).otherwise(est)
+
+
+def kmv_jaccard_estimate(a, b, k: int):
+    """Jaccard-similarity estimate column for two sketch arrays."""
+    merge = kmv_merge_two(a, b, k)
+    both = F.size(F.array_intersect(merge, F.array_intersect(a, b)))
+    return both.cast("double") / F.size(merge)
+
+
+def distinct_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise distinct-value overlap between groups, one row per
+    unordered group pair: sketch-estimated distinct counts of each side,
+    their intersection, and Jaccard.
+
+    The pair join runs over one SKETCH ROW per group (tiny — group
+    count, not corpus size), so the quadratic part is in sketch space;
+    the corpus is touched exactly once to build the sketches. At 100 TB
+    this is the only tractable shape for "overlap matrix across N
+    segments" questions.
+    """
+    sk = kmv_sketch(df, [group_col], value_col, k)
+    a = sk.select(F.col(group_col).alias("group_a"), F.col("sketch").alias("sk_a"))
+    b = sk.select(F.col(group_col).alias("group_b"), F.col("sketch").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.round(kmv_estimate(F.col("sk_a"), k), 2).alias("est_distinct_a"),
+        F.round(kmv_estimate(F.col("sk_b"), k), 2).alias("est_distinct_b"),
+        F.round(kmv_intersect_estimate(F.col("sk_a"), F.col("sk_b"), k), 2).alias(
+            "est_intersection"
+        ),
+        F.round(kmv_jaccard_estimate(F.col("sk_a"), F.col("sk_b"), k), 4).alias(
+            "est_jaccard"
+        ),
+    )

@@ -243,3 +243,27 @@ def hll_union_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_approx")
     ).select(F.lit("__all__").alias("event_type"), "n_users_approx")
     return per_type_counts.unionByName(overall).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# kmv_user_overlap_by_type — KMV (theta-style) sketch set algebra: the
+# distinct-USER OVERLAP between every pair of event types, from one
+# corpus pass. HLL union answers |A ∪ B| only; the KMV estimator also
+# gives |A ∩ B| and Jaccard — the "how many users did both" question —
+# with the pair join running in sketch space (one ≤k-hash row per
+# group), never over raw users. No SQL oracle (xxhash64 sketch space is
+# engine-specific); accuracy pinned vs exact in tests/test_kmv.py.
+# --------------------------------------------------------------------------
+@register(
+    "kmv_user_overlap_by_type",
+    oracle=None,  # sketch-space estimates; error-bound tests instead
+    description="KMV sketch pairwise distinct-user overlap across event types",
+    tags=("events", "aggregate", "approx", "sketch", "mergeable"),
+)
+def kmv_user_overlap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import kmv
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv.distinct_overlap(events, "event_type", "user_id", k=256).orderBy(
+        "group_a", "group_b"
+    )

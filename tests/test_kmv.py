@@ -1,0 +1,77 @@
+"""KMV (theta-style) sketch: exact-regime equality, estimate-regime error
+bounds, mergeability/partition invariance, bounded sketch size."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mandoline_hbase_spark.operators import kmv
+
+K = 128
+
+
+@pytest.fixture(scope="module")
+def synthetic(spark):
+    # Three overlapping segments with known exact cardinalities, far above
+    # k so the estimator (not the exact fallback) is exercised:
+    #   a = {0..3999}, b = {2000..5999}, c = {0..99} (under k -> exact)
+    rows = (
+        [("a", i) for i in range(4000)]
+        + [("b", i) for i in range(2000, 6000)]
+        + [("c", i) for i in range(100)]
+    )
+    return spark.createDataFrame(rows, "seg string, member bigint")
+
+
+def test_exact_regime_matches_exact(spark, synthetic):
+    sk = kmv.kmv_sketch(synthetic.filter("seg = 'c'"), ["seg"], "member", K)
+    row = sk.select(kmv.kmv_estimate(F.col("sketch"), K).alias("est")).first()
+    assert row["est"] == 100.0
+
+
+def test_estimate_regime_error_bounds(spark, synthetic):
+    out = kmv.distinct_overlap(synthetic, "seg", "member", K).collect()
+    by_pair = {(r["group_a"], r["group_b"]): r for r in out}
+    ab = by_pair[("a", "b")]
+    # KMV relative std error ~ 1/sqrt(k-2) ~ 9% at k=128; allow 3 sigma.
+    assert abs(ab["est_distinct_a"] - 4000) / 4000 < 0.27
+    assert abs(ab["est_distinct_b"] - 4000) / 4000 < 0.27
+    # |a ∩ b| = 2000, |a ∪ b| = 6000, jaccard = 1/3
+    assert abs(ab["est_intersection"] - 2000) / 2000 < 0.40
+    assert abs(ab["est_jaccard"] - 1 / 3) < 0.12
+    # c ⊂ a: intersection exact (both sketches under k on the c side? no —
+    # a is over k, so estimated); it must at least be near 100.
+    ac = by_pair[("a", "c")]
+    assert ac["est_distinct_b"] == 100.0
+
+
+def test_partition_invariance_and_merge(spark, synthetic):
+    one = kmv.kmv_sketch(synthetic.repartition(1), ["seg"], "member", K)
+    many = kmv.kmv_sketch(synthetic.repartition(13), ["seg"], "member", K)
+    assert sorted(map(tuple, one.select("seg", "sketch").collect())) == sorted(
+        map(tuple, many.select("seg", "sketch").collect())
+    )
+
+
+def test_sketch_size_bounded(spark, synthetic):
+    sizes = (
+        kmv.kmv_sketch(synthetic, ["seg"], "member", K)
+        .select(F.size("sketch").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= K for r in sizes)
+
+
+def test_union_estimate_consistency(spark, synthetic):
+    # merging a's and b's sketches estimates |a ∪ b| = 6000 within bounds
+    sk = kmv.kmv_sketch(synthetic.filter("seg != 'c'"), ["seg"], "member", K)
+    rows = {r["seg"]: r["sketch"] for r in sk.collect()}
+    merged = (
+        spark.createDataFrame([(rows["a"], rows["b"])], "a array<bigint>, b array<bigint>")
+        .select(
+            kmv.kmv_estimate(kmv.kmv_merge_two(F.col("a"), F.col("b"), K), K).alias("u")
+        )
+        .first()
+    )
+    assert abs(merged["u"] - 6000) / 6000 < 0.27
