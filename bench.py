@@ -90,6 +90,7 @@ HEADLINE = [
     "dedup_cluster_assign",
     "dedup_simhash",
     "sample_stratified_documents",
+    "sample_weighted_documents",
     "curate_corpus",
     "vocab_top_terms",
     "tfidf_top_terms",

@@ -93,6 +93,43 @@ def sample_topk_per_group(
     )
 
 
+def sample_weighted_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "w42",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES),
+    deterministic: each row's key is ``u^(1/w)`` with ``u`` a salted-hash
+    uniform in (0, 1]; the k largest keys are a weighted-without-
+    replacement sample (inclusion probability proportional to weight).
+
+    The standard quality-weighted corpus pick ("sample 1M docs, favoring
+    high quality score") — reproducible across re-runs and partitionings
+    because ``u`` comes from the id hash, not an RNG. Plan shape: map-only
+    key computation, then global top-k (TakeOrderedAndProject — no full
+    sort materialization); the rank window runs on k rows only. Rows with
+    weight <= 0 are excluded (A-ES precondition).
+    """
+    u = (
+        F.conv(hash_bucket_hex(F.col(id_col), salt), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(_HEX_SPACE))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    staged = (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("_aes_key", key)
+        .orderBy(F.desc("_aes_key"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("_aes_key"), F.asc(id_col))
+    return (
+        staged.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .drop("_aes_key")
+    )
+
+
 def mix_to_token_budget(
     df: DataFrame,
     tokens_per_source: int,

@@ -598,6 +598,35 @@ def sample_per_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted_documents",
+    oracle="""
+    SELECT doc_id, n_chars, sample_rank FROM (
+        SELECT doc_id, n_chars,
+               CAST(row_number() OVER (
+                   ORDER BY pow((('0x' || substr(md5(doc_id::VARCHAR || ':w42'), 1, 8))::BIGINT + 1)
+                                / 4294967296.0,
+                            1.0 / n_chars) DESC,
+                            doc_id ASC
+               ) AS BIGINT) AS sample_rank
+        FROM documents WHERE n_chars > 0
+    ) WHERE sample_rank <= 100
+    """,
+    description=(
+        "Weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
+        "key = u^(1/weight) from a salted id hash, global top-100 by key — "
+        "inclusion probability proportional to n_chars, reproducible across "
+        "re-runs and partitionings; map-only keys + TakeOrderedAndProject"
+    ),
+    tags=("llm", "sampling", "weighted"),
+)
+def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_weighted_topk(docs, k=100, weight_col="n_chars").select(
+        "doc_id", "n_chars", "sample_rank"
+    )
+
+
+@register(
     "curate_corpus",
     oracle=rf"""
     WITH canon AS (

@@ -89,3 +89,34 @@ def test_topk_per_group_exact_k_and_stable(spark):
     for src, rank, _ in rows1:
         per_group.setdefault(src, []).append(rank)
     assert all(sorted(v) == [1, 2, 3, 4] for v in per_group.values())
+
+
+def test_weighted_topk_favors_heavy_weights(spark):
+    # 500 light rows (w=1) + 500 heavy rows (w=50): A-ES inclusion
+    # probability is proportional to weight, so a top-100 sample should be
+    # overwhelmingly heavy rows (E[heavy] ~ 98; allow wide slack).
+    rows = [(i, 1.0) for i in range(500)] + [(i, 50.0) for i in range(500, 1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    out = sampling.sample_weighted_topk(df, k=100, weight_col="w").collect()
+    assert len(out) == 100
+    heavy = sum(1 for r in out if r["doc_id"] >= 500)
+    assert heavy >= 85
+    # ranks are exactly 1..100
+    assert sorted(r["sample_rank"] for r in out) == list(range(1, 101))
+
+
+def test_weighted_topk_partition_invariant_and_excludes_nonpositive(spark):
+    rows = [(i, float(i % 7) - 1.0) for i in range(300)]  # weights in [-1, 5]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    a = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in sampling.sample_weighted_topk(df.repartition(1), 50, "w").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in sampling.sample_weighted_topk(df.repartition(11), 50, "w").collect()
+    )
+    assert a == b
+    kept = {d for d, _ in a}
+    # rows with weight <= 0 (i % 7 in {0, 1}) never appear
+    assert not any(d % 7 in (0, 1) for d in kept)
