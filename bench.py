@@ -77,6 +77,7 @@ HEADLINE = [
     "retention_cohorts",
     "hll_union_distinct_users",
     "kmv_user_overlap_by_type",
+    "theta_user_set_algebra",
     "skyline_parts",
     "text_token_stats",
     "text_quality_scores",

@@ -267,3 +267,48 @@ def kmv_user_overlap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv.distinct_overlap(events, "event_type", "user_id", k=256).orderBy(
         "group_a", "group_b"
     )
+
+
+# --------------------------------------------------------------------------
+# theta_user_set_algebra — the production (Apache Datasketches) twin of
+# kmv_user_overlap_by_type: per-type THETA sketches, then JVM-side
+# union / intersection / difference estimates between the click and
+# purchase user sets plus the all-types union. Sketch binaries are
+# mergeable — at 100 TB they persist per partition/day and any set
+# question is answered from sketches without re-touching raw data.
+# No SQL oracle (sketch binary is engine-specific); accuracy pinned vs
+# exact in tests/test_kmv.py::test_theta_matches_exact_within_bounds.
+# --------------------------------------------------------------------------
+@register(
+    "theta_user_set_algebra",
+    oracle=None,  # Datasketches theta binary; error-bound test instead
+    description="Theta sketches: click/purchase user union, intersection, difference",
+    tags=("events", "aggregate", "approx", "sketch", "mergeable"),
+)
+def theta_user_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # ONE conditional-aggregation pass builds all three sketches (the
+    # null branch of the CASE is skipped by the aggregate) — no join in
+    # the plan at all; the set algebra then runs on three sketch values.
+    sk = events.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_click"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_purchase"),
+        F.theta_sketch_agg("user_id").alias("sk_all"),
+    )
+    return sk.select(
+        F.lit("click_vs_purchase").alias("pair"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_union("sk_click", "sk_purchase")), 2
+        ).alias("est_union"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("sk_click", "sk_purchase")), 2
+        ).alias("est_intersection"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_difference("sk_click", "sk_purchase")), 2
+        ).alias("est_click_only"),
+        F.round(F.theta_sketch_estimate("sk_all"), 2).alias("est_all_users"),
+    )

@@ -75,3 +75,25 @@ def test_union_estimate_consistency(spark, synthetic):
         .first()
     )
     assert abs(merged["u"] - 6000) / 6000 < 0.27
+
+
+def test_theta_matches_exact_within_bounds(spark):
+    # native Datasketches theta sketches vs exact set cardinalities on a
+    # synthetic overlap: a = {0..3999}, b = {2000..5999}
+    rows = [("a", i) for i in range(4000)] + [("b", i) for i in range(2000, 6000)]
+    df = spark.createDataFrame(rows, "seg string, member bigint")
+    got = (
+        df.agg(
+            F.theta_sketch_agg(F.when(F.col("seg") == "a", F.col("member"))).alias("sa"),
+            F.theta_sketch_agg(F.when(F.col("seg") == "b", F.col("member"))).alias("sb"),
+        )
+        .select(
+            F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("u"),
+            F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias("i"),
+            F.theta_sketch_estimate(F.theta_difference("sa", "sb")).alias("d"),
+        )
+        .first()
+    )
+    assert abs(got["u"] - 6000) / 6000 < 0.10
+    assert abs(got["i"] - 2000) / 2000 < 0.15
+    assert abs(got["d"] - 2000) / 2000 < 0.15
