@@ -78,6 +78,7 @@ HEADLINE = [
     "hll_union_distinct_users",
     "kmv_user_overlap_by_type",
     "theta_user_set_algebra",
+    "kll_value_quantiles",
     "skyline_parts",
     "text_token_stats",
     "text_quality_scores",

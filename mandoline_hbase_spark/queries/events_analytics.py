@@ -312,3 +312,46 @@ def theta_user_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_click_only"),
         F.round(F.theta_sketch_estimate("sk_all"), 2).alias("est_all_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# kll_value_quantiles — mergeable quantile sketches (Apache Datasketches
+# KLL): one sketch per event type over `value`, per-type p50/p90/p99,
+# plus the GLOBAL quantiles from a sketch MERGE — the raw values are
+# never re-aggregated. The persistable twin of percentile_approx (GK):
+# at 100 TB, per-day/per-partition KLL binaries stored once answer any
+# later quantile rollup as a cheap merge. No SQL oracle (sketch binary);
+# accuracy pinned vs exact quantiles in tests/test_kmv.py.
+# --------------------------------------------------------------------------
+@register(
+    "kll_value_quantiles",
+    oracle=None,  # Datasketches KLL binary; error-bound test instead
+    description="Per-type KLL quantile sketches + sketch-merge global p50/p90/p99",
+    tags=("events", "aggregate", "approx", "sketch", "mergeable", "percentile"),
+)
+def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value", F.lit(400)).alias("sk")
+    )
+
+    def _qs(sk):
+        return [
+            F.round(
+                F.kll_sketch_get_quantile_double(sk, F.lit(q)), 4
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+
+    per_type_q = per_type.select("event_type", *_qs(F.col("sk")))
+    # kll_sketch_merge_double is a two-sketch scalar fn; fold the per-type
+    # sketch list into one global sketch (k types -> k-1 merges, in-plan).
+    merged = F.aggregate(
+        F.slice(F.col("sks"), 2, 1_000_000),
+        F.element_at(F.col("sks"), 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    overall = per_type.agg(F.collect_list("sk").alias("sks")).select(
+        F.lit("__all__").alias("event_type"), *_qs(merged)
+    )
+    return per_type_q.unionByName(overall).orderBy("event_type")

@@ -97,3 +97,30 @@ def test_theta_matches_exact_within_bounds(spark):
     assert abs(got["u"] - 6000) / 6000 < 0.10
     assert abs(got["i"] - 2000) / 2000 < 0.15
     assert abs(got["d"] - 2000) / 2000 < 0.15
+
+
+def test_kll_quantiles_match_exact_within_bounds(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = [(rng.uniform(0.0, 1000.0),) for _ in range(20000)]
+    df = spark.createDataFrame(rows, "v double")
+    got = (
+        df.agg(F.kll_sketch_agg_double("v", F.lit(400)).alias("sk"))
+        .select(
+            *[
+                F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(q)).alias(f"q{i}")
+                for i, q in enumerate((0.5, 0.9, 0.99))
+            ]
+        )
+        .first()
+    )
+    exact = df.agg(
+        *[
+            F.expr(f"percentile(v, {q})").alias(f"q{i}")
+            for i, q in enumerate((0.5, 0.9, 0.99))
+        ]
+    ).first()
+    # KLL k=400 rank error ~ 1.7%; rank eps on U(0,1000) ~ value eps * 1000
+    for i in range(3):
+        assert abs(got[f"q{i}"] - exact[f"q{i}"]) < 40.0
