@@ -71,6 +71,7 @@ HEADLINE = [
     "grouping_sets_revenue",
     "window_order_gaps",
     "scalar_functions_events",
+    "variant_props_stats",
     "version_resolve_asof",
     "sessionize_events",
     "funnel_signup_to_purchase",

@@ -355,3 +355,47 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__all__").alias("event_type"), *_qs(merged)
     )
     return per_type_q.unionByName(overall).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# variant_props_stats — Spark 4 VARIANT for semi-structured props: parse
+# the JSON once into the binary variant encoding, then typed field
+# extraction (variant_get) at column speed. At 100 TB this is the
+# schema-on-read path for ragged event payloads: parse cost is paid once
+# per row (or once at ingest if stored as VARIANT), every downstream
+# field access is binary-offset, not string re-parsing; shredding can
+# push extraction into the scan. Oracle: DuckDB json_extract on the same
+# strings.
+# --------------------------------------------------------------------------
+@register(
+    "variant_props_stats",
+    oracle="""
+        SELECT event_type,
+               CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+               CAST(min(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS min_k,
+               CAST(max(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS max_k,
+               round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description=(
+        "VARIANT semi-structured path: parse_json(props) -> typed "
+        "variant_get field extraction -> per-type stats over the payload"
+    ),
+    tags=("events", "variant", "semi-structured", "scalar"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
