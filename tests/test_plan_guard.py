@@ -25,6 +25,9 @@ BNLJ_ALLOWED = {
     "q11_important_parts",
     "q22_idle_customers",
     "funnel_signup_to_purchase",
+    # the KMV overlap pair join runs in SKETCH space: one <=k-hash row per
+    # group on both sides (group count, never corpus size)
+    "kmv_user_overlap_by_type",
 }
 
 
