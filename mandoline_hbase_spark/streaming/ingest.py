@@ -310,3 +310,112 @@ def click_purchase_stream_join(
         )
         .drop("p_user_id")
     )
+
+
+def finalized_sessions(
+    events: DataFrame, gap_minutes: int = 10, watermark: str = "30 seconds"
+) -> DataFrame:
+    """Timer-finalized sessions via ``transformWithStateInPandas``
+    (Spark 4 arbitrary-state API): a per-user event-time TIMER fires when
+    the watermark passes ``last_event + gap``, emitting the closed
+    session exactly once and clearing its state.
+
+    What ``session_window`` aggregation (sessionized_activity) cannot
+    express: an emit-on-close stream of session records (append mode,
+    one row per finished session — the shape a downstream sink wants),
+    produced by explicit state machines with timers. State per user is
+    one (start, last, n, total) row; the timer registry replaces any
+    polling. At scale, state volume ∝ active users and the watermark
+    bounds both state and timer lifetime.
+
+    Emits ``session_end = last_ts + gap`` to match the batch
+    gaps-and-islands/session_window semantics exactly.
+
+    Environment gate: the transformWithState Python worker speaks
+    protobuf to the JVM state server, so ``google.protobuf`` must be
+    importable on the executors (standard on real clusters; absent in
+    minimal containers — this raises immediately rather than crashing
+    the stream mid-run). The state backend must be RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``).
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "finalized_sessions requires transformWithStateInPandas, whose "
+            "state client needs the 'protobuf' package on driver and "
+            "executors; it is not installed in this environment"
+        ) from exc
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        TimerValues,
+    )
+
+    gap_ms = gap_minutes * 60 * 1000
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, sum_value double"
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            # micros for event-time fidelity; timers run in millis
+            self._sess = handle.getValueState(
+                "sess", "start_us bigint, last_us bigint, n bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            import pandas as pd
+
+            start_us = last_us = None
+            n = 0
+            total = 0.0
+            if self._sess.exists():
+                start_us, last_us, n, total = self._sess.get()
+            for pdf in rows:
+                us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                lo, hi = int(us.min()), int(us.max())
+                start_us = lo if start_us is None else min(start_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+                n += int(len(pdf))
+                total += float(pdf["value"].sum())
+            self._sess.update((start_us, last_us, n, total))
+            # one live timer per user: re-arm at last_event + gap
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(last_us // 1000 + gap_ms)
+            return iter(())
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            import pandas as pd
+
+            if not self._sess.exists():
+                return iter(())
+            start_us, last_us, n, total = self._sess.get()
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.to_datetime(start_us, unit="us")],
+                    "session_end": [
+                        pd.to_datetime(last_us + gap_ms * 1000, unit="us")
+                    ],
+                    "n_events": [n],
+                    "sum_value": [round(total, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionProcessor(), out_schema, "append", "eventTime"
+        )
+    )

@@ -15,6 +15,13 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 
+try:
+    import google.protobuf  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
 
 @pytest.fixture(scope="module")
 def event_slices(tmp_path_factory):
@@ -175,3 +182,48 @@ def test_ingest_replay_is_idempotent(spark, event_slices, tmp_path):
 
     back = read_ingested_events(conn, spark).toPandas()
     assert len(back) == (pdf.event_id % 3 == 0).sum()  # no duplication
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF, reason="transformWithState state client needs protobuf"
+)
+def test_finalized_sessions_timers_match_batch(spark, event_slices):
+    from mandoline_hbase_spark.streaming.ingest import (
+        finalized_sessions,
+        read_events_stream,
+        sessionized_activity,
+    )
+
+    src, pdf = event_slices
+    stream = finalized_sessions(
+        read_events_stream(spark, src), gap_minutes=10, watermark="30 seconds"
+    )
+    _run_to_memory(stream, "finalized", "append")
+    got = spark.table("finalized").toPandas()
+
+    batch = sessionized_activity(
+        spark.createDataFrame(pdf), gap="10 minutes", watermark="30 seconds"
+    ).toPandas()
+
+    # every emitted (timer-closed) session must exactly equal its batch
+    # session_window twin; sessions still open at end-of-stream don't emit
+    assert len(got) > 0
+    key = ["user_id", "session_start"]
+    assert not got.duplicated(subset=key).any()
+    merged = got.merge(batch, on=key, suffixes=("", "_b"))
+    assert len(merged) == len(got), "emitted a session the batch oracle lacks"
+    assert (merged["n_events"] == merged["n_events_b"]).all()
+    assert (merged["session_end"] == merged["session_end_b"]).all()
+    assert (merged["sum_value"] - merged["sum_value_b"]).abs().max() < 1e-6
+
+
+@pytest.mark.skipif(_HAS_PROTOBUF, reason="gate only fires without protobuf")
+def test_finalized_sessions_gate_raises_cleanly(spark, event_slices):
+    from mandoline_hbase_spark.streaming.ingest import (
+        finalized_sessions,
+        read_events_stream,
+    )
+
+    src, _ = event_slices
+    with pytest.raises(RuntimeError, match="protobuf"):
+        finalized_sessions(read_events_stream(spark, src))
