@@ -109,6 +109,8 @@ HEADLINE = [
     "dedup_semantic_pairs_blas",
     "text_top_bigrams",
     "mix_sources_token_budget",
+    "chunk_documents_windows",
+    "quality_decile_bins",
     "dedup_incremental_minhash",
 ]
 

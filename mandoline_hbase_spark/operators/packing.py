@@ -65,3 +65,58 @@ def pack_utilization(packed: DataFrame, budget: int) -> DataFrame:
         )
         .withColumn("utilization", F.round(F.col("pack_tokens") / budget, 4))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed token windows with overlap (context-window
+    chunking): window i covers tokens ``[i*stride, i*stride + chunk_tokens)``;
+    the final window is the remainder. ``stride < chunk_tokens`` gives the
+    standard overlapping-context training chunks; ``stride == chunk_tokens``
+    gives disjoint splits.
+
+    Map-only until the explode (the token array is staged once per row —
+    the lambda-capture discipline of PERFORMANCE.md); one output row per
+    chunk with ``(doc_id, chunk_idx, chunk_text, n_tok)``. At 100 TB this
+    pipelines into the scan: no shuffle, chunk rows flow straight to the
+    packing/tokenizer stage. explode_outer + null filter keeps the
+    inferred generate filter from inlining the window construction below
+    the parallelizing exchange (see dedup.segment_hashes).
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    staged = spread.withColumn("_ck_toks", toks)
+    t = F.col("_ck_toks")
+    n = F.size(t)
+    # number of windows: ceil(max(n - chunk + stride, 1) / stride) for n>0
+    n_win = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens).cast("double") / stride).cast("int") + 1
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(t, i * stride + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(n - i * stride, F.lit(chunk_tokens)).cast("bigint").alias("n_tok"),
+        ),
+    )
+    return (
+        staged.withColumn("_ck_wins", wins)
+        .select(F.col(id_col), F.explode_outer("_ck_wins").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("w.chunk_idx").alias("chunk_idx"),
+            F.col("w.chunk_text").alias("chunk_text"),
+            F.col("w.n_tok").alias("n_tok"),
+        )
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mandoline_hbase_spark.operators import dedup, sampling, semdedup, text
+from mandoline_hbase_spark.operators import packing as packing_ops
 from mandoline_hbase_spark.queries.catalog import register
 from mandoline_hbase_spark.queries.llmops import _DUCK_SHINGLES
 from mandoline_hbase_spark.sources.tables import load_table
@@ -333,3 +334,34 @@ def text_bigram_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = text.top_ngrams(docs, n=2, k=25)
     est = text.countmin_estimate(sketch, top.select("gram"), "gram", depth=4, width=1024)
     return top.join(est, "gram").select("rank", "gram", "total_tf", "est_tf")
+
+
+@register(
+    "chunk_documents_windows",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) <= 32 THEN 1
+                    ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1 END AS n_win
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(toks[(i*24 + 1):(i*24 + 32)], ' ') AS chunk_text,
+           CAST(least(n - i*24, 32) AS BIGINT) AS n_tok
+    FROM sized, unnest(range(0, n_win)) AS u(i)
+    """,
+    description=(
+        "Context-window document chunking: 32-token windows, stride 24 "
+        "(overlapping training chunks) — map-only window construction, "
+        "explode, no shuffle; chunk rows pipeline into packing/tokenization"
+    ),
+    tags=("llm", "chunking", "packing"),
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_ops.chunk_documents(docs, chunk_tokens=32, stride=24)

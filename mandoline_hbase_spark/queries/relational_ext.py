@@ -763,3 +763,79 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
     return skyline(part, ["p_retailprice", "p_size"], ["min", "max"])
+
+
+@register(
+    "quality_decile_bins",
+    oracle="""
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(q), 4) AS min_q,
+           round(max(q), 4) AS max_q
+    FROM (
+        SELECT CAST(ntile(10) OVER (ORDER BY q DESC, doc_id ASC) AS BIGINT) AS bin,
+               q, doc_id
+        FROM (
+            SELECT doc_id,
+                   least(len(regexp_extract_all(text,
+                       '\\b(?:the|of|and|to|in|is|it|a)\\b'))
+                       / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                          END, 1) * 4.0, 1.0) * 0.4
+                   + (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                          / greatest(length(text), 1)) * 0.3
+                   + least(length(text) / 500.0, 1.0) * 0.3 AS q
+            FROM documents
+        )
+    )
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    description=(
+        "Quality decile binning (ntile window over the quality score) — "
+        "the curriculum/mixing bin assignment: per-bin doc counts and "
+        "score ranges"
+    ),
+    tags=("llm", "quality", "window", "binning"),
+)
+def quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import text as text_ops
+
+    # The UNROUNDED quality score, inline (with_quality_scores rounds to 4;
+    # ntile over the rounded value would tie-break differently than the
+    # oracle). The global ntile is a single-partition window — correct for
+    # exact deciles; at 100 TB replace with percentile-sketch cutoffs +
+    # a map-only CASE bin assignment (same output contract).
+    text_col = F.col("text")
+    toks = F.greatest(
+        F.when(F.length(F.trim(text_col)) == 0, F.lit(0)).otherwise(
+            F.length(F.trim(text_col))
+            - F.length(F.replace(F.trim(text_col), F.lit(" "), F.lit("")))
+            + 1
+        ),
+        F.lit(1),
+    )
+    stop_ratio = F.regexp_count(text_col, F.lit(text_ops.LANG_PATTERNS["en"])) / toks
+    symbol_ratio = F.length(F.regexp_replace(text_col, r"[a-zA-Z0-9\s]", "")) / F.greatest(
+        F.length(text_col), F.lit(1)
+    )
+    q = (
+        F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.4
+        + (1.0 - symbol_ratio) * 0.3
+        + F.least(F.length(text_col) / 500.0, F.lit(1.0)) * 0.3
+    )
+    w = Window.orderBy(F.desc("q"), F.asc("doc_id"))
+    binned = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("q", q)
+        .withColumn("bin", F.ntile(10).over(w).cast("bigint"))
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("q"), 4).alias("min_q"),
+            F.round(F.max("q"), 4).alias("max_q"),
+        )
+        .orderBy("bin")
+    )

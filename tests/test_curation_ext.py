@@ -204,3 +204,43 @@ def test_matmul_pairs_match_fold_pairs(spark):
     }
     assert set(fold) == set(blas)
     assert max(abs(fold[p] - blas[p]) for p in fold) < 1e-9
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    from mandoline_hbase_spark.operators.packing import chunk_documents
+
+    rows = [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 100 tokens -> ceil((100-32)/24)+1 = 4 windows
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in d1] == [0, 1, 2, 3]
+    assert d1[0]["chunk_text"].split()[:2] == ["t0", "t1"]
+    assert d1[1]["chunk_text"].split()[0] == "t24"  # stride offset
+    assert d1[-1]["n_tok"] == 100 - 3 * 24  # final remainder window
+    # consecutive windows overlap by chunk - stride = 8 tokens
+    assert d1[0]["chunk_text"].split()[-8:] == d1[1]["chunk_text"].split()[:8]
+    # short doc: single window, all tokens
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tok"] == 3
+    # empty doc: split('') -> [''] -> one 1-token window of the empty string
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == ""
+    # disjoint mode reconstructs the document exactly
+    disjoint = chunk_documents(df.filter("doc_id = 1"), 25, 25).collect()
+    glued = " ".join(
+        r["chunk_text"] for r in sorted(disjoint, key=lambda r: r["chunk_idx"])
+    )
+    assert glued == rows[0][1]
+
+
+def test_chunk_documents_validates_args(spark):
+    import pytest
+    from mandoline_hbase_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, stride=0)
