@@ -32,29 +32,34 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        # The events fixture has stored ``ts`` as TIMESTAMP(NANOS) (which the
-        # Spark parquet reader rejects) in some corpus generations and as
-        # TIMESTAMP(MICROS) — sometimes without timezone (TIMESTAMP_NTZ) — in
-        # others. Read with nanosAsLong enabled so the nanos variant surfaces
-        # as int64, then normalize every variant to TIMESTAMP (micros, UTC
-        # session tz): a long column is nanos → truncate to micros (what
-        # DuckDB does, so oracle comparisons stay bit-equal); an NTZ column is
-        # reinterpreted in the UTC session timezone, which preserves the
-        # stored micros value exactly.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
+    """Read one corpus table, normalizing timestamp storage variants.
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(ts_type, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+    Corpus generations have stored timestamps three ways: TIMESTAMP(NANOS)
+    (which the Spark parquet reader rejects outright), TIMESTAMP(MICROS)
+    with timezone, and TIMESTAMP(MICROS) without (surfacing as
+    TIMESTAMP_NTZ — which then fails ``unix_micros`` and comparisons
+    against TIMESTAMP literals in downstream queries). Normalize EVERY
+    timestamp-ish column of EVERY table to TIMESTAMP (micros, UTC session
+    tz): a nanos column is read as int64 (nanosAsLong) and truncated to
+    micros — exactly what DuckDB does, so oracle comparisons stay
+    bit-equal; an NTZ column is reinterpreted in the UTC session
+    timezone, preserving the stored micros value exactly.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # int64-surfaced nanos only ever occurs for the events ``ts`` column
+    # (nanosAsLong gives no marker distinguishing real longs from nanos,
+    # so only the known-timestamp column is converted).
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

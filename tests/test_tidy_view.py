@@ -113,3 +113,35 @@ def test_cross_variable_join_analytics(spark, store):
     assert np.allclose(store.read_variable("humidity"), humid * 2)
     meta = store.metadata(store.latest_version_id())
     assert set(meta["variables"]) == {"temperature", "humidity"}
+
+
+def test_loaders_normalize_ntz_timestamp_corpus(spark, tmp_path):
+    """Corpus regenerations have flipped timestamp columns between
+    LTZ/NTZ/nanos; every variant must load as plain TIMESTAMP so
+    timestamp-literal comparisons and unix_micros keep working."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+    from mandoline_hbase_spark.sources.tables import TABLES, load_table
+    from tests.conftest import SF_SMOKE
+
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(SF_SMOKE, f"{t}.parquet"))
+        fields = [
+            pa.field(f.name, pa.timestamp(f.type.unit))
+            if pa.types.is_timestamp(f.type)
+            else f
+            for f in tbl.schema
+        ]
+        pq.write_table(tbl.cast(pa.schema(fields)), str(tmp_path / f"{t}.parquet"))
+
+    # every timestamp column surfaces as TIMESTAMP (not NTZ)
+    for t in ("orders", "lineitem", "events"):
+        for f in load_table(spark, str(tmp_path), t).schema.fields:
+            assert f.dataType.typeName() != "timestamp_ntz", (t, f.name)
+    # timestamp-literal filters and unix_micros paths run
+    assert QUERIES["q1_pricing_summary"].fn(spark, str(tmp_path)).count() > 0
+    assert QUERIES["sessionize_events"].fn(spark, str(tmp_path)).count() > 0
