@@ -111,3 +111,20 @@ def test_chunk_map_resolution_broadcasts_version_visibility(spark, tmp_path):
     plan = conn.chunk_map_df("v", conn.latest_version_id(), spark)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_window_topk_plans_group_limit(spark):
+    # rank()<=k window filters must plan WindowGroupLimit (per-partition
+    # top-k maintained during the sort — state k rows, not group size);
+    # without it every group's full row set sorts before the filter.
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    for name in ("window_top3_suppliers_per_nation", "sim_cosine_topk"):
+        plan = (
+            QUERIES[name]
+            .fn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan, f"{name} lost the group-limit rewrite"
