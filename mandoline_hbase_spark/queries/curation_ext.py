@@ -365,3 +365,56 @@ def text_bigram_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return packing_ops.chunk_documents(docs, chunk_tokens=32, stride=24)
+
+
+@register(
+    "contrastive_triplets",
+    oracle="""
+    WITH pos AS (
+        SELECT a.vec_id AS anchor_id, b.vec_id AS positive_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.4
+    ),
+    pos_sym AS (
+        SELECT anchor_id AS x, positive_id AS y FROM pos
+        UNION ALL
+        SELECT positive_id AS x, anchor_id AS y FROM pos
+    ),
+    cands AS (
+        SELECT vec_id AS cand_id,
+               ('0x' || substr(md5(vec_id::VARCHAR || ':neg42'), 1, 8))::BIGINT % 4
+                   AS bucket
+        FROM embeddings
+    ),
+    joined AS (
+        SELECT p.anchor_id, p.positive_id, c.cand_id
+        FROM pos p
+        JOIN cands c
+          ON c.bucket = ('0x' || substr(md5(p.anchor_id::VARCHAR || ':neg42'), 1, 8))::BIGINT % 4
+        WHERE c.cand_id <> p.anchor_id AND c.cand_id <> p.positive_id
+          AND NOT EXISTS (SELECT 1 FROM pos_sym s
+                          WHERE s.x = p.anchor_id AND s.y = c.cand_id)
+    )
+    SELECT anchor_id, positive_id, cand_id AS negative_id FROM (
+        SELECT anchor_id, positive_id, cand_id,
+               row_number() OVER (
+                   PARTITION BY anchor_id, positive_id
+                   ORDER BY md5(anchor_id::VARCHAR || ':' || cand_id::VARCHAR || ':neg42') ASC,
+                            cand_id ASC
+               ) AS rn
+        FROM joined
+    ) WHERE rn = 1
+    """,
+    description=(
+        "Contrastive triplets: near-dup positives (cosine>=0.4) + a "
+        "deterministic bucket-bounded hash-drawn negative per pair - the "
+        "embedding-training pair prep; one bucket-key shuffle, no RNG"
+    ),
+    tags=("llm", "similarity", "contrastive", "training-pairs"),
+)
+def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import contrastive
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return contrastive.contrastive_triplets(emb, threshold=0.4, n_buckets=4)

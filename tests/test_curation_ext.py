@@ -244,3 +244,32 @@ def test_chunk_documents_validates_args(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, stride=0)
+
+
+def test_contrastive_triplets_validity_and_determinism(spark):
+    from mandoline_hbase_spark.operators import contrastive, semdedup
+    from mandoline_hbase_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = contrastive.contrastive_triplets(emb, threshold=0.4, n_buckets=4)
+    rows = out.collect()
+    assert len(rows) > 0
+    # a negative is never its own anchor/positive, and never a positive
+    # of its anchor (in either orientation)
+    pos = {
+        (r["anchor_id"], r["positive_id"]) for r in rows
+    }
+    pos_all = pos | {(b, a) for a, b in pos}
+    for r in rows:
+        assert r["negative_id"] not in (r["anchor_id"], r["positive_id"])
+        assert (r["anchor_id"], r["negative_id"]) not in pos_all
+    # deterministic across partitionings
+    again = contrastive.contrastive_triplets(
+        emb.repartition(13), threshold=0.4, n_buckets=4
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # scale path: LSH/semantic candidate pairs slot in as positives
+    lsh_pairs = semdedup.semantic_near_dup_pairs_matmul(emb, k=8, threshold=0.4)
+    out2 = contrastive.contrastive_triplets(emb, positives=lsh_pairs, n_buckets=4)
+    assert out2.count() > 0
