@@ -96,6 +96,7 @@ HEADLINE = [
     "sample_weighted_documents",
     "curate_corpus",
     "vocab_top_terms",
+    "text_top_terms_sketch",
     "tfidf_top_terms",
     "text_pii_redaction",
     "emb_quantize_int8",

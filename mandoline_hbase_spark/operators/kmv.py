@@ -171,3 +171,81 @@ def distinct_overlap(
             "est_jaccard"
         ),
     )
+
+
+def topk_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    partial_k: int = 200,
+) -> DataFrame:
+    """Mergeable top-k heavy hitters with deterministic error bounds
+    (SpaceSaving-style truncated-summary merge).
+
+    The count-min sketch (text.countmin_sketch) estimates frequencies of
+    KNOWN candidates; this op FINDS the candidates: each partition emits
+    its exact per-value counts truncated to the ``partial_k`` largest,
+    recording the largest truncated count as that partial's epsilon. The
+    merge sums surviving counts; a value absent from some partial can
+    have lost at most that partial's epsilon, so
+
+        count_lo <= true count <= count_lo + sum(all epsilons)
+
+    and every value with true count > sum(epsilons) is GUARANTEED to
+    survive. Shuffle carries <= partial_k rows per partition — bounded
+    like the KMV sketch above, never the full value-frequency table.
+    Raise ``partial_k`` to shrink the bound (epsilon is the
+    (partial_k+1)-th count of a partition).
+
+    Output: top ``k`` by ``count_lo`` desc with ``count_hi`` the upper
+    bound (``count_lo`` is exact when every partial kept the value, i.e.
+    ``n_partials`` == the partition count).
+    """
+    pk = int(partial_k)
+
+    def _partials(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            counts = pdf["_v"].value_counts()  # sorted desc
+            kept = counts.iloc[:pk]
+            eps = int(counts.iloc[pk]) if len(counts) > pk else 0
+            out = pd.DataFrame(
+                {"_v": kept.index, "_c": kept.to_numpy().astype("int64")}
+            )
+            out["_eps"] = 0
+            # one epsilon row per partial (value NULL) so the merge can
+            # total the bound without a separate pass
+            yield pd.concat(
+                [out, pd.DataFrame({"_v": [None], "_c": [0], "_eps": [eps]})],
+                ignore_index=True,
+            )
+
+    vtype = dict(df.dtypes)[value_col]
+    partials = df.select(F.col(value_col).alias("_v")).mapInPandas(
+        _partials, f"_v {vtype}, _c bigint, _eps bigint"
+    )
+    eps_total = partials.agg(F.sum("_eps").alias("e")).select(
+        F.col("e").cast("bigint").alias("_eps_total")
+    )
+    merged = (
+        partials.filter(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(
+            F.sum("_c").cast("bigint").alias("count_lo"),
+            F.count(F.lit(1)).cast("bigint").alias("n_partials"),
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(eps_total))
+        .select(
+            F.col("_v").alias(value_col),
+            "count_lo",
+            (F.col("count_lo") + F.col("_eps_total")).cast("bigint").alias("count_hi"),
+            "n_partials",
+        )
+        .orderBy(F.desc("count_lo"), F.asc(value_col))
+        .limit(k)
+    )

@@ -418,3 +418,28 @@ def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return contrastive.contrastive_triplets(emb, threshold=0.4, n_buckets=4)
+
+
+@register(
+    "text_top_terms_sketch",
+    oracle=None,  # truncated-summary merge: count_lo/hi bounds, not exact
+    # values under arbitrary partitioning; the guarantee is pinned by
+    # tests/test_kmv.py (bounds bracket exact, top value survives)
+    description=(
+        "Mergeable top-25 term heavy hitters (SpaceSaving-style truncated "
+        "partial summaries, <= partial_k rows shuffled per partition) - "
+        "the candidate-FINDING twin of the count-min estimator"
+    ),
+    tags=("llm", "text", "heavy-hitters", "sketch", "mergeable", "scale-path"),
+)
+def text_top_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators.kmv import topk_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    terms = (
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(F.explode_outer(toks).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    return topk_heavy_hitters(terms, "term", k=25, partial_k=2000)

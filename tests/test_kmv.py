@@ -124,3 +124,41 @@ def test_kll_quantiles_match_exact_within_bounds(spark):
     # KLL k=400 rank error ~ 1.7%; rank eps on U(0,1000) ~ value eps * 1000
     for i in range(3):
         assert abs(got[f"q{i}"] - exact[f"q{i}"]) < 40.0
+
+
+def test_heavy_hitters_bounds_and_guarantee(spark):
+    from mandoline_hbase_spark.operators.kmv import topk_heavy_hitters
+
+    # skewed synthetic: value v_i appears 1000 - 40*i times for i in 0..19,
+    # plus 3000 singleton values of noise
+    rows = []
+    for i in range(20):
+        rows += [(f"v{i}",)] * (1000 - 40 * i)
+    rows += [(f"noise{j}",) for j in range(3000)]
+    df = spark.createDataFrame(rows, "term string").repartition(8)
+    got = topk_heavy_hitters(df, "term", k=10, partial_k=50).collect()
+    exact = {f"v{i}": 1000 - 40 * i for i in range(20)}
+    # bounds bracket the exact count
+    for r in got:
+        if r["term"] in exact:
+            assert r["count_lo"] <= exact[r["term"]] <= r["count_hi"], r
+    # the true top value must survive (its count exceeds any epsilon total)
+    assert got[0]["term"] == "v0"
+    # values every partial kept carry exact counts
+    for r in got:
+        if r["n_partials"] == 8 and r["term"] in exact:
+            assert r["count_lo"] == exact[r["term"]]
+
+
+def test_heavy_hitters_partition_invariance_of_survivors(spark):
+    from mandoline_hbase_spark.operators.kmv import topk_heavy_hitters
+
+    rows = [(f"w{i % 30}",) for i in range(6000)]
+    df = spark.createDataFrame(rows, "term string")
+    a = topk_heavy_hitters(df.repartition(2), "term", k=5, partial_k=100).collect()
+    b = topk_heavy_hitters(df.repartition(16), "term", k=5, partial_k=100).collect()
+    # uniform 30-value stream with partial_k=100 >= 30: every partial keeps
+    # every value, so counts are exact and identical under any partitioning
+    assert sorted((r["term"], r["count_lo"]) for r in a) == sorted(
+        (r["term"], r["count_lo"]) for r in b
+    )
