@@ -28,6 +28,9 @@ BNLJ_ALLOWED = {
     # the KMV overlap pair join runs in SKETCH space: one <=k-hash row per
     # group on both sides (group count, never corpus size)
     "kmv_user_overlap_by_type",
+    # heavy hitters joins the 1-row epsilon-total aggregate to every
+    # surviving candidate (a broadcast scalar, like tfidf's doc count)
+    "text_top_terms_sketch",
 }
 
 
