@@ -242,8 +242,11 @@ def semantic_dedup(
     if pair_strategy not in ("fold", "matmul"):
         raise ValueError(f"unknown pair_strategy: {pair_strategy!r}")
     centroids = deterministic_centroids(emb, k, id_col, vec_col)
-    # One assignment pass feeds both the output and the pair join.
-    assigned = assign_clusters(emb, centroids, id_col, vec_col)
+    # One assignment pass feeds both the output and the pair join;
+    # persist it so the map-only assignment (k cosine folds per row plus
+    # the scan) runs once, not once per consumer. Tiny: id + vector +
+    # two columns per row.
+    assigned = assign_clusters(emb, centroids, id_col, vec_col).persist()
     pair_fn = (
         _pairs_from_assigned if pair_strategy == "fold" else _pairs_from_assigned_matmul
     )
