@@ -95,6 +95,7 @@ HEADLINE = [
     "sample_stratified_documents",
     "sample_weighted_documents",
     "curate_corpus",
+    "corpus_stats_report",
     "vocab_top_terms",
     "text_top_terms_sketch",
     "tfidf_top_terms",

@@ -443,3 +443,45 @@ def text_top_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("term") > 0)
     )
     return topk_heavy_hitters(terms, "term", k=25, partial_k=2000)
+
+
+@register(
+    "corpus_stats_report",
+    oracle="""
+    SELECT coalesce(source, '__all__') AS source,
+           coalesce(lang, '__all__') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+           END) AS BIGINT) AS n_tokens,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """,
+    description=(
+        "Corpus composition report: docs / tokens / avg length by "
+        "(source, lang), per-source subtotals, and the grand total in ONE "
+        "grouping-sets pass - the standard pipeline dashboard feed"
+    ),
+    tags=("llm", "reporting", "grouping-sets"),
+)
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = text.n_tokens(F.col("text")).cast("bigint")
+    return (
+        docs.groupingSets(
+            [["source", "lang"], ["source"], []], "source", "lang"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(n_tok).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("__all__")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("__all__")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "avg_chars",
+        )
+    )
