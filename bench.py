@@ -132,12 +132,18 @@ def main() -> None:
         fn = QUERIES[name].fn
         _force(fn(spark, SF_DIR))  # warm: codegen compiled, footers cached
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators that persist intermediates (LSH feature tables) must not
-        # hold executor memory against later queries
-        spark.catalog.clearCache()
+        # min of two timed passes: single-pass numbers swing ±2x with JVM
+        # GC / box noise; the min is the steady-state plan cost that
+        # actually scales with data volume
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+            # operators that persist intermediates (LSH feature tables) must
+            # not hold executor memory against later queries or passes
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
