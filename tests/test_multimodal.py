@@ -133,3 +133,24 @@ def test_resize_media_rejects_bad_dims(spark):
                                "doc_id long, media binary, media_meta map<string,string>")
     with pytest.raises(ValueError):
         resize_media(df, out_width=0, out_height=2)
+
+
+def test_arrow_histogram_matches_pandas_variant(spark):
+    from mandoline_hbase_spark.operators.multimodal import (
+        attach_fake_media,
+        byte_histogram_features,
+        byte_histogram_features_arrow,
+    )
+    from mandoline_hbase_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = attach_fake_media(load_table(spark, SF_SMOKE, "documents").limit(200))
+    a = sorted(
+        (r["doc_id"], r["n_bytes"], tuple(r["features"]))
+        for r in byte_histogram_features(docs).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_bytes"], tuple(r["features"]))
+        for r in byte_histogram_features_arrow(docs).collect()
+    )
+    assert a == b and len(a) == 200
