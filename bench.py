@@ -94,6 +94,7 @@ HEADLINE = [
     "dedup_simhash",
     "sample_stratified_documents",
     "sample_weighted_documents",
+    "sample_weighted_per_source",
     "curate_corpus",
     "corpus_stats_report",
     "vocab_top_terms",

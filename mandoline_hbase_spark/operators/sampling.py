@@ -179,3 +179,32 @@ def mix_to_token_budget(
         .filter(F.col("cum_tok") <= tokens_per_source // n_buckets)
         .select(id_col, source_col, "bucket", "n_tok", "cum_tok")
     )
+
+
+def sample_weighted_topk_per_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "w42",
+) -> DataFrame:
+    """Per-group weighted sampling without replacement (A-ES keys ranked
+    within each group): the quota-per-stratum form of
+    :func:`sample_weighted_topk` — e.g. "k docs per source, favoring
+    quality". One shuffle on the group key; the rank window sees each
+    group's rows only. Same skew note as sample_topk_per_group: bound hot
+    groups with a bernoulli pre-filter at extreme scale."""
+    u = (
+        F.conv(hash_bucket_hex(F.col(id_col), salt), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(_HEX_SPACE))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("_aes_key"), F.asc(id_col))
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("_aes_key", key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_aes_key")
+    )

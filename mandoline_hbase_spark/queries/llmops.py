@@ -953,3 +953,33 @@ def emb_l2_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l2_norm", 6).alias("l2_norm"),
         F.concat_ws(",", micro).alias("unit_micro_csv"),
     )
+
+
+@register(
+    "sample_weighted_per_source",
+    oracle="""
+    SELECT doc_id, source, n_chars, sample_rank FROM (
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY pow((('0x' || substr(md5(doc_id::VARCHAR || ':w42'), 1, 8))::BIGINT + 1)
+                                / 4294967296.0,
+                            1.0 / n_chars) DESC,
+                            doc_id ASC
+               ) AS BIGINT) AS sample_rank
+        FROM documents WHERE n_chars > 0
+    ) WHERE sample_rank <= 10
+    """,
+    description=(
+        "Per-source weighted sampling without replacement (A-ES keys "
+        "ranked within each source, 10 docs each, weight = n_chars) - "
+        "the quota-per-stratum quality-weighted pick; one group-key "
+        "shuffle, deterministic"
+    ),
+    tags=("llm", "sampling", "weighted", "stratified"),
+)
+def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_weighted_topk_per_group(
+        docs, k=10, weight_col="n_chars", group_col="source"
+    ).select("doc_id", "source", "n_chars", "sample_rank")
