@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mandoline_hbase_spark.queries.catalog import QUERIES  # noqa: E402
+from mandoline_hbase_spark.queries.catalog import QUERIES, driver_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,10 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in QUERIES.items()}
+    """Oracle-backed queries, least-previously-verified families first.
+
+    The driver adjudicates a bounded prefix of this dict in order; round 1
+    verified the relational family, so round 2 leads with the LLM-pipeline
+    family (dedup/text/similarity/sampling/packing).  No-oracle sketch/ANN
+    queries are excluded — they are covered by bench.py and the pytest suite
+    (tolerance-bound tests), and a rows-only driver row adds no signal.
+    """
+    return {name: q.fn for name, q in driver_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query; omitted for non-SQL ops."""
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    """DuckDB-equivalent ANSI SQL per query, same order as ``queries()``."""
+    return {name: q.oracle for name, q in driver_queries().items()}

@@ -369,23 +369,32 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # anti_customers_without_orders — NOT EXISTS -> left-anti join (set
 # difference on keys). The reference's only set op is distinct
-# (hbase.clj:330); anti/semi come free with Spark.
+# (hbase.clj:330); anti/semi come free with Spark. Restricted to urgent
+# orders so the result is non-empty at every test SF (every customer has
+# *some* order in the synthetic data; a 0-row result would make the
+# correctness row vacuous).
 # --------------------------------------------------------------------------
 @register(
     "anti_customers_without_orders",
     oracle="""
         SELECT c_custkey, c_name
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
     """,
-    description="Customers with no orders (anti join / NOT EXISTS)",
+    description="Customers with no urgent orders (anti join / NOT EXISTS)",
     tags=("join", "antijoin"),
 )
 def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return customer.join(
-        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 

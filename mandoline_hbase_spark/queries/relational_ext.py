@@ -180,7 +180,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN supplier ON s_suppkey = l_suppkey
             JOIN orders   ON o_orderkey = l_orderkey
             JOIN nation   ON s_nationkey = n_nationkey
-            WHERE p_name LIKE '%5%'
+            WHERE p_name LIKE '%red%'
         )
         GROUP BY n_name, o_year
         ORDER BY nation, o_year DESC
@@ -189,7 +189,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "aggregate"),
 )
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
@@ -442,7 +442,9 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q22_idle_customers — TPC-H Q22 (adapted): wealthy customers (above-average
-# balance) who never ordered, grouped by nation. Scalar subquery + anti join.
+# balance) with no urgent orders, grouped by nation. Scalar subquery + anti
+# join. ("No orders at all" is empty at every synthetic SF — the urgent
+# restriction keeps the row non-vacuous.)
 # --------------------------------------------------------------------------
 @register(
     "q22_idle_customers",
@@ -453,16 +455,20 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
         GROUP BY n_name
         ORDER BY n_name
     """,
-    description="TPC-H Q22 adapted: wealthy never-ordered customers by nation",
+    description="TPC-H Q22 adapted: wealthy urgent-order-free customers by nation",
     tags=("tpch", "antijoin", "subquery", "aggregate"),
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     nation = load_table(spark, sf_dir, "nation")
     avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("ab")
