@@ -1,8 +1,14 @@
 """Headline benchmark: runs the engine's flagship queries at sf0.1.
 
-Prints ONE JSON line:
+Writes the full per-query timing JSON to BENCH_LOCAL.json, then prints ONE
+compact JSON line LAST on stdout:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"<family>": sec, ...}, "sf": 0.1, "n_queries": N}
+
+The driver captures only a ~2 KB tail of stdout (round 1's full per-query
+line was truncated mid-string and recorded as ``parsed: null``), so the
+final line aggregates per *family*; per-query numbers live in
+BENCH_LOCAL.json.
 
 - Data dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 - Parallelism: local[$SPARK_GRAFT_CPUS] (default local[*])
@@ -148,17 +154,65 @@ def main() -> None:
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(timings.values()), 3)
+
+    # Full per-query detail: file, not stdout (driver tail-truncates stdout).
+    detail = {
+        "metric": "headline-query wall time (noop sink, local)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(out_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    # Compact family totals — the one line the driver parses must fit
+    # entirely inside its ~2 KB stdout tail capture.
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = _family(name)
+        families[fam] = round(families.get(fam, 0.0) + sec, 3)
     print(
         json.dumps(
             {
                 "metric": "headline-query wall time (noop sink, local)",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": families,
                 "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_LOCAL.json",
             }
         )
     )
+
+
+_FAMILY_PREFIXES = (
+    ("tpch", ("q1_", "q2_", "q3_", "q4_", "q5_", "q6_", "q7_", "q8_", "q9_",
+              "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
+              "q19", "q20", "q21", "q22", "anti_")),
+    ("window", ("window_", "topk_", "percentiles_", "skyline_", "rollup_",
+                "cube_", "grouping_", "scalar_", "pandas_udf", "range_scan",
+                "variant_")),
+    ("events", ("sessionize", "funnel_", "retention_", "version_", "asof_",
+                "range_join")),
+    ("sketch", ("hll_", "kmv_", "theta_", "kll_", "approx_")),
+    ("text", ("text_", "vocab_", "tfidf_")),
+    ("dedup", ("dedup_", "decontam_")),
+    ("ann", ("sim_", "emb_")),
+    ("curate", ("sample_", "curate_", "corpus_", "pack_", "mix_", "chunk_",
+                "quality_", "contrastive_")),
+)
+
+
+def _family(name: str) -> str:
+    for fam, prefixes in _FAMILY_PREFIXES:
+        if name.startswith(prefixes):
+            return fam
+    return "other"
 
 
 if __name__ == "__main__":
