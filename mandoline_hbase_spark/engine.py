@@ -174,6 +174,12 @@ class Connection:
 
         return maintenance.compact_indices(self, spark)
 
+    def sweep_failed_commits(self, spark=None, older_than_s: float = 3600.0) -> dict:
+        """Reclaim rows of distributed commits that never landed."""
+        from mandoline_hbase_spark import maintenance
+
+        return maintenance.sweep_failed_commits(self, spark, older_than_s)
+
     def optimize(self, spark=None) -> dict:
         """Compact both logs and reclaim dead chunks (no history change)."""
         from mandoline_hbase_spark import maintenance
@@ -183,10 +189,23 @@ class Connection:
     # -- version helpers ---------------------------------------------------
 
     def next_version_id(self) -> int:
-        """Strictly monotonic id; ids are epoch millis like the reference."""
+        """Strictly monotonic id; ids are epoch millis like the reference.
+
+        Accounts for reserved-but-uncommitted ids (in-flight distributed
+        commits, see ``_reserve_version``) so a driver-side writer inside
+        the commit lock can never allocate an id a distributed job has
+        already baked into executor-written rows.
+        """
         versions = self.versions(limit=1)
         last = int(versions[0]["version"]) if versions else 0
+        reserved = storage.reserved_version_ids(self._dirs["versions"])
+        if reserved:
+            last = max(last, max(reserved))
         return max(last + 1, int(time.time() * 1000))
+
+    def _reserve_version(self) -> int:
+        """Claim a version id for a distributed (executor-side) commit."""
+        return storage.reserve_version_id(self._dirs["versions"], self.next_version_id())
 
     def latest_version_id(self) -> int | None:
         versions = self.versions(limit=1)
@@ -257,7 +276,20 @@ class Connection:
         store.write_chunks_bulk([(h, refs.get(h, 0), blobs.get(h)) for h in all_hashes])
         idx = Index(self.dataset_dir, self._dirs["indices"], var_name, new_meta, int(version_id))
         idx.write_index_bulk(entries, int(version_id))
-        return self.write_version(new_meta)
+        committed = self.write_version(new_meta)
+        if latest is not None and latest > int(version_id):
+            # A distributed write reserves its id at job start; a faster
+            # writer may commit a LATER id first. Like the reference (the
+            # version id is the write's start timestamp, hbase.clj:266),
+            # the late commit lands at its reserved id — correct for every
+            # bounded read — but latest-version readers resolve metadata
+            # from the max committed id, which predates this variable. A
+            # tiny metadata-repair row at a fresh id re-publishes the
+            # merged view (base_meta here already includes the overtaker's
+            # variables). Data rows are untouched.
+            repair = {k: v for k, v in new_meta.items() if k != "version-id"}
+            self.write_version(repair)
+        return committed
 
     def create_variable(
         self,
@@ -395,50 +427,70 @@ class Connection:
             return pd.DataFrame(
                 {
                     "coord_id": [coord_id],
+                    "coord": [list(coord)],
                     "chunk_id": [hashlib.sha1(data).hexdigest()],
                     "data": [data],
                 }
             )
 
+        # Distributed commit: payloads, refs AND index rows are all written
+        # by executors; the only driver-side step is the version-row append
+        # (the visibility point). Driver memory is O(1) in chunk count — a
+        # variable with millions of chunks never funnels entries through the
+        # driver. The version id is reserved up-front (exclusive marker =
+        # conditional put, storage.reserve_version_id) so executors can bake
+        # it into every row without holding a lock across the job; rows of a
+        # version that never commits are invisible to every read and are
+        # reclaimed by maintenance.sweep_failed_commits + gc_chunks.
+        reserved = version_id is None
+        if reserved:
+            version_id = self._reserve_version()
+        seq = storage.next_seq()
         per_chunk = keyed.groupBy(*[f"_cc{i}" for i in range(ndim)]).applyInPandas(
-            build_chunk, "coord_id string, chunk_id string, data binary"
+            build_chunk, "coord_id string, coord array<bigint>, chunk_id string, data binary"
         )
-        # one pass, reused by the payload write and the tiny entry collect
+        # one pass, reused by the payload write and the index-row write
         per_chunk = per_chunk.persist()
         try:
-            # payload append straight from executors with ref_delta=0
-            # (content-addressed: identical blobs collapse to one row).
-            # The refs are granted by the driver commit below, so a job
-            # that dies here leaves only zero-ref, index-unreferenced
-            # chunks that gc_chunks() can reclaim — same crash contract
-            # as the data source writer.
+            # chunks first (§3.2 order: chunks -> index -> version row).
+            # Content addressing collapses identical blobs to one row; the
+            # baked ref_delta equals this commit's index references to it.
             (
                 per_chunk.groupBy("chunk_id")
                 .agg(
-                    F.lit(0).cast("long").alias("ref_delta"),
+                    F.count(F.lit(1)).cast("long").alias("ref_delta"),
                     F.first("data").alias("data"),
                 )
                 .select("chunk_id", "ref_delta", "data")
                 .write.mode("append")
                 .parquet(self._dirs["chunks"])
             )
-            entries = [
-                (codec.id_to_coordinate(r.coord_id), r.chunk_id)
-                for r in per_chunk.select("coord_id", "chunk_id").collect()
-            ]
+            (
+                per_chunk.select(
+                    F.lit(var_name).alias("var_name"),
+                    F.col("coord_id"),
+                    F.col("coord"),
+                    F.lit(int(version_id)).cast("long").alias("version_id"),
+                    F.col("chunk_id"),
+                    F.lit(int(seq)).cast("long").alias("seq"),
+                )
+                .write.mode("append")
+                .parquet(self._dirs["indices"])
+            )
         finally:
             per_chunk.unpersist()
-        refs: dict[str, int] = {}
-        for _, h in entries:
-            refs[h] = refs.get(h, 0) + 1
-        return self._commit(
-            var_name,
-            self._var_meta(dtype, shape, chunk_shape, fill),
-            entries,
-            {},
-            refs,
-            version_id,
-        )
+        try:
+            return self._commit(
+                var_name,
+                self._var_meta(dtype, shape, chunk_shape, fill),
+                [],
+                {},
+                {},
+                version_id,
+            )
+        finally:
+            if reserved:
+                storage.release_version_reservation(self._dirs["versions"], version_id)
 
     def update_region(
         self,

@@ -142,6 +142,76 @@ def gc_chunks(conn, spark=None) -> dict:
     return {"chunks_before": before, "chunks_after": after, "chunks_removed": before - after}
 
 
+def sweep_failed_commits(conn, spark=None, older_than_s: float = 3600.0) -> dict:
+    """Reclaim executor-written rows of distributed commits that never landed.
+
+    A distributed write (``write_variable_from_df``, streaming ingest)
+    reserves a version id, writes index rows and ref-carrying payloads from
+    executors, then appends the version row. A job that dies in between
+    leaves rows tagged with a version that never reached the versions table
+    — invisible to every read (commit-point visibility, §3.2) but occupying
+    space, with their baked refs keeping payloads alive through GC.
+
+    The sweep drops index rows whose version id (a) has no version row,
+    (b) is not a *young* reservation (an in-flight job, protected by
+    ``older_than_s``), and (c) whose ``seq`` is older than ``older_than_s``
+    (protects driver-side CAS flows that allocate ids without markers).
+    One ref per dropped row is released — exactly the grant the distributed
+    write baked in — and stale reservation markers are cleared. Run
+    :func:`gc_chunks` afterwards to reclaim the payload bytes.
+    """
+    from pyspark.sql import functions as F
+
+    spark = spark or conn.spark
+    now = time.time()
+    cutoff_ns = int((now - older_than_s) * 1e9)
+    with storage.dataset_lock(conn.dataset_dir):
+        committed = [int(v["version"]) for v in conn.versions()]
+        vdir = conn._dirs["versions"]
+        stale_markers, young = [], []
+        for rid in storage.reserved_version_ids(vdir):
+            marker = os.path.join(vdir, f".reserved-{rid}")
+            try:
+                age = now - os.stat(marker).st_mtime
+            except FileNotFoundError:
+                continue
+            (stale_markers if age >= older_than_s else young).append(rid)
+
+        idx = conn.spark_table("indices", spark)
+        protected = committed + young
+        dead = (
+            ~F.col("version_id").isin(protected) & (F.col("seq") <= F.lit(cutoff_ns))
+        )
+        dropped = idx.filter(dead)
+        keep = idx.filter(~dead)
+
+        released_rows = (
+            dropped.filter(F.col("chunk_id").isNotNull())
+            .groupBy("chunk_id")
+            .agg((-F.count("*")).cast("long").alias("ref_delta"))
+            .collect()
+        )
+        n_dropped = dropped.count()
+        if n_dropped:
+            _rewrite(conn, "indices", keep)
+        if released_rows:
+            storage.append_rows(
+                conn._dirs["chunks"],
+                storage.CHUNKS_SCHEMA,
+                [
+                    {"chunk_id": r["chunk_id"], "ref_delta": int(r["ref_delta"]), "data": None}
+                    for r in released_rows
+                ],
+            )
+        for rid in stale_markers:
+            storage.release_version_reservation(vdir, rid)
+    return {
+        "index_rows_dropped": int(n_dropped),
+        "refs_released": int(sum(-r["ref_delta"] for r in released_rows)),
+        "reservations_cleared": len(stale_markers),
+    }
+
+
 def prune_versions(conn, keep_last: int, spark=None) -> dict:
     """Retention: keep the newest ``keep_last`` versions.
 

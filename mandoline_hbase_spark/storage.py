@@ -124,6 +124,53 @@ def dataset_lock(dataset_dir: str, timeout_s: float = 30.0):
             pass
 
 
+def reserve_version_id(versions_dir: str, candidate: int) -> int:
+    """Atomically claim a version id >= ``candidate`` for an in-flight commit.
+
+    Creates an exclusive ``.reserved-<id>`` marker in the versions
+    directory (dot-prefixed: ignored by both pyarrow dataset discovery and
+    Spark's parquet reader). ``O_CREAT|O_EXCL`` is the local-mode form of
+    an object store's if-none-match conditional put — the primitive a
+    cluster deployment swaps in — so two concurrent reservers can never
+    obtain the same id; the loser bumps to the next id and retries.
+
+    Reserving up-front (rather than allocating inside the commit lock, as
+    driver-side writes do) is what lets executors bake the version id into
+    distributed index/chunk appends without holding any lock across the
+    job. A crashed job leaves only the marker plus rows tagged with a
+    version that never reaches the versions table — invisible to every
+    read, reclaimed by ``maintenance.sweep_failed_commits``.
+    """
+    v = int(candidate)
+    while True:
+        marker = os.path.join(versions_dir, f".reserved-{v}")
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return v
+        except FileExistsError:
+            v += 1
+
+
+def release_version_reservation(versions_dir: str, version_id: int) -> None:
+    try:
+        os.unlink(os.path.join(versions_dir, f".reserved-{int(version_id)}"))
+    except FileNotFoundError:
+        pass
+
+
+def reserved_version_ids(versions_dir: str) -> list[int]:
+    """Ids of in-flight (reserved, uncommitted) versions."""
+    out = []
+    for f in os.listdir(versions_dir):
+        if f.startswith(".reserved-"):
+            try:
+                out.append(int(f[len(".reserved-") :]))
+            except ValueError:
+                continue
+    return out
+
+
 _SEQ_STATE = {"last": 0}
 
 
