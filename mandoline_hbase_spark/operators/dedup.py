@@ -213,6 +213,50 @@ def _band_stack(features: DataFrame, num_hashes: int, bands: int, id_col: str) -
     ).select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
 
 
+def banded_candidate_pairs(
+    stacked: DataFrame,
+    id_col: str = "doc_id",
+    keys: tuple[str, ...] = ("band", "bh"),
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from bucket co-membership,
+    with a hot-bucket guard.
+
+    Buckets up to ``max_bucket_size`` members emit all pairs via the
+    band self-join — the normal case, output identical to an unguarded
+    join. Larger buckets (degenerate band values: boilerplate-heavy
+    corpora hash thousands of docs into one ``(band, bh)``) would make a
+    single join task quadratic; they degrade to STAR pairing around the
+    bucket's min id: candidate volume drops from O(n^2) to O(n) and
+    connectivity is preserved — every member still reaches every other
+    through the hub, which is what cluster assignment and keep-one
+    dedup consume. Pairs between two non-hub members of a hot bucket
+    are not emitted directly; downstream exact verification sees each
+    member vs the hub instead.
+
+    The sizing window shuffles on the same ``keys`` the join uses, so
+    the exchange is reused, not added.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    sized = stacked.select(id_col, *keys).withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "_hub", F.min(id_col).over(w)
+    )
+    small = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz", "_hub")
+    a, b = small.alias("a"), small.alias("b")
+    all_pairs = (
+        a.join(b, list(keys))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    star_pairs = (
+        sized.filter((F.col("_bsz") > max_bucket_size) & (F.col(id_col) != F.col("_hub")))
+        .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return all_pairs.union(star_pairs).distinct()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 64,
@@ -220,27 +264,18 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     rows-per-band = num_hashes // bands; two docs collide if any band of
     their signatures matches exactly. Returns distinct (id_a, id_b) with
-    id_a < id_b.
+    id_a < id_b. Oversized buckets degrade to star pairing (see
+    ``banded_candidate_pairs``).
     """
     features = doc_shingle_features(df, num_hashes, shingle_n, id_col, text_col)
     stacked = _band_stack(features, num_hashes, bands, id_col)
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return banded_candidate_pairs(stacked, id_col, max_bucket_size=max_bucket_size)
 
 
 def jaccard_pairs(

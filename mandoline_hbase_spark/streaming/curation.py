@@ -8,8 +8,9 @@ index** (content hashes, LSH band rows, MinHash signatures + shingle
 sets), and every micro-batch is admitted by probing those index tables
 — corpus text is never rescanned.
 
-Layout under ``corpus_dir`` (all parquet, one file per micro-batch,
-deterministically named ``batch-{id}.parquet``):
+Layout under ``corpus_dir`` (all parquet, one DIRECTORY per micro-batch,
+deterministically named ``batch-{id}``, written distributed by
+executors — the driver never materializes a batch):
 
 - ``docs/``   admitted documents, the incoming schema verbatim
 - ``hashes/`` ``content_hash string`` — the exact-dup gate index
@@ -17,11 +18,11 @@ deterministically named ``batch-{id}.parquet``):
 - ``feats/``  ``doc_id bigint, sh array<string>, sig array<bigint>`` —
   verify-stage features (signature prefilter + exact-Jaccard)
 
-Deterministic per-batch file names make ``foreachBatch`` replays
-idempotent: a restarted query rewrites the same files instead of
-appending duplicates — the same replay-safety idea as the versioned
-ingest sink (streaming/ingest.py), with file identity replacing
-content addressing.
+Deterministic per-batch directory names + ``mode("overwrite")`` make
+``foreachBatch`` replays idempotent: a restarted query rewrites the same
+directories instead of appending duplicates — the same replay-safety
+idea as the versioned ingest sink (streaming/ingest.py), with directory
+identity replacing content addressing.
 
 Admission per batch, in order (cheapest gate first):
 
@@ -55,8 +56,24 @@ _FEATS_DDL = "doc_id bigint, sh array<string>, sig array<bigint>"
 _ROLES = ("docs", "hashes", "bands", "feats")
 
 
-def _batch_file(corpus_dir: str, role: str, batch_id: int) -> str:
-    return os.path.join(corpus_dir, role, f"batch-{int(batch_id):010d}.parquet")
+def _batch_dir(corpus_dir: str, role: str, batch_id: int) -> str:
+    return os.path.join(corpus_dir, role, f"batch-{int(batch_id):010d}")
+
+
+def _role_batch_dirs(corpus_dir: str, role: str, exclude_batch: int | None = None) -> list[str]:
+    d = os.path.join(corpus_dir, role)
+    if not os.path.isdir(d):
+        return []
+    skip = (
+        None
+        if exclude_batch is None
+        else os.path.basename(_batch_dir(corpus_dir, role, exclude_batch))
+    )
+    return [
+        os.path.join(d, f)
+        for f in sorted(os.listdir(d))
+        if f.startswith("batch-") and f != skip and os.path.isdir(os.path.join(d, f))
+    ]
 
 
 def _read_role(
@@ -68,32 +85,24 @@ def _read_role(
 ) -> DataFrame:
     """Read one corpus index table.
 
-    ``exclude_batch`` drops that batch's own output file from the read:
-    a foreachBatch replay must probe the corpus as it stood BEFORE its
-    first attempt, or it would reject its documents against themselves
-    and overwrite its output with an empty delta.
+    ``exclude_batch`` drops that batch's own output directory from the
+    read: a foreachBatch replay must probe the corpus as it stood BEFORE
+    its first attempt, or it would reject its documents against
+    themselves and overwrite its output with an empty delta.
     """
-    d = os.path.join(corpus_dir, role)
-    if not os.path.isdir(d):
+    dirs = _role_batch_dirs(corpus_dir, role, exclude_batch)
+    if not dirs:
         return spark.createDataFrame([], ddl)
-    skip = None if exclude_batch is None else os.path.basename(_batch_file(corpus_dir, role, exclude_batch))
-    files = [
-        os.path.join(d, f)
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet") and f != skip
-    ]
-    if not files:
-        return spark.createDataFrame([], ddl)
-    return spark.read.schema(ddl).parquet(*files)
+    return spark.read.schema(ddl).parquet(*dirs)
 
 
 def read_corpus(spark: SparkSession, corpus_dir: str, schema_ddl: str) -> DataFrame:
     """All admitted documents (the incoming schema, passed explicitly so
     an empty corpus still reads cleanly)."""
-    d = os.path.join(corpus_dir, "docs")
-    if not os.path.isdir(d) or not any(f.endswith(".parquet") for f in os.listdir(d)):
+    dirs = _role_batch_dirs(corpus_dir, "docs")
+    if not dirs:
         return spark.createDataFrame([], schema_ddl)
-    return spark.read.schema(schema_ddl).parquet(d)
+    return spark.read.schema(schema_ddl).parquet(*dirs)
 
 
 def _verified_reject_ids(
@@ -188,19 +197,22 @@ def admit_batch(
         admitted = inc.join(rejected, id_col, "left_anti").persist()
         n_admitted = admitted.count()
 
-        # materialize this batch's corpus delta under fixed names (replay-safe)
+        # materialize this batch's corpus delta under fixed directory names
+        # (replay-safe overwrite), written by executors — no toPandas on
+        # the hot path, so a 100 TB/day stream commits without the driver
+        # ever holding batch data
         admitted_ids = admitted.select(F.col(id_col).cast("bigint").alias("doc_id"))
-        admitted.drop("content_hash").toPandas().to_parquet(
-            _batch_file(corpus_dir, "docs", batch_id), index=False
+        admitted.drop("content_hash").write.mode("overwrite").parquet(
+            _batch_dir(corpus_dir, "docs", batch_id)
         )
-        admitted.select("content_hash").toPandas().to_parquet(
-            _batch_file(corpus_dir, "hashes", batch_id), index=False
+        admitted.select("content_hash").write.mode("overwrite").parquet(
+            _batch_dir(corpus_dir, "hashes", batch_id)
         )
-        band_rows.join(admitted_ids, "doc_id", "left_semi").toPandas().to_parquet(
-            _batch_file(corpus_dir, "bands", batch_id), index=False
+        band_rows.join(admitted_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            _batch_dir(corpus_dir, "bands", batch_id)
         )
-        feats.join(admitted_ids, "doc_id", "left_semi").toPandas().to_parquet(
-            _batch_file(corpus_dir, "feats", batch_id), index=False
+        feats.join(admitted_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            _batch_dir(corpus_dir, "feats", batch_id)
         )
         return n_admitted
     finally:

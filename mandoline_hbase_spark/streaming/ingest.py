@@ -174,43 +174,99 @@ def dedup_stream(
 # --------------------------------------------------------------------------
 
 
-def _batch_to_parquet_bytes(pdf: pd.DataFrame) -> bytes:
-    buf = io.BytesIO()
-    pdf.to_parquet(buf, engine="pyarrow", index=False)
-    return buf.getvalue()
-
-
 def commit_events_batch(connection, batch_df: DataFrame, batch_id: int) -> int | None:
     """Commit one micro-batch as one version of the `events` variable.
 
     Follows the reference's write path ordering exactly (§3.2):
-    1. write content-addressed chunk (blind put, idempotent — same bytes
+    1. write content-addressed chunks (blind put, idempotent — same bytes
        hash to the same chunk id on replay, hbase.clj:138-154 semantics),
-    2. index entry at coord (batch_id,),
+    2. index entries at coords (batch_id, partition_id),
     3. version append = commit point (hbase.clj:263-268).
 
-    Returns the committed version id, or None for an empty batch.
+    The batch never funnels through the driver: each executor partition
+    serializes its rows (sorted by event_id, so a replayed batch with the
+    same partitioning produces the same bytes) into one content-addressed
+    parquet chunk, and executors append both the payload rows (ref baked)
+    and the index rows. The driver's only steps are the version-id
+    reservation and the version-row append — O(1) driver state at any
+    ingest rate. Returns the committed version id, or None for an empty
+    batch.
     """
-    import hashlib
+    from mandoline_hbase_spark import storage
 
-    pdf = batch_df.toPandas()
-    if pdf.empty:
-        return None
-    payload = _batch_to_parquet_bytes(pdf)
-    chunk_id = hashlib.sha1(payload).hexdigest()
-    cs = connection.chunk_store()
-    cs.write_chunk(chunk_id, 1, payload)
-    version_id = connection.next_version_id()
-    idx = connection.index("events")
-    idx.write_index_bulk([((int(batch_id),), chunk_id)], version_id)
-    connection.write_version(
-        {
-            "version-id": version_id,
-            "variables": {"events": {"kind": "event-log", "batch_id": int(batch_id)}},
-            "n_rows": int(len(pdf)),
-        }
+    bid = int(batch_id)
+
+    def make_chunks(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io as _io
+
+        import pandas as _pd
+        from pyspark import TaskContext
+
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        # partition id from the task context: spark_partition_id() as an
+        # input column evaluates to 0 under the Arrow runner (Spark 4.1)
+        pid = int(TaskContext.get().partitionId())
+        pdf = _pd.concat(parts, ignore_index=True).sort_values("event_id", ignore_index=True)
+        buf = _io.BytesIO()
+        pdf.to_parquet(buf, engine="pyarrow", index=False)
+        payload = buf.getvalue()
+        yield _pd.DataFrame(
+            {
+                "coord_id": [f"{bid}/{pid}"],
+                "coord": [[bid, pid]],
+                "chunk_id": [hashlib.sha1(payload).hexdigest()],
+                "data": [payload],
+                "n_rows": [len(pdf)],
+            }
+        )
+
+    per_chunk = batch_df.mapInPandas(
+        make_chunks,
+        "coord_id string, coord array<bigint>, chunk_id string, data binary, n_rows bigint",
     )
-    return version_id
+    per_chunk = per_chunk.persist()
+    version_id = connection._reserve_version()
+    try:
+        totals = per_chunk.agg(
+            F.sum("n_rows").alias("n"), F.count(F.lit(1)).alias("chunks")
+        ).first()
+        if not totals["chunks"]:
+            return None
+        # chunks first: payload rows carry their ref (one index entry each)
+        (
+            per_chunk.groupBy("chunk_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("ref_delta"), F.first("data").alias("data"))
+            .select("chunk_id", "ref_delta", "data")
+            .write.mode("append")
+            .parquet(connection._dirs["chunks"])
+        )
+        seq = storage.next_seq()
+        (
+            per_chunk.select(
+                F.lit("events").alias("var_name"),
+                F.col("coord_id"),
+                F.col("coord"),
+                F.lit(int(version_id)).cast("long").alias("version_id"),
+                F.col("chunk_id"),
+                F.lit(int(seq)).cast("long").alias("seq"),
+            )
+            .write.mode("append")
+            .parquet(connection._dirs["indices"])
+        )
+        connection.write_version(
+            {
+                "version-id": int(version_id),
+                "variables": {"events": {"kind": "event-log", "batch_id": bid}},
+                "n_rows": int(totals["n"]),
+            }
+        )
+        return int(version_id)
+    finally:
+        per_chunk.unpersist()
+        storage.release_version_reservation(connection._dirs["versions"], version_id)
 
 
 def start_versioned_ingest(
