@@ -310,6 +310,7 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: candidates -> estimate -> exact verify.
 
@@ -320,22 +321,13 @@ def minhash_near_duplicates(
     prefilter (fraction of matching minhashes >= threshold - 0.15, >5 sigma
     below any true pair at the default 64 hashes): at scale it discards
     almost all accidental bucket collisions before the expensive
-    set-intersection work.
+    set-intersection work. Buckets over ``max_bucket_size`` degrade to
+    star candidates (``banded_candidate_pairs``) so one degenerate band
+    value cannot make a join task quadratic.
     """
     features = doc_shingle_features(df, num_hashes, shingle_n, id_col, text_col).persist()
     stacked = _band_stack(features, num_hashes, bands, id_col)
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    cands = banded_candidate_pairs(stacked, id_col, max_bucket_size=max_bucket_size)
     fa = features.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
     )
@@ -401,18 +393,22 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
 
 
 def simhash_near_duplicates(
-    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit code into 4x16-bit keys
     (pigeonhole: hamming<=3 implies >=1 identical band), join per band,
     verify exact Hamming distance.
 
-    The code table is persisted: it is tiny (id + one long per doc) and
-    both sides of the band self-join consume it."""
+    The code table is persisted: it is tiny (id + one long per doc); the
+    candidate self-join and both verify joins consume it. Oversized key
+    buckets degrade to star candidates (``banded_candidate_pairs``)."""
     codes = simhash(df, id_col, text_col).persist()
     bands = codes.select(
         F.col(id_col),
-        F.col("simhash"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -422,23 +418,13 @@ def simhash_near_duplicates(
                 for b in range(4)
             ])
         ).alias("e"),
-    ).select(F.col(id_col), F.col("simhash"), F.col("e.band").alias("band"), F.col("e.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    ).select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+    pairs = banded_candidate_pairs(
+        bands, id_col, keys=("band", "key"), max_bucket_size=max_bucket_size
     )
+    pairs = pairs.join(
+        codes.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")), "id_a"
+    ).join(codes.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")), "id_b")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.withColumn("hamming", hamming.cast("int")).filter(
         F.col("hamming") <= max_hamming

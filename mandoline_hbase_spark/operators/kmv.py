@@ -57,13 +57,19 @@ def kmv_sketch(
     per (group, input partition) with bounded state, then merged. The
     only shuffle carries partial sketches, never raw distinct values.
     """
-    hashed = df.select(*group_cols, F.xxhash64(F.col(value_col)).alias("_h"))
+    # NULL never hashes: a null value is not a distinct member under
+    # COUNT(DISTINCT) semantics, and xxhash64(NULL) would otherwise add
+    # the seed constant as a phantom member.
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, F.xxhash64(F.col(value_col)).alias("_h")
+    )
     # Stage 1: per-partition partial sketches via mapInPandas — the k-min
-    # selection happens INSIDE the task, so each task emits at most one
-    # k-hash row per group it saw and the downstream shuffle carries only
-    # partial sketches, never raw distinct hashes. (A groupBy(collect_set)
-    # here would serialize every partition's full distinct set into the
-    # shuffle — unbounded by k.)
+    # selection happens INSIDE the task with state folded ACROSS Arrow
+    # batches (at most k hashes per group held at any time), so each task
+    # emits exactly one k-hash row per group it saw and the downstream
+    # shuffle carries k x partitions rows per group, never raw distinct
+    # hashes. (A groupBy(collect_set) here would serialize every
+    # partition's full distinct set into the shuffle — unbounded by k.)
     gtypes = dict(df.dtypes)
     schema = (
         ", ".join(f"`{c}` {gtypes[c]}" for c in group_cols) + ", _partial array<bigint>"
@@ -75,16 +81,21 @@ def kmv_sketch(
         import numpy as np
         import pandas as pd
 
+        acc: dict = {}
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            rows = []
             for key, sub in pdf.groupby(gcols, sort=False, dropna=False):
                 if not isinstance(key, tuple):
                     key = (key,)
-                h = np.unique(sub["_h"].to_numpy())  # sorted ascending
-                rows.append((*key, h[:kk].tolist()))
-            yield pd.DataFrame(rows, columns=[*gcols, "_partial"])
+                h = np.unique(sub["_h"].to_numpy())[:kk]  # sorted ascending
+                prev = acc.get(key)
+                acc[key] = h if prev is None else np.unique(np.concatenate([prev, h]))[:kk]
+        if not acc:
+            return
+        yield pd.DataFrame(
+            [(*key, h.tolist()) for key, h in acc.items()], columns=[*gcols, "_partial"]
+        )
 
     partials = hashed.mapInPandas(_partial_sketches, schema)
     # Stage 2: merge ≤ k x n_partitions hashes per group.
@@ -206,22 +217,30 @@ def topk_heavy_hitters(
     def _partials(pdfs):
         import pandas as pd
 
+        # fold counts across ALL of the partition's Arrow batches first:
+        # one partial (and one epsilon) per PARTITION, which is what the
+        # n_partials == partition-count exactness criterion requires —
+        # truncating per batch would under-count values that straddle
+        # batches while still reporting a full n_partials
+        acc = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            counts = pdf["_v"].value_counts()  # sorted desc
-            kept = counts.iloc[:pk]
-            eps = int(counts.iloc[pk]) if len(counts) > pk else 0
-            out = pd.DataFrame(
-                {"_v": kept.index, "_c": kept.to_numpy().astype("int64")}
-            )
-            out["_eps"] = 0
-            # one epsilon row per partial (value NULL) so the merge can
-            # total the bound without a separate pass
-            yield pd.concat(
-                [out, pd.DataFrame({"_v": [None], "_c": [0], "_eps": [eps]})],
-                ignore_index=True,
-            )
+            c = pdf["_v"].value_counts()
+            acc = c if acc is None else acc.add(c, fill_value=0)
+        if acc is None:
+            return
+        acc = acc.astype("int64").sort_values(ascending=False, kind="stable")
+        kept = acc.iloc[:pk]
+        eps = int(acc.iloc[pk]) if len(acc) > pk else 0
+        out = pd.DataFrame({"_v": kept.index, "_c": kept.to_numpy().astype("int64")})
+        out["_eps"] = 0
+        # one epsilon row per partial (value NULL) so the merge can
+        # total the bound without a separate pass
+        yield pd.concat(
+            [out, pd.DataFrame({"_v": [None], "_c": [0], "_eps": [eps]})],
+            ignore_index=True,
+        )
 
     vtype = dict(df.dtypes)[value_col]
     partials = df.select(F.col(value_col).alias("_v")).mapInPandas(

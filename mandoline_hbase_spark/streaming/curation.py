@@ -172,13 +172,12 @@ def admit_batch(
             .persist()
         )
 
-        # 3: in-batch near-dup — candidates among batch docs, larger id loses
-        self_cands = (
-            band_rows.alias("a")
-            .join(band_rows.alias("b"), ["band", "bh"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("b.doc_id").alias("inc_id"), F.col("a.doc_id").alias("ref_id"))
-            .distinct()
+        # 3: in-batch near-dup — candidates among batch docs, larger id
+        # loses; hot buckets degrade to star candidates around the min id
+        # (banded_candidate_pairs) so a boilerplate-heavy batch cannot
+        # make the self-join quadratic
+        self_cands = dedup.banded_candidate_pairs(band_rows, "doc_id").select(
+            F.col("id_b").alias("inc_id"), F.col("id_a").alias("ref_id")
         )
         self_reject = _verified_reject_ids(self_cands, feats, feats, threshold, num_hashes)
 

@@ -1,0 +1,101 @@
+"""Hot-bucket guard for LSH band self-joins (banded_candidate_pairs).
+
+A degenerate band value — boilerplate-heavy corpora where thousands of
+documents share a MinHash band — makes an unguarded band self-join
+quadratic in the hottest bucket. The guard degrades buckets over
+``max_bucket_size`` to STAR candidates around the bucket's min id:
+candidate volume is O(n) per hot bucket, connectivity (what clustering
+and keep-one dedup consume) is preserved, and buckets at or under the
+cap emit the exact unguarded pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mandoline_hbase_spark.operators import dedup
+
+
+def _stacked(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, band bigint, bh bigint")
+
+
+def test_normal_buckets_pair_set_unchanged(spark):
+    # two small buckets: all pairs, independent of the guard
+    rows = [(i, 0, 100) for i in range(4)] + [(i, 1, 200) for i in (10, 11, 12)]
+    out = dedup.banded_candidate_pairs(_stacked(spark, rows), "doc_id", max_bucket_size=512)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    expect = {(a, b) for a in range(4) for b in range(4) if a < b} | {
+        (10, 11), (10, 12), (11, 12)
+    }
+    assert got == expect
+
+
+def test_hot_bucket_degrades_to_star(spark):
+    n = 50
+    rows = [(i, 0, 7) for i in range(n)]
+    out = dedup.banded_candidate_pairs(_stacked(spark, rows), "doc_id", max_bucket_size=10)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    # star around the min id: n-1 pairs, not n*(n-1)/2
+    assert got == {(0, i) for i in range(1, n)}
+
+
+def test_mixed_buckets_guard_only_the_hot_one(spark):
+    hot = [(i, 0, 7) for i in range(40)]
+    cold = [(i, 1, 9) for i in (100, 101, 102)]
+    out = dedup.banded_candidate_pairs(
+        _stacked(spark, hot + cold), "doc_id", max_bucket_size=10
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(0, i) for i in range(1, 40)} | {(100, 101), (100, 102), (101, 102)}
+
+
+def test_candidate_volume_linear_in_hot_bucket(spark):
+    """The degenerate corpus completes with O(n) candidates — the property
+    that keeps one boilerplate band value from creating a quadratic task."""
+    n = 2000
+    rows = [(i, b, 7) for i in range(n) for b in (0,)]
+    out = dedup.banded_candidate_pairs(_stacked(spark, rows), "doc_id", max_bucket_size=64)
+    assert out.count() == n - 1
+
+
+def test_degenerate_corpus_clusters_correctly(spark):
+    """End-to-end: a corpus where one boilerplate text dominates. All
+    copies must land in ONE cluster via the star path, and the distinct
+    pair (distinct doc) survives untouched."""
+    docs = [(i, "the same boilerplate header repeated verbatim in every page") for i in range(200)]
+    docs.append((999, "a completely different document about differential geometry"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    clusters = dedup.near_duplicate_clusters(df, threshold=0.7)
+    rows = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    assert rows[999] == 999
+    assert {rows[i] for i in range(200)} == {0}
+
+
+def test_simhash_hot_bucket_star(spark):
+    """SimHash banding with identical codes: hot key buckets degrade the
+    same way; verified output keeps hamming<=max pairs through the hub."""
+    docs = [(i, "identical text identical text identical text") for i in range(80)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pairs = dedup.simhash_near_duplicates(df, max_hamming=3, max_bucket_size=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every doc hashes to the same code -> every band bucket is hot ->
+    # star pairs only, all verified at hamming 0
+    assert got == {(0, i) for i in range(1, 80)}
+
+
+def test_minhash_pairs_unchanged_when_under_cap(spark):
+    """Guard off-path check: with the cap above every bucket size, the
+    verified near-dup pair set equals the unguarded output."""
+    base = "spark engines shuffle data between executors for wide operations"
+    docs = [
+        (1, base),
+        (2, base + " quickly"),
+        (3, "completely unrelated text about pottery and glazes and kilns"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_duplicates(df, threshold=0.5, max_bucket_size=512).collect()
+    }
+    assert guarded == {(1, 2)}
