@@ -72,23 +72,76 @@ def attach_fake_media(
     )
 
 
-def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Decode media payloads into pixel/sample arrays.
+def pillow_decoder(payload: bytes):
+    """Default image decoder: bytes -> (H, W, C) uint8 array via Pillow.
 
-    STUB: real decoding needs PIL/ffmpeg/soundfile, none of which ship in
-    this container. The Spark-side contract (input binary column ->
-    output ``ARRAY<DOUBLE>`` plus dims) is what the engine guarantees;
-    plug a decoder into ``_decode_batch`` when the library exists.
+    Import deferred to call time so the operator stays importable in
+    codec-free containers; raises NotImplementedError (not ImportError)
+    when Pillow is absent so callers get the documented contract.
     """
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
+        import PIL.Image
+    except ImportError as exc:
         raise NotImplementedError(
-            "media decode requires an image/audio codec library (e.g. Pillow); "
+            "media decode requires an image codec library (Pillow); "
             "not available in this environment — use byte_histogram_features "
-            "or frame_sample for codec-free paths"
-        )
-    raise NotImplementedError("decoder wiring pending — no codec library present")
+            "or frame_sample for codec-free paths, or inject a decoder"
+        ) from exc
+    import io
+
+    import numpy as np
+
+    with PIL.Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"))
+
+
+def decode_media(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    decoder=None,
+) -> DataFrame:
+    """Decode media payloads into flattened pixel/sample arrays.
+
+    The Spark-side contract — binary column in, one row per media with
+    ``(id, height, width, n_channels, pixels ARRAY<DOUBLE> scaled to
+    [0,1], decode_error)`` out, Arrow-batched via ``mapInPandas`` — is
+    real and runs with ANY ``decoder: bytes -> ndarray(H, W, C)``;
+    rows whose decode raises carry ``decode_error`` and NULL pixels
+    instead of failing the job (a 100 TB crawl always contains corrupt
+    media). The default decoder is Pillow, imported lazily on the
+    executors; in codec-free containers inject a decoder or use the
+    codec-free feature paths.
+    """
+    dec = decoder or pillow_decoder
+    schema = (
+        f"{id_col} bigint, height int, width int, n_channels int, "
+        "pixels array<double>, decode_error string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    arr = np.asarray(dec(bytes(payload)))
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    h, w, c = arr.shape
+                    px = (arr.astype(np.float64) / 255.0).ravel().tolist()
+                    rows.append((int(rid), h, w, c, px, None))
+                except NotImplementedError:
+                    raise
+                except Exception as exc:  # corrupt payload: record, don't crash
+                    rows.append((int(rid), None, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "height", "width", "n_channels", "pixels", "decode_error"],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema)
 
 
 _HIST_SCHEMA = StructType(

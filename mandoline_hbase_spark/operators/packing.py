@@ -94,20 +94,26 @@ def chunk_documents(
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     staged = spread.withColumn("_ck_toks", toks)
     t = F.col("_ck_toks")
-    n = F.size(t)
+    # split(trim('')) yields [''] — an empty/whitespace-only doc has ZERO
+    # tokens and must emit zero chunks, not one ''-chunk with n_tok 1
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(t))
     # number of windows: ceil(max(n - chunk + stride, 1) / stride) for n>0
-    n_win = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
-        F.ceil((n - chunk_tokens).cast("double") / stride).cast("int") + 1
+    n_win = (
+        F.when(n == 0, F.lit(0))
+        .when(n <= chunk_tokens, F.lit(1))
+        .otherwise(F.ceil((n - chunk_tokens).cast("double") / stride).cast("int") + 1)
     )
-    wins = F.transform(
-        F.sequence(F.lit(0), n_win - 1),
-        lambda i: F.struct(
-            i.cast("bigint").alias("chunk_idx"),
-            F.concat_ws(" ", F.slice(t, i * stride + 1, chunk_tokens)).alias(
-                "chunk_text"
+    wins = F.when(n_win == 0, F.array().cast("array<struct<chunk_idx:bigint,chunk_text:string,n_tok:bigint>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.struct(
+                i.cast("bigint").alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(t, i * stride + 1, chunk_tokens)).alias(
+                    "chunk_text"
+                ),
+                F.least(n - i * stride, F.lit(chunk_tokens)).cast("bigint").alias("n_tok"),
             ),
-            F.least(n - i * stride, F.lit(chunk_tokens)).cast("bigint").alias("n_tok"),
-        ),
+        )
     )
     return (
         staged.withColumn("_ck_wins", wins)

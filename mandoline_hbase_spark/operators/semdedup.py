@@ -238,6 +238,12 @@ def semantic_dedup(
     path). Both yield the same pair set unless a similarity sits within
     one float64 ulp of ``threshold`` (pinned by the fold/matmul
     equivalence test).
+
+    Caching contract: the assignment DataFrame is persisted (it feeds
+    both the pair join and the output) and stays cached until the caller
+    clears it — call ``spark.catalog.clearCache()`` (bench.py does,
+    between queries) or unpersist after materializing the result when
+    invoking repeatedly in one session.
     """
     if pair_strategy not in ("fold", "matmul"):
         raise ValueError(f"unknown pair_strategy: {pair_strategy!r}")

@@ -34,9 +34,13 @@ def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
     compute. The local fixture parquet arrives as a single split, which
     would serialize regex/array work onto one core; at real scale the scan
     already has enough partitions and AQE coalesces the exchange away.
-    Hash-keyed (not round-robin) so the exchange needs no local sort."""
+    Hash-keyed when a key is available (no local sort needed); keyless
+    callers get plain round-robin, whose per-partition sort makes the
+    row placement deterministic under stage retry — hashing on
+    monotonically_increasing_id would not be (a refetched shuffle block
+    can renumber rows)."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, *key_cols) if key_cols else df.repartition(n, F.spark_partition_id(), F.monotonically_increasing_id())
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
 
 
 def n_tokens(text: Column) -> Column:

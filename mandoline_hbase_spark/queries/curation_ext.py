@@ -342,6 +342,7 @@ def text_bigram_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         FROM documents
+        WHERE length(trim(text)) > 0
     ),
     sized AS (
         SELECT doc_id, toks, len(toks) AS n,
