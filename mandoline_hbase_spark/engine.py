@@ -35,6 +35,7 @@ import pyarrow.compute as pc
 from mandoline_hbase_spark import codec, storage
 from mandoline_hbase_spark.chunkstore import ChunkStore
 from mandoline_hbase_spark.errors import (
+    CommitConflictError,
     DatasetNotFoundError,
     InvalidArgumentError,
     VersionNotFoundError,
@@ -82,26 +83,42 @@ class Connection:
         return Index(self.dataset_dir, self._dirs["indices"], var_name, metadata, version_id)
 
     def write_version(self, metadata: dict) -> int:
-        """Append the version row — the commit point (hbase.clj:263-268)."""
-        version_id = metadata.get("version-id")
-        if version_id is None:
-            version_id = self.next_version_id()
-            metadata = {**metadata, "version-id": version_id}
-        storage.append_rows(
-            self._dirs["versions"],
-            storage.VERSIONS_SCHEMA,
-            [
-                {
-                    "version_id": int(version_id),
-                    # :t is the version id itself, interpreted as epoch
-                    # millis (hbase.clj:266, 292-294).
-                    "committed_at": int(version_id),
-                    "metadata": json.dumps(metadata),
-                }
-            ],
-        )
-        self._version_cache = None
-        return int(version_id)
+        """Append the version row — the commit point (hbase.clj:263-268).
+
+        The append is a CONDITIONAL commit: exactly one writer can ever
+        own a version id (storage.commit_version_row — a hard-link claim
+        locally, an if-none-match put on object storage). With an id the
+        caller reserved (or carried in ``metadata``), a conflict means
+        either an idempotent replay (identical row: absorbed, success) or
+        a protocol violation (different row: CommitConflictError). With
+        no id, allocation retries optimistically until a claim wins — the
+        serialization that lets many drivers commit to one dataset with
+        no shared lock.
+        """
+        explicit = metadata.get("version-id")
+        while True:
+            version_id = int(explicit) if explicit is not None else self.next_version_id()
+            meta = {**metadata, "version-id": version_id}
+            row = {
+                "version_id": version_id,
+                # :t is the version id itself, interpreted as epoch
+                # millis (hbase.clj:266, 292-294).
+                "committed_at": version_id,
+                "metadata": json.dumps(meta),
+            }
+            if storage.commit_version_row(self._dirs["versions"], version_id, [row]):
+                self._version_cache = None
+                return version_id
+            if explicit is None:
+                continue  # allocation lost the race; re-allocate and retry
+            existing = storage.committed_version_row(self._dirs["versions"], version_id)
+            if existing is not None and existing.get("metadata") == row["metadata"]:
+                self._version_cache = None
+                return version_id  # idempotent replay of the same commit
+            raise CommitConflictError(
+                f"version {version_id} was already committed with different "
+                f"metadata — reserved-id protocol violation in {self.dataset_name}"
+            )
 
     def versions(self, limit: int | None = None, metadata: bool = False) -> list[dict]:
         """Newest-first version listing (hbase.clj:283-297).
@@ -263,8 +280,11 @@ class Connection:
         latest = self.latest_version_id()
         if latest is not None:
             base_meta = self.metadata(latest)
-        if version_id is None:
-            version_id = self.next_version_id()
+        reserved_here = version_id is None
+        if reserved_here:
+            # claim the id before index rows are tagged with it, so the
+            # conditional version-row commit below can never conflict
+            version_id = self._reserve_version()
         variables = dict(base_meta.get("variables", {}))
         variables[var_name] = new_var_meta
         new_meta = {**base_meta, "version-id": int(version_id), "variables": variables}
@@ -276,7 +296,11 @@ class Connection:
         store.write_chunks_bulk([(h, refs.get(h, 0), blobs.get(h)) for h in all_hashes])
         idx = Index(self.dataset_dir, self._dirs["indices"], var_name, new_meta, int(version_id))
         idx.write_index_bulk(entries, int(version_id))
-        committed = self.write_version(new_meta)
+        try:
+            committed = self.write_version(new_meta)
+        finally:
+            if reserved_here:
+                storage.release_version_reservation(self._dirs["versions"], int(version_id))
         if latest is not None and latest > int(version_id):
             # A distributed write reserves its id at job start; a faster
             # writer may commit a LATER id first. Like the reference (the

@@ -96,12 +96,18 @@ def scan(table_dir: str, schema: pa.Schema, filter=None, columns=None) -> pa.Tab
 
 @contextmanager
 def dataset_lock(dataset_dir: str, timeout_s: float = 30.0):
-    """Cross-process/thread mutual exclusion for CAS sections.
+    """Cross-process/thread mutual exclusion for read-modify-write sections.
 
-    Local-mode stand-in for what a transactional table format's optimistic
-    commit protocol provides on a cluster; the CAS *semantics* layered on
-    top (compare current value, then append) are the reference's
-    ``check-and-put`` (hbase.clj:241-245).
+    The COMMIT itself no longer depends on this lock: version ids are
+    claimed by conditional put (``reserve_version_id`` before distributed
+    writes, ``commit_version_row`` at the commit point), which serializes
+    committers on any storage with an if-none-match primitive. The lock
+    remains for sections that must read-then-rewrite shared state
+    atomically — slab updates (read base chunks, merge, write), index CAS
+    (compare current value, then append — the reference's check-and-put,
+    hbase.clj:241-245), and maintenance rewrites — where it is the
+    local-mode stand-in for a coordinator lease or single-writer
+    maintenance scheduling.
     """
     lock_path = os.path.join(dataset_dir, "_lock")
     deadline = time.monotonic() + timeout_s
@@ -122,6 +128,42 @@ def dataset_lock(dataset_dir: str, timeout_s: float = 30.0):
             os.unlink(lock_path)
         except FileNotFoundError:
             pass
+
+
+def commit_version_row(versions_dir: str, version_id: int, rows: list[dict]) -> bool:
+    """Conditional append of THE version row — the commit point, made an
+    atomic claim of ``version_id``.
+
+    The row is written to a dot-prefixed temp file (invisible to readers)
+    and hard-linked onto ``commit-{id}.parquet``; ``link(2)`` fails with
+    EEXIST if the name is taken, so exactly one committer can ever own a
+    version id — the local-filesystem form of an object store's
+    if-none-match conditional put (or a transactional table format's
+    commit-log entry). Returns False on conflict; the caller re-reads the
+    latest committed state, re-merges its metadata, and retries with a
+    fresh id (optimistic commit), or raises if the id was reserved (a
+    reserved id can only conflict through a protocol violation).
+    """
+    table = pa.Table.from_pylist(rows, schema=VERSIONS_SCHEMA)
+    tmp = os.path.join(versions_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    final = os.path.join(versions_dir, f"commit-{int(version_id):020d}.parquet")
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def committed_version_row(versions_dir: str, version_id: int):
+    """The committed row for ``version_id`` if present (for idempotent
+    replay detection), else None."""
+    path = os.path.join(versions_dir, f"commit-{int(version_id):020d}.parquet")
+    if not os.path.exists(path):
+        return None
+    return pq.read_table(path).to_pylist()[0]
 
 
 def reserve_version_id(versions_dir: str, candidate: int) -> int:

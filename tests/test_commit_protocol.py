@@ -1,0 +1,79 @@
+"""Conditional version-row commit (the cluster-safe CAS primitive).
+
+The commit point is an atomic claim of the version id:
+``storage.commit_version_row`` hard-links a temp parquet onto
+``commit-{id}.parquet`` — EEXIST means another committer owns the id.
+This is the local-filesystem form of an object store's if-none-match
+conditional put (reference contract: check-and-put, hbase.clj:241-248);
+``storage.dataset_lock`` remains only a local serialization aid for
+read-modify-write sections, not the commit's correctness guard.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mandoline_hbase_spark import storage
+from mandoline_hbase_spark.engine import mk_schema
+from mandoline_hbase_spark.errors import CommitConflictError
+
+
+def _conn(tmp_path):
+    schema = mk_schema({"root": "cp.mandoline.io", "base_path": str(tmp_path)})
+    schema.create_dataset("cp-ds")
+    return schema.connect("cp-ds")
+
+
+def _row(v, meta):
+    return {"version_id": v, "committed_at": v, "metadata": json.dumps(meta)}
+
+
+def test_conditional_put_claims_id_exactly_once(tmp_path):
+    conn = _conn(tmp_path)
+    vdir = conn._dirs["versions"]
+    assert storage.commit_version_row(vdir, 77, [_row(77, {"a": 1})]) is True
+    # second claim of the same id fails, committed row unchanged
+    assert storage.commit_version_row(vdir, 77, [_row(77, {"a": 2})]) is False
+    assert json.loads(storage.committed_version_row(vdir, 77)["metadata"]) == {"a": 1}
+
+
+def test_write_version_allocation_retries_past_taken_ids(tmp_path):
+    conn = _conn(tmp_path)
+    v1 = conn.write_version({"variables": {}})
+    # squat on the next few candidate ids to force the retry loop
+    vdir = conn._dirs["versions"]
+    for v in range(v1 + 1, v1 + 4):
+        assert storage.commit_version_row(vdir, v, [_row(v, {"squat": v})])
+    conn._version_cache = None
+    v2 = conn.write_version({"variables": {}})
+    assert v2 > v1 + 3  # skipped every taken id, committed its own
+
+
+def test_reserved_id_replay_is_idempotent(tmp_path):
+    conn = _conn(tmp_path)
+    meta = {"version-id": 12345, "variables": {"x": {"kind": "t"}}}
+    assert conn.write_version(meta) == 12345
+    # replay of the identical commit (crash between commit and reservation
+    # release) is absorbed as success
+    assert conn.write_version(meta) == 12345
+    assert len(conn.versions()) == 1
+
+
+def test_reserved_id_conflict_with_different_payload_raises(tmp_path):
+    conn = _conn(tmp_path)
+    conn.write_version({"version-id": 999, "variables": {"x": {"kind": "t"}}})
+    with pytest.raises(CommitConflictError):
+        conn.write_version({"version-id": 999, "variables": {"y": {"kind": "u"}}})
+
+
+def test_reservation_markers_invisible_to_version_reads(tmp_path):
+    conn = _conn(tmp_path)
+    v = conn._reserve_version()
+    assert conn.latest_version_id() is None  # marker is not a version row
+    assert v in storage.reserved_version_ids(conn._dirs["versions"])
+    # a driver-side allocation can never hand out the reserved id
+    assert conn.next_version_id() > v
+    storage.release_version_reservation(conn._dirs["versions"], v)
+    assert v not in storage.reserved_version_ids(conn._dirs["versions"])
