@@ -121,6 +121,9 @@ HEADLINE = [
     "chunk_documents_windows",
     "quality_decile_bins",
     "dedup_incremental_minhash",
+    "quality_model_score",
+    "text_unigram_rarity",
+    "mix_source_temperature",
 ]
 
 

@@ -1,0 +1,158 @@
+"""Model-based document scoring: the filtering stage of an LLM data
+pipeline expressed as pure JVM column algebra.
+
+Production pipelines gate documents with (a) a lightweight linear
+quality classifier (fastText-style: hashed bag-of-words features times a
+weight vector), (b) language-model statistics (rare/unknown-token rates
+against corpus unigram frequencies — the cheap stand-in for perplexity
+filtering), and (c) source reweighting with a temperature exponent
+before mixing. All three are implemented here without Python UDFs:
+
+- the classifier is ``aggregate(tokens, 0.0, acc + w[h(token)])`` — one
+  scan-speed fold per document; the weight table is a pure function of
+  the hash bucket, so nothing is broadcast and the op is map-only;
+- unigram statistics are one token-keyed aggregation plus one join of
+  exploded tokens against the frequency table (both shuffles keyed on
+  the token — the minimum for corpus-global statistics);
+- temperature weights aggregate per source (one tiny shuffle) and
+  normalize with ``sqrt`` — IEEE-correctly-rounded on every engine, so
+  the numbers are reproducible bit-for-bit across engines (a general
+  ``pow(x, alpha)`` is not, which is why the temperature is fixed at
+  0.5 rather than configurable).
+
+Hash discipline: the feature hash is the first 8 hex chars of md5
+(available and identical in Spark, DuckDB, and every warehouse), NOT
+xxhash64 — these scores are part of the oracle-checked surface.
+
+The reference has no scoring surface (SURVEY.md §2.2); this extends the
+LLM-pipeline family (dedup/text/similarity/sampling/packing) with the
+model-based filtering stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative-hash constant: spreads bucket ids into
+# pseudo-random weights deterministically on any engine with 64-bit
+# integer arithmetic.
+_WEIGHT_MIX = 2654435761
+
+
+def _bucket(token, n_buckets: int):
+    """md5-based feature bucket in [0, n_buckets) — engine-portable."""
+    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("bigint") % n_buckets
+
+
+def _weight(bucket):
+    """Deterministic pseudo-weight in [-1, 1): ((b * K) % 2000)/1000 - 1."""
+    return ((bucket * F.lit(_WEIGHT_MIX)) % 2000).cast("double") / 1000.0 - 1.0
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear classifier logit over hashed bag-of-words features.
+
+    ``logit = mean over tokens of w[h(token)]`` with ``h`` an md5 bucket
+    and ``w`` a deterministic pseudo-weight table (stands in for trained
+    weights; swap ``_weight`` for an ``element_at(lit(weights), bucket)``
+    lookup to serve a real model). One map-only fold per document — at
+    100 TB this runs at scan speed with zero shuffle, the shape any
+    fastText-class quality gate compiles to. ``keep = logit > 0`` is the
+    admission decision.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + _weight(_bucket(t, n_buckets)),
+    )
+    empty = F.length(F.trim(F.col(text_col))) == 0
+    logit = F.when(empty, F.lit(0.0)).otherwise(total / n)
+    return df.select(
+        F.col(id_col),
+        F.when(empty, F.lit(0)).otherwise(n).cast("bigint").alias("n_tokens"),
+        F.round(logit, 6).alias("logit"),
+        (logit > 0).alias("keep"),
+    )
+
+
+def unigram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram-frequency statistics against the corpus.
+
+    Two aggregations, both keyed on the token — the minimum shuffle
+    structure for corpus-global statistics: (1) build the unigram
+    frequency table, (2) join each document's exploded tokens back and
+    aggregate per document. Returns mean token probability, rare-token
+    ratio (corpus frequency 1 — hapax legomena), and the document's
+    minimum token probability: the cheap engine-side stand-ins for
+    perplexity filtering (low mean prob / high rarity = OOD text).
+
+    At scale the frequency table is the reusable artifact (materialize
+    once per corpus snapshot); scoring a new batch is one broadcast-or-
+    shuffle join against it.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").cast("double").alias("_total"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.col("tf") / F.col("_total")), 9).alias("mean_tok_prob"),
+            F.round(
+                F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)) / F.count(F.lit(1)), 4
+            ).alias("rare_ratio"),
+            F.round(F.min(F.col("tf") / F.col("_total")), 9).alias("min_tok_prob"),
+        )
+    )
+    return scored
+
+
+def source_temperature_weights(df: DataFrame, source_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Temperature-reweighted source mixture (T = 0.5).
+
+    Computes each source's token share and the renormalized sampling
+    weight ``sqrt(share) / sum(sqrt(share))`` — the standard temperature
+    trick that up-weights small high-quality sources when composing a
+    training mix. ``sqrt`` (not a general ``pow``) because IEEE 754
+    requires it correctly rounded, making the weights bit-reproducible
+    across engines. One tiny aggregation per source; the weights then
+    drive ``sampling.weighted_sample_n`` / ``mix_sources_token_budget``.
+    """
+    from mandoline_hbase_spark.operators.text import n_tokens
+
+    per_source = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").cast("double").alias("_tot"))
+    shared = per_source.crossJoin(F.broadcast(tot)).withColumn(
+        "_sq", F.sqrt(F.col("n_tokens") / F.col("_tot"))
+    )
+    denom = shared.agg(F.sum("_sq").alias("_denom"))
+    return (
+        shared.crossJoin(F.broadcast(denom))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("token_share"),
+            F.round(F.col("_sq") / F.col("_denom"), 6).alias("mix_weight"),
+        )
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mandoline_hbase_spark.operators import dedup, multimodal, similarity, text
+from mandoline_hbase_spark.operators import dedup, multimodal, scoring, similarity, text
 from mandoline_hbase_spark.queries.catalog import register
 from mandoline_hbase_spark.sources.tables import load_table
 
@@ -983,3 +983,106 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.sample_weighted_topk_per_group(
         docs, k=10, weight_col="n_chars", group_col="source"
     ).select("doc_id", "source", "n_chars", "sample_rank")
+
+
+# --------------------------------------------------------------------------
+# Model-based filtering (operators/scoring.py): linear quality classifier,
+# unigram-frequency statistics, temperature source mixing. All oracle-
+# checked: the feature hash is md5-based (engine-portable), not xxhash64.
+# --------------------------------------------------------------------------
+@register(
+    "quality_model_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    w AS (
+        SELECT doc_id,
+               (((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024)
+                  * 2654435761) % 2000) / 1000.0 - 1.0 AS wt
+        FROM toks
+    ),
+    s AS (SELECT doc_id, count(*) AS n, sum(wt) AS total FROM w GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n, 0)::BIGINT AS n_tokens,
+           round(coalesce(s.total / s.n, 0.0), 6) AS logit,
+           coalesce(s.total / s.n > 0.0, FALSE) AS keep
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+    description=(
+        "fastText-style linear quality gate: hashed bag-of-words logit as "
+        "one map-only JVM fold per doc (zero shuffle at any scale); "
+        "keep = logit > 0 is the admission decision"
+    ),
+    tags=("llm", "scoring", "quality", "classifier"),
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return scoring.hashed_linear_score(docs, n_buckets=1024)
+
+
+@register(
+    "text_unigram_rarity",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    toks2 AS (SELECT * FROM toks WHERE length(tok) > 0),
+    freq AS (SELECT tok, count(*) AS tf FROM toks2 GROUP BY tok),
+    tot AS (SELECT sum(tf)::DOUBLE AS total FROM freq)
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_tokens,
+           round(avg(f.tf / tot.total), 9) AS mean_tok_prob,
+           round(sum(CASE WHEN f.tf = 1 THEN 1 ELSE 0 END) / count(*), 4)
+               AS rare_ratio,
+           round(min(f.tf / tot.total), 9) AS min_tok_prob
+    FROM toks2 t JOIN freq f USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    description=(
+        "Unigram-frequency scoring against the corpus (perplexity-filter "
+        "stand-in): mean/min token probability + hapax ratio; two "
+        "token-keyed shuffles, frequency table reusable across batches"
+    ),
+    tags=("llm", "scoring", "unigram", "rarity"),
+)
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return scoring.unigram_stats(docs)
+
+
+@register(
+    "mix_source_temperature",
+    oracle=rf"""
+    WITH per AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum({_DUCK_NTOK})::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM per),
+    sq AS (
+        SELECT source, n_docs, n_tokens,
+               n_tokens / tot.t AS share, sqrt(n_tokens / tot.t) AS s
+        FROM per CROSS JOIN tot
+    ),
+    den AS (SELECT sum(s) AS d FROM sq)
+    SELECT source, n_docs, n_tokens,
+           round(share, 6) AS token_share,
+           round(s / den.d, 6) AS mix_weight
+    FROM sq CROSS JOIN den
+    """,
+    description=(
+        "Temperature-reweighted source mixture (T=0.5 via sqrt — IEEE "
+        "correctly rounded, bit-reproducible across engines): token share "
+        "and renormalized sampling weight per source; one tiny per-source "
+        "aggregation, feeds weighted sampling / token-budget mixing"
+    ),
+    tags=("llm", "scoring", "mixing", "temperature"),
+)
+def mix_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return scoring.source_temperature_weights(docs)

@@ -31,6 +31,9 @@ BNLJ_ALLOWED = {
     # heavy hitters joins the 1-row epsilon-total aggregate to every
     # surviving candidate (a broadcast scalar, like tfidf's doc count)
     "text_top_terms_sketch",
+    # broadcast 1-row totals (corpus token count / sqrt-share denominator)
+    "text_unigram_rarity",
+    "mix_source_temperature",
 }
 
 
@@ -88,7 +91,12 @@ def test_text_ops_are_exchange_free(spark):
     # map-only text analysis must not shuffle at all
     from mandoline_hbase_spark.queries.catalog import QUERIES
 
-    for name in ("text_token_stats", "text_quality_scores", "text_pii_redaction"):
+    for name in (
+        "text_token_stats",
+        "text_quality_scores",
+        "text_pii_redaction",
+        "quality_model_score",
+    ):
         plan = (
             QUERIES[name]
             .fn(spark, SF_SMOKE)
