@@ -138,6 +138,112 @@ def segment_duplicates(
     )
 
 
+def ngram_hashes(
+    df: DataFrame, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Explode documents into OVERLAPPING word n-gram hashes (stride 1):
+    ``(id_col, gram_idx, gram_md5)``, one row per window position.
+
+    Unlike :func:`segment_hashes` (non-overlapping windows), stride-1
+    windows detect a duplicated span at ANY token alignment — the unit
+    used by exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"). Docs with
+    fewer than ``n`` tokens emit zero rows.
+
+    Map-only until the explode; the token array is staged once per row so
+    the split is linear in document length, and only 32-char md5 hex
+    strings (never the text) reach the downstream shuffle. At 100 TB this
+    is scan-speed work; output volume is ~n_tokens rows per doc, the same
+    order as the tokenized corpus itself.
+    """
+    staged = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).withColumn("_ng_toks", tokens_col(text_col))
+    t = F.col("_ng_toks")
+    n_wins = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    grams = F.when(n_wins == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n))),
+        )
+    )
+    # posexplode_outer + null filter: the non-outer generate would let the
+    # optimizer infer a size>0 predicate below the exchange (see
+    # segment_hashes); the explicit filter stays above the generate.
+    return (
+        staged.withColumn("_grams", grams)
+        .select(F.col(id_col), F.posexplode_outer("_grams").alias("gram_idx", "gram_md5"))
+        .filter(F.col("gram_md5").isNotNull())
+    )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    n: int = 4,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated n-gram spans: every overlapping n-token
+    window that occurs in at least ``min_docs`` distinct documents, with
+    its document spread and total occurrence count.
+
+    One shuffle on the gram hash; ``countDistinct`` plans as Spark's
+    two-phase expand+partial aggregate, so the map side combines before
+    the exchange. The output is the span blocklist an exact-substring
+    dedup pass would subtract from the corpus.
+    """
+    return (
+        ngram_hashes(df, n, id_col, text_col)
+        .groupBy("gram_md5")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicate_gram_fraction(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction (Gopher-style repetition
+    signal, but CROSS-document): the fraction of a doc's n-gram window
+    occurrences whose gram also appears in some other document.
+
+    Two shuffles, both keyed on ``gram_md5``: the spread aggregate and the
+    join back onto the gram rows (the aggregate's output partitioning is
+    reused by the join, so only the gram side re-shuffles). The per-doc
+    rollup then shuffles (doc_id, counts) only. Docs with fewer than ``n``
+    tokens surface with ``n_grams = 0`` and fraction 0.0 via the left
+    join, so the operator is total over the corpus.
+    """
+    grams = ngram_hashes(df, n, id_col, text_col)
+    spread = grams.groupBy("gram_md5").agg(F.countDistinct(id_col).alias("_nd"))
+    per_doc = (
+        grams.join(spread, "gram_md5")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("n_dup_grams"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
+                4,
+            ).alias("dup_gram_frac"),
+        )
+    )
+
+
 def doc_shingle_features(
     df: DataFrame,
     num_hashes: int = 64,

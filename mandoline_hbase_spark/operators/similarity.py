@@ -337,3 +337,46 @@ def l2_normalize(
         norm.alias("l2_norm"),
         unit.alias("unit_vec"),
     )
+
+
+def rp_sign_matrix(out_dim: int, dim: int, seed: int = 101) -> "np.ndarray":
+    """Deterministic Rademacher (+-1) projection matrix, shape
+    ``(out_dim, dim)`` — the Achlioptas form of a Johnson-Lindenstrauss
+    random projection. Seeded RandomState so the Spark operator and any
+    oracle re-derive the identical matrix."""
+    rng = np.random.RandomState(seed)
+    return np.where(rng.rand(out_dim, dim) < 0.5, -1.0, 1.0)
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 101,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: ``p_j = sum_i v_i * s_ji``
+    with Rademacher signs — the dimensionality-reduction step before a
+    cheap ANN index or clustering pass (distances preserved within
+    ``1 +- eps`` for ``out_dim = O(log n / eps^2)``).
+
+    The projection matrix is baked into the plan as literals (it is
+    ``out_dim x dim`` doubles — trivially broadcast-sized), so the whole
+    operator is map-only whole-stage-codegen arithmetic: no UDF, no
+    shuffle, pipelines into the scan at 100 TB. Each output is an
+    explicit LEFT-ASSOCIATIVE add chain, so a scalar SQL engine
+    evaluating the same chain produces bit-identical doubles (the oracle
+    compare relies on this). Output columns ``p00..p{out_dim-1:02d}``,
+    rounded to 6 places.
+    """
+    signs = rp_sign_matrix(out_dim, dim, seed)
+    df = _spread(df, id_col)
+    v = F.col(vec_col)
+    outs = []
+    for j in range(out_dim):
+        expr = v[0].cast("double") * float(signs[j, 0])
+        for i in range(1, dim):
+            expr = expr + v[i].cast("double") * float(signs[j, i])
+        outs.append(F.round(expr, 6).alias(f"p{j:02d}"))
+    return df.select(F.col(id_col), *outs)

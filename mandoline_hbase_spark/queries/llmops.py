@@ -266,6 +266,76 @@ def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_ngrams",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, md5(array_to_string(t[i:i+3], ' ')) AS gram_md5
+            FROM toks,
+                 LATERAL unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS u(i)
+        )
+        SELECT gram_md5,
+               count(DISTINCT doc_id)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_occurrences
+        FROM grams
+        GROUP BY gram_md5
+        HAVING count(DISTINCT doc_id) >= 2
+    """,
+    description=(
+        "Exact-substring span dedup (Lee et al. 2022): overlapping 4-token "
+        "windows duplicated across >= 2 documents"
+    ),
+    tags=("llm", "dedup", "span"),
+)
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_ngram_spans(docs, n=4, min_docs=2)
+
+
+@register(
+    "text_dup_gram_fraction",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS g
+            FROM toks,
+                 LATERAL unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+        ),
+        spread AS (
+            SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   count(*) AS n_grams,
+                   sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+            FROM grams JOIN spread USING (g)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_grams, 0)::BIGINT AS n_grams,
+               coalesce(n_dup, 0)::BIGINT AS n_dup_grams,
+               round(coalesce(n_dup, 0)::DOUBLE
+                     / greatest(coalesce(n_grams, 0), 1), 4) AS dup_gram_frac
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+    description=(
+        "Per-doc cross-document duplicated 3-gram fraction "
+        "(Gopher-style repetition signal at corpus scope)"
+    ),
+    tags=("llm", "text", "dedup", "quality"),
+)
+def text_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_gram_fraction(docs, n=3)
+
+
+@register(
     "dedup_exact_groups",
     oracle="""
     SELECT md5(text) AS content_hash,
@@ -878,6 +948,34 @@ def emb_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_scale",
         F.concat_ws(",", F.col("q_vec")).alias("q_csv"),
     )
+
+
+def _rp_oracle(out_dim: int = 8, dim: int = 64, seed: int = 101) -> str:
+    """Build the JL-projection oracle with the SAME sign matrix as the
+    Spark operator (similarity.rp_sign_matrix), as explicit left-assoc
+    add chains so DuckDB's evaluation order matches Spark's bit-for-bit."""
+    signs = similarity.rp_sign_matrix(out_dim, dim, seed)
+    cols = []
+    for j in range(out_dim):
+        chain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {signs[j, i]!r}" for i in range(dim)
+        )
+        cols.append(f"round({chain}, 6) AS p{j:02d}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@register(
+    "emb_random_projection",
+    oracle=_rp_oracle(),
+    description=(
+        "Johnson-Lindenstrauss Rademacher sign projection 64->8: map-only "
+        "plan-literal matrix, the dimensionality-reduction step before ANN"
+    ),
+    tags=("llm", "similarity", "projection"),
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(emb, out_dim=8, dim=64)
 
 
 @register(

@@ -1,0 +1,49 @@
+"""Edge cases for overlapping n-gram span dedup and the per-doc
+duplicated-gram fraction (operators/dedup.py: ngram_hashes,
+duplicated_ngram_spans, duplicate_gram_fraction)."""
+
+from __future__ import annotations
+
+from mandoline_hbase_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_ngram_hashes_counts_and_alignment(spark):
+    df = _docs(spark, [(1, "a b c d e")])
+    rows = dedup.ngram_hashes(df, n=4).collect()
+    # 5 tokens, n=4 -> 2 windows: "a b c d", "b c d e"
+    assert len(rows) == 2
+    assert sorted(r.gram_idx for r in rows) == [0, 1]
+
+
+def test_short_and_empty_docs_emit_no_grams(spark):
+    df = _docs(spark, [(1, "a b c"), (2, ""), (3, "   "), (4, "x")])
+    assert dedup.ngram_hashes(df, n=4).count() == 0
+
+
+def test_duplicated_spans_cross_doc_any_alignment(spark):
+    # the shared 4-gram "p q r s" sits at offset 0 in doc 1, offset 2 in
+    # doc 2 — segment (non-overlapping) dedup with seg_len=4 would MISS it
+    df = _docs(spark, [(1, "p q r s t"), (2, "x y p q r s"), (3, "m n o u v")])
+    spans = dedup.duplicated_ngram_spans(df, n=4).collect()
+    assert len(spans) == 1
+    assert spans[0].n_docs == 2 and spans[0].n_occurrences == 2
+
+
+def test_within_doc_repeat_is_not_cross_doc(spark):
+    df = _docs(spark, [(1, "a b c d a b c d"), (2, "z z z z z")])
+    assert dedup.duplicated_ngram_spans(df, n=4, min_docs=2).count() == 0
+
+
+def test_duplicate_gram_fraction_total_over_corpus(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c z"), (3, "x")])
+    out = {r.doc_id: r for r in dedup.duplicate_gram_fraction(df, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1 grams: "a b c", "b c d"; "a b c" also in doc 2 -> 1/2
+    assert out[1].n_grams == 2 and out[1].n_dup_grams == 1
+    assert abs(out[1].dup_gram_frac - 0.5) < 1e-9
+    # doc 3 too short: surfaces with zero grams, fraction 0.0
+    assert out[3].n_grams == 0 and out[3].dup_gram_frac == 0.0

@@ -63,3 +63,33 @@ def test_lsh_topk_recall(spark):
     # hardest case for hyperplane hashing; Hamming-2 multiprobe on 8 planes
     # gives ~0.4 expected recall here vs ~1% random baseline
     assert hits / total >= 0.25
+
+
+def test_random_projection_preserves_relative_distance(spark):
+    import numpy as np
+
+    from mandoline_hbase_spark.operators import similarity
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(64).astype("float32")
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + 0.01 * rng.randn(64).astype("float32")]),  # near
+        (2, [float(x) for x in rng.randn(64).astype("float32")]),  # far
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: np.array(r[1:]) for r in
+           similarity.random_projection(df, out_dim=8, dim=64).collect()}
+    d_near = np.linalg.norm(out[0] - out[1])
+    d_far = np.linalg.norm(out[0] - out[2])
+    assert d_near < d_far
+
+
+def test_random_projection_deterministic(spark):
+    from mandoline_hbase_spark.operators import similarity
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(5)
+    a = similarity.random_projection(emb).collect()
+    b = similarity.random_projection(emb).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
