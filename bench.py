@@ -93,8 +93,11 @@ HEADLINE = [
     "text_fingerprint",
     "text_repetition_signals",
     "text_winnowing_stats",
+    "text_dup_gram_fraction",
     "dedup_exact_keep_first",
     "dedup_segment_exact",
+    "dedup_span_ngrams",
+    "dedup_span_removal",
     "dedup_minhash_lsh",
     "dedup_cluster_assign",
     "dedup_simhash",
@@ -109,6 +112,7 @@ HEADLINE = [
     "text_pii_redaction",
     "emb_quantize_int8",
     "emb_l2_normalize",
+    "emb_random_projection",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_ann_topk",

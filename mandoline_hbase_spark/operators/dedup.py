@@ -244,6 +244,73 @@ def duplicate_gram_fraction(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 4,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring span REMOVAL (the rewrite half of Lee et al. 2022):
+    delete every token covered by an n-gram window that occurs in
+    ``min_docs``+ distinct documents, and reassemble the surviving tokens
+    in order as ``cleaned_text``.
+
+    Fully distributed, linear in corpus token count — no per-doc quadratic
+    scan: tokens and duplicated window positions are exploded to rows, the
+    covered positions are subtracted with a ``left_anti`` join keyed on
+    ``(doc, position)``, and the doc is rebuilt with
+    ``array_sort(collect_list(struct(pos, tok)))``. All shuffles are keyed
+    on the gram hash or the doc id; the text itself crosses the exchange
+    once (token rows), which is the floor for any rewrite operator.
+    Whitespace-only docs come back with zero tokens; docs that survive
+    untouched return their normalized (single-space) token join.
+    """
+    grams = ngram_hashes(df, n, id_col, text_col)
+    dup = (
+        grams.groupBy("gram_md5")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram_md5")
+    )
+    covered = (
+        grams.join(dup, "gram_md5")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("gram_idx"), F.col("gram_idx") + (n - 1))
+            ).alias("k"),
+        )
+        .distinct()
+    )
+    toks = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        .withColumn("_t", tokens_col(text_col))
+        .select(F.col(id_col), F.posexplode_outer("_t").alias("k", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    kept = toks.join(covered, [id_col, "k"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("_cleaned"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_n_kept"), F.lit(0)).cast("bigint").alias("n_kept_tokens"),
+            F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def doc_shingle_features(
     df: DataFrame,
     num_hashes: int = 64,

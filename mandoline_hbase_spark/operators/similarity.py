@@ -361,22 +361,33 @@ def random_projection(
     cheap ANN index or clustering pass (distances preserved within
     ``1 +- eps`` for ``out_dim = O(log n / eps^2)``).
 
-    The projection matrix is baked into the plan as literals (it is
-    ``out_dim x dim`` doubles — trivially broadcast-sized), so the whole
-    operator is map-only whole-stage-codegen arithmetic: no UDF, no
-    shuffle, pipelines into the scan at 100 TB. Each output is an
-    explicit LEFT-ASSOCIATIVE add chain, so a scalar SQL engine
-    evaluating the same chain produces bit-identical doubles (the oracle
-    compare relies on this). Output columns ``p00..p{out_dim-1:02d}``,
-    rounded to 6 places.
+    The projection matrix is baked into the plan as ONE nested-array
+    literal (``out_dim x dim`` doubles — trivially broadcast-sized), so
+    the whole operator is map-only whole-stage-codegen arithmetic: no
+    UDF, no shuffle, pipelines into the scan at 100 TB. Each output is a
+    sequential left fold ``0.0 + v_0*s_0 + v_1*s_1 + ...``
+    (zip_with + aggregate), so a scalar SQL engine evaluating the same
+    left-associative chain produces bit-identical doubles (the oracle
+    compare relies on this; the leading ``0.0 +`` is an IEEE no-op for
+    any nonzero first term). A naive expansion into ``out_dim`` explicit
+    64-term add-chain expressions optimizes ~100x slower on the driver —
+    Catalyst rule application over ~1500 deeply nested nodes costs
+    seconds per query. Output columns ``p00..p{out_dim-1:02d}``, rounded
+    to 6 places.
     """
     signs = rp_sign_matrix(out_dim, dim, seed)
     df = _spread(df, id_col)
-    v = F.col(vec_col)
-    outs = []
-    for j in range(out_dim):
-        expr = v[0].cast("double") * float(signs[j, 0])
-        for i in range(1, dim):
-            expr = expr + v[i].cast("double") * float(signs[j, i])
-        outs.append(F.round(expr, 6).alias(f"p{j:02d}"))
+    v = _as_double(vec_col)
+    signs_lit = F.lit(signs.tolist())
+    outs = [
+        F.round(
+            F.aggregate(
+                F.zip_with(v, F.element_at(signs_lit, j + 1), lambda a, s: a * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias(f"p{j:02d}")
+        for j in range(out_dim)
+    ]
     return df.select(F.col(id_col), *outs)

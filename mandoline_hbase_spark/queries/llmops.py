@@ -296,6 +296,62 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_removal",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        tok_rows AS (
+            SELECT doc_id, i - 1 AS k, t[i] AS tok
+            FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+            WHERE t[i] <> ''
+        ),
+        grams AS (
+            SELECT doc_id, i - 1 AS gram_idx,
+                   md5(array_to_string(t[i:i+3], ' ')) AS g
+            FROM toks,
+                 LATERAL unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS u(i)
+        ),
+        dup AS (
+            SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ),
+        cov AS (
+            SELECT DISTINCT grams.doc_id, gram_idx + j AS k
+            FROM grams JOIN dup USING (g),
+                 LATERAL unnest(range(0, 4)) AS v(j)
+        ),
+        kept AS (
+            SELECT tok_rows.doc_id, tok_rows.k, tok_rows.tok
+            FROM tok_rows
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cov
+                WHERE cov.doc_id = tok_rows.doc_id AND cov.k = tok_rows.k
+            )
+        ),
+        re AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY k) AS cleaned
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_kept, 0)::BIGINT AS n_kept_tokens,
+               coalesce(cleaned, '') AS cleaned_text
+        FROM documents d LEFT JOIN re USING (doc_id)
+    """,
+    description=(
+        "Exact-substring span removal (Lee et al. 2022 rewrite half): "
+        "drop every token covered by a cross-document duplicated 4-gram "
+        "window, reassemble survivors in order"
+    ),
+    tags=("llm", "dedup", "span", "rewrite"),
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(docs, n=4, min_docs=2)
+
+
+@register(
     "text_dup_gram_fraction",
     oracle=r"""
         WITH toks AS (

@@ -47,3 +47,31 @@ def test_duplicate_gram_fraction_total_over_corpus(spark):
     assert abs(out[1].dup_gram_frac - 0.5) < 1e-9
     # doc 3 too short: surfaces with zero grams, fraction 0.0
     assert out[3].n_grams == 0 and out[3].dup_gram_frac == 0.0
+
+
+def test_span_removal_drops_covered_tokens_only(spark):
+    # the 4-gram "p q r s" is duplicated; doc 1 keeps only "t", doc 2
+    # keeps its unshared prefix "x y"
+    df = _docs(spark, [(1, "p q r s t"), (2, "x y p q r s"), (3, "m n o u v")])
+    out = {r.doc_id: r for r in dedup.remove_duplicated_spans(df, n=4).collect()}
+    assert out[1].cleaned_text == "t" and out[1].n_kept_tokens == 1
+    assert out[2].cleaned_text == "x y" and out[2].n_kept_tokens == 2
+    assert out[3].cleaned_text == "m n o u v" and out[3].n_kept_tokens == 5
+
+
+def test_span_removal_overlapping_windows_merge_coverage(spark):
+    # "a b c d e" shared across both docs -> windows at 0 and 1 cover all
+    # five tokens in each doc
+    df = _docs(spark, [(1, "a b c d e z"), (2, "a b c d e w")])
+    out = {r.doc_id: r for r in dedup.remove_duplicated_spans(df, n=4).collect()}
+    assert out[1].cleaned_text == "z"
+    assert out[2].cleaned_text == "w"
+
+
+def test_span_removal_total_over_corpus(spark):
+    df = _docs(spark, [(1, ""), (2, "   "), (3, "only three tokens")])
+    out = {r.doc_id: r for r in dedup.remove_duplicated_spans(df, n=4).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_kept_tokens == 0 and out[1].cleaned_text == ""
+    assert out[2].n_kept_tokens == 0
+    assert out[3].cleaned_text == "only three tokens"
