@@ -98,6 +98,7 @@ HEADLINE = [
     "dedup_segment_exact",
     "dedup_span_ngrams",
     "dedup_span_removal",
+    "dedup_fuzzy_segments",
     "dedup_minhash_lsh",
     "dedup_cluster_assign",
     "dedup_simhash",

@@ -138,6 +138,68 @@ def segment_duplicates(
     )
 
 
+def segment_texts(
+    df: DataFrame, seg_len: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Like :func:`segment_hashes` but emits the segment TEXT instead of
+    its md5 — the input for fuzzy (edit-distance) segment matching, where
+    the verifier needs the characters, not a digest."""
+    staged = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).withColumn("_seg_toks", tokens_col(text_col))
+    t = F.col("_seg_toks")
+    n_segs = F.ceil(F.size(t) / F.lit(seg_len)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_segs - 1, F.lit(0))),
+        lambda s: F.concat_ws(" ", F.slice(t, s * seg_len + 1, seg_len)),
+    )
+    return staged.withColumn("_segs", segs).select(
+        F.col(id_col), F.posexplode_outer(F.col("_segs")).alias("seg_idx", "seg_text")
+    )
+
+
+def fuzzy_segment_pairs(
+    df: DataFrame,
+    seg_len: int = 3,
+    max_edit: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy segment near-duplicates: distinct segment-text pairs within
+    ``max_edit`` Levenshtein distance, candidate-blocked on (first token,
+    last token) — the classic blocked fuzzy join from entity resolution,
+    applied to corpus segments (catches typo/OCR-level mutations that
+    every hash-based dedup misses).
+
+    Scale shape: one shuffle for the segment distinct, one for the block
+    self-join; Levenshtein runs JVM-side (built-in) on candidates only,
+    so verify work is sum over blocks of |block|^2, never corpus^2. The
+    block key bounds candidates the way LSH bands do for MinHash; for
+    corpora with degenerate blocks, feed the blocked table through
+    ``banded_candidate_pairs`` (hot-bucket guard) instead of the plain
+    join.
+    """
+    segs = segment_texts(df, seg_len, id_col, text_col).select("seg_text").distinct()
+    toks = F.split(F.col("seg_text"), " ")
+    blocked = segs.select(
+        "seg_text",
+        F.element_at(toks, 1).alias("_f"),
+        F.element_at(toks, -1).alias("_l"),
+    )
+    a = blocked.select(F.col("seg_text").alias("seg_a"), "_f", "_l")
+    b = blocked.select(F.col("seg_text").alias("seg_b"), "_f", "_l")
+    return (
+        a.join(b, ["_f", "_l"])
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .select(
+            "seg_a",
+            "seg_b",
+            F.levenshtein("seg_a", "seg_b").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_edit)
+    )
+
+
 def ngram_hashes(
     df: DataFrame, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

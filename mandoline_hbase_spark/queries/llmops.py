@@ -392,6 +392,41 @@ def text_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_fuzzy_segments",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        segs AS (
+            SELECT DISTINCT array_to_string(t[(s*3+1):(s*3+3)], ' ') AS seg
+            FROM toks,
+                 LATERAL unnest(range(CAST(ceil(len(t) / 3.0) AS BIGINT))) AS u(s)
+        ),
+        b AS (
+            SELECT seg,
+                   string_split(seg, ' ')[1] AS f,
+                   string_split(seg, ' ')[-1] AS l
+            FROM segs
+        )
+        SELECT a.seg AS seg_a, c.seg AS seg_b,
+               levenshtein(a.seg, c.seg)::BIGINT AS edit_dist
+        FROM b a JOIN b c ON a.f = c.f AND a.l = c.l AND a.seg < c.seg
+        WHERE levenshtein(a.seg, c.seg) <= 2
+    """,
+    description=(
+        "Blocked fuzzy segment join: distinct segments within Levenshtein 2, "
+        "candidates blocked on (first, last) token — typo-level near-dup "
+        "detection hash dedup cannot see"
+    ),
+    tags=("llm", "dedup", "fuzzy"),
+)
+def dedup_fuzzy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fuzzy_segment_pairs(docs, seg_len=3, max_edit=2)
+
+
+@register(
     "dedup_exact_groups",
     oracle="""
     SELECT md5(text) AS content_hash,

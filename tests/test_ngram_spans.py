@@ -75,3 +75,17 @@ def test_span_removal_total_over_corpus(spark):
     assert out[1].n_kept_tokens == 0 and out[1].cleaned_text == ""
     assert out[2].n_kept_tokens == 0
     assert out[3].cleaned_text == "only three tokens"
+
+
+def test_fuzzy_segment_pairs_blocked_match(spark):
+    # same first/last token, middle within edit distance 2
+    df = _docs(spark, [(1, "key agg row"), (2, "key ag row"), (3, "key zzzzzz row"),
+                       (4, "other agg row")])
+    rows = dedup.fuzzy_segment_pairs(df, seg_len=3, max_edit=2).collect()
+    pairs = {(r.seg_a, r.seg_b): r.edit_dist for r in rows}
+    assert pairs == {("key ag row", "key agg row"): 1}
+
+
+def test_fuzzy_segment_pairs_identical_segments_excluded(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    assert dedup.fuzzy_segment_pairs(df, seg_len=3).count() == 0

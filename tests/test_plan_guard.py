@@ -139,3 +139,29 @@ def test_window_topk_plans_group_limit(spark):
             .toString()
         )
         assert "WindowGroupLimit" in plan, f"{name} lost the group-limit rewrite"
+
+
+def test_span_dedup_plan_shapes(spark):
+    """The new span family must stay in the narrow-plan envelope:
+    the JL projection is map-only after its spread (exactly the one
+    repartition exchange, zero Python), and overlapping-gram span
+    detection is spread + ONE aggregation shuffle (countDistinct partials
+    combine map-side)."""
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    def plan_of(name):
+        return (
+            QUERIES[name]
+            .fn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    rp = plan_of("emb_random_projection")
+    assert rp.count("Exchange") == 1, "projection must only have its spread exchange"
+    assert "EvalPython" not in rp, "projection must stay JVM-side"
+
+    spans = plan_of("dedup_span_ngrams")
+    assert spans.count("Exchange") <= 2, "span detection is spread + one agg shuffle"
+    assert "CartesianProduct" not in plan_of("dedup_span_removal")
