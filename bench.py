@@ -82,6 +82,9 @@ HEADLINE = [
     "sessionize_events",
     "funnel_signup_to_purchase",
     "retention_cohorts",
+    "ts_resample_gap_fill",
+    "ts_scd2_history",
+    "unpivot_lineitem_measures",
     "hll_union_distinct_users",
     "kmv_user_overlap_by_type",
     "theta_user_set_algebra",
@@ -204,9 +207,9 @@ _FAMILY_PREFIXES = (
               "q19", "q20", "q21", "q22", "anti_")),
     ("window", ("window_", "topk_", "percentiles_", "skyline_", "rollup_",
                 "cube_", "grouping_", "scalar_", "pandas_udf", "range_scan",
-                "variant_")),
+                "variant_", "unpivot_", "pivot_")),
     ("events", ("sessionize", "funnel_", "retention_", "version_", "asof_",
-                "range_join")),
+                "range_join", "ts_")),
     ("sketch", ("hll_", "kmv_", "theta_", "kll_", "approx_")),
     ("text", ("text_", "vocab_", "tfidf_")),
     ("dedup", ("dedup_", "decontam_")),

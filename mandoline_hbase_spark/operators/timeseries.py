@@ -1,0 +1,96 @@
+"""Time-series operators: grid resampling with gap fill, SCD2 history.
+
+Regular-grid resampling (downsample to a day grid, forward-fill gaps)
+and slowly-changing-dimension (type-2) history construction are the two
+canonical "stateful over time" reshapes an analytics engine needs; both
+are pure window/sequence compositions here — no UDFs, shuffles keyed on
+the series key only.
+
+Determinism discipline: the resample aggregates with ``count`` and
+``max`` (order-independent — a float ``sum``/``avg`` would diverge from
+a scalar engine in the last ulp under different summation orders), and
+every ordering includes a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def resample_gap_fill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key daily resample over each key's [min day, max day] span:
+    one row per key per calendar day, ``n_events``/``day_max`` from that
+    day's rows, gap days flagged and forward-filled with the last seen
+    ``day_max`` (LOCF).
+
+    Scale shape: two aggregations and one window, all keyed on
+    ``key_col``; the grid explode is ``days_in_span`` rows per key —
+    output-proportional, no cross-key work. The forward-fill window is
+    per-key and ordered, so state is one row.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = df.groupBy(F.col(key_col), day.alias("day")).agg(
+        F.count(F.lit(1)).alias("_n"), F.max(value_col).alias("_day_max")
+    )
+    spans = daily.groupBy(key_col).agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    grid = spans.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    filled = grid.join(daily, [key_col, "day"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        F.col(key_col),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("_n").isNull().alias("is_gap"),
+        F.round(F.last("_day_max", ignorenulls=True).over(w), 4).alias("filled_max"),
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event stream: per
+    key, collapse consecutive equal states into validity intervals
+    ``[valid_from, valid_to)`` with an ``is_current`` flag on the open
+    interval.
+
+    One shuffle on the key; two ordered windows (lag to find run starts,
+    lead to close intervals). ``tiebreak_col`` must be unique so
+    same-timestamp events order identically on any engine.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    runs = (
+        df.withColumn("_prev", F.lag(state_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col)))
+        .select(
+            F.col(key_col),
+            F.col(state_col).alias("state"),
+            F.col(ts_col).alias("valid_from"),
+            F.col(tiebreak_col).alias("_tb"),
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", "_tb")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_tb")
+    )

@@ -77,6 +77,8 @@ def oracle_sql_map() -> dict[str, str]:
 _FAMILY_RANK = {
     "llmops": 0,
     "curation_ext": 0,
+    # never driver-checked (new this round)
+    "timeseries": 0,
     # Queries that passed vacuously (0 rows) in round 1 and were re-predicated
     # to return data get re-checked right after the LLM family.
     "relational": 3,
@@ -111,3 +113,4 @@ from mandoline_hbase_spark.queries import tpch_remaining  # noqa: E402,F401
 from mandoline_hbase_spark.queries import events_analytics  # noqa: E402,F401
 from mandoline_hbase_spark.queries import llmops  # noqa: E402,F401
 from mandoline_hbase_spark.queries import curation_ext  # noqa: E402,F401
+from mandoline_hbase_spark.queries import timeseries  # noqa: E402,F401
