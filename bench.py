@@ -66,6 +66,7 @@ HEADLINE = [
     "q22_idle_customers",
     "asof_attribution",
     "range_join_follow_clicks",
+    "full_outer_customer_orders",
     "percentiles_by_segment",
     "pandas_udf_price_score",
     "window_top3_suppliers_per_nation",
@@ -84,6 +85,9 @@ HEADLINE = [
     "retention_cohorts",
     "ts_resample_gap_fill",
     "ts_scd2_history",
+    "ts_trailing_7d_stats",
+    "ts_value_histogram",
+    "gov_masked_events",
     "unpivot_lineitem_measures",
     "hll_union_distinct_users",
     "kmv_user_overlap_by_type",
@@ -102,6 +106,7 @@ HEADLINE = [
     "dedup_span_ngrams",
     "dedup_span_removal",
     "dedup_fuzzy_segments",
+    "graph_doc_metrics",
     "dedup_minhash_lsh",
     "dedup_cluster_assign",
     "dedup_simhash",
@@ -204,15 +209,15 @@ def main() -> None:
 _FAMILY_PREFIXES = (
     ("tpch", ("q1_", "q2_", "q3_", "q4_", "q5_", "q6_", "q7_", "q8_", "q9_",
               "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
-              "q19", "q20", "q21", "q22", "anti_")),
+              "q19", "q20", "q21", "q22", "anti_", "full_")),
     ("window", ("window_", "topk_", "percentiles_", "skyline_", "rollup_",
                 "cube_", "grouping_", "scalar_", "pandas_udf", "range_scan",
                 "variant_", "unpivot_", "pivot_")),
     ("events", ("sessionize", "funnel_", "retention_", "version_", "asof_",
-                "range_join", "ts_")),
+                "range_join", "ts_", "gov_")),
     ("sketch", ("hll_", "kmv_", "theta_", "kll_", "approx_")),
     ("text", ("text_", "vocab_", "tfidf_")),
-    ("dedup", ("dedup_", "decontam_")),
+    ("dedup", ("dedup_", "decontam_", "graph_")),
     ("ann", ("sim_", "emb_")),
     ("curate", ("sample_", "curate_", "corpus_", "pack_", "mix_", "chunk_",
                 "quality_", "contrastive_")),

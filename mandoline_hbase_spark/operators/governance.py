@@ -1,0 +1,54 @@
+"""Governance operators: column masking / pseudonymization views.
+
+Fine-grained access control on a lake engine reduces to *views* that
+mask, pseudonymize, or drop columns and filter rows before the data
+leaves the scan (Lakeguard-style policy enforcement, PAPERS.md). All
+transforms are deterministic column expressions, so policies compose
+with Catalyst: filters still push down, masked columns still prune, and
+the view costs nothing beyond the expressions themselves.
+
+Pseudonymization uses salted SHA-256 — deterministic (joins across
+tables on the pseudonym still work) but unlinkable to the raw id
+without the salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def pseudonymize(col: str | Column, salt: str) -> Column:
+    """Salted SHA-256 pseudonym of a column (cast to string first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(F.concat(F.lit(salt), c.cast("string")), 256)
+
+
+def mask_tail(col: str | Column, keep: int = 2, mask_char: str = "*") -> Column:
+    """Keep the first ``keep`` characters, mask the rest to fixed '***'
+    plus length (format-revealing masks leak less than they seem, so the
+    mask is fixed-width: ``ab***``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.substring(c.cast("string"), 1, keep), F.lit(mask_char * 3))
+
+
+def masked_view(
+    df: DataFrame,
+    pseudonym_cols: dict[str, str] | None = None,
+    mask_cols: tuple[str, ...] = (),
+    drop_cols: tuple[str, ...] = (),
+    row_filter: Column | None = None,
+) -> DataFrame:
+    """Build a policy view: pseudonymize ``pseudonym_cols`` (col -> salt),
+    mask ``mask_cols`` to prefix+***, drop ``drop_cols``, and apply
+    ``row_filter`` BEFORE any projection so it can push to the scan.
+    """
+    out = df
+    if row_filter is not None:
+        out = out.filter(row_filter)
+    for c, salt in (pseudonym_cols or {}).items():
+        out = out.withColumn(c, pseudonymize(c, salt))
+    for c in mask_cols:
+        out = out.withColumn(c, mask_tail(c))
+    if drop_cols:
+        out = out.drop(*drop_cols)
+    return out

@@ -1,0 +1,96 @@
+"""Graph analytics over similarity graphs: degrees, triangles,
+clustering coefficients.
+
+Connected components (dedup.connected_components) answers "which docs
+form one duplicate cluster"; these operators answer the finer structural
+questions — how DENSE each neighborhood is (a high-clustering node sits
+in a near-clique of mutual near-dups; a high-degree low-clustering node
+is a hub stitching unrelated docs, the classic boilerplate signature).
+
+Scale design: edges are canonical (``src < dst``) once; the triangle
+join is the standard two-hop wedge join — every join keyed on a vertex,
+no broadcast of the edge set, work ∝ Σ degree(v)² (wedge count), the
+same bound every distributed triangle count has. For skewed degree
+distributions, orient wedges from the lower-degree endpoint first to
+cap the quadratic at the hub (documented; the doc-similarity graphs
+here are near-clique shaped, not power-law).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mandoline_hbase_spark.operators.dedup import segment_hashes
+
+
+def shared_segment_edges(
+    df: DataFrame,
+    seg_len: int = 3,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc-similarity edges: pairs sharing at least ``min_shared``
+    distinct segments, found by self-joining the (doc, segment-hash)
+    table on the hash — the inverted-index pair generation every
+    candidate-based dedup uses (bucket-bounded, never corpus²). Emits
+    canonical ``(src, dst, shared)`` with ``src < dst``.
+    """
+    segs = segment_hashes(df, seg_len, id_col, text_col).select(
+        F.col(id_col).alias("_id"), "seg_md5"
+    ).dropDuplicates(["_id", "seg_md5"])
+    a = segs.select(F.col("_id").alias("src"), "seg_md5")
+    b = segs.select(F.col("_id").alias("dst"), "seg_md5")
+    return (
+        a.join(b, "seg_md5")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node degree of an undirected canonical edge list."""
+    return (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via the wedge join: for canonical edges
+    (x<y), wedge (x,y)+(y,z) closes iff (x,z) is an edge; each found
+    triangle credits all three vertices.
+    """
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    e1 = e
+    e2 = e.select(F.col("x").alias("y"), F.col("y").alias("z"))
+    e3 = e.select(F.col("x").alias("x"), F.col("y").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    return (
+        tris.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+def node_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node (degree, triangle count, local clustering coefficient
+    ``2T / (d(d-1))``, 0 for degree-1 nodes) over a canonical edge list.
+    """
+    d = degrees(edges, src, dst)
+    t = triangles(edges, src, dst)
+    joined = d.join(t, "node", "left")
+    tri = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+    deg = F.col("degree")
+    coeff = F.when(deg < 2, F.lit(0.0)).otherwise(
+        F.round(tri * 2 / (deg * (deg - 1)), 4)
+    )
+    return joined.select(
+        "node", deg.alias("degree"), tri.alias("n_triangles"), coeff.alias("clustering")
+    )

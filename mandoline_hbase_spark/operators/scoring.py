@@ -156,3 +156,35 @@ def source_temperature_weights(df: DataFrame, source_col: str = "source", text_c
             F.round(F.col("_sq") / F.col("_denom"), 6).alias("mix_weight"),
         )
     )
+
+
+def approx_score_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    accuracy: int = 10_000,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Quantile binning at scale: ONE mergeable-sketch pass
+    (``percentile_approx``, Greenwald-Khanna) computes the ``n_bins - 1``
+    cutoffs, then binning is a map-only comparison against the broadcast
+    cutoff literals.
+
+    This is the 100 TB twin of the exact ``ntile`` decile query
+    (relational_ext.quality_decile_bins): ntile is a GLOBAL sort window —
+    all rows through one partition — while this is sketch-merge +
+    scan-speed CASE, at the cost of boundary error bounded by the sketch
+    accuracy. Rows equal to a cutoff land in the lower bin (ties below),
+    matching ``value > cutoff`` bin advancement.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    pcts = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.agg(
+        F.percentile_approx(score_col, pcts, accuracy).alias("c")
+    ).first()["c"]
+    cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    binned = (
+        F.size(F.filter(cut_arr, lambda c: F.col(score_col) > c)) + 1
+    ).cast("bigint")
+    return df.withColumn(out_col, binned)

@@ -61,6 +61,59 @@ def resample_gap_fill(
     )
 
 
+def trailing_window_stats(
+    df: DataFrame,
+    days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing time-RANGE window (last ``days`` days up to and
+    including the current event): event count and max value.
+
+    The physical order key is microseconds (``unix_micros``), not a
+    seconds cast — truncating to seconds silently moves boundary events
+    in or out of the frame relative to engines that compare at full
+    timestamp precision. RANGE frames keep state bounded by the time
+    span per key; one shuffle on the key.
+    """
+    micros = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(micros)
+        .rangeBetween(-days * 86_400 * 1_000_000, 0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.count(F.lit(1)).over(w).cast("bigint").alias(f"n_{days}d"),
+        F.max(value_col).over(w).alias(f"max_{days}d"),
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    bin_width: float = 10.0,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-width histogram per group: ``bin = floor(value / width)``,
+    with count and exact bin bounds observed. One groupBy shuffle at
+    (group, bin) grain — output is bins, never rows, so this is the
+    scan-speed distribution profile for any column at any scale.
+    """
+    binv = F.floor(F.col(value_col) / F.lit(bin_width)).cast("bigint")
+    return (
+        df.groupBy(F.col(group_col), binv.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("bin_min"),
+            F.max(value_col).alias("bin_max"),
+        )
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key_col: str = "user_id",

@@ -91,6 +91,10 @@ _REVERIFY_FIRST = frozenset(
     {"q9_profit_by_nation_year", "q22_idle_customers", "anti_customers_without_orders"}
 )
 
+# Individually new queries living in already-verified family modules —
+# rank them with the unverified families so the driver prefix reaches them.
+_NEW_THIS_ROUND = frozenset({"full_outer_customer_orders"})
+
 
 def driver_queries() -> dict[str, Query]:
     """Oracle-backed queries, highest verification priority first."""
@@ -98,6 +102,8 @@ def driver_queries() -> dict[str, Query]:
     index = {n: i for i, n in enumerate(names)}
 
     def rank(name: str) -> tuple[int, int]:
+        if name in _NEW_THIS_ROUND:
+            return (0, index[name])
         if name in _REVERIFY_FIRST:
             return (1, index[name])
         mod = QUERIES[name].fn.__module__.rsplit(".", 1)[-1]

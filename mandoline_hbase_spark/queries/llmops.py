@@ -392,6 +392,65 @@ def text_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_doc_metrics",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        seg_raw AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(CAST(ceil(len(w) / 3.0) AS BIGINT)),
+                       s -> md5(array_to_string(w[(s*3+1):(s*3+3)], ' '))
+                   )) AS seg
+            FROM t
+        ),
+        segs AS (SELECT DISTINCT doc_id, seg FROM seg_raw),
+        edges AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM segs a JOIN segs b ON a.seg = b.seg AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        deg AS (
+            SELECT node, count(*)::BIGINT AS degree FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges
+            ) GROUP BY node
+        ),
+        tri AS (
+            SELECT node, count(*)::BIGINT AS n_triangles FROM (
+                SELECT unnest([e1.src, e1.dst, e2.dst]) AS node
+                FROM edges e1
+                JOIN edges e2 ON e1.dst = e2.src
+                JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            ) GROUP BY node
+        )
+        SELECT deg.node, degree,
+               coalesce(n_triangles, 0)::BIGINT AS n_triangles,
+               CASE WHEN degree < 2 THEN 0.0
+                    ELSE round(coalesce(n_triangles, 0) * 2
+                               / (degree * (degree - 1)), 4)
+               END AS clustering
+        FROM deg LEFT JOIN tri ON deg.node = tri.node
+    """,
+    description=(
+        "Graph analytics on the shared-segment doc-similarity graph: "
+        "degree, wedge-join triangle count, local clustering coefficient "
+        "(near-clique dup neighborhoods vs boilerplate hubs)"
+    ),
+    tags=("llm", "graph", "triangles"),
+)
+def graph_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = graph.shared_segment_edges(docs, seg_len=3, min_shared=2)
+    return graph.node_metrics(edges)
+
+
+@register(
     "dedup_fuzzy_segments",
     oracle=r"""
         WITH toks AS (

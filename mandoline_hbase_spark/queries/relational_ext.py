@@ -845,3 +845,50 @@ def quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "full_outer_customer_orders",
+    oracle=r"""
+        WITH c AS (
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+        ),
+        o AS (
+            SELECT o_custkey, count(*) AS n_orders
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY o_custkey
+        )
+        SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+               c.c_name,
+               coalesce(o.n_orders, 0)::BIGINT AS n_orders,
+               (c.c_custkey IS NULL) AS customer_missing,
+               (o.o_custkey IS NULL) AS orders_missing
+        FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+    description=(
+        "FULL OUTER join with nulls on BOTH sides (rich customers vs "
+        "finished-order counts) — completes the join-type surface next to "
+        "the semi/anti/left/asof/range queries"
+    ),
+    tags=("relational", "join", "full_outer"),
+)
+def full_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.col("c_name"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.col("c_custkey").isNull().alias("customer_missing"),
+        F.col("o_custkey").isNull().alias("orders_missing"),
+    )

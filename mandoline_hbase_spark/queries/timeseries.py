@@ -1,5 +1,6 @@
-"""Time-series catalog queries: grid resample with gap fill, SCD2
-history, measure unpivot — each paired with an exact DuckDB oracle.
+"""Time-series + governance catalog queries: grid resample with gap
+fill, SCD2 history, trailing RANGE windows, histograms, measure
+unpivot, policy-masked views — each paired with an exact DuckDB oracle.
 
 Parity notes: the resample aggregates with count/max only (float
 sum/avg would diverge in the last ulp across engines under different
@@ -12,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mandoline_hbase_spark.operators import timeseries
+from mandoline_hbase_spark.operators import governance, timeseries
 from mandoline_hbase_spark.queries.catalog import register
 from mandoline_hbase_spark.sources.tables import load_table
 
@@ -99,6 +100,51 @@ def ts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_trailing_7d_stats",
+    oracle=r"""
+        SELECT event_id, user_id,
+               count(*) OVER w::BIGINT AS n_7d,
+               max(value) OVER w AS max_7d
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+        )
+    """,
+    description=(
+        "Per-event trailing 7-day RANGE window per user (count + max) — "
+        "microsecond-precision frame bounds on both engines"
+    ),
+    tags=("timeseries", "window", "range"),
+)
+def ts_trailing_7d_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.trailing_window_stats(events, days=7)
+
+
+@register(
+    "ts_value_histogram",
+    oracle=r"""
+        SELECT event_type,
+               CAST(floor(value / 10.0) AS BIGINT) AS bin,
+               count(*)::BIGINT AS n,
+               min(value) AS bin_min,
+               max(value) AS bin_max
+        FROM events
+        GROUP BY event_type, CAST(floor(value / 10.0) AS BIGINT)
+    """,
+    description=(
+        "Fixed-width value histogram per event type: floor-binned counts "
+        "with observed bin bounds (exact distribution profile)"
+    ),
+    tags=("timeseries", "histogram", "aggregate"),
+)
+def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.value_histogram(events, bin_width=10.0)
+
+
+@register(
     "unpivot_lineitem_measures",
     oracle=r"""
         WITH m AS (
@@ -133,4 +179,35 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.groupBy("l_returnflag", "measure").agg(
         F.round(F.sum("val"), 2).alias("total"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "gov_masked_events",
+    oracle=r"""
+        SELECT event_id,
+               sha256('corpus-salt' || CAST(user_id AS VARCHAR)) AS user_pseudonym,
+               concat(substr(event_type, 1, 2), '***') AS event_type,
+               value
+        FROM events
+        WHERE event_type <> 'purchase'
+    """,
+    description=(
+        "Policy view: salted-SHA256 user pseudonyms (join-stable, "
+        "unlinkable), prefix-masked event types, purchase rows filtered "
+        "before projection so the predicate pushes to the scan"
+    ),
+    tags=("governance", "masking"),
+)
+def gov_masked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    view = governance.masked_view(
+        events,
+        pseudonym_cols={"user_id": "corpus-salt"},
+        mask_cols=("event_type",),
+        drop_cols=("props", "ts"),
+        row_filter=F.col("event_type") != "purchase",
+    )
+    return view.select(
+        "event_id", F.col("user_id").alias("user_pseudonym"), "event_type", "value"
     )

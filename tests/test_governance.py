@@ -1,0 +1,42 @@
+"""Governance view semantics: pseudonym stability, masking, pushdown."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mandoline_hbase_spark.operators import governance
+
+
+def test_pseudonym_join_stable_but_salted(spark):
+    df = spark.createDataFrame([(1,), (2,), (1,)], "user_id bigint")
+    out = df.select(
+        governance.pseudonymize("user_id", "s1").alias("p1"),
+        governance.pseudonymize("user_id", "s2").alias("p2"),
+    ).collect()
+    # same id + same salt -> same pseudonym (join-stable)
+    assert out[0].p1 == out[2].p1
+    # different salt -> unlinkable
+    assert out[0].p1 != out[0].p2
+
+
+def test_mask_tail_fixed_width(spark):
+    df = spark.createDataFrame([("purchase",), ("x",)], "s string")
+    rows = df.select(governance.mask_tail("s").alias("m")).collect()
+    assert rows[0].m == "pu***"
+    assert rows[1].m == "x***"  # shorter than keep: substring is total
+
+
+def test_masked_view_row_filter_pushes_to_scan(spark):
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    view = governance.masked_view(
+        events,
+        pseudonym_cols={"user_id": "salt"},
+        drop_cols=("props",),
+        row_filter=F.col("event_type") != "purchase",
+    )
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_type), Not(EqualTo(event_type,purchase))" in plan
+    # dropped column must not be read at all
+    assert "props" not in plan.split("ReadSchema")[1]

@@ -1,0 +1,47 @@
+"""Graph operator semantics on hand-built edge lists."""
+
+from __future__ import annotations
+
+from mandoline_hbase_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_triangle_counts_per_node(spark):
+    # K4 on {1,2,3,4}: 4 triangles, each node in 3
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    out = {r.node: r for r in graph.node_metrics(_edges(spark, k4)).collect()}
+    assert all(out[n].n_triangles == 3 and out[n].degree == 3 for n in range(1, 5))
+    assert all(out[n].clustering == 1.0 for n in range(1, 5))
+
+
+def test_path_graph_has_no_triangles(spark):
+    out = {r.node: r for r in graph.node_metrics(_edges(spark, [(1, 2), (2, 3)])).collect()}
+    assert all(r.n_triangles == 0 for r in out.values())
+    assert out[2].degree == 2 and out[2].clustering == 0.0
+    assert out[1].clustering == 0.0  # degree-1: defined as 0
+
+
+def test_triangle_plus_tail(spark):
+    # triangle {1,2,3} with a tail 3-4
+    out = {r.node: r for r in graph.node_metrics(
+        _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    ).collect()}
+    assert out[1].n_triangles == out[2].n_triangles == out[3].n_triangles == 1
+    assert out[4].n_triangles == 0
+    assert out[3].degree == 3 and out[3].clustering == round(2 * 1 / (3 * 2), 4)
+
+
+def test_shared_segment_edges_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # segments: "a b c", "d e f"
+            (2, "a b c d e f"),      # shares both -> edge (1,2) shared=2
+            (3, "a b c x y z"),      # shares one -> below min_shared
+        ],
+        "doc_id bigint, text string",
+    )
+    edges = graph.shared_segment_edges(df, seg_len=3, min_shared=2).collect()
+    assert [(e.src, e.dst, e.shared) for e in edges] == [(1, 2, 2)]

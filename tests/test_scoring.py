@@ -61,3 +61,38 @@ def test_source_temperature_weights_sum_to_one_and_flatten(spark):
     assert math.isclose(
         rows["big"].mix_weight / rows["small"].mix_weight, 3.0, rel_tol=1e-4
     )
+
+
+def test_approx_score_bins_matches_ntile_closely(spark):
+    from pyspark.sql import Window, functions as F
+
+    from mandoline_hbase_spark.operators import scoring
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", F.length("text").cast("double").alias("score")
+    )
+    n = docs.count()
+    out = scoring.approx_score_bins(docs, "score", n_bins=10)
+    sizes = {r.bin: r.c for r in out.groupBy("bin").agg(F.count("*").alias("c")).collect()}
+    assert set(sizes) <= set(range(1, 11))
+    # every bin within 60% of the ideal decile size (ties + sketch error)
+    ideal = n / 10
+    assert all(abs(c - ideal) <= 0.6 * ideal for c in sizes.values()), sizes
+    # monotone: higher bin -> higher min score
+    mins = {r.bin: r.m for r in out.groupBy("bin").agg(F.min("score").alias("m")).collect()}
+    ordered = [mins[b] for b in sorted(mins)]
+    assert ordered == sorted(ordered)
+
+
+def test_approx_score_bins_deterministic(spark):
+    from mandoline_hbase_spark.operators import scoring
+    from pyspark.sql import functions as F
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.length("text").cast("double").alias("score")
+    )
+    a = sorted((r.doc_id, r.bin) for r in scoring.approx_score_bins(docs, "score").collect())
+    b = sorted((r.doc_id, r.bin) for r in scoring.approx_score_bins(docs, "score").collect())
+    assert a == b

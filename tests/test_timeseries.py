@@ -72,3 +72,27 @@ def test_scd2_tiebreak_on_equal_timestamps(spark):
     # event_id orders the tie: a (id 1) precedes b (id 2)
     assert [r.state for r in rows] == ["a", "b"]
     assert rows[1].is_current and not rows[0].is_current
+
+
+def test_trailing_window_boundary_inclusive(spark):
+    t = dt.datetime(2024, 3, 10)
+    df = _events(
+        spark,
+        [
+            (1, t - dt.timedelta(days=7), 7, 1.0),   # exactly 7d back: IN frame
+            (2, t - dt.timedelta(days=7, microseconds=1), 7, 9.0),  # out
+            (3, t, 7, 2.0),
+        ],
+    )
+    out = {r.event_id: r for r in timeseries.trailing_window_stats(df, days=7).collect()}
+    assert out[3].n_7d == 2 and out[3].max_7d == 2.0
+    assert out[1].n_7d == 2  # event 2 is 1 microsecond earlier, in ITS frame
+    assert out[2].n_7d == 1
+
+
+def test_value_histogram_bins_negative_and_boundary(spark):
+    rows = [(1, dt.datetime(2024, 1, 1), 7, v) for v in (-0.5, 0.0, 9.99, 10.0, 25.0)]
+    df = _events(spark, [(i, *r[1:]) for i, r in enumerate(rows)])
+    hist = timeseries.value_histogram(df, bin_width=10.0, group_col="user_id").collect()
+    bins = {r.bin: r.n for r in hist}
+    assert bins == {-1: 1, 0: 2, 1: 1, 2: 1}  # floor semantics: -0.5 -> -1, 10.0 -> 1
