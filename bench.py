@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_span_removal",
     "dedup_fuzzy_segments",
     "graph_doc_metrics",
+    "graph_pagerank",
     "dedup_minhash_lsh",
     "dedup_cluster_assign",
     "dedup_simhash",

@@ -451,6 +451,89 @@ def graph_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_pagerank",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        seg_raw AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(CAST(ceil(len(w) / 3.0) AS BIGINT)),
+                       s -> md5(array_to_string(w[(s*3+1):(s*3+3)], ' '))
+                   )) AS seg
+            FROM t
+        ),
+        segs AS (SELECT DISTINCT doc_id, seg FROM seg_raw),
+        edges AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM segs a JOIN segs b ON a.seg = b.seg AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        sym AS (
+            SELECT src AS u, dst AS v FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        nodes AS (SELECT doc_id AS node FROM documents),
+        n_total AS (SELECT count(*) AS n FROM documents),
+        r0 AS (
+            SELECT node, CAST(CAST(1000000000 AS BIGINT) // (SELECT n FROM n_total) AS BIGINT) AS r
+            FROM nodes
+        ),
+        c1 AS (
+            SELECT s.v AS node, sum(r0.r // d.deg) AS s
+            FROM sym s JOIN deg d ON d.u = s.u JOIN r0 ON r0.node = s.u
+            GROUP BY s.v
+        ),
+        r1 AS (
+            SELECT n.node,
+                   CAST((15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT n FROM n_total))
+                        + (85 * coalesce(c1.s, 0)) // 100 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN c1 ON c1.node = n.node
+        ),
+        c2 AS (
+            SELECT s.v AS node, sum(r1.r // d.deg) AS s
+            FROM sym s JOIN deg d ON d.u = s.u JOIN r1 ON r1.node = s.u
+            GROUP BY s.v
+        ),
+        r2 AS (
+            SELECT n.node,
+                   CAST((15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT n FROM n_total))
+                        + (85 * coalesce(c2.s, 0)) // 100 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN c2 ON c2.node = n.node
+        ),
+        c3 AS (
+            SELECT s.v AS node, sum(r2.r // d.deg) AS s
+            FROM sym s JOIN deg d ON d.u = s.u JOIN r2 ON r2.node = s.u
+            GROUP BY s.v
+        ),
+        r3 AS (
+            SELECT n.node,
+                   CAST((15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT n FROM n_total))
+                        + (85 * coalesce(c3.s, 0)) // 100 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN c3 ON c3.node = n.node
+        )
+        SELECT node, r AS rank_nano, round(r / 1e9, 9) AS rank FROM r3
+    """,
+    description=(
+        "Fixed-point PageRank (3 iterations, integer nano-units, floor "
+        "division) on the shared-segment similarity graph — iterative "
+        "graph algorithm with a BIT-EXACT unrolled-CTE oracle"
+    ),
+    tags=("llm", "graph", "pagerank"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = graph.shared_segment_edges(docs, seg_len=3, min_shared=2)
+    return graph.pagerank_fixed_point(docs.select("doc_id"), edges, iters=3)
+
+
+@register(
     "dedup_fuzzy_segments",
     oracle=r"""
         WITH toks AS (

@@ -45,3 +45,25 @@ def test_shared_segment_edges_threshold(spark):
     )
     edges = graph.shared_segment_edges(df, seg_len=3, min_shared=2).collect()
     assert [(e.src, e.dst, e.shared) for e in edges] == [(1, 2, 2)]
+
+
+def test_pagerank_fixed_point_hand_computed(spark):
+    # path 1-2-3, N=3, one iteration:
+    # init = 333333333; tele = 50000000; deg = {1:1, 2:2, 3:1}
+    # node2 receives 333333333*2 -> 50000000 + 85*666666666//100 = 616666666
+    # node1/3 receive 333333333//2=166666666 -> 50000000 + 141666666 = 191666666
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+    edges = _edges(spark, [(1, 2), (2, 3)])
+    out = {r.node: r for r in
+           graph.pagerank_fixed_point(nodes, edges, iters=1).collect()}
+    assert out[2].rank_nano == 616666666
+    assert out[1].rank_nano == 191666666 and out[3].rank_nano == 191666666
+
+
+def test_pagerank_isolated_node_gets_teleport_floor(spark):
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "doc_id bigint")
+    edges = _edges(spark, [(1, 2)])
+    out = {r.node: r for r in
+           graph.pagerank_fixed_point(nodes, edges, iters=3).collect()}
+    assert out[9].rank_nano == (100 - 85) * 1_000_000_000 // (100 * 3)
+    assert out[1].rank_nano > out[9].rank_nano
