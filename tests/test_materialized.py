@@ -1,0 +1,88 @@
+"""Incremental materialized stats: full build, delta refresh, shrink."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mandoline_hbase_spark.errors import InvalidArgumentError
+from mandoline_hbase_spark.materialized import IncrementalVarStats
+
+
+def _expect(arr):
+    return {
+        "n": arr.size,
+        "total": float(arr.sum()),
+        "vmin": float(arr.min()),
+        "vmax": float(arr.max()),
+    }
+
+
+def _close(got, want):
+    assert got["n"] == want["n"]
+    assert abs(got["total"] - want["total"]) < 1e-9
+    assert got["vmin"] == want["vmin"] and got["vmax"] == want["vmax"]
+
+
+def test_full_build_matches_numpy(store, tmp_path, spark):
+    arr = np.arange(48, dtype=np.float64).reshape(6, 8)
+    store.write_variable("v", arr, chunk_shape=(2, 3))
+    m = IncrementalVarStats(store, "v", str(tmp_path / "mat"), spark=spark)
+    out = m.refresh()
+    assert out["incremental"] is False
+    _close(m.totals(), _expect(arr))
+
+
+def test_incremental_refresh_decodes_only_touched_chunks(store, tmp_path, spark):
+    arr = np.arange(48, dtype=np.float64).reshape(6, 8)
+    store.write_variable("v", arr, chunk_shape=(2, 3))
+    m = IncrementalVarStats(store, "v", str(tmp_path / "mat"), spark=spark)
+    m.refresh()
+
+    # slab update touching chunks (0,0) and (0,1) only
+    patch = np.full((2, 4), 999.0)
+    store.update_region("v", patch, offset=(0, 0))
+    arr[0:2, 0:4] = patch
+
+    decoded = []
+    orig = m._decode_stats
+
+    def spy(joined, var_meta):
+        decoded.append(joined.count())
+        return orig(joined, var_meta)
+
+    m._decode_stats = spy
+    out = m.refresh()
+    assert out["incremental"] is True
+    # 6x8 with (2,3) chunks = 12 coords total; the slab intersects 2
+    assert decoded == [2]
+    _close(m.totals(), _expect(arr))
+
+
+def test_refresh_same_version_is_noop(store, tmp_path, spark):
+    store.write_variable("v", np.ones((4, 4)), chunk_shape=(2, 2))
+    m = IncrementalVarStats(store, "v", str(tmp_path / "mat"), spark=spark)
+    m.refresh()
+    wm = m.watermark()
+    out = m.refresh()
+    assert m.watermark() == wm and out["stats_rows"] == 0
+
+
+def test_shrink_drops_stale_coords(store, tmp_path, spark):
+    store.write_variable("v", np.ones((6, 6)), chunk_shape=(2, 2))
+    m = IncrementalVarStats(store, "v", str(tmp_path / "mat"), spark=spark)
+    m.refresh()
+    small = np.full((2, 2), 5.0)
+    store.write_variable("v", small, chunk_shape=(2, 2))
+    m.refresh()
+    _close(m.totals(), _expect(small))
+
+
+def test_backwards_refresh_rejected(store, tmp_path, spark):
+    store.write_variable("v", np.ones((2, 2)), chunk_shape=(2, 2))
+    v1 = store.latest_version_id()
+    store.update_region("v", np.zeros((1, 1)), offset=(0, 0))
+    m = IncrementalVarStats(store, "v", str(tmp_path / "mat"), spark=spark)
+    m.refresh()
+    with pytest.raises(InvalidArgumentError):
+        m.refresh(version=v1)
