@@ -126,6 +126,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_ann_topk",
+    "sim_pq_ann_topk",
     "pack_sequences",
     "decontam_overlap",
     "dedup_semantic_prune",

@@ -391,3 +391,164 @@ def random_projection(
         for j in range(out_dim)
     ]
     return df.select(F.col(id_col), *outs)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-corpus ANN path
+# --------------------------------------------------------------------------
+
+
+def pq_fit(
+    emb_df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Train a product-quantization codebook: split vectors into ``m``
+    subspaces and run L2 Lloyd's k-means per subspace on a bounded,
+    DETERMINISTIC sample (the ``sample_n`` lowest-id vectors).
+
+    Sample-based codebook training is the standard scale path (FAISS
+    does the same): the driver holds ``sample_n x dim`` floats once at
+    fit time, never the corpus; encode/search are then fully
+    distributed. Deterministic init (first ``k`` distinct subvectors of
+    the sorted sample) makes fits reproducible across runs and
+    partitionings. Returns ``(m, k, dim//m)``.
+    """
+    import numpy as np
+
+    rows = (
+        emb_df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    codebook = np.zeros((m, k, d))
+    for j in range(m):
+        sub = X[:, j * d : (j + 1) * d]
+        # deterministic init: first k distinct subvectors
+        seen, init = set(), []
+        for row in sub:
+            key = row.tobytes()
+            if key not in seen:
+                seen.add(key)
+                init.append(row)
+            if len(init) == k:
+                break
+        while len(init) < k:
+            init.append(init[len(init) % max(len(init), 1)] + 1e-6)
+        C = np.array(init)
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = sub[mask].mean(axis=0)
+        codebook[j] = C
+    return codebook
+
+
+def pq_encode(
+    emb_df: DataFrame,
+    codebook: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` small centroid ids (the 4x-64x
+    compressed ANN corpus): per subspace, argmin L2 against the
+    codebook, entirely JVM-side (nested-array literal + zip_with fold,
+    the flat-literal discipline from the JL projection). First-argmin
+    tie-break is deterministic. Output: ``(id, code ARRAY<INT>)``.
+    """
+    m, k, d = codebook.shape
+    v = _as_double(vec_col)
+    out = _spread(emb_df, id_col)
+    codes = []
+    for j in range(m):
+        cb_j = F.lit([list(map(float, c)) for c in codebook[j]])
+        sub = F.slice(v, j * d + 1, d)
+        dists = F.transform(
+            cb_j,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return out.select(F.col(id_col), F.array(*codes).alias("code"))
+
+
+def pq_topk(
+    emb_df: DataFrame,
+    queries_df: DataFrame,
+    codebook: "np.ndarray",
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN top-k: asymmetric-distance (ADC) scan of the CODES (never
+    the vectors), shortlist, then exact cosine rerank of the shortlist
+    only.
+
+    Scale shape: the corpus is touched as ``m`` ints per row for the
+    scan; the broadcast side is the (tiny) query set; the full-precision
+    vectors are read only for ``shortlist`` candidates per query via a
+    semi-join. ADC here evaluates the subspace L2 against the codebook
+    literal directly in-plan — no per-query lookup-table state.
+    """
+    from pyspark.sql import Window
+
+    m, kc, d = codebook.shape
+    cb = F.lit([[list(map(float, c)) for c in codebook[j]] for j in range(m)])
+    codes = pq_encode(emb_df, codebook, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "code"
+    )
+    queries = queries_df.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    pairs = codes.crossJoin(F.broadcast(queries)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    j_seq = F.sequence(F.lit(0), F.lit(m - 1))
+    adc = F.aggregate(
+        j_seq,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qvec"), j * d + 1, d),
+                F.element_at(F.element_at(cb, j + 1), F.element_at("code", j + 1) + 1),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc2, x: acc2 + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    short = (
+        pairs.withColumn("adc", adc)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= shortlist)
+        .select("query_id", "qvec", "neighbor_id")
+    )
+    exact = short.join(
+        _spread(emb_df, id_col).select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+        ),
+        "neighbor_id",
+    )
+    sims = exact.withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )

@@ -809,6 +809,22 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_pq_ann_topk",
+    oracle=None,  # approximate by construction (ADC shortlist recall < 1)
+    description=(
+        "Product-quantization ANN top-5: sample-trained codebook, JVM-side "
+        "ADC scan over m-int codes, exact rerank of the shortlist only"
+    ),
+    tags=("llm", "similarity", "ann", "pq"),
+)
+def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = similarity.pq_fit(emb, m=8, k=16)
+    return similarity.pq_topk(emb, queries, cb, k=5, shortlist=64)
+
+
+@register(
     "dedup_cluster_assign",
     oracle=_DUCK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
     + r""",

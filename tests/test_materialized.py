@@ -86,3 +86,38 @@ def test_backwards_refresh_rejected(store, tmp_path, spark):
     m.refresh()
     with pytest.raises(InvalidArgumentError):
         m.refresh(version=v1)
+
+
+def test_streaming_change_feed_keeps_totals_current(spark, store, tmp_path):
+    """Streaming incremental view maintenance: the version-log change feed
+    triggers a refresh per micro-batch, so the materialized totals track
+    the store without any full rebuild."""
+    from mandoline_hbase_spark.sources.datasource import register
+
+    register(spark)
+    arr = np.arange(16, dtype=np.float64).reshape(4, 4)
+    store.write_variable("v", arr, chunk_shape=(2, 2))
+    m = IncrementalVarStats(store, "v", str(tmp_path / "mat"), spark=spark)
+
+    def run_pass(ckpt):
+        q = (
+            spark.readStream.format("mandoline")
+            .option("path", store.dataset_dir)
+            .option("variable", "v")
+            .option("form", "changes")
+            .load()
+            .writeStream.foreachBatch(lambda batch, bid: m.refresh())
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass("ckpt1")
+    _close(m.totals(), _expect(arr))
+
+    patch = np.full((2, 2), 50.0)
+    store.update_region("v", patch, offset=(2, 2))
+    arr[2:4, 2:4] = patch
+    run_pass("ckpt2")
+    _close(m.totals(), _expect(arr))

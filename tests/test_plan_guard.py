@@ -22,6 +22,9 @@ from tests.conftest import SF_SMOKE
 BNLJ_ALLOWED = {
     "tfidf_top_terms",
     "sim_cosine_topk",
+    # PQ ADC scan is deliberately broadcast(queries) x corpus-CODES —
+    # per-pair work is m int lookups, the whole point of the compression
+    "sim_pq_ann_topk",
     "q11_important_parts",
     "q22_idle_customers",
     "funnel_signup_to_purchase",

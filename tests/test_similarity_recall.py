@@ -93,3 +93,39 @@ def test_random_projection_deterministic(spark):
     a = similarity.random_projection(emb).collect()
     b = similarity.random_projection(emb).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _pq_setup(spark):
+    from mandoline_hbase_spark.operators import similarity
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = similarity.pq_fit(emb, m=8, k=16)
+    return similarity, emb, cb
+
+
+def test_pq_codes_in_range_and_deterministic(spark):
+    similarity, emb, cb = _pq_setup(spark)
+    a = sorted((r.vec_id, tuple(r.code)) for r in similarity.pq_encode(emb, cb).collect())
+    b = sorted((r.vec_id, tuple(r.code)) for r in similarity.pq_encode(emb, cb).collect())
+    assert a == b
+    assert all(0 <= c < 16 for _, code in a for c in code)
+    assert all(len(code) == 8 for _, code in a)
+
+
+def test_pq_full_shortlist_equals_exact(spark):
+    similarity, emb, cb = _pq_setup(spark)
+    n = emb.count()
+    queries = emb.limit(3)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    pq = similarity.pq_topk(emb, queries, cb, k=5, shortlist=n)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, pq.collect()))
+
+
+def test_pq_shortlist_recall(spark):
+    similarity, emb, cb = _pq_setup(spark)
+    queries = emb.limit(5)
+    e = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(emb, queries, k=10).collect()}
+    p = {(r.query_id, r.neighbor_id) for r in
+         similarity.pq_topk(emb, queries, cb, k=10, shortlist=64).collect()}
+    assert len(e & p) / len(e) >= 0.6
