@@ -809,6 +809,26 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_token_counts",
+    oracle=None,  # iterative vocabulary fit (argmax per merge round) is not
+    # single-statement SQL; equivalence to a scalar Python reference BPE is
+    # pinned in tests/test_bpe.py
+    description=(
+        "Distributed BPE: vocabulary-grain merge training (one corpus pass "
+        "for word freqs, per-round pair counts on the bounded vocab) + "
+        "map-only per-doc encoding with the learned rules"
+    ),
+    tags=("llm", "text", "bpe", "vocab"),
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_fit(docs, n_merges=10)
+    return bpe.bpe_token_counts(docs, merges)
+
+
+@register(
     "sim_pq_ann_topk",
     oracle=None,  # approximate by construction (ADC shortlist recall < 1)
     description=(
