@@ -164,6 +164,7 @@ def fuzzy_segment_pairs(
     max_edit: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Fuzzy segment near-duplicates: distinct segment-text pairs within
     ``max_edit`` Levenshtein distance, candidate-blocked on (first token,
@@ -174,10 +175,13 @@ def fuzzy_segment_pairs(
     Scale shape: one shuffle for the segment distinct, one for the block
     self-join; Levenshtein runs JVM-side (built-in) on candidates only,
     so verify work is sum over blocks of |block|^2, never corpus^2. The
-    block key bounds candidates the way LSH bands do for MinHash; for
-    corpora with degenerate blocks, feed the blocked table through
-    ``banded_candidate_pairs`` (hot-bucket guard) instead of the plain
-    join.
+    block key bounds candidates the way LSH bands do for MinHash;
+    ``max_block_size`` routes candidate generation through
+    ``banded_candidate_pairs`` so a degenerate block (every segment
+    starting and ending with the same token) degrades to star pairing
+    around its min segment instead of a quadratic join task — exactly
+    the LSH hot-bucket guard, reused. ``None`` keeps the exact all-pairs
+    block join (the oracle-checked form).
     """
     segs = segment_texts(df, seg_len, id_col, text_col).select("seg_text").distinct()
     toks = F.split(F.col("seg_text"), " ")
@@ -186,18 +190,23 @@ def fuzzy_segment_pairs(
         F.element_at(toks, 1).alias("_f"),
         F.element_at(toks, -1).alias("_l"),
     )
-    a = blocked.select(F.col("seg_text").alias("seg_a"), "_f", "_l")
-    b = blocked.select(F.col("seg_text").alias("seg_b"), "_f", "_l")
-    return (
-        a.join(b, ["_f", "_l"])
-        .filter(F.col("seg_a") < F.col("seg_b"))
-        .select(
-            "seg_a",
-            "seg_b",
-            F.levenshtein("seg_a", "seg_b").cast("bigint").alias("edit_dist"),
+    if max_block_size is not None:
+        pairs = banded_candidate_pairs(
+            blocked, id_col="seg_text", keys=("_f", "_l"), max_bucket_size=max_block_size
+        ).select(F.col("id_a").alias("seg_a"), F.col("id_b").alias("seg_b"))
+    else:
+        a = blocked.select(F.col("seg_text").alias("seg_a"), "_f", "_l")
+        b = blocked.select(F.col("seg_text").alias("seg_b"), "_f", "_l")
+        pairs = (
+            a.join(b, ["_f", "_l"])
+            .filter(F.col("seg_a") < F.col("seg_b"))
+            .select("seg_a", "seg_b")
         )
-        .filter(F.col("edit_dist") <= max_edit)
-    )
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        F.levenshtein("seg_a", "seg_b").cast("bigint").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= max_edit)
 
 
 def ngram_hashes(

@@ -89,3 +89,22 @@ def test_fuzzy_segment_pairs_blocked_match(spark):
 def test_fuzzy_segment_pairs_identical_segments_excluded(spark):
     df = _docs(spark, [(1, "a b c"), (2, "a b c")])
     assert dedup.fuzzy_segment_pairs(df, seg_len=3).count() == 0
+
+
+def test_fuzzy_segment_guard_preserves_normal_blocks(spark):
+    df = _docs(spark, [(1, "key agg row"), (2, "key ag row"), (3, "key zzzzzz row")])
+    plain = sorted(map(tuple, dedup.fuzzy_segment_pairs(df, seg_len=3).collect()))
+    guarded = sorted(map(tuple, dedup.fuzzy_segment_pairs(
+        df, seg_len=3, max_block_size=512).collect()))
+    assert plain == guarded
+
+
+def test_fuzzy_segment_guard_degrades_hot_block(spark):
+    # one degenerate block: many segments all starting 'k' ending 'row'
+    rows = [(i, f"k m{i:03d} row") for i in range(20)]
+    df = _docs(spark, rows)
+    guarded = dedup.fuzzy_segment_pairs(df, seg_len=3, max_edit=6, max_block_size=5)
+    pairs = guarded.collect()
+    # star: every candidate pair involves the hub (min segment text)
+    hub = min(f"k m{i:03d} row" for i in range(20))
+    assert pairs and all(p.seg_a == hub for p in pairs)
