@@ -546,6 +546,48 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC shingle containment: ordered pairs where
+    ``|A ∩ B| / |A| >= threshold`` — doc A is (near-)contained in doc B.
+
+    Catches what symmetric Jaccard structurally cannot: a short document
+    quoted or embedded inside a much longer one has low Jaccard (the
+    union is dominated by B) but containment ~1. The canonical use is
+    subset/quote dedup and train-eval decontamination of embedded
+    passages.
+
+    This exact all-pairs form is the small-data oracle baseline (same
+    role as :func:`jaccard_pairs`); at scale the SAME verify expression
+    runs over LSH band candidates (``banded_candidate_pairs``) instead
+    of the cross join — containment ≥ t implies Jaccard ≥ t/(1+t-t) on
+    bounded size ratios, so the band recall argument carries over for
+    near-equal sizes, and one-sided probes handle the subset case.
+    """
+    sh = with_shingle_set(df, shingle_n, id_col, text_col)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size("sh_a"), F.lit(1)),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     threshold: float = 0.7,

@@ -809,6 +809,29 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    oracle=_DUCK_SHINGLES
+    + r"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / greatest(len(a.sh), 1), 4) AS containment
+    FROM sh a, sh b
+    WHERE a.doc_id <> b.doc_id
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE
+          / greatest(len(a.sh), 1) >= 0.8
+    """,
+    description=(
+        "Asymmetric shingle containment >= 0.8 (doc A embedded in doc B) — "
+        "the subset/quote dedup signal symmetric Jaccard cannot see"
+    ),
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.8)
+
+
+@register(
     "text_bpe_token_counts",
     oracle=None,  # iterative vocabulary fit (argmax per merge round) is not
     # single-statement SQL; equivalence to a scalar Python reference BPE is

@@ -108,3 +108,18 @@ def test_fuzzy_segment_guard_degrades_hot_block(spark):
     # star: every candidate pair involves the hub (min segment text)
     hub = min(f"k m{i:03d} row" for i in range(20))
     assert pairs and all(p.seg_a == hub for p in pairs)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    big = " ".join(f"w{i}" for i in range(40))
+    small = " ".join(f"w{i}" for i in range(10, 16))  # embedded span
+    df = _docs(spark, [(1, small), (2, big), (3, "x y z q r s")])
+    rows = dedup.containment_pairs(df, threshold=0.8, shingle_n=3).collect()
+    got = {(r.id_a, r.id_b): r.containment for r in rows}
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # small fully inside big
+    assert (2, 1) not in got  # asymmetric: big not contained in small
+    # symmetric jaccard on the same pair is far below any dup threshold
+    from pyspark.sql import Row
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2)])
+    j = dedup.jaccard_pairs(df, pairs).collect()[0].jaccard
+    assert j < 0.2
