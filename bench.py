@@ -117,6 +117,7 @@ HEADLINE = [
     "curate_corpus",
     "corpus_stats_report",
     "vocab_top_terms",
+    "vocab_top_terms_per_source",
     "text_top_terms_sketch",
     "tfidf_top_terms",
     "text_pii_redaction",

@@ -516,3 +516,37 @@ def countmin_estimate(
         .groupBy(term_col)
         .agg(F.min(F.coalesce("total", F.lit(0))).cast("bigint").alias("est_tf"))
     )
+
+
+def top_terms_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact top-k terms PER GROUP (ties: term asc) — the grouped twin of
+    :func:`vocab_top_terms`.
+
+    One aggregation at (group, term) grain, then a per-group rank window.
+    The rank<=k filter rewrites to ``WindowGroupLimit``, so each window
+    partition keeps only k rows through the sort — no group's full
+    vocabulary is ever materialized post-shuffle. At 100 TB the shuffle
+    key is (group, term), the same grain the counts need anyway.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(group_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", "term", "tf")
+    )

@@ -809,6 +809,39 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_top_terms_per_source",
+    oracle=r"""
+        WITH tf AS (
+            SELECT source, w AS term, count(*)::BIGINT AS tf
+            FROM (
+                SELECT source,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents
+            )
+            WHERE w <> ''
+            GROUP BY source, w
+        )
+        SELECT source, rank, term, tf FROM (
+            SELECT source, term, tf,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY tf DESC, term ASC
+                   )::BIGINT AS rank
+            FROM tf
+        ) WHERE rank <= 5
+    """,
+    description=(
+        "Exact top-5 terms per source (grouped top-k; rank filter "
+        "rewrites to WindowGroupLimit so no group's vocabulary "
+        "materializes past the shuffle)"
+    ),
+    tags=("llm", "text", "vocab", "topk"),
+)
+def vocab_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_terms_per_group(docs, group_col="source", k=5)
+
+
+@register(
     "dedup_containment",
     oracle=_DUCK_SHINGLES
     + r"""
