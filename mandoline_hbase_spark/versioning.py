@@ -78,3 +78,73 @@ def diff_versions(conn, var_name: str, v_old: int, v_new: int, spark=None) -> Da
         .otherwise(F.lit("changed"))
         .alias("change"),
     )
+
+
+def clone_dataset(
+    schema, src_name: str, dst_name: str, version: int | None = None, spark=None
+) -> dict:
+    """Deep-clone a dataset AT A SNAPSHOT into a new dataset: every
+    variable's live chunks at ``version`` (default latest) are copied
+    with executor-side writes, index rows are rebuilt against fresh
+    version ids, and the driver appends only the per-variable version
+    rows — the same §3.2 commits -> index -> version ordering and O(1)
+    driver state as distributed ingest.
+
+    The clone is independent storage: GC/retention on the source cannot
+    perforate it, and its ref counts equal exactly the clone's own index
+    references (history is NOT copied — the clone starts at depth 1,
+    which is the point of snapshot clones). Copy volume is the LIVE data
+    at the bound, not the version history.
+    """
+    from mandoline_hbase_spark import storage
+
+    src = schema.connect(src_name)
+    spark = spark or src.spark
+    bound = int(version) if version is not None else src.latest_version_id()
+    if bound is None:
+        raise ValueError(f"dataset {src_name} has no versions to clone")
+    meta = src.metadata(bound)
+    schema.create_dataset(dst_name)
+    dst = schema.connect(dst_name)
+
+    copied = {}
+    for var_name, var_meta in meta.get("variables", {}).items():
+        latest = src.chunk_map_df(var_name, bound, spark)
+        blobs = (
+            src.spark_table("chunks", spark)
+            .filter(F.col("data").isNotNull())
+            .dropDuplicates(["chunk_id"])
+            .select("chunk_id", "data")
+        )
+        version_id = dst._reserve_version()
+        seq = storage.next_seq()
+        latest = latest.persist()
+        try:
+            (
+                latest.groupBy("chunk_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("ref_delta"))
+                .join(blobs, "chunk_id")
+                .select("chunk_id", "ref_delta", "data")
+                .write.mode("append")
+                .parquet(dst._dirs["chunks"])
+            )
+            (
+                latest.select(
+                    F.lit(var_name).alias("var_name"),
+                    F.col("coord_id"),
+                    F.col("coord"),
+                    F.lit(int(version_id)).cast("long").alias("version_id"),
+                    F.col("chunk_id"),
+                    F.lit(int(seq)).cast("long").alias("seq"),
+                )
+                .write.mode("append")
+                .parquet(dst._dirs["indices"])
+            )
+            copied[var_name] = latest.count()
+        finally:
+            latest.unpersist()
+        try:
+            dst._commit(var_name, dict(var_meta), [], {}, {}, version_id)
+        finally:
+            storage.release_version_reservation(dst._dirs["versions"], version_id)
+    return {"source_version": bound, "variables": copied}

@@ -47,3 +47,54 @@ def test_cell_diff_grow_marks_added(spark, store):
     assert added == {(0, 2), (0, 3), (1, 2), (1, 3)}
     assert all(r.value_new == 2.0 for r in rows if r.change == "added")
     assert not [r for r in rows if r.change in ("changed", "removed")]
+
+
+def test_clone_dataset_snapshot(spark, tmp_path):
+    from mandoline_hbase_spark.engine import mk_schema
+    from mandoline_hbase_spark import versioning
+
+    schema = mk_schema(
+        {"root": "clone.example.com", "base_path": str(tmp_path)}, spark=spark
+    )
+    schema.create_dataset("src")
+    src = schema.connect("src")
+    a1 = np.arange(24, dtype=np.float64).reshape(4, 6)
+    v1 = src.write_variable("temp", a1, chunk_shape=(2, 3))
+    src.write_variable("press", np.ones((2, 2)), chunk_shape=(2, 2))
+    v2_arr = np.full((4, 6), 9.0)
+    src.write_variable("temp", v2_arr, chunk_shape=(2, 3))
+
+    # clone at the FIRST temp version: dst sees v1's temp, no press yet
+    out = versioning.clone_dataset(schema, "src", "at_v1", version=v1, spark=spark)
+    dst = schema.connect("at_v1")
+    assert (dst.read_variable("temp") == a1).all()
+    assert out["variables"] == {"temp": 4}  # 4x6 in (2,3) chunks = 2x2 grid
+
+    # clone at latest: both variables, temp at its newest values
+    versioning.clone_dataset(schema, "src", "at_head", spark=spark)
+    head = schema.connect("at_head")
+    assert (head.read_variable("temp") == v2_arr).all()
+    assert (head.read_variable("press") == np.ones((2, 2))).all()
+
+
+def test_clone_survives_source_gc(spark, tmp_path):
+    from mandoline_hbase_spark.engine import mk_schema
+    from mandoline_hbase_spark import versioning
+
+    schema = mk_schema(
+        {"root": "clone.example.com", "base_path": str(tmp_path)}, spark=spark
+    )
+    schema.create_dataset("src")
+    src = schema.connect("src")
+    arr = np.arange(16, dtype=np.float64).reshape(4, 4)
+    v1 = src.write_variable("v", arr, chunk_shape=(2, 2))
+    src.write_variable("v", np.zeros((4, 4)), chunk_shape=(2, 2))
+
+    versioning.clone_dataset(schema, "src", "snap", version=v1, spark=spark)
+
+    # retain only the newest source version and reclaim dead chunks
+    src.prune_versions(keep_last=1)
+    src.gc_chunks()
+
+    snap = schema.connect("snap")
+    assert (snap.read_variable("v") == arr).all()
