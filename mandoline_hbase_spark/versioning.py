@@ -148,3 +148,55 @@ def clone_dataset(
         finally:
             storage.release_version_reservation(dst._dirs["versions"], version_id)
     return {"source_version": bound, "variables": copied}
+
+
+def rollback_variable(conn, var_name: str, to_version: int, spark=None) -> int:
+    """Time-travel undo with ZERO data copy: commit a new version whose
+    chunk map equals the map at ``to_version``. Executors append only
+    index rows (re-pointing at the existing content-addressed blobs) and
+    ref-delta records (+1 per new reference, data NULL) — the store's
+    append-only SUM(ref_delta) contract makes the re-reference atomic
+    and GC-safe. History is preserved: the bad commits stay readable at
+    their own versions; only "latest" moves back.
+
+    Returns the new version id.
+    """
+    from mandoline_hbase_spark import storage
+
+    spark = spark or conn.spark
+    meta = conn.metadata(int(to_version))
+    var_meta = meta.get("variables", {}).get(var_name)
+    if var_meta is None:
+        raise KeyError(f"variable {var_name} does not exist at version {to_version}")
+    latest = conn.chunk_map_df(var_name, int(to_version), spark)
+    version_id = conn._reserve_version()
+    seq = storage.next_seq()
+    latest = latest.persist()
+    try:
+        (
+            latest.groupBy("chunk_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("ref_delta"))
+            .select(
+                "chunk_id", "ref_delta", F.lit(None).cast("binary").alias("data")
+            )
+            .write.mode("append")
+            .parquet(conn._dirs["chunks"])
+        )
+        (
+            latest.select(
+                F.lit(var_name).alias("var_name"),
+                F.col("coord_id"),
+                F.col("coord"),
+                F.lit(int(version_id)).cast("long").alias("version_id"),
+                F.col("chunk_id"),
+                F.lit(int(seq)).cast("long").alias("seq"),
+            )
+            .write.mode("append")
+            .parquet(conn._dirs["indices"])
+        )
+    finally:
+        latest.unpersist()
+    try:
+        return conn._commit(var_name, dict(var_meta), [], {}, {}, version_id)
+    finally:
+        storage.release_version_reservation(conn._dirs["versions"], version_id)

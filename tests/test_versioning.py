@@ -98,3 +98,33 @@ def test_clone_survives_source_gc(spark, tmp_path):
 
     snap = schema.connect("snap")
     assert (snap.read_variable("v") == arr).all()
+
+
+def test_rollback_variable_restores_old_values(spark, store):
+    a1 = np.arange(24, dtype=np.float64).reshape(4, 6)
+    v1 = store.write_variable("v", a1, chunk_shape=(2, 3))
+    store.write_variable("v", np.zeros((4, 6)), chunk_shape=(2, 3))
+    v3 = versioning.rollback_variable(store, "v", v1, spark=spark)
+    # latest now reads the v1 data; the bad commit stays readable
+    assert (store.read_variable("v") == a1).all()
+    assert (store.read_variable("v", version=v3) == a1).all()
+    assert (store.read_variable("v", version=v1) == a1).all()
+
+
+def test_rollback_adds_references_so_gc_keeps_blobs(spark, tmp_path):
+    from mandoline_hbase_spark.engine import mk_schema
+
+    schema = mk_schema(
+        {"root": "rb.example.com", "base_path": str(tmp_path)}, spark=spark
+    )
+    schema.create_dataset("ds")
+    conn = schema.connect("ds")
+    a1 = np.full((2, 2), 3.0)
+    v1 = conn.write_variable("v", a1, chunk_shape=(2, 2))
+    conn.write_variable("v", np.full((2, 2), 4.0), chunk_shape=(2, 2))
+    versioning.rollback_variable(conn, "v", v1, spark=spark)
+    # retention keeps only the newest version (the rollback); its chunks
+    # must survive GC because the rollback re-referenced them
+    conn.prune_versions(keep_last=1)
+    conn.gc_chunks()
+    assert (conn.read_variable("v") == a1).all()
