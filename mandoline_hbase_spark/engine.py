@@ -43,6 +43,29 @@ from mandoline_hbase_spark.errors import (
 from mandoline_hbase_spark.index import Index
 
 
+def append_index_rows_df(indices_dir: str, map_df, var_name: str, version_id: int, seq: int) -> None:
+    """Executor-side append of index rows for a distributed commit: stamp
+    a (coord_id, coord, chunk_id) map with the variable, reserved version
+    id and seq, in the indices-log schema. ONE definition shared by
+    distributed ingest, dataset clone and rollback — the stamping must
+    stay in lockstep with the index schema or ref accounting silently
+    corrupts."""
+    from pyspark.sql import functions as F
+
+    (
+        map_df.select(
+            F.lit(var_name).alias("var_name"),
+            F.col("coord_id"),
+            F.col("coord"),
+            F.lit(int(version_id)).cast("long").alias("version_id"),
+            F.col("chunk_id"),
+            F.lit(int(seq)).cast("long").alias("seq"),
+        )
+        .write.mode("append")
+        .parquet(indices_dir)
+    )
+
+
 def root_table_prefix(root: str, db_version: str | None = None) -> str:
     """Reverse dot-components of the store root (hbase.clj:346-361).
 
@@ -97,7 +120,17 @@ class Connection:
         """
         explicit = metadata.get("version-id")
         while True:
-            version_id = int(explicit) if explicit is not None else self.next_version_id()
+            # Non-explicit allocation claims the id through the SAME
+            # reservation-marker namespace distributed commits use —
+            # every claim path serializes on the marker first, the
+            # commit file second, so a reserver and an allocator can
+            # never both win one id (the two names alone are separate
+            # atomic primitives and would race).
+            owned = None
+            if explicit is not None:
+                version_id = int(explicit)
+            else:
+                version_id = owned = self._reserve_version()
             meta = {**metadata, "version-id": version_id}
             row = {
                 "version_id": version_id,
@@ -106,15 +139,25 @@ class Connection:
                 "committed_at": version_id,
                 "metadata": json.dumps(meta),
             }
-            if storage.commit_version_row(self._dirs["versions"], version_id, [row]):
-                self._version_cache = None
-                return version_id
+            try:
+                if storage.commit_version_row(self._dirs["versions"], version_id, [row]):
+                    self._version_cache = None
+                    return version_id
+            finally:
+                if owned is not None:
+                    storage.release_version_reservation(self._dirs["versions"], owned)
             if explicit is None:
                 continue  # allocation lost the race; re-allocate and retry
             existing = storage.committed_version_row(self._dirs["versions"], version_id)
             if existing is not None and existing.get("metadata") == row["metadata"]:
                 self._version_cache = None
                 return version_id  # idempotent replay of the same commit
+            floor = storage.retention_floor(self._dirs["versions"])
+            if existing is None and floor is not None and version_id < floor:
+                raise CommitConflictError(
+                    f"version {version_id} is below the retention floor {floor} "
+                    f"in {self.dataset_name} — replay of a pruned commit rejected"
+                )
             raise CommitConflictError(
                 f"version {version_id} was already committed with different "
                 f"metadata — reserved-id protocol violation in {self.dataset_name}"
@@ -489,20 +532,21 @@ class Connection:
                 .write.mode("append")
                 .parquet(self._dirs["chunks"])
             )
-            (
-                per_chunk.select(
-                    F.lit(var_name).alias("var_name"),
-                    F.col("coord_id"),
-                    F.col("coord"),
-                    F.lit(int(version_id)).cast("long").alias("version_id"),
-                    F.col("chunk_id"),
-                    F.lit(int(seq)).cast("long").alias("seq"),
-                )
-                .write.mode("append")
-                .parquet(self._dirs["indices"])
+            append_index_rows_df(
+                self._dirs["indices"], per_chunk, var_name, version_id, seq
             )
         finally:
             per_chunk.unpersist()
+        if reserved and not storage.reservation_held(self._dirs["versions"], version_id):
+            # the failed-commit sweeper decided this job was dead and
+            # reclaimed its executor-written rows; committing now would
+            # publish a version whose data is gone — abort loudly
+            # (sweep_failed_commits' older_than_s must exceed the longest
+            # in-flight commit)
+            raise CommitConflictError(
+                f"reservation for version {version_id} was swept mid-job in "
+                f"{self.dataset_name}; aborting commit (raise sweep older_than_s)"
+            )
         try:
             return self._commit(
                 var_name,

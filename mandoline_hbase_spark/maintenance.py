@@ -159,6 +159,14 @@ def sweep_failed_commits(conn, spark=None, older_than_s: float = 3600.0) -> dict
     One ref per dropped row is released — exactly the grant the distributed
     write baked in — and stale reservation markers are cleared. Run
     :func:`gc_chunks` afterwards to reclaim the payload bytes.
+
+    ``older_than_s`` MUST exceed the longest possible in-flight commit:
+    sweeping a live job's reservation reclaims rows the job will still
+    reference. The commit paths check ``storage.reservation_held``
+    immediately before the version-row claim, so a premature sweep
+    surfaces as a loud CommitConflictError in the job rather than a
+    silently perforated version — but the sweep, not the check, is the
+    contract.
     """
     from pyspark.sql import functions as F
 
@@ -292,17 +300,44 @@ def prune_versions(conn, keep_last: int, spark=None) -> dict:
             )
 
         # versions is tiny at any scale (one row per commit): driver rewrite.
+        # Each kept row is rewritten under its ORIGINAL commit-{id} claim
+        # name — the exactly-once guarantee of commit_version_row depends
+        # on those names persisting — and in-flight reservation markers
+        # survive the swap; a floor marker makes replays of pruned ids
+        # permanently rejectable.
+        import pyarrow as pa
         import pyarrow.compute as pc
+        import pyarrow.parquet as pq_
 
         kept_versions = storage.scan(
             conn._dirs["versions"],
             storage.VERSIONS_SCHEMA,
             filter=pc.field("version_id") >= floor,
         )
-        tmp = conn._dirs["versions"] + f".rewrite-{uuid.uuid4().hex[:8]}"
+        vdir = conn._dirs["versions"]
+        tmp = vdir + f".rewrite-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp, exist_ok=True)
-        storage.append_table(tmp, kept_versions)
-        _swap_in(conn._dirs["versions"], tmp)
+        keep_names = set()
+        for row in kept_versions.to_pylist():
+            name = f"commit-{int(row['version_id']):020d}.parquet"
+            keep_names.add(name)
+            pq_.write_table(
+                pa.Table.from_pylist([row], schema=storage.VERSIONS_SCHEMA),
+                os.path.join(tmp, name),
+            )
+        # name-preserving swap (NOT _swap_in, which renames to part-*):
+        # (1) land any kept commit file the live dir lacks (legacy rows
+        # from pre-claim appends), (2) record the floor, (3) drop pruned
+        # rows. A crash between steps leaves only extra rows — safe.
+        for name in keep_names:
+            dst = os.path.join(vdir, name)
+            if not os.path.exists(dst):
+                os.rename(os.path.join(tmp, name), dst)
+        storage.set_retention_floor(vdir, floor)
+        for f in os.listdir(vdir):
+            if f.endswith(".parquet") and f not in keep_names:
+                os.unlink(os.path.join(vdir, f))
+        shutil.rmtree(tmp, ignore_errors=True)
         conn._version_cache = None
 
     return {

@@ -58,6 +58,19 @@ class IncrementalVarStats:
         except FileNotFoundError:
             return None
 
+    def _seen_committed(self) -> set[int] | None:
+        """Version ids that were COMMITTED as of the last refresh. The
+        delta is keyed on this set, not on ``version_id > watermark``:
+        the reservation protocol commits ids out of order (a job that
+        reserves early can commit after a later id has already landed),
+        so an id-threshold delta would silently skip those rows."""
+        try:
+            with open(self._watermark_path) as f:
+                data = json.load(f)
+            return set(int(v) for v in data.get("committed", []))
+        except FileNotFoundError:
+            return None
+
     def _decode_stats(self, joined, var_meta) -> Any:
         dtype = var_meta["dtype"]
         shape = tuple(var_meta["shape"])
@@ -121,31 +134,33 @@ class IncrementalVarStats:
         for d, (s, cs) in enumerate(zip(shape, chunk_shape)):
             n_chunks_d = -(-int(s) // int(cs))
             latest_map = latest_map.filter(F.col("coord")[d] < n_chunks_d)
-        if last is not None and last < bound:
-            committed = (
-                conn.spark_table("versions", spark)
-                .filter(F.col("version_id") <= int(bound))
-                .select("version_id")
-            )
-            changed = (
-                conn.spark_table("indices", spark)
-                .filter(
-                    (F.col("var_name") == self.var_name)
-                    & (F.col("version_id") > int(last))
-                    & (F.col("version_id") <= int(bound))
+        committed_now = sorted(
+            int(v["version"]) for v in conn.versions() if int(v["version"]) <= bound
+        )
+        seen = self._seen_committed()
+        if seen is not None:
+            # delta = versions that COMMITTED since the last refresh (set
+            # difference, not an id threshold: reserved-early ids commit
+            # late and would slip under "> watermark")
+            new_versions = [v for v in committed_now if v not in seen]
+            if not new_versions:
+                delta_map = None
+            else:
+                changed = (
+                    conn.spark_table("indices", spark)
+                    .filter(
+                        (F.col("var_name") == self.var_name)
+                        & F.col("version_id").isin(new_versions)
+                    )
+                    .select("coord_id")
+                    .distinct()
                 )
-                .join(F.broadcast(committed), "version_id", "left_semi")
-                .select("coord_id")
-                .distinct()
-            )
-            delta_map = latest_map.join(changed, "coord_id", "left_semi")
-        elif last == bound:
-            delta_map = None
+                delta_map = latest_map.join(changed, "coord_id", "left_semi")
         else:
             delta_map = latest_map  # first build: everything is the delta
 
         if delta_map is None:
-            new_rows = 0
+            delta_rows = 0
         else:
             chunks = (
                 conn.spark_table("chunks", spark)
@@ -156,30 +171,41 @@ class IncrementalVarStats:
             joined = delta_map.join(chunks, "chunk_id", "inner").select(
                 "coord_id", "coord", "data"
             )
-            fresh = self._decode_stats(joined, var_meta)
-
-            if last is not None and os.path.isdir(self._stats_dir):
-                old = spark.read.parquet(self._stats_dir)
-                # drop replaced coords AND coords no longer in the grid
-                # (shrink); keep everything else
-                valid = latest_map.select("coord_id")
-                kept = old.join(
-                    fresh.select("coord_id"), "coord_id", "left_anti"
-                ).join(valid, "coord_id", "left_semi")
-                merged = kept.unionByName(fresh)
-            else:
-                merged = fresh
-            tmp = self._stats_dir + f".tmp-{uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").parquet(tmp)
-            new_rows = spark.read.parquet(tmp).count()
-            live = self._stats_dir
-            if os.path.isdir(live):
-                shutil.rmtree(live)
-            os.replace(tmp, live)
+            # persist: the decode feeds the count, the anti-join AND the
+            # merged write — without it the chunks are decoded three times
+            fresh = self._decode_stats(joined, var_meta).persist()
+            try:
+                delta_rows = fresh.count()
+                if last is not None and os.path.isdir(self._stats_dir):
+                    old = spark.read.parquet(self._stats_dir)
+                    # drop replaced coords AND coords no longer in the grid
+                    # (shrink); keep everything else
+                    valid = latest_map.select("coord_id")
+                    kept = old.join(
+                        fresh.select("coord_id"), "coord_id", "left_anti"
+                    ).join(valid, "coord_id", "left_semi")
+                    merged = kept.unionByName(fresh)
+                else:
+                    merged = fresh
+                tmp = self._stats_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+                merged.write.mode("overwrite").parquet(tmp)
+                live = self._stats_dir
+                if os.path.isdir(live):
+                    shutil.rmtree(live)
+                os.replace(tmp, live)
+            finally:
+                fresh.unpersist()
 
         with open(self._watermark_path, "w") as f:
-            json.dump({"version": int(bound), "var": self.var_name}, f)
-        return {"version": int(bound), "stats_rows": new_rows, "incremental": last is not None}
+            json.dump(
+                {"version": int(bound), "var": self.var_name, "committed": committed_now},
+                f,
+            )
+        return {
+            "version": int(bound),
+            "stats_rows": delta_rows,
+            "incremental": last is not None,
+        }
 
     def totals(self) -> dict:
         """Variable-level roll-up from the per-coord stats (no chunk IO)."""

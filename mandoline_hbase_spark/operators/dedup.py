@@ -472,11 +472,17 @@ def banded_candidate_pairs(
     corpora hash thousands of docs into one ``(band, bh)``) would make a
     single join task quadratic; they degrade to STAR pairing around the
     bucket's min id: candidate volume drops from O(n^2) to O(n) and
-    connectivity is preserved — every member still reaches every other
-    through the hub, which is what cluster assignment and keep-one
-    dedup consume. Pairs between two non-hub members of a hot bucket
-    are not emitted directly; downstream exact verification sees each
-    member vs the hub instead.
+    CANDIDATE connectivity is preserved — every member still reaches
+    every other through the hub, which is what cluster assignment and
+    keep-one dedup consume. The honest cost: pairs between two non-hub
+    members of a hot bucket are only ever VERIFIED against the hub, so
+    a true near-dup pair whose members both fail the hub check is lost
+    — post-verification recall in degenerate buckets is hub-relative,
+    a bounded recall trade of the same kind as LSH banding itself.
+    Buckets only exceed the cap on pathological corpora (the driver
+    fixtures never do, so the oracle-checked queries stay exact); pass
+    ``max_bucket_size`` high (or restructure with longer bands) when
+    exact within-bucket recall matters more than the quadratic task.
 
     The sizing window shuffles on the same ``keys`` the join uses, so
     the exchange is reused, not added.
@@ -691,7 +697,11 @@ def simhash_near_duplicates(
 
     The code table is persisted: it is tiny (id + one long per doc); the
     candidate self-join and both verify joins consume it. Oversized key
-    buckets degrade to star candidates (``banded_candidate_pairs``)."""
+    buckets degrade to star candidates (``banded_candidate_pairs``),
+    which bounds the join at the cost of the pigeonhole guarantee INSIDE
+    those buckets (hamming<=3 pairs between two non-hub members of a
+    >max_bucket_size bucket can be missed — see the recall note on the
+    guard)."""
     codes = simhash(df, id_col, text_col).persist()
     bands = codes.select(
         F.col(id_col),

@@ -423,6 +423,8 @@ def pq_fit(
     rows = (
         emb_df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
     )
+    if not rows:
+        raise ValueError("pq_fit: no vectors to fit a codebook on")
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
     dim = X.shape[1]
     if dim % m != 0:

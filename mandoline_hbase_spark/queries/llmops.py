@@ -1283,7 +1283,7 @@ def _rp_oracle(out_dim: int = 8, dim: int = 64, seed: int = 101) -> str:
     cols = []
     for j in range(out_dim):
         chain = " + ".join(
-            f"CAST(embedding[{i + 1}] AS DOUBLE) * {signs[j, i]!r}" for i in range(dim)
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(signs[j, i])!r}" for i in range(dim)
         )
         cols.append(f"round({chain}, 6) AS p{j:02d}")
     return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"

@@ -469,7 +469,10 @@ class MandolineWriter(DataSourceWriter):
                     cmap = conn.resolve_chunk_map(self.variable, latest)
                     existing = [k for k in cmap]
                     base = max((int(k) for k in existing), default=-1) + 1
-            version_id = conn.next_version_id()
+            # marker claim, not a bare next_version_id(): the reservation
+            # namespace is what serializes this commit against concurrent
+            # distributed writers (which never take the dataset lock)
+            version_id = conn._reserve_version()
             entries: list[tuple[tuple[int, ...], str | None]] = []
             if self.overwrite:
                 # tombstone every prior coordinate the new records don't
@@ -500,7 +503,14 @@ class MandolineWriter(DataSourceWriter):
                 conn.chunk_store().write_chunks_bulk([(cid, 1, None) for cid in new_ids])
             idx = Index(self.path, os.path.join(self.path, "indices"), self.variable, new_meta, version_id)
             idx.write_index_bulk(entries, version_id)
-            conn.write_version(new_meta)  # commit point
+            try:
+                conn.write_version(new_meta)  # commit point
+            finally:
+                from mandoline_hbase_spark import storage as _storage
+
+                _storage.release_version_reservation(
+                    os.path.join(self.path, "versions"), version_id
+                )
 
     def abort(self, messages):
         # no version row was appended, so nothing the tasks wrote is

@@ -144,6 +144,11 @@ def commit_version_row(versions_dir: str, version_id: int, rows: list[dict]) -> 
     fresh id (optimistic commit), or raises if the id was reserved (a
     reserved id can only conflict through a protocol violation).
     """
+    floor = retention_floor(versions_dir)
+    if floor is not None and int(version_id) < floor:
+        # a replay of a pruned id must NOT resurrect it (retention wrote
+        # the floor marker when it dropped the id's row)
+        return False
     table = pa.Table.from_pylist(rows, schema=VERSIONS_SCHEMA)
     tmp = os.path.join(versions_dir, f".tmp-{uuid.uuid4().hex}.parquet")
     pq.write_table(table, tmp)
@@ -155,6 +160,34 @@ def commit_version_row(versions_dir: str, version_id: int, rows: list[dict]) -> 
         return False
     finally:
         os.unlink(tmp)
+
+
+def retention_floor(versions_dir: str) -> int | None:
+    """Oldest version id retention has NOT pruned (None = never pruned).
+    Written by maintenance.prune_versions; consulted by the commit and
+    reservation claims so pruned ids can never be re-claimed."""
+    try:
+        with open(os.path.join(versions_dir, ".pruned-floor")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def set_retention_floor(versions_dir: str, floor: int) -> None:
+    tmp = os.path.join(versions_dir, f".tmp-floor-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(int(floor)))
+    os.replace(tmp, os.path.join(versions_dir, ".pruned-floor"))
+
+
+def reservation_held(versions_dir: str, version_id: int) -> bool:
+    """True while the ``.reserved-<id>`` marker exists. Committers of
+    reserved ids check this immediately before the version-row claim: a
+    missing marker means the failed-commit sweeper decided the job was
+    dead and reclaimed its executor-written rows — committing would
+    publish a version whose data is gone, so the caller must abort
+    loudly instead."""
+    return os.path.exists(os.path.join(versions_dir, f".reserved-{int(version_id)}"))
 
 
 def committed_version_row(versions_dir: str, version_id: int):
@@ -184,14 +217,28 @@ def reserve_version_id(versions_dir: str, candidate: int) -> int:
     read, reclaimed by ``maintenance.sweep_failed_commits``.
     """
     v = int(candidate)
+    floor = retention_floor(versions_dir)
+    if floor is not None:
+        v = max(v, floor)
     while True:
         marker = os.path.join(versions_dir, f".reserved-{v}")
         try:
             fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
-            return v
         except FileExistsError:
             v += 1
+            continue
+        # The marker is the PRIMARY claim, but a commit racing on this id
+        # may have linked its commit file between our candidate read and
+        # the marker create (the two names are separate atomic
+        # primitives). Since every committer now takes a marker BEFORE
+        # linking (engine.write_version), seeing a commit file here means
+        # the id is gone for good: release and bump.
+        if os.path.exists(os.path.join(versions_dir, f"commit-{v:020d}.parquet")):
+            release_version_reservation(versions_dir, v)
+            v += 1
+            continue
+        return v
 
 
 def release_version_reservation(versions_dir: str, version_id: int) -> None:

@@ -15,6 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from mandoline_hbase_spark import storage
+from mandoline_hbase_spark.engine import append_index_rows_df
+
 
 def changed_coords(conn, var_name: str, v_old: int, v_new: int, spark=None) -> DataFrame:
     """Coordinate-level diff from the chunk maps at the two bounds:
@@ -96,8 +99,6 @@ def clone_dataset(
     which is the point of snapshot clones). Copy volume is the LIVE data
     at the bound, not the version history.
     """
-    from mandoline_hbase_spark import storage
-
     src = schema.connect(src_name)
     spark = spark or src.spark
     bound = int(version) if version is not None else src.latest_version_id()
@@ -108,14 +109,17 @@ def clone_dataset(
     dst = schema.connect(dst_name)
 
     copied = {}
+    # one chunks-table scan serves every variable's copy (the scan +
+    # payload dedup dominates clone cost; per-variable rebuilds would
+    # multiply it by the variable count)
+    blobs = (
+        src.spark_table("chunks", spark)
+        .filter(F.col("data").isNotNull())
+        .dropDuplicates(["chunk_id"])
+        .select("chunk_id", "data")
+    )
     for var_name, var_meta in meta.get("variables", {}).items():
         latest = src.chunk_map_df(var_name, bound, spark)
-        blobs = (
-            src.spark_table("chunks", spark)
-            .filter(F.col("data").isNotNull())
-            .dropDuplicates(["chunk_id"])
-            .select("chunk_id", "data")
-        )
         version_id = dst._reserve_version()
         seq = storage.next_seq()
         latest = latest.persist()
@@ -128,21 +132,16 @@ def clone_dataset(
                 .write.mode("append")
                 .parquet(dst._dirs["chunks"])
             )
-            (
-                latest.select(
-                    F.lit(var_name).alias("var_name"),
-                    F.col("coord_id"),
-                    F.col("coord"),
-                    F.lit(int(version_id)).cast("long").alias("version_id"),
-                    F.col("chunk_id"),
-                    F.lit(int(seq)).cast("long").alias("seq"),
-                )
-                .write.mode("append")
-                .parquet(dst._dirs["indices"])
+            append_index_rows_df(
+                dst._dirs["indices"], latest, var_name, version_id, seq
             )
             copied[var_name] = latest.count()
         finally:
             latest.unpersist()
+        if not storage.reservation_held(dst._dirs["versions"], version_id):
+            raise RuntimeError(
+                f"reservation for version {version_id} was swept mid-clone; aborting"
+            )
         try:
             dst._commit(var_name, dict(var_meta), [], {}, {}, version_id)
         finally:
@@ -161,8 +160,6 @@ def rollback_variable(conn, var_name: str, to_version: int, spark=None) -> int:
 
     Returns the new version id.
     """
-    from mandoline_hbase_spark import storage
-
     spark = spark or conn.spark
     meta = conn.metadata(int(to_version))
     var_meta = meta.get("variables", {}).get(var_name)
@@ -182,20 +179,15 @@ def rollback_variable(conn, var_name: str, to_version: int, spark=None) -> int:
             .write.mode("append")
             .parquet(conn._dirs["chunks"])
         )
-        (
-            latest.select(
-                F.lit(var_name).alias("var_name"),
-                F.col("coord_id"),
-                F.col("coord"),
-                F.lit(int(version_id)).cast("long").alias("version_id"),
-                F.col("chunk_id"),
-                F.lit(int(seq)).cast("long").alias("seq"),
-            )
-            .write.mode("append")
-            .parquet(conn._dirs["indices"])
+        append_index_rows_df(
+            conn._dirs["indices"], latest, var_name, version_id, seq
         )
     finally:
         latest.unpersist()
+    if not storage.reservation_held(conn._dirs["versions"], version_id):
+        raise RuntimeError(
+            f"reservation for version {version_id} was swept mid-rollback; aborting"
+        )
     try:
         return conn._commit(var_name, dict(var_meta), [], {}, {}, version_id)
     finally:

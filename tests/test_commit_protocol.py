@@ -77,3 +77,97 @@ def test_reservation_markers_invisible_to_version_reads(tmp_path):
     assert conn.next_version_id() > v
     storage.release_version_reservation(conn._dirs["versions"], v)
     assert v not in storage.reserved_version_ids(conn._dirs["versions"])
+
+
+def test_reserve_skips_concurrently_committed_id(store):
+    """The marker and commit-file namespaces are unified: reserving an id
+    whose commit file already exists must bump past it."""
+    import os
+
+    from mandoline_hbase_spark import storage
+
+    vdir = store._dirs["versions"]
+    n = store.next_version_id()
+    # simulate a commit racing in between candidate computation and the
+    # marker create
+    ok = storage.commit_version_row(
+        vdir, n, [{"version_id": n, "committed_at": n, "metadata": "{}"}]
+    )
+    assert ok
+    got = storage.reserve_version_id(vdir, n)
+    try:
+        assert got > n
+    finally:
+        storage.release_version_reservation(vdir, got)
+
+
+def test_swept_reservation_aborts_distributed_commit(spark, tmp_path):
+    """If the failed-commit sweeper clears a live job's marker, the job
+    must abort its commit loudly instead of publishing reclaimed data."""
+    import numpy as np
+    import pytest
+
+    from mandoline_hbase_spark import storage
+    from mandoline_hbase_spark.engine import mk_schema
+    from mandoline_hbase_spark.errors import CommitConflictError
+
+    schema = mk_schema(
+        {"root": "sweeprace.example.com", "base_path": str(tmp_path)}, spark=spark
+    )
+    schema.create_dataset("ds")
+    conn = schema.connect("ds")
+
+    real_next_seq = storage.next_seq
+
+    def sweeping_next_seq():
+        # the sweeper strikes right after the job reserved its id
+        for rid in storage.reserved_version_ids(conn._dirs["versions"]):
+            storage.release_version_reservation(conn._dirs["versions"], rid)
+        return real_next_seq()
+
+    df = spark.createDataFrame(
+        [(i, j, float(i * 4 + j)) for i in range(2) for j in range(4)],
+        "d0 long, d1 long, value double",
+    )
+    storage.next_seq = sweeping_next_seq
+    try:
+        with pytest.raises(CommitConflictError, match="swept"):
+            conn.write_variable_from_df(df, "v", (2, 4), (2, 2))
+    finally:
+        storage.next_seq = real_next_seq
+    assert conn.latest_version_id() is None  # nothing was published
+
+
+def test_prune_preserves_commit_claims_and_floor(spark, tmp_path):
+    """Retention must not void the exactly-once version-row claim: a
+    replay of a RETAINED commit is still absorbed idempotently, and a
+    replay of a PRUNED id is rejected, not resurrected."""
+    import numpy as np
+    import pytest
+
+    from mandoline_hbase_spark import storage
+    from mandoline_hbase_spark.engine import mk_schema
+    from mandoline_hbase_spark.errors import CommitConflictError
+
+    schema = mk_schema(
+        {"root": "prunefloor.example.com", "base_path": str(tmp_path)}, spark=spark
+    )
+    schema.create_dataset("ds")
+    conn = schema.connect("ds")
+    v1 = conn.write_variable("v", np.zeros((2, 2)), chunk_shape=(2, 2))
+    v2 = conn.write_variable("v", np.ones((2, 2)), chunk_shape=(2, 2))
+    kept_meta = conn.metadata(v2)
+
+    conn.prune_versions(keep_last=1)
+    assert storage.retention_floor(conn._dirs["versions"]) == v2
+
+    # replay of the retained commit: identical metadata -> absorbed, and
+    # the version listing must NOT grow a duplicate row
+    n_before = len(conn.versions())
+    assert conn.write_version(kept_meta) == v2
+    assert len(conn.versions()) == n_before
+
+    # replay of the pruned id: rejected
+    pruned_meta = {**kept_meta, "version-id": v1}
+    with pytest.raises(CommitConflictError, match="retention floor"):
+        conn.write_version(pruned_meta)

@@ -121,3 +121,37 @@ def test_streaming_change_feed_keeps_totals_current(spark, store, tmp_path):
     arr[2:4, 2:4] = patch
     run_pass("ckpt2")
     _close(m.totals(), _expect(arr))
+
+
+def test_refresh_catches_reserved_early_committed_late(spark, tmp_path):
+    """The reservation protocol commits ids out of order: a job that
+    reserved BEFORE the watermark version can commit AFTER it. The delta
+    is keyed on the committed-version set, so those rows are decoded."""
+    from mandoline_hbase_spark import storage
+    from mandoline_hbase_spark.engine import mk_schema
+
+    schema = mk_schema(
+        {"root": "ooo.example.com", "base_path": str(tmp_path)}, spark=spark
+    )
+    schema.create_dataset("ds")
+    conn = schema.connect("ds")
+    arr = np.zeros((4, 4))
+    conn.write_variable("v", arr, chunk_shape=(2, 2))
+    m = IncrementalVarStats(conn, "v", str(tmp_path / "mat"), spark=spark)
+    m.refresh()
+
+    rid = conn._reserve_version()  # slow job claims its id early...
+    try:
+        conn.update_region("v", np.ones((2, 2)), offset=(0, 0))  # fast job lands
+        arr[0:2, 0:2] = 1.0
+        m.refresh()
+        _close(m.totals(), _expect(arr))
+
+        # ...and commits late, at an id BELOW the watermark version
+        conn.update_region("v", np.full((2, 2), 7.0), offset=(2, 2), version_id=rid)
+        arr[2:4, 2:4] = 7.0
+        out = m.refresh()
+        assert out["stats_rows"] == 1  # exactly the late commit's chunk
+        _close(m.totals(), _expect(arr))
+    finally:
+        storage.release_version_reservation(conn._dirs["versions"], rid)
