@@ -75,25 +75,40 @@ def oracle_sql_map() -> dict[str, str]:
 #    already has 49 green hash-match rows.
 
 _FAMILY_RANK = {
-    "llmops": 0,
-    "curation_ext": 0,
-    # never driver-checked (new this round)
+    "llmops": 1,
+    "curation_ext": 1,
+    # never driver-checked (new this round): whole family leads
     "timeseries": 0,
     # Queries that passed vacuously (0 rows) in round 1 and were re-predicated
     # to return data get re-checked right after the LLM family.
-    "relational": 3,
-    "relational_ext": 3,
-    "tpch_remaining": 3,
-    "events_analytics": 2,
+    "relational": 4,
+    "relational_ext": 4,
+    "tpch_remaining": 4,
+    "events_analytics": 3,
 }
 
 _REVERIFY_FIRST = frozenset(
     {"q9_profit_by_nation_year", "q22_idle_customers", "anti_customers_without_orders"}
 )
 
-# Individually new queries living in already-verified family modules —
-# rank them with the unverified families so the driver prefix reaches them.
-_NEW_THIS_ROUND = frozenset({"full_outer_customer_orders"})
+# Queries that did not exist in round 1 AT ALL (vs the round-1 llmops bulk
+# that existed but fell past the driver's adjudication prefix). The driver
+# empirically checks a bounded prefix, so the never-before-seen queries
+# lead it; the round-1-unverified families follow immediately after.
+_NEW_THIS_ROUND = frozenset(
+    {
+        "full_outer_customer_orders",
+        "dedup_span_ngrams",
+        "dedup_span_removal",
+        "text_dup_gram_fraction",
+        "dedup_fuzzy_segments",
+        "dedup_containment",
+        "graph_doc_metrics",
+        "graph_pagerank",
+        "emb_random_projection",
+        "vocab_top_terms_per_source",
+    }
+)
 
 
 def driver_queries() -> dict[str, Query]:
@@ -105,9 +120,9 @@ def driver_queries() -> dict[str, Query]:
         if name in _NEW_THIS_ROUND:
             return (0, index[name])
         if name in _REVERIFY_FIRST:
-            return (1, index[name])
+            return (2, index[name])
         mod = QUERIES[name].fn.__module__.rsplit(".", 1)[-1]
-        return (_FAMILY_RANK.get(mod, 3), index[name])
+        return (_FAMILY_RANK.get(mod, 4), index[name])
 
     return {n: QUERIES[n] for n in sorted(names, key=rank)}
 
