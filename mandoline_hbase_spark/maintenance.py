@@ -334,9 +334,26 @@ def prune_versions(conn, keep_last: int, spark=None) -> dict:
             if not os.path.exists(dst):
                 os.rename(os.path.join(tmp, name), dst)
         storage.set_retention_floor(vdir, floor)
+        # Deletion is constrained to what retention actually owns:
+        # commit files BELOW the floor and legacy pre-claim part files.
+        # A commit file with id >= floor that is not in keep_names was
+        # linked CONCURRENTLY by a lock-free committer (streaming ingest
+        # commits without the dataset lock) and must survive; dot-files
+        # (.tmp-* of an in-flight conditional put, markers, the floor
+        # record) are never touched.
         for f in os.listdir(vdir):
-            if f.endswith(".parquet") and f not in keep_names:
-                os.unlink(os.path.join(vdir, f))
+            if f.startswith(".") or not f.endswith(".parquet"):
+                continue
+            if f in keep_names:
+                continue
+            if f.startswith("commit-"):
+                try:
+                    vid = int(f[len("commit-") : -len(".parquet")])
+                except ValueError:
+                    continue
+                if vid >= floor:
+                    continue  # concurrent commit, not ours to drop
+            os.unlink(os.path.join(vdir, f))
         shutil.rmtree(tmp, ignore_errors=True)
         conn._version_cache = None
 

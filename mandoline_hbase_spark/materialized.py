@@ -51,12 +51,20 @@ class IncrementalVarStats:
     def _watermark_path(self) -> str:
         return os.path.join(self.state_dir, "watermark.json")
 
-    def watermark(self) -> int | None:
+    def _read_watermark(self) -> dict | None:
+        """Missing OR unreadable watermark degrades to a full rebuild —
+        a torn state file must never wedge refresh permanently."""
         try:
             with open(self._watermark_path) as f:
-                return json.load(f)["version"]
+                return json.load(f)
         except FileNotFoundError:
             return None
+        except (json.JSONDecodeError, KeyError, ValueError, OSError):
+            return None
+
+    def watermark(self) -> int | None:
+        data = self._read_watermark()
+        return None if data is None else data.get("version")
 
     def _seen_committed(self) -> set[int] | None:
         """Version ids that were COMMITTED as of the last refresh. The
@@ -64,12 +72,10 @@ class IncrementalVarStats:
         the reservation protocol commits ids out of order (a job that
         reserves early can commit after a later id has already landed),
         so an id-threshold delta would silently skip those rows."""
-        try:
-            with open(self._watermark_path) as f:
-                data = json.load(f)
-            return set(int(v) for v in data.get("committed", []))
-        except FileNotFoundError:
+        data = self._read_watermark()
+        if data is None:
             return None
+        return set(int(v) for v in data.get("committed", []))
 
     def _decode_stats(self, joined, var_meta) -> Any:
         dtype = var_meta["dtype"]
@@ -196,11 +202,15 @@ class IncrementalVarStats:
             finally:
                 fresh.unpersist()
 
-        with open(self._watermark_path, "w") as f:
+        # atomic replace: a crash mid-write must leave the OLD watermark,
+        # never a torn file (the module's state-swap contract)
+        wm_tmp = self._watermark_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(wm_tmp, "w") as f:
             json.dump(
                 {"version": int(bound), "var": self.var_name, "committed": committed_now},
                 f,
             )
+        os.replace(wm_tmp, self._watermark_path)
         return {
             "version": int(bound),
             "stats_rows": delta_rows,

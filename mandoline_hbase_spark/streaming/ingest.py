@@ -244,18 +244,21 @@ def commit_events_batch(connection, batch_df: DataFrame, batch_id: int) -> int |
             .parquet(connection._dirs["chunks"])
         )
         seq = storage.next_seq()
-        (
-            per_chunk.select(
-                F.lit("events").alias("var_name"),
-                F.col("coord_id"),
-                F.col("coord"),
-                F.lit(int(version_id)).cast("long").alias("version_id"),
-                F.col("chunk_id"),
-                F.lit(int(seq)).cast("long").alias("seq"),
-            )
-            .write.mode("append")
-            .parquet(connection._dirs["indices"])
+        from mandoline_hbase_spark.engine import append_index_rows_df
+
+        append_index_rows_df(
+            connection._dirs["indices"], per_chunk, "events", version_id, seq
         )
+        if not storage.reservation_held(connection._dirs["versions"], version_id):
+            # the failed-commit sweeper decided this batch was dead and
+            # reclaimed its rows — publishing now would perforate the
+            # version; abort loudly (same contract as write_variable_from_df)
+            from mandoline_hbase_spark.errors import CommitConflictError
+
+            raise CommitConflictError(
+                f"reservation for version {version_id} was swept mid-batch; "
+                f"aborting streaming commit (raise sweep older_than_s)"
+            )
         connection.write_version(
             {
                 "version-id": int(version_id),

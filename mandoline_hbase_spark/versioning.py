@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from mandoline_hbase_spark import storage
 from mandoline_hbase_spark.engine import append_index_rows_df
+from mandoline_hbase_spark.errors import CommitConflictError
 
 
 def changed_coords(conn, var_name: str, v_old: int, v_new: int, spark=None) -> DataFrame:
@@ -109,15 +110,15 @@ def clone_dataset(
     dst = schema.connect(dst_name)
 
     copied = {}
-    # one chunks-table scan serves every variable's copy (the scan +
-    # payload dedup dominates clone cost; per-variable rebuilds would
-    # multiply it by the variable count)
+    # persist the deduped payload table so the chunks-table scan (the
+    # dominant clone cost) runs ONCE, not once per variable — the plan is
+    # lazy, so without the persist each variable's join re-executes it
     blobs = (
         src.spark_table("chunks", spark)
         .filter(F.col("data").isNotNull())
         .dropDuplicates(["chunk_id"])
         .select("chunk_id", "data")
-    )
+    ).persist()
     for var_name, var_meta in meta.get("variables", {}).items():
         latest = src.chunk_map_df(var_name, bound, spark)
         version_id = dst._reserve_version()
@@ -139,13 +140,14 @@ def clone_dataset(
         finally:
             latest.unpersist()
         if not storage.reservation_held(dst._dirs["versions"], version_id):
-            raise RuntimeError(
+            raise CommitConflictError(
                 f"reservation for version {version_id} was swept mid-clone; aborting"
             )
         try:
             dst._commit(var_name, dict(var_meta), [], {}, {}, version_id)
         finally:
             storage.release_version_reservation(dst._dirs["versions"], version_id)
+    blobs.unpersist()
     return {"source_version": bound, "variables": copied}
 
 
@@ -185,7 +187,7 @@ def rollback_variable(conn, var_name: str, to_version: int, spark=None) -> int:
     finally:
         latest.unpersist()
     if not storage.reservation_held(conn._dirs["versions"], version_id):
-        raise RuntimeError(
+        raise CommitConflictError(
             f"reservation for version {version_id} was swept mid-rollback; aborting"
         )
     try:

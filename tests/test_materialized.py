@@ -155,3 +155,17 @@ def test_refresh_catches_reserved_early_committed_late(spark, tmp_path):
         _close(m.totals(), _expect(arr))
     finally:
         storage.release_version_reservation(conn._dirs["versions"], rid)
+
+
+def test_torn_watermark_degrades_to_full_rebuild(spark, store, tmp_path):
+    arr = np.arange(16, dtype=np.float64).reshape(4, 4)
+    store.write_variable("v", arr, chunk_shape=(2, 2))
+    m = IncrementalVarStats(store, "v", str(tmp_path / "mat"), spark=spark)
+    m.refresh()
+    # simulate a crash mid-write of the state file
+    with open(m._watermark_path, "w") as f:
+        f.write('{"version": 12, "comm')
+    assert m.watermark() is None  # unreadable == missing
+    out = m.refresh()  # full rebuild, not a crash
+    assert out["incremental"] is False
+    _close(m.totals(), _expect(arr))
