@@ -48,6 +48,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import sys
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -400,6 +401,11 @@ class MandolineWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.schema = schema
         self.schema_json = schema.json()
+        # captured while the package IS importable (driver), replayed in
+        # the runner process by _ensure_importable()
+        self._pkg_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
         # fail BEFORE any task runs if the target is an array/scalar
         # variable: its coordinates aren't record indices, and dying in
         # commit() would leave orphan chunks behind
@@ -451,7 +457,19 @@ class MandolineWriter(DataSourceWriter):
 
     # -- driver side --------------------------------------------------------
 
+    def _ensure_importable(self):
+        """The DSv2 commit/abort runs in a data-source runner PROCESS that
+        does not inherit the driver script's sys.path; when the driver
+        loaded this package from a non-installed location (neutral-cwd
+        harnesses, notebooks), re-add the captured package root. On a real
+        cluster the package ships via --py-files/pip and this is a no-op."""
+        try:
+            import mandoline_hbase_spark  # noqa: F401
+        except ModuleNotFoundError:
+            sys.path.insert(0, self._pkg_root)
+
     def commit(self, messages):
+        self._ensure_importable()
         from mandoline_hbase_spark import storage
         from mandoline_hbase_spark.engine import Connection
 
