@@ -1,0 +1,305 @@
+"""MERGE INTO for record-log variables: keyed upsert/delete as a new
+MVCC version with CHUNK-LEVEL COPY-ON-WRITE.
+
+Semantics (ANSI/Delta-style MERGE, source = ``updates_df``):
+
+- WHEN MATCHED on ``key_cols``: ``when_matched="update"`` replaces the
+  whole target row with the source row; ``"delete"`` removes it.
+- WHEN NOT MATCHED: the source row is inserted (``insert_not_matched``).
+- A source with duplicate keys is rejected up front — SQL MERGE's
+  "cannot update the same row twice" rule — instead of applying an
+  arbitrary winner.
+
+Scale design — the cost is ∝ TOUCHED chunks, never table size:
+
+1. The committed chunk map (one row per chunk, driver-held — the same
+   O(chunks) state every commit already holds) is parallelized and each
+   chunk's KEY COLUMNS ONLY are decoded executor-side to find matches;
+   untouched chunks are never read again, let alone rewritten.
+2. Matched source rows shuffle ONCE, keyed by target chunk coordinate;
+   one ``applyInPandas`` task per touched chunk reads the old payload,
+   applies updates/deletes in place (row order preserved), and writes a
+   new content-addressed chunk. A chunk emptied by deletes becomes a
+   tombstone.
+3. Unmatched source rows append as fresh chunks (executor-written, one
+   per partition, same as the datasource writer).
+4. The driver commits index re-points + the version row under the
+   conditional-put reservation — identical protocol to
+   ``sources/datasource.MandolineWriter.commit`` (§3.2 ordering:
+   chunks → indices → version). Nothing a failed merge wrote is
+   reachable; zero-ref chunks are GC fodder.
+
+Old versions still see the old chunks (content addressing + MVCC), so
+MERGE is time-travel-safe, and rollback (`versioning.rollback_variable`)
+undoes it with zero data copy.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from mandoline_hbase_spark import storage
+from mandoline_hbase_spark.engine import Connection, Index
+from mandoline_hbase_spark.sources.datasource import _snapshot
+
+
+def _schema_fingerprint(schema: StructType) -> list[tuple[str, str]]:
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def merge_records(
+    spark: SparkSession,
+    dataset_path: str,
+    updates_df: DataFrame,
+    key_cols: list[str],
+    variable: str = "records",
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Merge ``updates_df`` into the record variable by key; returns a
+    summary dict (new version id + row/chunk counters).
+
+    ``extra_meta`` entries are recorded in the new version's metadata
+    (reserved keys ``version-id`` / ``variables`` excluded) — the hook
+    transactional sinks use to stamp progress markers (e.g. the CDC
+    batch id) atomically WITH the data commit."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError("when_matched must be 'update' or 'delete'")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+
+    bound, var_meta, entries = _snapshot(dataset_path, variable, None)
+    if "schema_json" not in var_meta:
+        raise ValueError(f"variable {variable!r} is not a record-log variable")
+    stored_schema = StructType.fromJson(json.loads(var_meta["schema_json"]))
+    if when_matched == "update" or insert_not_matched:
+        if _schema_fingerprint(updates_df.schema) != _schema_fingerprint(stored_schema):
+            raise ValueError(
+                "updates_df schema must match the stored record schema "
+                f"{_schema_fingerprint(stored_schema)} for update/insert merges; "
+                f"got {_schema_fingerprint(updates_df.schema)}"
+            )
+    missing = [k for k in key_cols if k not in updates_df.columns]
+    if missing:
+        raise ValueError(f"key columns missing from updates_df: {missing}")
+
+    # SQL MERGE precondition: one source row per key
+    dup = (
+        updates_df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError("updates_df has duplicate keys; MERGE requires one source row per key")
+
+    chunks_dir = os.path.join(dataset_path, "chunks")
+    schema_json = var_meta["schema_json"]
+    all_cols = [f.name for f in stored_schema.fields]
+
+    # Executor-side helpers are NESTED so cloudpickle serializes them by
+    # VALUE: task closures must not reference this package by name — the
+    # driver harness runs with a neutral cwd where workers cannot import
+    # it (see .claude/skills/verify/SKILL.md "Gotchas").
+
+    def _fetch_payload(cid: str) -> bytes:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pa_ds
+
+        ds = pa_ds.dataset(chunks_dir, format="parquet")
+        t = ds.to_table(
+            filter=(pc.field("chunk_id") == cid) & pc.field("data").is_valid(),
+            columns=["data"],
+        )
+        if t.num_rows == 0:
+            raise LookupError(f"chunk {cid} missing from {chunks_dir}")
+        return t.column("data")[0].as_py()
+
+    def _put_chunk(blob: bytes) -> str:
+        import hashlib
+        import time as _time
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cid = hashlib.sha1(blob).hexdigest()
+        store = pa.Table.from_pydict(
+            {"chunk_id": [cid], "ref_delta": [0], "data": [blob]},
+            schema=pa.schema(
+                [
+                    pa.field("chunk_id", pa.string(), nullable=False),
+                    pa.field("ref_delta", pa.int64(), nullable=False),
+                    pa.field("data", pa.binary(), nullable=True),
+                ]
+            ),
+        )
+        path = os.path.join(
+            chunks_dir, f"part-{_time.time_ns():020d}-{_uuid.uuid4().hex[:8]}.parquet"
+        )
+        pq.write_table(store, path)
+        return cid
+
+    def _encode_records(pdf) -> bytes:
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _StructType
+
+        arrow_schema = to_arrow_schema(_StructType.fromJson(_json.loads(schema_json)))
+        table = pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        return buf.getvalue()
+
+    # -- 1. executor-side key scan of the current snapshot -------------------
+    # one row per chunk; each task decodes ONLY the key columns of its chunk
+    chunk_rows = [(int(coord[0]), cid) for coord, cid in entries]
+    chunk_map = spark.createDataFrame(chunk_rows or [], "coord BIGINT, chunk_id STRING")
+    n_chunks = len(chunk_rows)
+    key_schema = StructType([stored_schema[k] for k in key_cols]).add("coord", "long").add(
+        "chunk_id", "string"
+    )
+
+    def _scan_keys(pdfs: Iterator) -> Iterator:
+        import pyarrow.parquet as pq
+
+        for pdf in pdfs:
+            for coord, cid in zip(pdf["coord"], pdf["chunk_id"]):
+                payload = _fetch_payload(cid)
+                t = pq.read_table(io.BytesIO(payload), columns=key_cols)
+                kp = t.to_pandas()
+                kp["coord"] = int(coord)
+                kp["chunk_id"] = cid
+                yield kp
+
+    target_keys = chunk_map.repartition(max(1, n_chunks)).mapInPandas(
+        _scan_keys, schema=key_schema
+    )
+
+    # -- 2. match ------------------------------------------------------------
+    upd = updates_df
+    matched = upd.join(target_keys, on=key_cols, how="inner")  # + coord, chunk_id
+
+    # -- 3. chunk-level rewrite (one task per touched chunk) -----------------
+    out_schema = "coord BIGINT, new_chunk_id STRING, n_matched BIGINT, n_rows BIGINT"
+    mode = when_matched
+
+    def _rewrite(key, pdf):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        coord = int(key[0])
+        cid = pdf["chunk_id"].iloc[0]
+        payload = _fetch_payload(cid)
+        old = pq.read_table(io.BytesIO(payload)).to_pandas()
+        n_matched = len(pdf)
+        mask = (
+            old[key_cols]
+            .apply(tuple, axis=1)
+            .isin(set(map(tuple, pdf[key_cols].itertuples(index=False, name=None))))
+        )
+        if mode == "delete":
+            new = old[~mask]
+        else:
+            new = old.set_index(key_cols)
+            new.update(pdf[[c for c in old.columns]].set_index(key_cols))
+            new = new.reset_index()[list(old.columns)]
+        if len(new) == 0:
+            return pd.DataFrame(
+                [(coord, None, n_matched, 0)],
+                columns=["coord", "new_chunk_id", "n_matched", "n_rows"],
+            )
+        new_cid = _put_chunk(_encode_records(new))
+        return pd.DataFrame(
+            [(coord, new_cid, n_matched, len(new))],
+            columns=["coord", "new_chunk_id", "n_matched", "n_rows"],
+        )
+
+    rewrites = [
+        (int(r["coord"]), r["new_chunk_id"], int(r["n_matched"]))
+        for r in matched.groupBy("coord").applyInPandas(_rewrite, schema=out_schema).collect()
+    ]  # O(touched chunks) driver state — same order as every commit's index append
+
+    # -- 4. inserts (unmatched source rows) ----------------------------------
+    insert_results: list[tuple[str, int]] = []
+    if insert_not_matched:
+        not_matched = upd.join(target_keys.select(*key_cols), on=key_cols, how="left_anti")
+
+        def _write_inserts(pdfs: Iterator) -> Iterator:
+            import pandas as pd
+
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                return
+            new = pd.concat(parts, ignore_index=True)[all_cols]
+            cid = _put_chunk(_encode_records(new))
+            yield pd.DataFrame([(cid, len(new))], columns=["chunk_id", "n_rows"])
+
+        insert_results = [
+            (r["chunk_id"], int(r["n_rows"]))
+            for r in not_matched.mapInPandas(
+                _write_inserts, schema="chunk_id STRING, n_rows BIGINT"
+            ).collect()
+        ]  # O(partitions) driver state
+
+    # -- 5. commit: index re-points + version row (driver, locked) -----------
+    conn = Connection(dataset_path, os.path.basename(dataset_path))
+    new_ids = [cid for _, cid, _ in rewrites if cid] + [cid for cid, _ in insert_results]
+    n_updated = sum(n for _, cid, n in rewrites) if mode == "update" else 0
+    n_deleted = sum(n for _, cid, n in rewrites) if mode == "delete" else 0
+    n_inserted = sum(n for _, n in insert_results)
+    with storage.dataset_lock(dataset_path):
+        latest = conn.latest_version_id()
+        meta = conn.metadata(latest) if latest is not None else {}
+        base = max((int(c) for c, _ in chunk_rows), default=-1) + 1
+        version_id = conn._reserve_version()
+        index_entries: list[tuple[tuple[int, ...], str | None]] = [
+            ((coord,), cid) for coord, cid, _ in rewrites
+        ]
+        index_entries.extend(
+            ((base + i,), cid) for i, (cid, _) in enumerate(insert_results)
+        )
+        safe_extra = {
+            k: v for k, v in (extra_meta or {}).items() if k not in ("version-id", "variables")
+        }
+        new_meta = {**meta, **safe_extra, "version-id": int(version_id)}
+        new_meta.setdefault("variables", {})[variable] = dict(var_meta)
+        try:
+            if new_ids:
+                conn.chunk_store().write_chunks_bulk([(cid, 1, None) for cid in new_ids])
+            idx = Index(
+                dataset_path,
+                os.path.join(dataset_path, "indices"),
+                variable,
+                new_meta,
+                version_id,
+            )
+            idx.write_index_bulk(index_entries, version_id)
+            conn.write_version(new_meta)  # commit point
+        finally:
+            storage.release_version_reservation(
+                os.path.join(dataset_path, "versions"), version_id
+            )
+
+    return {
+        "version": int(version_id),
+        "base_version": int(bound),
+        "updated": int(n_updated),
+        "deleted": int(n_deleted),
+        "inserted": int(n_inserted),
+        "chunks_total": n_chunks,
+        "chunks_rewritten": len(rewrites),
+        "tombstoned": sum(1 for _, cid, _ in rewrites if cid is None),
+    }
