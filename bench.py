@@ -89,6 +89,17 @@ HEADLINE = [
     "ts_value_histogram",
     "gov_masked_events",
     "unpivot_lineitem_measures",
+    "pivot_priority_by_status",
+    "setops_multiset_partkeys",
+    "listagg_types_per_brand",
+    "stats_comoments_by_flag",
+    "window_value_quartiles",
+    "median_value_by_type",
+    "recursive_order_chains",
+    "lateral_latest_order",
+    "sentences_positional",
+    "profile_documents",
+    "dq_lineitem_expectations",
     "hll_union_distinct_users",
     "kmv_user_overlap_by_type",
     "theta_user_set_algebra",

