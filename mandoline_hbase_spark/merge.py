@@ -149,6 +149,26 @@ def merge_records(
         pq.write_table(store, path)
         return cid
 
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _put_stats(cid: str, pdf) -> None:
+        # zone-map sidecar: advisory, best-effort — merged chunks stay
+        # prunable by the records reader's pushed filters
+        try:
+            import sys as _sys
+
+            try:
+                from mandoline_hbase_spark import zonemaps
+            except ModuleNotFoundError:
+                _sys.path.insert(0, pkg_root)
+                from mandoline_hbase_spark import zonemaps
+            zonemaps.write_stats(
+                os.path.join(dataset_path, zonemaps.STATS_SUBDIR),
+                zonemaps.stats_rows(cid, pdf),
+            )
+        except Exception:
+            pass
+
     def _encode_records(pdf) -> bytes:
         import json as _json
 
@@ -222,6 +242,7 @@ def merge_records(
                 columns=["coord", "new_chunk_id", "n_matched", "n_rows"],
             )
         new_cid = _put_chunk(_encode_records(new))
+        _put_stats(new_cid, new)
         return pd.DataFrame(
             [(coord, new_cid, n_matched, len(new))],
             columns=["coord", "new_chunk_id", "n_matched", "n_rows"],
@@ -245,6 +266,7 @@ def merge_records(
                 return
             new = pd.concat(parts, ignore_index=True)[all_cols]
             cid = _put_chunk(_encode_records(new))
+            _put_stats(cid, new)
             yield pd.DataFrame([(cid, len(new))], columns=["chunk_id", "n_rows"])
 
         insert_results = [

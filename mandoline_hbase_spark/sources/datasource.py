@@ -250,6 +250,10 @@ class MandolineBatchReader(DataSourceReader):
         self.per_partition = int(_opt(options, "chunks_per_partition", 1))
         self.form = form
         self.region = _parse_region(_opt(options, "region"))
+        self._pushed_filters: list = []
+        self._pkg_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
         # `snapshot` lets the DataSource reuse the resolution its
         # schema() call already did instead of re-scanning the index
         self._bound, self._var_meta, self._entries = snapshot or _snapshot(
@@ -276,10 +280,38 @@ class MandolineBatchReader(DataSourceReader):
                 )
             self._entries = [(c, cid) for c, cid in self._entries if hits(c)]
 
+    def pushFilters(self, filters):
+        """Record-form scans keep the pushable filters for zone-map chunk
+        pruning at planning time. EVERY filter is returned (Spark still
+        evaluates all of them post-scan), so the sidecar statistics are
+        advisory — pruning only drops chunks that provably match nothing."""
+        if self.form == "records":
+            self._pushed_filters = list(filters)
+        return filters
+
+    def _zonemap_entries(self):
+        """Live entries after zone-map pruning (best effort: without the
+        package or a stats sidecar, the full entry list scans as before)."""
+        if not self._pushed_filters:
+            return self._entries
+        try:
+            try:
+                from mandoline_hbase_spark import zonemaps
+            except ModuleNotFoundError:
+                sys.path.insert(0, self._pkg_root)
+                from mandoline_hbase_spark import zonemaps
+            stats = zonemaps.load_stats(
+                os.path.join(self.path, zonemaps.STATS_SUBDIR),
+                [cid for _, cid in self._entries],
+            )
+            return zonemaps.prune_chunks(self._entries, stats, self._pushed_filters)
+        except Exception:
+            return self._entries
+
     def partitions(self):
         chunks_dir = os.path.join(self.path, "chunks")
         if self.form == "records":
-            groups = _group([cid for _, cid in self._entries], self.per_partition)
+            groups = _group([cid for _, cid in self._zonemap_entries()], self.per_partition)
             return [RecordScanPartition(chunks_dir, g) for g in groups] or [
                 RecordScanPartition(chunks_dir, [])
             ]
@@ -453,6 +485,20 @@ class MandolineWriter(DataSourceWriter):
             ),
         )
         pq.write_table(store, _chunk_file_path(os.path.join(self.path, "chunks")))
+        try:
+            # zone-map sidecar: advisory, best-effort (a chunk without
+            # stats is simply never pruned by the records reader)
+            try:
+                from mandoline_hbase_spark import zonemaps
+            except ModuleNotFoundError:
+                sys.path.insert(0, self._pkg_root)
+                from mandoline_hbase_spark import zonemaps
+            zonemaps.write_stats(
+                os.path.join(self.path, zonemaps.STATS_SUBDIR),
+                zonemaps.stats_rows(chunk_id, pdf),
+            )
+        except Exception:
+            pass
         return ChunkCommitMessage(chunk_id=chunk_id, n_rows=len(rows))
 
     # -- driver side --------------------------------------------------------
@@ -619,10 +665,15 @@ def register(spark) -> None:
 
     Pickles this module by value so executor python workers don't need
     the package importable; everything executor-side is stdlib + arrow.
+    Also enables Python data source filter pushdown (runtime conf, off
+    by default in Spark 4.1) — Spark refuses to plan a reader that
+    implements ``pushFilters`` while the conf is off, and without it the
+    zone-map chunk skipping never sees the filters.
     """
     import sys
 
     from pyspark import cloudpickle
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(MandolineDataSource)

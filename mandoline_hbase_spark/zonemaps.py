@@ -1,0 +1,242 @@
+"""Zone maps: per-chunk column statistics + conservative scan pruning.
+
+Record-log chunks are opaque parquet blobs inside the chunk log, so the
+format cannot lean on parquet row-group statistics for data skipping —
+reading a footer would mean reading the blob. Instead every chunk write
+appends a small sidecar row set to ``<dataset>/stats/``:
+
+    (chunk_id, column, kind, vmin, vmax, nulls, nrows)
+
+and the records reader prunes chunks whose statistics PROVE a pushed
+filter matches nothing (``pushFilters``, Spark 4.1 Python Data Source).
+This is exactly parquet's row-group min/max skipping lifted to the
+chunk-log layout: a point lookup or range scan on a clustered key reads
+O(matching chunks), not O(table).
+
+Statistics are ADVISORY, never load-bearing for correctness:
+
+- ``pushFilters`` returns every filter, so Spark re-evaluates them all
+  post-scan; pruning can only remove chunks that provably contain no
+  matching row.
+- A chunk with no stats rows (pre-zonemap data, failed sidecar write)
+  is simply never pruned.
+- Orphan stats (chunks whose commit never landed) are keyed by
+  chunk_id and never consulted, and content-addressing makes stats
+  idempotent across chunk rewrites of identical bytes.
+
+Only three comparable kinds are recorded: ``num`` (int/float/decimal),
+``ts`` (naive wall-clock timestamps as epoch seconds) and ``str``.
+Everything else (arrays, structs, binary, bool) is left unpruned.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Any, Iterable
+
+STATS_SUBDIR = "stats"
+
+
+# ---------------------------------------------------------------------------
+# executor side: compute + append the sidecar
+# ---------------------------------------------------------------------------
+
+
+def stats_rows(chunk_id: str, pdf) -> list[dict]:
+    """Per-column (kind, min, max, nulls) rows for one chunk's pandas
+    frame. Values are serialized as strings; ``num``/``ts`` use repr of
+    float so the driver can parse them back without pandas."""
+    import numpy as np
+    import pandas as pd
+
+    out = []
+    n = len(pdf)
+    for col in pdf.columns:
+        s = pdf[col]
+        nulls = int(s.isna().sum())
+        sv = s.dropna()
+        kind = None
+        vmin = vmax = None
+        if len(sv):
+            if pd.api.types.is_bool_dtype(s):
+                kind = None
+            elif pd.api.types.is_datetime64_any_dtype(s):
+                kind = "ts"
+                vmin = repr(sv.min().value / 1e9)
+                vmax = repr(sv.max().value / 1e9)
+            elif pd.api.types.is_numeric_dtype(s):
+                kind = "num"
+                vmin = repr(float(sv.min()))
+                vmax = repr(float(sv.max()))
+            elif sv.map(lambda v: isinstance(v, str)).all():
+                kind = "str"
+                vmin = str(sv.min())
+                vmax = str(sv.max())
+        elif nulls == n and n > 0:
+            kind = "allnull"
+        if kind is None and not (nulls == n and n > 0):
+            continue
+        out.append(
+            {
+                "chunk_id": chunk_id,
+                "column": str(col),
+                "kind": kind or "allnull",
+                "vmin": vmin,
+                "vmax": vmax,
+                "nulls": nulls,
+                "nrows": n,
+            }
+        )
+    return out
+
+
+def write_stats(stats_dir: str, rows: list[dict]) -> None:
+    """Append one sidecar parquet file (unique name, same discipline as
+    chunk-log appends: blind write, no coordination needed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not rows:
+        return
+    os.makedirs(stats_dir, exist_ok=True)
+    schema = pa.schema(
+        [
+            pa.field("chunk_id", pa.string(), nullable=False),
+            pa.field("column", pa.string(), nullable=False),
+            pa.field("kind", pa.string(), nullable=False),
+            pa.field("vmin", pa.string(), nullable=True),
+            pa.field("vmax", pa.string(), nullable=True),
+            pa.field("nulls", pa.int64(), nullable=False),
+            pa.field("nrows", pa.int64(), nullable=False),
+        ]
+    )
+    table = pa.Table.from_pylist(rows, schema=schema)
+    path = os.path.join(stats_dir, f"part-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet")
+    pq.write_table(table, path)
+
+
+# ---------------------------------------------------------------------------
+# driver side: load + prune
+# ---------------------------------------------------------------------------
+
+
+def load_stats(stats_dir: str, chunk_ids: list[str]) -> dict[str, dict[str, dict]]:
+    """chunk_id -> column -> stats row, for the requested live chunks.
+    Returns {} when the dataset has no sidecar (pre-zonemap data)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+
+    if not chunk_ids or not os.path.isdir(stats_dir):
+        return {}
+    ds = pa_ds.dataset(stats_dir, format="parquet")
+    t = ds.to_table(filter=pc.field("chunk_id").isin(chunk_ids))
+    out: dict[str, dict[str, dict]] = {}
+    for r in t.to_pylist():
+        out.setdefault(r["chunk_id"], {})[r["column"]] = r
+    return out
+
+
+def _norm_value(v: Any) -> tuple[str, Any] | None:
+    import datetime
+
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return ("num", float(v))
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, datetime.datetime):
+        wall = v.replace(tzinfo=None)
+        return ("ts", (wall - datetime.datetime(1970, 1, 1)).total_seconds())
+    if isinstance(v, datetime.date):
+        return ("ts", (v - datetime.date(1970, 1, 1)).days * 86400.0)
+    return None
+
+
+def _parse_bound(kind: str, raw: str | None) -> Any:
+    if raw is None:
+        return None
+    return float(raw) if kind in ("num", "ts") else raw
+
+
+def _may_match_one(stats: dict[str, dict], f: Any) -> bool:
+    """False only when ``stats`` PROVES no row of the chunk satisfies
+    ``f``; True means 'maybe' (including every unsupported shape)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        StringStartsWith,
+    )
+
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return True
+    st = stats.get(attr[0])
+    if st is None:
+        return True
+    kind = st["kind"]
+    if kind == "allnull":
+        # every comparison/prefix/IsNotNull filter needs a non-null row
+        return isinstance(f, IsNull)
+    if isinstance(f, IsNull):
+        return st["nulls"] > 0
+    if isinstance(f, IsNotNull):
+        return st["nulls"] < st["nrows"]
+    lo, hi = _parse_bound(kind, st["vmin"]), _parse_bound(kind, st["vmax"])
+    if lo is None or hi is None:
+        return True
+    if isinstance(f, StringStartsWith):
+        if kind != "str" or not isinstance(f.value, str):
+            return True
+        p = f.value
+        # strings with prefix p all sort >= p; and if even vmin's p-length
+        # prefix sorts above p, the whole chunk is past the prefix region
+        return hi >= p and str(lo)[: len(p)] <= p
+    if isinstance(f, In):
+        vs = [_norm_value(v) for v in f.value]
+        vs = [v for k, v in [x for x in vs if x is not None] if k == kind]
+        if not vs:
+            return True
+        return any(lo <= v <= hi for v in vs)
+    nv = _norm_value(getattr(f, "value", None))
+    if nv is None or nv[0] != kind:
+        return True
+    v = nv[1]
+    if isinstance(f, EqualTo):
+        return lo <= v <= hi
+    if isinstance(f, GreaterThan):
+        return hi > v
+    if isinstance(f, GreaterThanOrEqual):
+        return hi >= v
+    if isinstance(f, LessThan):
+        return lo < v
+    if isinstance(f, LessThanOrEqual):
+        return lo <= v
+    return True
+
+
+def prune_chunks(
+    entries: list[tuple],
+    stats_by_chunk: dict[str, dict[str, dict]],
+    filters: Iterable[Any],
+) -> list[tuple]:
+    """Keep the (coord, chunk_id) entries whose chunk may contain a
+    matching row under the AND of ``filters``; chunks without stats are
+    always kept."""
+    filters = list(filters)
+    if not filters or not stats_by_chunk:
+        return entries
+    kept = []
+    for coord, cid in entries:
+        st = stats_by_chunk.get(cid)
+        if st is None or all(_may_match_one(st, f) for f in filters):
+            kept.append((coord, cid))
+    return kept
