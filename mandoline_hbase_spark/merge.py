@@ -198,8 +198,14 @@ def merge_records(
         for pdf in pdfs:
             for coord, cid in zip(pdf["coord"], pdf["chunk_id"]):
                 payload = _fetch_payload(cid)
-                t = pq.read_table(io.BytesIO(payload), columns=key_cols)
-                kp = t.to_pandas()
+                pf = pq.ParquetFile(io.BytesIO(payload))
+                have = [c for c in key_cols if c in pf.schema_arrow.names]
+                kp = pf.read(columns=have).to_pandas()
+                for c in key_cols:
+                    # key column added after this chunk was written: its
+                    # rows carry null keys and can never match an update
+                    if c not in kp.columns:
+                        kp[c] = None
                 kp["coord"] = int(coord)
                 kp["chunk_id"] = cid
                 yield kp
@@ -224,6 +230,14 @@ def merge_records(
         cid = pdf["chunk_id"].iloc[0]
         payload = _fetch_payload(cid)
         old = pq.read_table(io.BytesIO(payload)).to_pandas()
+        # schema-on-read reconcile (matches the records reader): chunks
+        # written before a schema evolution pad the added columns with
+        # nulls and drop removed ones, so the rewrite re-encodes them at
+        # the CURRENT schema
+        for c in all_cols:
+            if c not in old.columns:
+                old[c] = None
+        old = old[all_cols]
         n_matched = len(pdf)
         mask = (
             old[key_cols]

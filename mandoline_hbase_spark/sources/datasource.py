@@ -152,10 +152,17 @@ class ChunkScanPartition(InputPartition):
 
 @dataclass
 class RecordScanPartition(InputPartition):
-    """One executor task: replay record-log payload chunks."""
+    """One executor task: replay record-log payload chunks.
+
+    ``schema_json`` is the variable's CURRENT schema: chunks written
+    before a schema evolution are reconciled to it at read time
+    (missing columns null-padded, dropped columns projected away,
+    widened types cast) — schema-on-read, so evolution never rewrites
+    committed chunks."""
 
     chunks_dir: str
     chunk_ids: list
+    schema_json: str | None = None
 
 
 def _group(seq: list, n: int) -> list[list]:
@@ -184,6 +191,53 @@ def _read_payloads(chunks_dir: str, chunk_ids: list[str]) -> dict[str, bytes]:
     for cid, data in zip(t.column("chunk_id").to_pylist(), t.column("data").to_pylist()):
         out.setdefault(cid, data)
     return out
+
+
+def _reconcile_to_schema(table, target):
+    """Project/pad/cast a stored chunk table to the variable's CURRENT
+    arrow schema: missing columns become nulls, extra columns drop, and
+    widened types cast (safe casts only — a lossy evolution the writer
+    refused can never sneak in through here)."""
+    import pyarrow as pa
+
+    if table.schema == target:
+        return table
+    cols = []
+    for f in target:
+        if f.name in table.column_names:
+            c = table.column(f.name)
+            if c.type != f.type:
+                c = c.cast(f.type)
+            cols.append(c)
+        else:
+            cols.append(pa.nulls(len(table), f.type))
+    return pa.Table.from_arrays(cols, schema=target)
+
+
+# Spark simpleString type names, (stored, evolved-to) widening pairs
+_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+}
+
+
+def _check_schema_evolution(old_fields: dict, new_fields: dict) -> None:
+    """Raise unless every column shared by the old and new record schema
+    keeps its type or widens it (int upcasts, float->double). New and
+    dropped columns are always fine: reads reconcile by name."""
+    for name, old_t in old_fields.items():
+        new_t = new_fields.get(name)
+        if new_t is None or new_t == old_t:
+            continue
+        if (old_t, new_t) not in _WIDENINGS:
+            raise ValueError(
+                f"incompatible schema evolution for column {name!r}: "
+                f"{old_t} -> {new_t} (only widening casts are allowed; "
+                "committed chunks are reconciled at read time, never rewritten)"
+            )
 
 
 def _decode_entries(partition: ChunkScanPartition):
@@ -312,8 +366,9 @@ class MandolineBatchReader(DataSourceReader):
         chunks_dir = os.path.join(self.path, "chunks")
         if self.form == "records":
             groups = _group([cid for _, cid in self._zonemap_entries()], self.per_partition)
-            return [RecordScanPartition(chunks_dir, g) for g in groups] or [
-                RecordScanPartition(chunks_dir, [])
+            sj = self._var_meta.get("schema_json")
+            return [RecordScanPartition(chunks_dir, g, sj) for g in groups] or [
+                RecordScanPartition(chunks_dir, [], sj)
             ]
         vm = self._var_meta
         groups = _group(self._entries, self.per_partition)
@@ -332,9 +387,17 @@ class MandolineBatchReader(DataSourceReader):
         if isinstance(partition, RecordScanPartition):
             import pyarrow.parquet as pq
 
+            target = None
+            if partition.schema_json is not None:
+                from pyspark.sql.pandas.types import to_arrow_schema
+                from pyspark.sql.types import StructType as _StructType
+
+                target = to_arrow_schema(_StructType.fromJson(json.loads(partition.schema_json)))
             payloads = _read_payloads(partition.chunks_dir, partition.chunk_ids)
             for cid in partition.chunk_ids:
                 table = pq.read_table(io.BytesIO(payloads[cid]))
+                if target is not None:
+                    table = _reconcile_to_schema(table, target)
                 yield from table.to_batches()
             return
         yield from _decode_entries(partition)
@@ -449,6 +512,16 @@ class MandolineWriter(DataSourceWriter):
             raise ValueError(
                 f"variable {self.variable!r} is not a record-log variable; "
                 "records writes cannot target an array variable"
+            )
+        if var_meta is not None and var_meta["schema_json"] != self.schema_json:
+            # schema evolution: fail BEFORE any task runs unless the change
+            # is add/drop/widen (reads reconcile old chunks by name)
+            from pyspark.sql.types import StructType as _StructType
+
+            old = _StructType.fromJson(json.loads(var_meta["schema_json"]))
+            _check_schema_evolution(
+                {f.name: f.dataType.simpleString() for f in old.fields},
+                {f.name: f.dataType.simpleString() for f in schema.fields},
             )
 
     def write(self, iterator):
