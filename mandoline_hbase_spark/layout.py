@@ -1,0 +1,99 @@
+"""Physical-layout maintenance for record variables: re-clustering and
+small-chunk compaction (the OPTIMIZE / OPTIMIZE ... CLUSTER BY analog).
+
+Zone maps (``zonemaps.py``) only skip chunks when the data is laid out
+so that filter columns have tight per-chunk ranges. Ingest order rarely
+is — so these helpers rewrite a record variable's layout as a NEW
+version:
+
+- :func:`cluster_records` — range-repartition on the cluster columns
+  and rewrite, giving each chunk a tight, near-disjoint range on those
+  columns (Delta ``OPTIMIZE ... ZORDER/CLUSTER BY`` for one key set).
+- :func:`compact_records` — bin small chunks into ``target_rows``-sized
+  ones (the small-files problem of streaming/CDC ingest: every
+  micro-batch merge appends a chunk; compaction folds them back).
+
+Both are expressed through the existing data-source read and
+overwrite-write paths, so they inherit the full commit protocol:
+executor-side chunk writes with fresh zone-map sidecars, tombstoned old
+coordinates, a single atomic version append — and MVCC time travel
+still reads every pre-rewrite version (content-addressed chunks are
+never deleted by the rewrite; ``gc_chunks`` reclaims them once
+retention drops the old versions).
+
+Cost is one full read + write of the variable — a deliberate,
+user-invoked rewrite, distributed across executors, with O(chunks)
+driver state like every other commit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+
+def _load_records(spark: SparkSession, dataset_path: str, variable: str):
+    return (
+        spark.read.format("mandoline")
+        .option("path", dataset_path)
+        .option("variable", variable)
+        .option("form", "records")
+        .load()
+    )
+
+
+def _overwrite_records(df, dataset_path: str, variable: str) -> None:
+    (
+        df.write.format("mandoline")
+        .option("path", dataset_path)
+        .option("variable", variable)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def cluster_records(
+    spark: SparkSession,
+    dataset_path: str,
+    cluster_by: list[str],
+    variable: str = "records",
+    n_chunks: int | None = None,
+    target_rows: int = 100_000,
+) -> dict:
+    """Rewrite the variable range-clustered on ``cluster_by``; returns
+    {"version_rows": n, "n_chunks": k}. After this, zone-map pruning on
+    the cluster columns is maximally effective (near-disjoint ranges)."""
+    if not cluster_by:
+        raise ValueError("cluster_by must be non-empty")
+    df = _load_records(spark, dataset_path, variable)
+    missing = [c for c in cluster_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"cluster columns not in record schema: {missing}")
+    n = df.count()
+    k = n_chunks or max(1, math.ceil(n / max(1, target_rows)))
+    # range partitioning samples the keys and assigns contiguous ranges:
+    # each output chunk covers a tight [lo, hi] of the cluster columns
+    _overwrite_records(
+        df.repartitionByRange(k, *cluster_by).sortWithinPartitions(*cluster_by),
+        dataset_path,
+        variable,
+    )
+    return {"rows": int(n), "n_chunks": int(k)}
+
+
+def compact_records(
+    spark: SparkSession,
+    dataset_path: str,
+    variable: str = "records",
+    target_rows: int = 100_000,
+) -> dict:
+    """Fold many small chunks (streaming/CDC append debris) into
+    ``target_rows``-sized ones; returns {"rows": n, "n_chunks": k}.
+    Round-robin repartition — no clustering opinion; compose with
+    :func:`cluster_records` when a sort order is wanted too."""
+    df = _load_records(spark, dataset_path, variable)
+    n = df.count()
+    k = max(1, math.ceil(n / max(1, target_rows)))
+    _overwrite_records(df.repartition(k), dataset_path, variable)
+    return {"rows": int(n), "n_chunks": int(k)}

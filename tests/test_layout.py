@@ -1,0 +1,126 @@
+"""Layout maintenance: clustering makes zone-map pruning effective,
+compaction folds small chunks, both preserve data + history (MVCC)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.datasource import EqualTo
+
+from mandoline_hbase_spark.layout import cluster_records, compact_records
+
+
+@pytest.fixture(scope="module")
+def ds_spark(tmp_path_factory):
+    from mandoline_hbase_spark.session import get_spark
+    from mandoline_hbase_spark.sources.datasource import register
+
+    spark = get_spark(
+        app_name="mandoline-layout-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark-warehouse"},
+    )
+    register(spark)
+    yield spark
+
+
+@pytest.fixture()
+def store(tmp_path):
+    from mandoline_hbase_spark.engine import mk_schema
+
+    schema = mk_schema({"root": "integration-testing.mandoline.io", "base_path": str(tmp_path)})
+    schema.create_dataset("layout-ds")
+    yield schema.connect("layout-ds")
+
+
+def _write_scrambled(ds_spark, store, n=200):
+    """Hash-partitioned ingest: every chunk spans the whole id range, so
+    zone maps cannot prune anything."""
+    df = ds_spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(n)], "id BIGINT, name STRING, score DOUBLE"
+    )
+    (
+        df.repartition(4, "name")
+        .write.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .mode("append")
+        .save()
+    )
+
+
+def _pruned_parts(store, filt):
+    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+
+    r = MandolineBatchReader({"path": store.dataset_dir, "variable": "records"}, "records")
+    r.pushFilters([filt])
+    return len(r.partitions())
+
+
+def _read_all(ds_spark, store):
+    df = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .load()
+    )
+    return sorted((r.id, r.name, r.score) for r in df.collect())
+
+
+def test_cluster_records_enables_pruning(ds_spark, store):
+    _write_scrambled(ds_spark, store)
+    before = _read_all(ds_spark, store)
+    assert _pruned_parts(store, EqualTo(("id",), 7)) == 4, "scrambled: nothing prunes"
+
+    summary = cluster_records(
+        ds_spark, store.dataset_dir, ["id"], target_rows=50
+    )  # 200 rows -> 4 chunks
+    assert summary == {"rows": 200, "n_chunks": 4}
+    assert _read_all(ds_spark, store) == before, "rewrite must not change data"
+    assert _pruned_parts(store, EqualTo(("id",), 7)) == 1, "clustered: point lookup = 1 chunk"
+
+
+def test_cluster_preserves_time_travel(ds_spark, store):
+    _write_scrambled(ds_spark, store, n=40)
+    v_old = int(store.versions()[0]["version"])
+    cluster_records(ds_spark, store.dataset_dir, ["id"], target_rows=10)
+    df_old = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .option("version", v_old)
+        .load()
+    )
+    assert df_old.count() == 40, "pre-rewrite snapshot stays readable"
+
+
+def test_compact_records_folds_small_chunks(ds_spark, store):
+    from mandoline_hbase_spark.sources.datasource import _snapshot
+
+    # 8 tiny appends -> 8 chunks
+    for i in range(8):
+        (
+            ds_spark.createDataFrame([(i, f"n{i}", float(i))], "id BIGINT, name STRING, score DOUBLE")
+            .coalesce(1)
+            .write.format("mandoline")
+            .option("path", store.dataset_dir)
+            .option("variable", "records")
+            .mode("append")
+            .save()
+        )
+    _, _, entries = _snapshot(store.dataset_dir, "records", None)
+    assert len(entries) == 8
+    before = _read_all(ds_spark, store)
+    summary = compact_records(ds_spark, store.dataset_dir, target_rows=4)
+    assert summary == {"rows": 8, "n_chunks": 2}
+    _, _, entries = _snapshot(store.dataset_dir, "records", None)
+    assert len(entries) == 2
+    assert _read_all(ds_spark, store) == before
+
+
+def test_cluster_rejects_unknown_column(ds_spark, store):
+    _write_scrambled(ds_spark, store, n=10)
+    with pytest.raises(ValueError, match="cluster columns"):
+        cluster_records(ds_spark, store.dataset_dir, ["nope"])
