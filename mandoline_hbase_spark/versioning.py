@@ -13,6 +13,8 @@ of crashed, never-committed versions are invisible to it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from mandoline_hbase_spark import storage
@@ -194,3 +196,108 @@ def rollback_variable(conn, var_name: str, to_version: int, spark=None) -> int:
         return conn._commit(var_name, dict(var_meta), [], {}, {}, version_id)
     finally:
         storage.release_version_reservation(conn._dirs["versions"], version_id)
+
+
+def record_changes(
+    spark,
+    dataset_path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+    variable: str = "records",
+) -> DataFrame:
+    """Change data feed between two versions of a RECORD variable, in
+    Delta-CDF row format: every output row is a full record (at the NEW
+    version's schema) plus ``_change_type`` in ``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage``.
+
+    Content addressing makes this cost ∝ CHANGED data, not table size:
+    a coordinate whose chunk id is identical at both bounds cannot
+    contain a changed row and is never read — only differing chunks are
+    decoded, joined full-outer on ``key_cols``, and value-compared
+    (null-safe), so layout-only rewrites (clustering, compaction) where
+    rows merely moved between chunks emit nothing. Keys are assumed
+    unique per snapshot (the MERGE/CDC contract that produces record
+    versions)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _StructType
+
+    from mandoline_hbase_spark.sources.datasource import _snapshot
+
+    _, _, e_old = _snapshot(dataset_path, variable, v_old)
+    _, meta_new, e_new = _snapshot(dataset_path, variable, v_new)
+    if "schema_json" not in meta_new:
+        raise ValueError(f"variable {variable!r} is not a record-log variable")
+    schema_json = meta_new["schema_json"]
+    target = _StructType.fromJson(_json.loads(schema_json))
+    cols = [f.name for f in target.fields]
+    missing = [k for k in key_cols if k not in cols]
+    if missing:
+        raise ValueError(f"key columns missing from record schema: {missing}")
+
+    old_map = {tuple(c): cid for c, cid in e_old}
+    new_map = {tuple(c): cid for c, cid in e_new}
+    changed_old = sorted({cid for c, cid in e_old if new_map.get(tuple(c)) != cid})
+    changed_new = sorted({cid for c, cid in e_new if old_map.get(tuple(c)) != cid})
+
+    chunks_dir = os.path.join(dataset_path, "chunks")
+
+    def _read_chunks(chunk_ids: list) -> DataFrame:
+        cdf = spark.createDataFrame([(c,) for c in chunk_ids] or [], "chunk_id STRING")
+
+        def _decode(pdfs):
+            import io as _io
+
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pa_ds
+            import pyarrow.parquet as pq
+
+            for pdf in pdfs:
+                for cid in pdf["chunk_id"]:
+                    ds = pa_ds.dataset(chunks_dir, format="parquet")
+                    t = ds.to_table(
+                        filter=(pc.field("chunk_id") == cid) & pc.field("data").is_valid(),
+                        columns=["data"],
+                    )
+                    if t.num_rows == 0:
+                        raise LookupError(f"chunk {cid} missing from {chunks_dir}")
+                    body = pq.read_table(_io.BytesIO(t.column("data")[0].as_py())).to_pandas()
+                    # reconcile to the NEW version's schema by name
+                    for c in cols:
+                        if c not in body.columns:
+                            body[c] = None
+                    yield body[cols]
+
+        return cdf.repartition(max(1, len(chunk_ids))).mapInPandas(_decode, schema=target)
+
+    data_cols = [c for c in cols if c not in key_cols]
+    o = _read_chunks(changed_old).select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in data_cols]).alias("_o"),
+        F.lit(True).alias("_o_present"),
+    )
+    n = _read_chunks(changed_new).select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in data_cols]).alias("_n"),
+        F.lit(True).alias("_n_present"),
+    )
+    j = o.join(n, on=key_cols, how="full_outer")
+
+    def _row(side: str, tag: str):
+        return [
+            *key_cols,
+            *[F.col(f"{side}.{c}").alias(c) for c in data_cols],
+            F.lit(tag).alias("_change_type"),
+        ]
+
+    inserts = j.filter(F.col("_o_present").isNull()).select(*_row("_n", "insert"))
+    deletes = j.filter(F.col("_n_present").isNull()).select(*_row("_o", "delete"))
+    updated = j.filter(
+        F.col("_o_present").isNotNull()
+        & F.col("_n_present").isNotNull()
+        & ~F.col("_o").eqNullSafe(F.col("_n"))
+    )
+    pre = updated.select(*_row("_o", "update_preimage"))
+    post = updated.select(*_row("_n", "update_postimage"))
+    return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
