@@ -301,3 +301,43 @@ def record_changes(
     pre = updated.select(*_row("_o", "update_preimage"))
     post = updated.select(*_row("_n", "update_postimage"))
     return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
+
+
+def history_df(spark, conn) -> DataFrame:
+    """DESCRIBE HISTORY for a dataset: one row per committed version,
+    newest first — version id, commit timestamp, the variables the
+    version carries, and any transactional sink markers (the CDC
+    sink's ``cdc_app_id``/``cdc_batch_id`` stamps). Built from the
+    version log the driver already holds (O(versions) state, same as
+    ``Connection.versions``)."""
+    import datetime as _dt
+
+    rows = []
+    for v in conn.versions(metadata=True):
+        m = v["metadata"]
+        bid = m.get("cdc_batch_id")
+        ts = v["timestamp"]
+        if isinstance(ts, _dt.datetime):
+            epoch = ts.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+            ts = int(epoch.total_seconds() * 1000)
+        rows.append(
+            (
+                int(v["version"]),
+                int(ts),
+                sorted((m.get("variables") or {}).keys()),
+                m.get("cdc_app_id"),
+                int(bid) if bid is not None else None,
+            )
+        )
+    df = spark.createDataFrame(
+        rows or [],
+        "version_id LONG, _ms LONG, variables ARRAY<STRING>, "
+        "cdc_app_id STRING, cdc_batch_id LONG",
+    )
+    return df.select(
+        "version_id",
+        F.timestamp_millis(F.col("_ms")).alias("committed_at"),
+        "variables",
+        "cdc_app_id",
+        "cdc_batch_id",
+    ).orderBy(F.desc("version_id"))

@@ -123,3 +123,22 @@ def test_cdf_across_schema_evolution(ds_spark, store):
     v1 = _v(store, -1)
     rows = record_changes(ds_spark, store.dataset_dir, v0, v1, ["id"]).collect()
     assert [(r["_change_type"], r.id, r.score) for r in rows] == [("insert", 3, 3.0)]
+
+
+def test_history_df(ds_spark, store):
+    from mandoline_hbase_spark.streaming.cdc import apply_cdc_batch
+    from mandoline_hbase_spark.versioning import history_df
+
+    _seed(ds_spark, store, n=4)
+    batch = ds_spark.createDataFrame(
+        [(9, "x", 1.0, "i", 1)], SCHEMA + ", op STRING, seq BIGINT"
+    )
+    apply_cdc_batch(
+        ds_spark, store.dataset_dir, batch, ["id"], seq_col="seq",
+        batch_id=7, app_id="app-h",
+    )
+    h = history_df(ds_spark, store).collect()
+    assert h[0].version_id > h[-1].version_id  # newest first
+    assert h[0].cdc_app_id == "app-h" and h[0].cdc_batch_id == 7
+    assert "records" in h[0].variables
+    assert h[-1].cdc_app_id is None
