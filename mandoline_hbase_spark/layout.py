@@ -43,14 +43,18 @@ def _load_records(spark: SparkSession, dataset_path: str, variable: str):
     )
 
 
-def _overwrite_records(df, dataset_path: str, variable: str) -> None:
-    (
+def _overwrite_records(
+    df, dataset_path: str, variable: str, bloom_columns: list[str] | None = None
+) -> None:
+    w = (
         df.write.format("mandoline")
         .option("path", dataset_path)
         .option("variable", variable)
         .mode("overwrite")
-        .save()
     )
+    if bloom_columns:
+        w = w.option("bloom_columns", ",".join(bloom_columns))
+    w.save()
 
 
 def cluster_records(
@@ -60,10 +64,13 @@ def cluster_records(
     variable: str = "records",
     n_chunks: int | None = None,
     target_rows: int = 100_000,
+    bloom_columns: list[str] | None = None,
 ) -> dict:
     """Rewrite the variable range-clustered on ``cluster_by``; returns
-    {"version_rows": n, "n_chunks": k}. After this, zone-map pruning on
-    the cluster columns is maximally effective (near-disjoint ranges)."""
+    {"rows": n, "n_chunks": k}. After this, zone-map pruning on the
+    cluster columns is maximally effective (near-disjoint ranges);
+    ``bloom_columns`` additionally builds per-chunk bloom filters for
+    equality skipping on OTHER, unclustered columns."""
     if not cluster_by:
         raise ValueError("cluster_by must be non-empty")
     df = _load_records(spark, dataset_path, variable)
@@ -78,6 +85,7 @@ def cluster_records(
         df.repartitionByRange(k, *cluster_by).sortWithinPartitions(*cluster_by),
         dataset_path,
         variable,
+        bloom_columns,
     )
     return {"rows": int(n), "n_chunks": int(k)}
 
@@ -87,6 +95,7 @@ def compact_records(
     dataset_path: str,
     variable: str = "records",
     target_rows: int = 100_000,
+    bloom_columns: list[str] | None = None,
 ) -> dict:
     """Fold many small chunks (streaming/CDC append debris) into
     ``target_rows``-sized ones; returns {"rows": n, "n_chunks": k}.
@@ -95,5 +104,5 @@ def compact_records(
     df = _load_records(spark, dataset_path, variable)
     n = df.count()
     k = max(1, math.ceil(n / max(1, target_rows)))
-    _overwrite_records(df.repartition(k), dataset_path, variable)
+    _overwrite_records(df.repartition(k), dataset_path, variable, bloom_columns)
     return {"rows": int(n), "n_chunks": int(k)}

@@ -63,6 +63,7 @@ def merge_records(
     when_matched: str = "update",
     insert_not_matched: bool = True,
     extra_meta: dict | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> dict:
     """Merge ``updates_df`` into the record variable by key; returns a
     summary dict (new version id + row/chunk counters).
@@ -150,6 +151,7 @@ def merge_records(
         return cid
 
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bloom_cols = list(bloom_columns or [])
 
     def _put_stats(cid: str, pdf) -> None:
         # zone-map sidecar: advisory, best-effort — merged chunks stay
@@ -164,7 +166,8 @@ def merge_records(
                 from mandoline_hbase_spark import zonemaps
             zonemaps.write_stats(
                 os.path.join(dataset_path, zonemaps.STATS_SUBDIR),
-                zonemaps.stats_rows(cid, pdf),
+                zonemaps.stats_rows(cid, pdf)
+                + zonemaps.bloom_rows(cid, pdf, bloom_cols),
             )
         except Exception:
             pass

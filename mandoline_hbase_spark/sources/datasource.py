@@ -496,6 +496,8 @@ class MandolineWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.schema = schema
         self.schema_json = schema.json()
+        raw_bloom = _opt(options, "bloom_columns", "") or ""
+        self.bloom_columns = [c.strip() for c in raw_bloom.split(",") if c.strip()]
         # captured while the package IS importable (driver), replayed in
         # the runner process by _ensure_importable()
         self._pkg_root = os.path.dirname(
@@ -568,7 +570,8 @@ class MandolineWriter(DataSourceWriter):
                 from mandoline_hbase_spark import zonemaps
             zonemaps.write_stats(
                 os.path.join(self.path, zonemaps.STATS_SUBDIR),
-                zonemaps.stats_rows(chunk_id, pdf),
+                zonemaps.stats_rows(chunk_id, pdf)
+                + zonemaps.bloom_rows(chunk_id, pdf, self.bloom_columns),
             )
         except Exception:
             pass

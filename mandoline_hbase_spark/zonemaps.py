@@ -134,7 +134,8 @@ def load_stats(stats_dir: str, chunk_ids: list[str]) -> dict[str, dict[str, dict
     t = ds.to_table(filter=pc.field("chunk_id").isin(chunk_ids))
     out: dict[str, dict[str, dict]] = {}
     for r in t.to_pylist():
-        out.setdefault(r["chunk_id"], {})[r["column"]] = r
+        key = r["column"] + "#bloom" if r["kind"] == "bloom" else r["column"]
+        out.setdefault(r["chunk_id"], {})[key] = r
     return out
 
 
@@ -179,6 +180,9 @@ def _may_match_one(stats: dict[str, dict], f: Any) -> bool:
     attr = getattr(f, "attribute", None)
     if not attr or len(attr) != 1:
         return True
+    bloom = stats.get(attr[0] + "#bloom")
+    if bloom is not None and not _bloom_may_match(bloom, f):
+        return False  # bloom miss is definitive — works on ANY layout
     st = stats.get(attr[0])
     if st is None:
         return True
@@ -240,3 +244,100 @@ def prune_chunks(
         if st is None or all(_may_match_one(st, f) for f in filters):
             kept.append((coord, cid))
     return kept
+
+
+# ---------------------------------------------------------------------------
+# bloom filters: equality skipping for UNclustered layouts
+# ---------------------------------------------------------------------------
+#
+# Min/max ranges only prune when the layout is clustered on the filter
+# column; a hash-scrambled ingest leaves every chunk spanning the whole
+# domain. A small per-chunk bloom filter on chosen columns keeps point
+# lookups O(matching chunks) regardless of layout (Delta/Iceberg-style
+# bloom skipping). Stored in the SAME sidecar table as a second row per
+# (chunk, column) with kind="bloom", the bitset base85-encoded in vmin.
+# A bloom "miss" is definitive (no false negatives by construction), a
+# "hit" is advisory — identical correctness contract to min/max.
+
+BLOOM_BITS = 32768  # 4 KiB per (chunk, column)
+BLOOM_HASHES = 7
+
+
+def _bloom_positions(value, k: int = BLOOM_HASHES, m: int = BLOOM_BITS):
+    """k deterministic bit positions for a NORMALIZED value (the
+    _norm_value canonical form, so writer and reader agree even when
+    Spark hands the reader a different-but-equal Python type)."""
+    import hashlib
+
+    nv = _norm_value(value)
+    if nv is None:
+        return None
+    kind, v = nv
+    if kind == "ts":
+        # pandas Timedelta and datetime.timedelta disagree in the last
+        # float ulp of total_seconds(); microsecond quantization makes
+        # the writer's and the filter's payloads identical (a false
+        # NEGATIVE here would be a correctness bug, not a missed prune)
+        v = round(v * 1e6)
+    payload = f"{kind}:{v!r}".encode()
+    for seed in range(k):
+        h = hashlib.blake2b(payload, digest_size=8, salt=seed.to_bytes(8, "little"))
+        yield int.from_bytes(h.digest(), "little") % m
+
+
+def bloom_bits(values, m: int = BLOOM_BITS) -> bytes:
+    """Build the bitset over an iterable of raw (non-null) values."""
+    bits = bytearray(m // 8)
+    for v in values:
+        pos = _bloom_positions(v, m=m)
+        if pos is None:
+            continue
+        for p in pos:
+            bits[p >> 3] |= 1 << (p & 7)
+    return bytes(bits)
+
+
+def bloom_might_contain(bits: bytes, value) -> bool:
+    """False is definitive (the chunk cannot contain the value); True is
+    'maybe'. Unsupported value types are always 'maybe'."""
+    pos = _bloom_positions(value, m=len(bits) * 8)
+    if pos is None:
+        return True
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in pos)
+
+
+def bloom_rows(chunk_id: str, pdf, bloom_columns) -> list[dict]:
+    """Sidecar rows (kind="bloom") for the requested columns."""
+    import base64
+
+    out = []
+    n = len(pdf)
+    for col in bloom_columns:
+        if col not in pdf.columns:
+            continue
+        s = pdf[col].dropna()
+        out.append(
+            {
+                "chunk_id": chunk_id,
+                "column": str(col),
+                "kind": "bloom",
+                "vmin": base64.b85encode(bloom_bits(s.tolist())).decode(),
+                "vmax": None,
+                "nulls": int(pdf[col].isna().sum()),
+                "nrows": n,
+            }
+        )
+    return out
+
+
+def _bloom_may_match(bloom_row: dict, f) -> bool:
+    import base64
+
+    from pyspark.sql.datasource import EqualTo, In
+
+    bits = base64.b85decode(bloom_row["vmin"])
+    if isinstance(f, EqualTo):
+        return bloom_might_contain(bits, f.value)
+    if isinstance(f, In):
+        return any(bloom_might_contain(bits, v) for v in f.value)
+    return True

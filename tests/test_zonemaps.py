@@ -204,3 +204,68 @@ def test_merge_rewrites_refresh_stats(ds_spark, store):
     assert set(stats) == set(cids), "every live chunk (incl. rewritten) has stats"
     # the rewritten chunk's score range includes the new 5000.0
     assert any(float(s["score"]["vmax"]) == 5000.0 for s in stats.values())
+
+
+# -- bloom filters ------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives():
+    vals = [f"v{i}" for i in range(500)] + list(range(500))
+    bits = zonemaps.bloom_bits(vals)
+    assert all(zonemaps.bloom_might_contain(bits, v) for v in vals)
+
+
+def test_bloom_prunes_absent_values():
+    bits = zonemaps.bloom_bits(list(range(100)))
+    misses = sum(
+        0 if zonemaps.bloom_might_contain(bits, v) else 1 for v in range(10_000, 10_200)
+    )
+    assert misses > 190, "4KiB/7-hash bloom over 100 values must reject ~all absent keys"
+
+
+def test_bloom_int_float_and_timestamp_parity():
+    import pandas as pd
+
+    ts = pd.to_datetime(["2024-03-01 12:00:00.123456"])
+    bits_i = zonemaps.bloom_bits([7])
+    assert zonemaps.bloom_might_contain(bits_i, 7.0), "int写 float查 must agree"
+    bits_t = zonemaps.bloom_bits(ts.tolist())
+    assert zonemaps.bloom_might_contain(
+        bits_t, datetime.datetime(2024, 3, 1, 12, 0, 0, 123456)
+    ), "pandas-written timestamp must match datetime filter value"
+
+
+def test_bloom_skips_scrambled_layout(ds_spark, store):
+    """The case min/max cannot touch: hash-scrambled ingest where every
+    chunk spans the whole id range — blooms still prune point lookups."""
+    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+
+    df = ds_spark.createDataFrame(
+        [(i, f"name-{i:04d}", float(i)) for i in range(400)],
+        "id BIGINT, name STRING, score DOUBLE",
+    )
+    (
+        df.repartition(4, "name")  # scrambled on id
+        .write.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .option("bloom_columns", "id")
+        .mode("append")
+        .save()
+    )
+    opts = {"path": store.dataset_dir, "variable": "records"}
+    point = MandolineBatchReader(opts, "records")
+    point.pushFilters([EqualTo(("id",), 123)])
+    assert len(point.partitions()) == 1, "bloom miss is definitive on 3 of 4 chunks"
+
+    # end to end stays exact
+    out = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .load()
+        .filter("id = 123")
+        .collect()
+    )
+    assert [(r.id, r.name) for r in out] == [(123, "name-0123")]
