@@ -335,13 +335,75 @@ class MandolineBatchReader(DataSourceReader):
             self._entries = [(c, cid) for c, cid in self._entries if hits(c)]
 
     def pushFilters(self, filters):
-        """Record-form scans keep the pushable filters for zone-map chunk
-        pruning at planning time. EVERY filter is returned (Spark still
-        evaluates all of them post-scan), so the sidecar statistics are
-        advisory — pruning only drops chunks that provably match nothing."""
-        if self.form == "records":
-            self._pushed_filters = list(filters)
+        """Keep the pushable filters for planning-time chunk pruning:
+        zone-map/bloom skipping on record scans, coordinate-region
+        derivation on array scans (``WHERE dim0 = 5`` plans like a
+        ``read_region`` call). EVERY filter is returned (Spark still
+        evaluates all of them post-scan), so pruning is advisory —
+        it only drops chunks that provably contain no matching cell."""
+        self._pushed_filters = list(filters)
         return filters
+
+    def _filter_region(self):
+        """Merge the explicit ``region`` option with per-dimension bounds
+        derived from pushed filters on the dim columns; None when the
+        scan is unbounded. An empty intersection returns zero-width
+        bounds (the scan plans no tasks)."""
+        shape = self._var_meta.get("shape") or []
+        ndim = len(shape)
+        if ndim == 0:
+            return self.region
+        bounds = (
+            [list(b) for b in self.region]
+            if self.region is not None
+            else [[0, int(s)] for s in shape]
+        )
+        try:
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                In,
+                LessThan,
+                LessThanOrEqual,
+            )
+        except ImportError:  # pragma: no cover
+            return self.region
+        derived = False
+        for f in self._pushed_filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            name = attr[0]
+            if not (name.startswith("dim") and name[3:].isdigit()):
+                continue
+            d = int(name[3:])
+            if d >= ndim:
+                continue
+            v = getattr(f, "value", None)
+            lo, hi = None, None
+            if isinstance(f, EqualTo) and isinstance(v, int):
+                lo, hi = v, v + 1
+            elif isinstance(f, GreaterThan) and isinstance(v, int):
+                lo = v + 1
+            elif isinstance(f, GreaterThanOrEqual) and isinstance(v, int):
+                lo = v
+            elif isinstance(f, LessThan) and isinstance(v, int):
+                hi = v
+            elif isinstance(f, LessThanOrEqual) and isinstance(v, int):
+                hi = v + 1
+            elif isinstance(f, In) and v and all(isinstance(x, int) for x in v):
+                lo, hi = min(v), max(v) + 1
+            else:
+                continue
+            if lo is not None:
+                bounds[d][0] = max(bounds[d][0], lo)
+            if hi is not None:
+                bounds[d][1] = min(bounds[d][1], hi)
+            derived = True
+        if not derived:
+            return self.region
+        return [(max(0, lo), min(hi, int(s))) for (lo, hi), s in zip(bounds, shape)]
 
     def _zonemap_entries(self):
         """Live entries after zone-map pruning (best effort: without the
@@ -371,15 +433,30 @@ class MandolineBatchReader(DataSourceReader):
                 RecordScanPartition(chunks_dir, [], sj)
             ]
         vm = self._var_meta
-        groups = _group(self._entries, self.per_partition)
+        region = self._filter_region()
+        entries = self._entries
+        if region is not None and region != self.region:
+            cs = vm["chunk_shape"]
+            if any(hi <= lo for lo, hi in region):
+                entries = []  # contradictory filters: provably empty scan
+            else:
+
+                def hits(coord):
+                    return all(
+                        c * w < hi and (c + 1) * w > lo
+                        for c, w, (lo, hi) in zip(coord, cs, region)
+                    )
+
+                entries = [(c, cid) for c, cid in entries if hits(c)]
+        groups = _group(entries, self.per_partition)
         return [
             ChunkScanPartition(
-                chunks_dir, g, vm["dtype"], vm["shape"], vm["chunk_shape"], region=self.region
+                chunks_dir, g, vm["dtype"], vm["shape"], vm["chunk_shape"], region=region
             )
             for g in groups
         ] or [
             ChunkScanPartition(
-                chunks_dir, [], vm["dtype"], vm["shape"], vm["chunk_shape"], region=self.region
+                chunks_dir, [], vm["dtype"], vm["shape"], vm["chunk_shape"], region=region
             )
         ]
 

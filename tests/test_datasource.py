@@ -312,3 +312,59 @@ def test_records_write_to_array_variable_fails_fast(ds_spark, store):
             .mode("append")
             .save()
         )
+
+
+def test_array_dim_filter_pushdown_prunes_chunks(ds_spark, store):
+    """WHERE dim0 = k plans like read_region: only intersecting chunks
+    produce tasks, and results stay exact (Spark re-applies filters)."""
+    from pyspark.sql.datasource import EqualTo, LessThan
+    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+
+    arr = np.arange(64, dtype=np.float64).reshape(8, 8)
+    store.write_variable("v", arr, chunk_shape=(2, 2))  # 16 chunks
+    opts = {"path": store.dataset_dir, "variable": "v"}
+
+    pruned = MandolineBatchReader(opts, "array")
+    leftover = list(pruned.pushFilters([EqualTo(("dim0",), 5), LessThan(("dim1",), 4)]))
+    assert len(leftover) == 2, "all filters still evaluated by Spark"
+    # dim0=5 -> one chunk row (of 4); dim1<4 -> two chunk cols (of 4)
+    assert len(pruned.partitions()) == 2
+
+    df = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "v")
+        .load()
+        .filter("dim0 = 5 AND dim1 < 4")
+    )
+    got = {(r.dim0, r.dim1): r.value for r in df.collect()}
+    assert got == {(5, j): arr[5, j] for j in range(4)}
+
+
+def test_array_dim_filter_empty_intersection(ds_spark, store):
+    from pyspark.sql.datasource import GreaterThan, LessThan
+    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+
+    arr = np.ones((4, 4), dtype=np.float64)
+    store.write_variable("v", arr, chunk_shape=(2, 2))
+    r = MandolineBatchReader({"path": store.dataset_dir, "variable": "v"}, "array")
+    r.pushFilters([GreaterThan(("dim0",), 2), LessThan(("dim0",), 1)])
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].entries == [], "contradiction -> zero chunks"
+
+
+def test_array_dim_filter_composes_with_region_option(ds_spark, store):
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    arr = np.arange(36, dtype=np.float64).reshape(6, 6)
+    store.write_variable("v", arr, chunk_shape=(2, 2))
+    df = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "v")
+        .option("region", "0:4,0:6")
+        .load()
+        .filter("dim0 >= 2")
+    )
+    got = {(r.dim0, r.dim1) for r in df.collect()}
+    assert got == {(i, j) for i in (2, 3) for j in range(6)}
