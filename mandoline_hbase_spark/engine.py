@@ -358,6 +358,91 @@ class Connection:
             self.write_version(repair)
         return committed
 
+    def write_variables(
+        self,
+        arrays: dict[str, np.ndarray],
+        chunk_shapes: dict[str, tuple[int, ...]] | None = None,
+        fills: dict[str, Any] | None = None,
+    ) -> int:
+        """Write SEVERAL variables as ONE committed version — the atomic
+        multi-variable snapshot mandoline's data model implies (a version's
+        metadata carries every variable, hbase.clj:266-268): either all the
+        staged variables become visible at the new version or none do.
+
+        Per-variable staging matches ``write_variable`` exactly (same
+        chunking defaults, content-addressed dedup ACROSS variables in the
+        commit); the index rows of every variable are tagged with the same
+        reserved version id and a single version-row append is the
+        visibility point for all of them.
+        """
+        if not arrays:
+            raise InvalidArgumentError("write_variables needs at least one variable")
+        chunk_shapes = chunk_shapes or {}
+        fills = fills or {}
+        staged: list[tuple[str, dict, list, dict, dict]] = []
+        for var_name, array in arrays.items():
+            array = np.asarray(array)
+            dtype = array.dtype.name
+            if dtype not in codec.SUPPORTED_DTYPES:
+                raise InvalidArgumentError(f"unsupported dtype {dtype} for {var_name!r}")
+            fill = fills.get(var_name)
+            if fill is None:
+                fill = codec.default_fill(dtype)
+            chunk_shape = chunk_shapes.get(var_name)
+            if chunk_shape is None:
+                chunk_shape = tuple(min(s, 64) for s in array.shape)
+            chunk_shape = tuple(chunk_shape)
+            entries: list[tuple[tuple[int, ...], str]] = []
+            blobs: dict[str, bytes] = {}
+            refs: dict[str, int] = {}
+            for coord in codec.iter_chunk_coords(array.shape, chunk_shape):
+                block = codec.extract_block(array, coord, chunk_shape, fill)
+                data = codec.encode_chunk(block)
+                h = codec.chunk_id_of(data)
+                blobs.setdefault(h, data)
+                refs[h] = refs.get(h, 0) + 1
+                entries.append((coord, h))
+            staged.append(
+                (var_name, self._var_meta(dtype, array.shape, chunk_shape, fill), entries, blobs, refs)
+            )
+
+        with storage.dataset_lock(self.dataset_dir):
+            base_meta = {}
+            latest = self.latest_version_id()
+            if latest is not None:
+                base_meta = self.metadata(latest)
+            version_id = self._reserve_version()
+            variables = dict(base_meta.get("variables", {}))
+            for var_name, var_meta, _, _, _ in staged:
+                variables[var_name] = var_meta
+            new_meta = {**base_meta, "version-id": int(version_id), "variables": variables}
+
+            # chunks first (union across variables: cross-variable dedup),
+            # then every variable's index rows, then ONE version row
+            all_blobs: dict[str, bytes] = {}
+            all_refs: dict[str, int] = {}
+            for _, _, _, blobs, refs in staged:
+                for h, b in blobs.items():
+                    all_blobs.setdefault(h, b)
+                for h, r in refs.items():
+                    all_refs[h] = all_refs.get(h, 0) + r
+            self.chunk_store().write_chunks_bulk(
+                [(h, all_refs.get(h, 0), all_blobs.get(h)) for h in set(all_blobs) | set(all_refs)]
+            )
+            for var_name, _, entries, _, _ in staged:
+                idx = Index(
+                    self.dataset_dir, self._dirs["indices"], var_name, new_meta, int(version_id)
+                )
+                idx.write_index_bulk(entries, int(version_id))
+            try:
+                committed = self.write_version(new_meta)  # the one visibility point
+            finally:
+                storage.release_version_reservation(self._dirs["versions"], int(version_id))
+            if latest is not None and latest > int(version_id):
+                repair = {k: v for k, v in new_meta.items() if k != "version-id"}
+                self.write_version(repair)
+            return committed
+
     def create_variable(
         self,
         var_name: str,
