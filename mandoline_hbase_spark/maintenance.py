@@ -142,6 +142,47 @@ def gc_chunks(conn, spark=None) -> dict:
     return {"chunks_before": before, "chunks_after": after, "chunks_removed": before - after}
 
 
+def compact_stats(conn, spark=None) -> dict:
+    """Drop zone-map/bloom sidecar rows whose chunk no longer exists.
+
+    Stats are advisory (a chunk without rows is simply never pruned), so
+    orphans — chunks reclaimed by :func:`gc_chunks`, uncommitted writes
+    — are a space/planning-read cost, not a correctness issue. This
+    rewrite keeps one row set per LIVE chunk id, clustered by chunk_id
+    so the reader's per-scan isin probe touches few row groups. No-op
+    when the dataset has no sidecar."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mandoline_hbase_spark.zonemaps import STATS_SUBDIR
+
+    spark = spark or conn.spark
+    stats_dir = _os.path.join(conn.dataset_dir, STATS_SUBDIR)
+    if not _os.path.isdir(stats_dir):
+        return {"stats_before": 0, "stats_after": 0, "stats_removed": 0}
+    with storage.dataset_lock(conn.dataset_dir):
+        stats = spark.read.parquet(stats_dir)
+        live = (
+            conn.spark_table("chunks", spark)
+            .select("chunk_id")
+            .distinct()
+        )
+        # last writer wins per (chunk, column, kind): content addressing
+        # makes duplicates identical, so a plain semi-join + distinct works
+        keep = stats.join(live, "chunk_id", "left_semi").dropDuplicates(
+            ["chunk_id", "column", "kind"]
+        )
+        before = stats.count()
+        after = keep.count()
+        tmp = stats_dir + "-tmp"
+        keep.repartitionByRange(max(1, spark.sparkContext.defaultParallelism // 4), "chunk_id").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        _swap_in(stats_dir, tmp)
+    return {"stats_before": before, "stats_after": after, "stats_removed": before - after}
+
+
 def sweep_failed_commits(conn, spark=None, older_than_s: float = 3600.0) -> dict:
     """Reclaim executor-written rows of distributed commits that never landed.
 
@@ -412,4 +453,5 @@ def optimize(conn, spark=None) -> dict:
         "indices": compact_indices(conn, spark),
         "chunks": compact_chunks(conn, spark),
         "gc": gc_chunks(conn, spark),
+        "stats": compact_stats(conn, spark),
     }

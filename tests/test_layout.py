@@ -124,3 +124,22 @@ def test_cluster_rejects_unknown_column(ds_spark, store):
     _write_scrambled(ds_spark, store, n=10)
     with pytest.raises(ValueError, match="cluster columns"):
         cluster_records(ds_spark, store.dataset_dir, ["nope"])
+
+
+def test_compact_stats_drops_orphans_keeps_pruning(ds_spark, store):
+    """After a clustering rewrite + GC, sidecar rows of dead chunks are
+    dropped and pruning still works for the live layout."""
+    from mandoline_hbase_spark import maintenance, zonemaps
+    from mandoline_hbase_spark.sources.datasource import _snapshot
+
+    _write_scrambled(ds_spark, store, n=80)
+    cluster_records(ds_spark, store.dataset_dir, ["id"], target_rows=20)
+    store.prune_versions(keep_last=1, spark=ds_spark)
+    maintenance.gc_chunks(store, ds_spark)
+    s = maintenance.compact_stats(store, ds_spark)
+    assert s["stats_removed"] > 0, "pre-rewrite chunk stats must be reclaimed"
+    _, _, entries = _snapshot(store.dataset_dir, "records", None)
+    cids = [cid for _, cid in entries]
+    loaded = zonemaps.load_stats(store.dataset_dir + "/stats", cids)
+    assert set(loaded) == set(cids), "live chunks keep their stats"
+    assert _pruned_parts(store, EqualTo(("id",), 7)) == 1

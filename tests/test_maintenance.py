@@ -189,5 +189,5 @@ def test_optimize_runs_all_passes_and_preserves_reads(store, spark):
     store.write_variable("x", arr, chunk_shape=(2, 2))
     store.write_variable("x", arr + 1, chunk_shape=(2, 2))
     out = store.optimize()
-    assert set(out) == {"indices", "chunks", "gc"}
+    assert set(out) == {"indices", "chunks", "gc", "stats"}
     assert np.array_equal(store.read_variable("x"), arr + 1)
