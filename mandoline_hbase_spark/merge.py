@@ -47,6 +47,7 @@ from pyspark.sql.types import StructType
 
 from mandoline_hbase_spark import storage
 from mandoline_hbase_spark.engine import Connection, Index
+from mandoline_hbase_spark.errors import CommitConflictError
 from mandoline_hbase_spark.sources.datasource import _snapshot
 
 
@@ -299,10 +300,31 @@ def merge_records(
     n_updated = sum(n for _, cid, n in rewrites) if mode == "update" else 0
     n_deleted = sum(n for _, cid, n in rewrites) if mode == "delete" else 0
     n_inserted = sum(n for _, n in insert_results)
+    planned = {int(c[0]): cid for c, cid in entries}
     with storage.dataset_lock(dataset_path):
         latest = conn.latest_version_id()
         meta = conn.metadata(latest) if latest is not None else {}
-        base = max((int(c) for c, _ in chunk_rows), default=-1) + 1
+        # optimistic concurrency (Delta-style conflict detection): the
+        # rewrite was computed from the planning snapshot; if another
+        # writer changed any coordinate this merge re-points, committing
+        # would silently drop their update — refuse and let the caller
+        # retry against the new head. Coordinates nobody re-pointed are
+        # free to have changed (disjoint merges compose), and the insert
+        # base is re-derived from the CURRENT head so concurrent appends
+        # are never overwritten.
+        _, _, current_entries = _snapshot(dataset_path, variable, None)
+        current = {int(c[0]): cid for c, cid in current_entries}
+        stale = [
+            coord
+            for coord, _, _ in rewrites
+            if current.get(coord) != planned.get(coord)
+        ]
+        if stale:
+            raise CommitConflictError(
+                f"merge planned against version {bound} but coordinates "
+                f"{sorted(stale)[:5]} changed concurrently; retry the merge"
+            )
+        base = max(current, default=-1) + 1
         version_id = conn._reserve_version()
         index_entries: list[tuple[tuple[int, ...], str | None]] = [
             ((coord,), cid) for coord, cid, _ in rewrites

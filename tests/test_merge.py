@@ -150,3 +150,76 @@ def test_merge_insert_only_behaves_like_append(ds_spark, store):
     assert summary["chunks_rewritten"] == 0 and summary["inserted"] == 1
     expected[50] = (50, "fresh", 5.0)
     assert _read(ds_spark, store) == expected
+
+
+def test_concurrent_modification_detected(ds_spark, store, monkeypatch):
+    """A merge planned against a snapshot must refuse to commit if another
+    writer re-pointed any coordinate it rewrites (lost-update guard)."""
+    import mandoline_hbase_spark.merge as merge_mod
+    from mandoline_hbase_spark.errors import CommitConflictError
+    from mandoline_hbase_spark.sources.datasource import _snapshot as real_snapshot
+
+    _seed(ds_spark, store, n=20, parts=2)
+    stale = real_snapshot(store.dataset_dir, "records", None)
+
+    # interfering writer: rewrites the chunk holding id=1
+    merge_records(
+        ds_spark, store.dataset_dir,
+        ds_spark.createDataFrame([(1, "theirs", -1.0)], SCHEMA), ["id"],
+    )
+
+    calls = {"n": 0}
+
+    def snapshot_stale_first(path, var, version):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale  # plan against the PRE-interference snapshot
+        return real_snapshot(path, var, version)
+
+    monkeypatch.setattr(merge_mod, "_snapshot", snapshot_stale_first)
+    with pytest.raises(CommitConflictError, match="changed concurrently"):
+        merge_records(
+            ds_spark, store.dataset_dir,
+            ds_spark.createDataFrame([(1, "mine", -2.0)], SCHEMA), ["id"],
+        )
+    monkeypatch.undo()
+    # the refused merge left nothing visible; the interferer's write survives
+    assert _read(ds_spark, store)[1] == (1, "theirs", -1.0)
+    # retry against the head succeeds
+    merge_records(
+        ds_spark, store.dataset_dir,
+        ds_spark.createDataFrame([(1, "mine", -2.0)], SCHEMA), ["id"],
+    )
+    assert _read(ds_spark, store)[1] == (1, "mine", -2.0)
+
+
+def test_disjoint_concurrent_merges_compose(ds_spark, store, monkeypatch):
+    """Stale planning is fine when the touched coordinates are disjoint:
+    an insert planned before a concurrent append lands on a fresh
+    coordinate instead of overwriting theirs."""
+    import mandoline_hbase_spark.merge as merge_mod
+    from mandoline_hbase_spark.sources.datasource import _snapshot as real_snapshot
+
+    _seed(ds_spark, store, n=8, parts=2)
+    stale = real_snapshot(store.dataset_dir, "records", None)
+
+    # interfering writer appends a new record (new coordinate)
+    merge_records(
+        ds_spark, store.dataset_dir,
+        ds_spark.createDataFrame([(100, "theirs", 1.0)], SCHEMA), ["id"],
+    )
+
+    calls = {"n": 0}
+
+    def snapshot_stale_first(path, var, version):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real_snapshot(path, var, version)
+
+    monkeypatch.setattr(merge_mod, "_snapshot", snapshot_stale_first)
+    merge_records(
+        ds_spark, store.dataset_dir,
+        ds_spark.createDataFrame([(200, "mine", 2.0)], SCHEMA), ["id"],
+    )
+    monkeypatch.undo()
+    got = _read(ds_spark, store)
+    assert got[100] == (100, "theirs", 1.0) and got[200] == (200, "mine", 2.0)
