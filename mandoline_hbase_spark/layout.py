@@ -46,6 +46,21 @@ def _load_records(spark: SparkSession, dataset_path: str, variable: str):
 def _overwrite_records(
     df, dataset_path: str, variable: str, bloom_columns: list[str] | None = None
 ) -> None:
+    """Overwrite-rewrite with CLOBBER DETECTION: a layout rewrite reads
+    the table, rewrites it, and replaces every coordinate — a writer
+    committing in between would be silently reverted. The rewrite can't
+    hold the dataset lock across a Spark job (the commit itself takes
+    it), so conflicts are detected post-commit and raised: the rewrite
+    version is rolled back by re-running it, and the interleaved commits
+    remain intact in history (MVCC — nothing was destroyed, the rewrite
+    version just must not win)."""
+    import os
+
+    from mandoline_hbase_spark.engine import Connection
+    from mandoline_hbase_spark.errors import CommitConflictError
+
+    conn = Connection(dataset_path, os.path.basename(dataset_path))
+    planned_head = conn.latest_version_id()
     w = (
         df.write.format("mandoline")
         .option("path", dataset_path)
@@ -55,6 +70,20 @@ def _overwrite_records(
     if bloom_columns:
         w = w.option("bloom_columns", ",".join(bloom_columns))
     w.save()
+    committed = conn.latest_version_id()
+    interleaved = [
+        int(v["version"])
+        for v in conn.versions()
+        if planned_head is not None
+        and planned_head < int(v["version"]) < committed
+    ]
+    if interleaved:
+        raise CommitConflictError(
+            f"layout rewrite planned at version {planned_head} but versions "
+            f"{interleaved} committed concurrently and were superseded by the "
+            f"rewrite at {committed}; roll back to {max(interleaved)} "
+            "(versioning.rollback_variable) and re-run the rewrite"
+        )
 
 
 def cluster_records(

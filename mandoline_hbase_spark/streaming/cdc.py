@@ -97,14 +97,25 @@ def apply_cdc_batch(
         stamp = {}
         if batch_id is not None:
             stamp = {"cdc_app_id": app_id or "", "cdc_batch_id": int(batch_id)}
+        def _merge_with_retry(**kwargs):
+            # merge re-plans from the head on every call, so a
+            # CommitConflictError from an external writer is retryable
+            from mandoline_hbase_spark.errors import CommitConflictError
+
+            last_err = None
+            for _ in range(3):
+                try:
+                    return merge_records(spark, dataset_path, **kwargs)
+                except CommitConflictError as e:
+                    last_err = e
+            raise last_err
+
         summaries = []
         if n_deletes:
             summaries.append(
-                merge_records(
-                    spark,
-                    dataset_path,
-                    final.filter(F.col(op_col) == DELETE_OP).select(*key_cols),
-                    key_cols,
+                _merge_with_retry(
+                    updates_df=final.filter(F.col(op_col) == DELETE_OP).select(*key_cols),
+                    key_cols=key_cols,
                     variable=variable,
                     when_matched="delete",
                     insert_not_matched=False,
@@ -114,11 +125,9 @@ def apply_cdc_batch(
             )
         if n_upserts:
             summaries.append(
-                merge_records(
-                    spark,
-                    dataset_path,
-                    final.filter(F.col(op_col).isin(*UPSERT_OPS)).select(*data_cols),
-                    key_cols,
+                _merge_with_retry(
+                    updates_df=final.filter(F.col(op_col).isin(*UPSERT_OPS)).select(*data_cols),
+                    key_cols=key_cols,
                     variable=variable,
                     when_matched="update",
                     insert_not_matched=True,

@@ -143,3 +143,39 @@ def test_compact_stats_drops_orphans_keeps_pruning(ds_spark, store):
     loaded = zonemaps.load_stats(store.dataset_dir + "/stats", cids)
     assert set(loaded) == set(cids), "live chunks keep their stats"
     assert _pruned_parts(store, EqualTo(("id",), 7)) == 1
+
+
+def test_layout_rewrite_detects_interleaved_commit(ds_spark, store):
+    """A commit landing between the rewrite's planning and its overwrite
+    is detected and surfaced instead of silently reverted."""
+    from mandoline_hbase_spark.errors import CommitConflictError
+    from mandoline_hbase_spark.layout import _load_records, _overwrite_records
+    from mandoline_hbase_spark.merge import merge_records
+
+    _write_scrambled(ds_spark, store, n=20)
+    df = _load_records(ds_spark, store.dataset_dir, "records")
+
+    class InterferingDF:
+        """Fires a concurrent merge the moment the rewrite starts writing."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        @property
+        def write(self):
+            merge_records(
+                ds_spark, store.dataset_dir,
+                ds_spark.createDataFrame(
+                    [(999, "interloper", 0.0)], "id BIGINT, name STRING, score DOUBLE"
+                ),
+                ["id"],
+            )
+            return self._inner.write
+
+    with pytest.raises(CommitConflictError, match="committed concurrently"):
+        _overwrite_records(
+            InterferingDF(df.repartition(2)), store.dataset_dir, "records"
+        )
+    # nothing destroyed: the interloper's version is still in history
+    versions = [int(v["version"]) for v in store.versions()]
+    assert len(versions) >= 3  # seed + interloper + rewrite
