@@ -100,6 +100,8 @@ HEADLINE = [
     "sentences_positional",
     "profile_documents",
     "dq_lineitem_expectations",
+    "scalar_subquery_above_avg",
+    "correlated_scalar_subquery",
     "hll_union_distinct_users",
     "kmv_user_overlap_by_type",
     "theta_user_set_algebra",

@@ -469,3 +469,57 @@ def dq_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ship_not_null": F.col("l_shipdate").isNotNull(),
         },
     )
+
+
+_SCALAR_SUBQ_SQL = r"""
+    SELECT c_mktsegment,
+           count(*) AS n_above,
+           round(avg(c_acctbal), 2) AS avg_above
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle=_SCALAR_SUBQ_SQL,
+    description=(
+        "Uncorrelated scalar subquery: customers above the global "
+        "average balance per segment (Catalyst plans the subquery once "
+        "and broadcasts the scalar — no per-row re-evaluation)"
+    ),
+    tags=("sql-surface", "subquery"),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+_CORR_SUBQ_SQL = r"""
+    SELECT n.n_name,
+           count(*) AS n_above_nation_avg
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (
+        SELECT avg(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey
+    )
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "correlated_scalar_subquery",
+    oracle=_CORR_SUBQ_SQL,
+    description=(
+        "Correlated scalar subquery: customers above their own nation's "
+        "average balance (Catalyst de-correlates to one aggregate plus "
+        "one equi-join on the correlation key — never a per-row rescan)"
+    ),
+    tags=("sql-surface", "subquery", "join"),
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_CORR_SUBQ_SQL)
