@@ -251,9 +251,11 @@ def merge_records(
         if mode == "delete":
             new = old[~mask]
         else:
-            new = old.set_index(key_cols)
-            new.update(pdf[[c for c in old.columns]].set_index(key_cols))
-            new = new.reset_index()[list(old.columns)]
+            # replace matched rows wholesale: drop them, append the update
+            # rows. NOT pandas DataFrame.update(), which silently skips
+            # NaN cells in the source — an update setting a column to
+            # NULL would keep the old value.
+            new = pd.concat([old[~mask], pdf[list(old.columns)]], ignore_index=True)
         if len(new) == 0:
             return pd.DataFrame(
                 [(coord, None, n_matched, 0)],

@@ -223,3 +223,13 @@ def test_disjoint_concurrent_merges_compose(ds_spark, store, monkeypatch):
     monkeypatch.undo()
     got = _read(ds_spark, store)
     assert got[100] == (100, "theirs", 1.0) and got[200] == (200, "mine", 2.0)
+
+
+def test_merge_update_can_set_null(ds_spark, store):
+    """An update writing NULL into a column must actually null it (pandas
+    DataFrame.update would silently skip NaN — regression guard)."""
+    _seed(ds_spark, store, n=6, parts=2)
+    upd = ds_spark.createDataFrame([(2, None, None)], SCHEMA)
+    merge_records(ds_spark, store.dataset_dir, upd, ["id"])
+    got = _read(ds_spark, store)
+    assert got[2] == (2, None, None)
