@@ -133,3 +133,42 @@ def expectations_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         "r.n_violations",
         F.round(F.col("r.n_violations") * 100.0 / F.col("r.n_checked"), 4).alias("viol_pct"),
     )
+
+
+def profile_columns_approx(df: DataFrame, cols: list[str], rsd: float = 0.05) -> DataFrame:
+    """Scale-path profile: ONE aggregate pass over the scan — per column
+    row/null counts, approximate distinct (HLL++, ``rsd`` relative
+    error), min/max as strings. No melt, no value-grain shuffle: where
+    :func:`profile_columns` materializes one row per (column, value) —
+    exact, oracle-checkable, but O(Σ column cardinality) shuffle — this
+    ships one partial-aggregate row per partition regardless of
+    cardinality. Use exact for audits, approx for interactive profiling
+    of near-unique columns at corpus scale. Top values come from the
+    sketch operators (``kmv.topk_heavy_hitters``) when needed."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        sc = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
+            F.approx_count_distinct(c, rsd).alias(f"_dist_{c}"),
+            F.min(sc).alias(f"_min_{c}"),
+            F.max(sc).alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("_n").alias("n_rows"),
+                        F.col(f"_null_{c}").cast("long").alias("n_null"),
+                        F.col(f"_dist_{c}").alias("approx_distinct"),
+                        F.col(f"_min_{c}").alias("min_value"),
+                        F.col(f"_max_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")

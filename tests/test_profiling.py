@@ -79,3 +79,22 @@ def test_expectations_single_pass_plan(spark):
     rep = expectations_report(df, {"a": F.col("v") > 0, "b": F.col("id") > 1})
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") <= 1  # createDataFrame -> LocalTableScan; parquet -> 1 scan
+
+
+def test_approx_profile_single_pass_and_bounds(spark):
+    import pyspark.sql.functions as F
+
+    from mandoline_hbase_spark.operators.profiling import profile_columns_approx
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("cat"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 1.0).alias("v"),
+    )
+    prof = {r["column"]: r.asDict() for r in profile_columns_approx(df, ["id", "cat", "v"]).collect()}
+    assert prof["cat"]["approx_distinct"] == 7  # tiny cardinality: exact
+    assert abs(prof["id"]["approx_distinct"] - 5000) / 5000 < 0.15
+    assert prof["v"]["n_null"] == 500
+    assert all(p["n_rows"] == 5000 for p in prof.values())
+    # one aggregate over one scan — no per-column jobs
+    plan = profile_columns_approx(df, ["id", "cat"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 2
