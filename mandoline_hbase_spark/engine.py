@@ -66,6 +66,51 @@ def append_index_rows_df(indices_dir: str, map_df, var_name: str, version_id: in
     )
 
 
+def _array_chunk_stats(chunk_id: str, block: np.ndarray) -> list[dict]:
+    """Value min/max/nan-count sidecar rows for one array chunk (column
+    name 'value' — the tidy-view column the reader's pushed filters
+    reference). Non-finite-only chunks record kind 'allnull' so value
+    comparisons prune them."""
+    finite = block[np.isfinite(block)]
+    n = int(block.size)
+    if finite.size == 0:
+        return [
+            {
+                "chunk_id": chunk_id,
+                "column": "value",
+                "kind": "allnull",
+                "vmin": None,
+                "vmax": None,
+                "nulls": n,
+                "nrows": n,
+            }
+        ]
+    return [
+        {
+            "chunk_id": chunk_id,
+            "column": "value",
+            "kind": "num",
+            "vmin": repr(float(finite.min())),
+            "vmax": repr(float(finite.max())),
+            "nulls": n - int(finite.size),
+            "nrows": n,
+        }
+    ]
+
+
+def _write_array_stats(dataset_dir: str, rows: list[dict]) -> None:
+    """Best-effort sidecar append (advisory: a chunk without stats is
+    never pruned)."""
+    if not rows:
+        return
+    try:
+        from mandoline_hbase_spark import zonemaps
+
+        zonemaps.write_stats(os.path.join(dataset_dir, zonemaps.STATS_SUBDIR), rows)
+    except Exception:
+        pass
+
+
 def root_table_prefix(root: str, db_version: str | None = None) -> str:
     """Reverse dot-components of the store root (hbase.clj:346-361).
 
@@ -380,6 +425,7 @@ class Connection:
         chunk_shapes = chunk_shapes or {}
         fills = fills or {}
         staged: list[tuple[str, dict, list, dict, dict]] = []
+        stats_rows: list[dict] = []
         for var_name, array in arrays.items():
             array = np.asarray(array)
             dtype = array.dtype.name
@@ -399,12 +445,15 @@ class Connection:
                 block = codec.extract_block(array, coord, chunk_shape, fill)
                 data = codec.encode_chunk(block)
                 h = codec.chunk_id_of(data)
+                if h not in blobs:
+                    stats_rows.extend(_array_chunk_stats(h, block))
                 blobs.setdefault(h, data)
                 refs[h] = refs.get(h, 0) + 1
                 entries.append((coord, h))
             staged.append(
                 (var_name, self._var_meta(dtype, array.shape, chunk_shape, fill), entries, blobs, refs)
             )
+        _write_array_stats(self.dataset_dir, stats_rows)
 
         with storage.dataset_lock(self.dataset_dir):
             base_meta = {}
@@ -497,13 +546,17 @@ class Connection:
         entries: list[tuple[tuple[int, ...], str]] = []
         blobs: dict[str, bytes] = {}
         refs: dict[str, int] = {}
+        stats_rows: list[dict] = []
         for coord in codec.iter_chunk_coords(array.shape, chunk_shape):
             block = codec.extract_block(array, coord, chunk_shape, fill)
             data = codec.encode_chunk(block)
             h = codec.chunk_id_of(data)
+            if h not in blobs:
+                stats_rows.extend(_array_chunk_stats(h, block))
             blobs.setdefault(h, data)
             refs[h] = refs.get(h, 0) + 1
             entries.append((coord, h))
+        _write_array_stats(self.dataset_dir, stats_rows)
 
         return self._commit(
             var_name,

@@ -405,11 +405,11 @@ class MandolineBatchReader(DataSourceReader):
             return self.region
         return [(max(0, lo), min(hi, int(s))) for (lo, hi), s in zip(bounds, shape)]
 
-    def _zonemap_entries(self):
-        """Live entries after zone-map pruning (best effort: without the
-        package or a stats sidecar, the full entry list scans as before)."""
-        if not self._pushed_filters:
-            return self._entries
+    def _prune_by_stats(self, entries, filters):
+        """Sidecar-driven chunk pruning, best effort: without the package
+        or a stats sidecar the full entry list scans as before."""
+        if not filters or not entries:
+            return entries
         try:
             try:
                 from mandoline_hbase_spark import zonemaps
@@ -418,11 +418,14 @@ class MandolineBatchReader(DataSourceReader):
                 from mandoline_hbase_spark import zonemaps
             stats = zonemaps.load_stats(
                 os.path.join(self.path, zonemaps.STATS_SUBDIR),
-                [cid for _, cid in self._entries],
+                [cid for _, cid in entries],
             )
-            return zonemaps.prune_chunks(self._entries, stats, self._pushed_filters)
+            return zonemaps.prune_chunks(entries, stats, filters)
         except Exception:
-            return self._entries
+            return entries
+
+    def _zonemap_entries(self):
+        return self._prune_by_stats(self._entries, self._pushed_filters)
 
     def partitions(self):
         chunks_dir = os.path.join(self.path, "chunks")
@@ -448,6 +451,13 @@ class MandolineBatchReader(DataSourceReader):
                     )
 
                 entries = [(c, cid) for c, cid in entries if hits(c)]
+        # value-predicate skipping: the write path records per-chunk value
+        # min/max in the stats sidecar; filters on the tidy 'value' column
+        # prune chunks the same way record scans do
+        value_filters = [
+            f for f in self._pushed_filters if getattr(f, "attribute", None) == ("value",)
+        ]
+        entries = self._prune_by_stats(entries, value_filters)
         groups = _group(entries, self.per_partition)
         return [
             ChunkScanPartition(

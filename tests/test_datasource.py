@@ -368,3 +368,29 @@ def test_array_dim_filter_composes_with_region_option(ds_spark, store):
     )
     got = {(r.dim0, r.dim1) for r in df.collect()}
     assert got == {(i, j) for i in (2, 3) for j in range(6)}
+
+
+def test_array_value_filter_skips_chunks(ds_spark, store):
+    """WHERE value > x prunes array chunks via the write-side value
+    min/max sidecar — scientific 'find the hot cells' scans read only
+    the chunks that can contain them."""
+    from pyspark.sql.datasource import GreaterThan
+    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+
+    arr = np.arange(64, dtype=np.float64).reshape(8, 8)  # chunk maxima rise with dim0
+    store.write_variable("v", arr, chunk_shape=(2, 8))   # 4 chunks, disjoint value ranges
+    opts = {"path": store.dataset_dir, "variable": "v"}
+
+    r = MandolineBatchReader(opts, "array")
+    r.pushFilters([GreaterThan(("value",), 47.0)])
+    assert len(r.partitions()) == 1  # values 48..63 live in one chunk
+
+    df = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "v")
+        .load()
+        .filter("value > 47.0")
+    )
+    got = {(r_.dim0, r_.dim1) for r_ in df.collect()}
+    assert got == {(i, j) for i in (6, 7) for j in range(8)}
