@@ -151,6 +151,19 @@ class ChunkScanPartition(InputPartition):
 
 
 @dataclass
+class RecordChangeScanPartition(InputPartition):
+    """One executor task of the RECORD change feed: replay chunk payloads
+    as CDF rows (``_change_type`` append/remove, ``_version``). A chunk
+    re-pointed with identical content emits an equal append/remove pair —
+    downstream ±weight consumers cancel it exactly."""
+
+    chunks_dir: str
+    items: list  # [(chunk_id, change)]
+    schema_json: str
+    version: int
+
+
+@dataclass
 class RecordScanPartition(InputPartition):
     """One executor task: replay record-log payload chunks.
 
@@ -539,6 +552,11 @@ class MandolineStreamReader(DataSourceStreamReader):
             vm = meta_by_version[vid].get("variables", {}).get(self.variable)
             if vm is None:
                 continue
+            if "schema_json" in vm:
+                parts.extend(
+                    self._record_change_parts(chunks_dir, vid, vm["schema_json"], hi)
+                )
+                continue
             entries = [
                 (coord, cid)
                 for (v, _), (_, coord, cid) in best.items()
@@ -553,7 +571,63 @@ class MandolineStreamReader(DataSourceStreamReader):
                 )
         return parts or [ChunkScanPartition(chunks_dir, [], "float64", [], [], None)]
 
+    def _record_change_parts(self, chunks_dir, vid: int, schema_json: str, hi: int):
+        """CDF items for one committed version of a record variable:
+        every coordinate the version touched contributes its NEW chunk as
+        'append' rows and its PRIOR chunk (latest committed < vid) as
+        'remove' rows. Planning reads the index log only."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pa_ds
+
+        committed = {v for v, _ in _committed_versions(self.path) if v <= hi}
+        idx = pa_ds.dataset(os.path.join(self.path, "indices"), format="parquet")
+        t = idx.to_table(
+            filter=(pc.field("var_name") == self.variable)
+            & (pc.field("version_id") <= vid),
+            columns=["coord_id", "version_id", "chunk_id", "seq"],
+        )
+        hist: dict[str, list[tuple]] = {}
+        for r in t.to_pylist():
+            if r["version_id"] in committed:
+                hist.setdefault(r["coord_id"], []).append(
+                    (r["version_id"], r["seq"], r["chunk_id"])
+                )
+        items: list[tuple[str, str]] = []
+        for coord_id, rows in hist.items():
+            rows.sort()
+            at_vid = [r for r in rows if r[0] == vid]
+            if not at_vid:
+                continue  # coordinate untouched by this version
+            new_cid = at_vid[-1][2]
+            prior = [r for r in rows if r[0] < vid]
+            if new_cid is not None:
+                items.append((new_cid, "append"))
+            if prior and prior[-1][2] is not None:
+                items.append((prior[-1][2], "remove"))
+        items.sort()
+        return [
+            RecordChangeScanPartition(chunks_dir, g, schema_json, vid)
+            for g in _group(items, self.per_partition)
+        ]
+
     def read(self, partition):
+        if isinstance(partition, RecordChangeScanPartition):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType as _StructType
+
+            target = to_arrow_schema(_StructType.fromJson(json.loads(partition.schema_json)))
+            payloads = _read_payloads(partition.chunks_dir, [cid for cid, _ in partition.items])
+            for cid, change in partition.items:
+                table = _reconcile_to_schema(pq.read_table(io.BytesIO(payloads[cid])), target)
+                n = len(table)
+                table = table.append_column("_change_type", pa.array([change] * n, pa.string()))
+                table = table.append_column(
+                    "_version", pa.array([int(partition.version)] * n, pa.int64())
+                )
+                yield from table.to_batches()
+            return
         yield from _decode_entries(partition)
 
     def commit(self, end):
@@ -798,6 +872,10 @@ class MandolineDataSource(DataSource):
         ndim = None
         try:
             _, var_meta, _ = self._snap()
+            if form == "changes" and "schema_json" in var_meta:
+                # record variable: the change feed is CDF rows
+                st = StructType.fromJson(json.loads(var_meta["schema_json"]))
+                return st.add("_change_type", "string").add("_version", "long")
             ndim = len(var_meta["shape"])
         except (FileNotFoundError, ValueError, KeyError):
             if form != "changes":

@@ -394,3 +394,58 @@ def test_array_value_filter_skips_chunks(ds_spark, store):
     )
     got = {(r_.dim0, r_.dim1) for r_ in df.collect()}
     assert got == {(i, j) for i in (6, 7) for j in range(8)}
+
+
+def test_record_change_feed_stream(ds_spark, store, tmp_path):
+    """The version log as a RECORD change feed: appends arrive as CDF
+    'append' rows; a merge emits the rewritten chunk's prior rows as
+    'remove' and its new rows as 'append' — ±weight folds of the feed
+    reconstruct any aggregate incrementally."""
+    from mandoline_hbase_spark.merge import merge_records
+
+    seed = [(i, f"n{i}", float(i)) for i in range(6)]
+    (
+        ds_spark.createDataFrame(seed, "id BIGINT, name STRING, score DOUBLE")
+        .repartitionByRange(2, "id")
+        .write.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .mode("append")
+        .save()
+    )
+    merge_records(
+        ds_spark, store.dataset_dir,
+        ds_spark.createDataFrame([(1, "v2", 100.0)], "id BIGINT, name STRING, score DOUBLE"),
+        ["id"],
+    )
+
+    q = (
+        ds_spark.readStream.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .option("form", "changes")
+        .load()
+        .writeStream.format("memory")
+        .queryName("record_changes_feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt-rcf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = ds_spark.sql("select * from record_changes_feed").collect()
+    versions = sorted({r._version for r in rows})
+    assert len(versions) == 2  # seed commit + merge commit
+
+    # fold the feed with +/- weights: final state equals the table
+    net = {}
+    for r in rows:
+        w = 1 if r._change_type == "append" else -1
+        key = (r.id, r.name, r.score)
+        net[key] = net.get(key, 0) + w
+    final = {k for k, w in net.items() if w > 0}
+    expected = {(i, f"n{i}", float(i)) for i in range(6) if i != 1} | {(1, "v2", 100.0)}
+    assert final == expected
+
+    # the merge version carries both sides of the rewritten chunk
+    merge_rows = [r for r in rows if r._version == versions[1]]
+    assert {r._change_type for r in merge_rows} == {"append", "remove"}
