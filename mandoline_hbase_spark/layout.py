@@ -135,3 +135,42 @@ def compact_records(
     k = max(1, math.ceil(n / max(1, target_rows)))
     _overwrite_records(df.repartition(k), dataset_path, variable, bloom_columns)
     return {"rows": int(n), "n_chunks": int(k)}
+
+
+def zorder_cluster_records(
+    spark: SparkSession,
+    dataset_path: str,
+    col_a: str,
+    col_b: str,
+    variable: str = "records",
+    n_chunks: int | None = None,
+    target_rows: int = 100_000,
+    bits: int = 16,
+    bloom_columns: list[str] | None = None,
+) -> dict:
+    """Two-dimensional clustering: rewrite range-partitioned on the
+    Morton (Z-order) key of two non-negative integer columns, so every
+    chunk covers a tight box in BOTH dimensions and zone maps prune
+    point/range predicates on EITHER column — lexicographic
+    ``cluster_records([a, b])`` only ever prunes on the leading column.
+    The key is pure shift/mask column arithmetic (whole-stage codegen);
+    the one shuffle is the range partitioning every clustering rewrite
+    pays."""
+    from pyspark.sql import functions as F
+
+    from mandoline_hbase_spark.sources.lake import zorder_key
+
+    df = _load_records(spark, dataset_path, variable)
+    for c in (col_a, col_b):
+        if c not in df.columns:
+            raise ValueError(f"z-order column {c!r} not in record schema")
+    n = df.count()
+    k = n_chunks or max(1, math.ceil(n / max(1, target_rows)))
+    keyed = df.withColumn("_zkey", zorder_key(F.col(col_a), F.col(col_b), bits))
+    _overwrite_records(
+        keyed.repartitionByRange(k, "_zkey").sortWithinPartitions("_zkey").drop("_zkey"),
+        dataset_path,
+        variable,
+        bloom_columns,
+    )
+    return {"rows": int(n), "n_chunks": int(k)}

@@ -179,3 +179,41 @@ def test_layout_rewrite_detects_interleaved_commit(ds_spark, store):
     # nothing destroyed: the interloper's version is still in history
     versions = [int(v["version"]) for v in store.versions()]
     assert len(versions) >= 3  # seed + interloper + rewrite
+
+
+def test_zorder_cluster_prunes_both_dimensions(ds_spark, store):
+    """Z-order clustering gives zone-map pruning on BOTH columns, where
+    lexicographic clustering only prunes the leading one."""
+    from mandoline_hbase_spark.layout import zorder_cluster_records
+
+    rows = [(x * 32 + y, x, y) for x in range(32) for y in range(32)]
+    (
+        ds_spark.createDataFrame(rows, "id BIGINT, x BIGINT, y BIGINT")
+        .repartition(4, "id")  # scrambled
+        .write.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .mode("append")
+        .save()
+    )
+    # lexicographic (x, y): y alone prunes nothing
+    cluster_records(ds_spark, store.dataset_dir, ["x", "y"], n_chunks=16)
+    lex_x = _pruned_parts(store, EqualTo(("x",), 5))
+    lex_y = _pruned_parts(store, EqualTo(("y",), 5))
+    assert lex_x <= 2 and lex_y == 16
+
+    zorder_cluster_records(ds_spark, store.dataset_dir, "x", "y", n_chunks=16, bits=5)
+    z_x = _pruned_parts(store, EqualTo(("x",), 5))
+    z_y = _pruned_parts(store, EqualTo(("y",), 5))
+    assert z_x <= 6 and z_y <= 6, (z_x, z_y)
+
+    # data unchanged, filters exact
+    df = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .load()
+    )
+    assert df.count() == 1024
+    assert df.filter("x = 5 AND y = 5").count() == 1
