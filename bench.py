@@ -153,6 +153,7 @@ HEADLINE = [
     "quality_model_score",
     "text_unigram_rarity",
     "mix_source_temperature",
+    "dsir_importance_weights",
 ]
 
 

@@ -188,3 +188,67 @@ def approx_score_bins(
         F.size(F.filter(cut_arr, lambda c: F.col(score_col) > c)) + 1
     ).cast("bigint")
     return df.withColumn(out_col, binned)
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 65536,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    documents are scored by how much more likely their hashed-bigram
+    profile is under a TARGET distribution (rows where ``target_pred``
+    is true — a trusted domain sample) than under the raw corpus.
+
+        log w(doc) = Σ_grams  ln p_target(bucket) − ln p_raw(bucket)
+
+    with add-one smoothing over the fixed bucket space. Feed the weights
+    to ``sampling.weighted_sample_*`` (A-ES) to resample the corpus
+    toward the target domain — importance resampling without training a
+    model.
+
+    Plan shape: one map-only bigram explode; ONE bucket-keyed aggregate
+    builds both distributions (conditional aggregation — the target is a
+    slice of the same scan, not a second pass); the log-ratio table is
+    at most ``n_buckets`` rows joined back on the bucket key; one final
+    per-document aggregate. Hash discipline: md5-prefix buckets, so the
+    whole computation is oracle-checkable and engine-portable.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ex = (
+        df.withColumn("_is_t", target_pred)
+        .filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.col("_is_t"), F.explode(grams).alias("gram"))
+        .withColumn("bucket", F.substring(F.md5(F.col("gram")), 1, 4))
+    )
+    bcount = ex.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = bcount.agg(
+        F.sum("c_raw").cast("double").alias("t_raw"),
+        F.sum("c_tgt").cast("double").alias("t_tgt"),
+    )
+    ratio = bcount.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_tgt") + 1.0) / (F.col("t_tgt") + float(n_buckets)))
+            - F.log((F.col("c_raw") + 1.0) / (F.col("t_raw") + float(n_buckets)))
+        ).alias("logratio"),
+    )
+    return (
+        ex.join(ratio, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(F.sum("logratio"), 6).alias("log_weight"),
+        )
+    )

@@ -1509,3 +1509,63 @@ def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mix_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return scoring.source_temperature_weights(docs)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, lang = 'en' AS is_t,
+                   string_split_regex(lower(trim(text)), '\s+') AS t
+            FROM documents
+        ),
+        ex0 AS (
+            SELECT doc_id, is_t,
+                   unnest(t) AS tok,
+                   unnest(generate_series(1, len(t))) AS i,
+                   len(t) AS n
+            FROM toks WHERE len(t) >= 2
+        ),
+        ex AS (
+            SELECT a.doc_id, a.is_t,
+                   substr(md5(a.tok || ' ' || b.tok), 1, 4) AS bucket
+            FROM ex0 a
+            JOIN ex0 b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        ),
+        bcount AS (
+            SELECT bucket,
+                   count(*) AS c_raw,
+                   count(*) FILTER (WHERE is_t) AS c_tgt
+            FROM ex GROUP BY bucket
+        ),
+        totals AS (
+            SELECT CAST(sum(c_raw) AS DOUBLE) AS t_raw,
+                   CAST(sum(c_tgt) AS DOUBLE) AS t_tgt
+            FROM bcount
+        ),
+        ratio AS (
+            SELECT bucket,
+                   ln((c_tgt + 1.0) / (t_tgt + 65536.0))
+                   - ln((c_raw + 1.0) / (t_raw + 65536.0)) AS logratio
+            FROM bcount, totals
+        )
+        SELECT ex.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               round(sum(ratio.logratio), 6) AS log_weight
+        FROM ex JOIN ratio USING (bucket)
+        GROUP BY ex.doc_id
+    """,
+    description=(
+        "DSIR importance resampling weights (Xie et al. 2023): hashed-"
+        "bigram log-likelihood ratio of each document under the target "
+        "domain (lang='en' sample) vs the raw corpus — one conditional "
+        "bucket aggregate builds both distributions from one scan, the "
+        "<=65536-row log-ratio table joins back on the bucket key; feed "
+        "the weights to A-ES weighted sampling to resample toward the "
+        "target without training a model"
+    ),
+    tags=("llm", "scoring", "sampling", "dsir"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return scoring.dsir_log_weights(docs, F.col("lang") == "en")

@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     # broadcast 1-row totals (corpus token count / sqrt-share denominator)
     "text_unigram_rarity",
     "mix_source_temperature",
+    # broadcast 1-row gram totals joined to the <=65536-row ratio table
+    "dsir_importance_weights",
 }
 
 
