@@ -143,6 +143,7 @@ HEADLINE = [
     "sim_pq_ann_topk",
     "pack_sequences",
     "decontam_overlap",
+    "decontam_span_removal",
     "dedup_semantic_prune",
     "dedup_semantic_pairs_blas",
     "text_top_bigrams",

@@ -354,6 +354,16 @@ def remove_duplicated_spans(
         )
         .distinct()
     )
+    return _subtract_covered_and_rebuild(df, covered, id_col, text_col)
+
+
+def _subtract_covered_and_rebuild(
+    df: DataFrame, covered: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared rewrite tail of the span operators: drop the (doc, position)
+    rows in ``covered`` and reassemble each doc's surviving tokens in
+    order. Anti-join keyed on (doc, position); the text crosses the
+    exchange once as token rows — the floor for any rewrite."""
     toks = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
         .withColumn("_t", tokens_col(text_col))
@@ -380,6 +390,47 @@ def remove_duplicated_spans(
             F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """SPAN-level benchmark decontamination: remove every token covered
+    by an n-gram window that also appears in the evaluation set, keeping
+    the rest of the document — where ``decontam_overlap`` only FLAGS
+    contaminated documents, this rewrites them (the practice for large
+    corpora: dropping whole documents over one quoted benchmark line
+    wastes data; leaving the line leaks the benchmark).
+
+    The eval set's distinct gram hashes are the broadcast probe side
+    (eval sets are tiny relative to the corpus); corpus grams stream
+    past it map-side, so the only corpus-sized shuffles are the
+    (doc, position) anti-join and the per-doc rebuild — identical cost
+    shape to :func:`remove_duplicated_spans`.
+    """
+    grams = ngram_hashes(df, n, id_col, text_col)
+    eval_grams = (
+        ngram_hashes(eval_df, n, eval_id_col, eval_text_col)
+        .select("gram_md5")
+        .distinct()
+    )
+    covered = (
+        grams.join(F.broadcast(eval_grams), "gram_md5")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("gram_idx"), F.col("gram_idx") + (n - 1))
+            ).alias("k"),
+        )
+        .distinct()
+    )
+    return _subtract_covered_and_rebuild(df, covered, id_col, text_col)
 
 
 def doc_shingle_features(

@@ -1569,3 +1569,72 @@ def mix_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return scoring.dsir_log_weights(docs, F.col("lang") == "en")
+
+
+@register(
+    "decontam_span_removal",
+    oracle=r"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE source <> 'src0'
+        ),
+        eval_set AS (
+            SELECT doc_id, text FROM documents WHERE source = 'src0'
+        ),
+        ctoks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus
+        ),
+        etoks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM eval_set
+        ),
+        tok_rows AS (
+            SELECT doc_id, i - 1 AS k, t[i] AS tok
+            FROM ctoks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+            WHERE t[i] <> ''
+        ),
+        cgrams AS (
+            SELECT doc_id, i - 1 AS gram_idx,
+                   md5(array_to_string(t[i:i+3], ' ')) AS g
+            FROM ctoks,
+                 LATERAL unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS u(i)
+        ),
+        egrams AS (
+            SELECT DISTINCT md5(array_to_string(t[i:i+3], ' ')) AS g
+            FROM etoks,
+                 LATERAL unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS u(i)
+        ),
+        cov AS (
+            SELECT DISTINCT cgrams.doc_id, gram_idx + j AS k
+            FROM cgrams JOIN egrams USING (g),
+                 LATERAL unnest(range(0, 4)) AS v(j)
+        ),
+        kept AS (
+            SELECT tok_rows.doc_id, tok_rows.k, tok_rows.tok
+            FROM tok_rows
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cov
+                WHERE cov.doc_id = tok_rows.doc_id AND cov.k = tok_rows.k
+            )
+        ),
+        re AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY k) AS cleaned
+            FROM kept GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               coalesce(n_kept, 0)::BIGINT AS n_kept_tokens,
+               coalesce(cleaned, '') AS cleaned_text
+        FROM corpus c LEFT JOIN re USING (doc_id)
+    """,
+    description=(
+        "SPAN-level benchmark decontamination: remove every token of a "
+        "corpus document covered by a 4-gram window that appears in the "
+        "eval set (src0 as proxy), keep the rest — rewrites instead of "
+        "dropping whole documents; eval grams broadcast as the probe side"
+    ),
+    tags=("llm", "decontamination", "span", "rewrite"),
+)
+def decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return dedup.decontaminate_spans(corpus, eval_set, n=4)
