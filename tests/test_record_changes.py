@@ -142,3 +142,35 @@ def test_history_df(ds_spark, store):
     assert h[0].cdc_app_id == "app-h" and h[0].cdc_batch_id == 7
     assert "records" in h[0].variables
     assert h[-1].cdc_app_id is None
+
+
+def test_rollback_undoes_merge_zero_copy(ds_spark, store):
+    """rollback_variable is generic over the index: undoing a merge on a
+    RECORD variable re-points coordinates with no data copy, and the
+    merge's version stays readable at its own id."""
+    from mandoline_hbase_spark.merge import merge_records
+    from mandoline_hbase_spark.versioning import rollback_variable
+
+    _seed(ds_spark, store, n=10)
+    v_good = int(store.versions()[0]["version"])
+    merge_records(
+        ds_spark, store.dataset_dir,
+        ds_spark.createDataFrame([(1, "bad", -1.0)], SCHEMA), ["id"],
+    )
+    v_bad = int(store.versions()[0]["version"])
+    store.spark = ds_spark
+    rollback_variable(store, "records", v_good, spark=ds_spark)
+
+    def read(version=None):
+        r = (
+            ds_spark.read.format("mandoline")
+            .option("path", store.dataset_dir)
+            .option("variable", "records")
+            .option("form", "records")
+        )
+        if version is not None:
+            r = r.option("version", version)
+        return {row.id: row.name for row in r.load().collect()}
+
+    assert read()[1] == "n1", "head restored to the pre-merge state"
+    assert read(version=v_bad)[1] == "bad", "the undone merge stays in history"
