@@ -155,6 +155,7 @@ HEADLINE = [
     "text_unigram_rarity",
     "mix_source_temperature",
     "dsir_importance_weights",
+    "lm_perplexity_scores",
 ]
 
 

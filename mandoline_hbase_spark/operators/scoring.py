@@ -252,3 +252,81 @@ def dsir_log_weights(
             F.round(F.sum("logratio"), 6).alias("log_weight"),
         )
     )
+
+
+def bigram_lm_perplexity(
+    df: DataFrame,
+    train_pred=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram language-model scoring (CCNet-style perplexity
+    filtering, Wenzek et al. 2020): train a bigram LM on the corpus (or
+    the ``train_pred`` slice — score against a clean reference the way
+    CCNet scores against Wikipedia) and score every document by its
+    per-token negative log-likelihood
+
+        P(w_i | w_{i-1}) = λ · c(w_{i-1} w_i)/c(w_{i-1})
+                         + (1−λ) · (c(w_i)+1)/(T+V)
+
+    (fixed λ = 0.75 — exactly representable in binary, so 1−λ is too
+    and every engine computes identical constants — with add-one unigram
+    backoff, so unseen
+    bigrams and unseen words are both finite). High ``avg_nll`` = text
+    the reference model finds surprising — the classic gibberish /
+    boilerplate / wrong-language gate.
+
+    Plan shape: token and bigram count tables are each one keyed
+    aggregate over the same exploded scan; scoring joins each document's
+    bigram rows against the two count tables on their natural keys and
+    folds per document. The count tables are the reusable artifact at
+    scale (materialize per corpus snapshot; scoring a new batch is two
+    joins). All arithmetic is engine-portable column algebra — the op is
+    oracle-checked, no Python in the hot path.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.withColumn(
+        "_is_train",
+        train_pred if train_pred is not None else F.lit(True),
+    ).filter(F.size(toks) >= 2)
+    pairs = base.select(
+        F.col(id_col),
+        F.col("_is_train"),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("p"),
+    ).select(id_col, "_is_train", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+
+    big = pairs.filter("_is_train").groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("c_big")
+    )
+    uni = pairs.filter("_is_train").groupBy(F.col("cur").alias("w")).agg(
+        F.count(F.lit(1)).alias("c_uni")
+    )
+    totals = uni.agg(
+        F.sum("c_uni").cast("double").alias("t_uni"),
+        F.count(F.lit(1)).cast("double").alias("v_uni"),
+    )
+    prev_tot = big.groupBy("prev").agg(F.sum("c_big").alias("c_prev"))
+
+    scored = (
+        pairs.join(big, ["prev", "cur"], "left")
+        .join(prev_tot, "prev", "left")
+        .join(uni.withColumnRenamed("w", "cur"), "cur", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_big = F.when(
+        F.col("c_prev").isNotNull() & F.col("c_big").isNotNull(),
+        F.col("c_big") / F.col("c_prev"),
+    ).otherwise(F.lit(0.0))
+    p_uni = (F.coalesce(F.col("c_uni"), F.lit(0)) + 1.0) / (F.col("t_uni") + F.col("v_uni"))
+    nll = -F.log(lam * p_big + (1.0 - lam) * p_uni)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg(nll), 6).alias("avg_nll"),
+    )

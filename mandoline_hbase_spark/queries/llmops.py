@@ -1638,3 +1638,61 @@ def decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("source") != "src0")
     eval_set = docs.filter(F.col("source") == "src0")
     return dedup.decontaminate_spans(corpus, eval_set, n=4)
+
+
+@register(
+    "lm_perplexity_scores",
+    oracle=r"""
+        WITH toks0 AS (
+            SELECT doc_id, lang = 'en' AS is_train,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM documents
+        ),
+        toks AS (SELECT * FROM toks0 WHERE len(t) >= 2),
+        ex AS (
+            SELECT doc_id, is_train,
+                   unnest(t[1:len(t)-1]) AS prev,
+                   unnest(t[2:len(t)]) AS cur
+            FROM toks
+        ),
+        big AS (
+            SELECT prev, cur, count(*) AS c_big FROM ex WHERE is_train GROUP BY 1, 2
+        ),
+        uni AS (
+            SELECT cur AS w, count(*) AS c_uni FROM ex WHERE is_train GROUP BY 1
+        ),
+        totals AS (
+            SELECT CAST(sum(c_uni) AS DOUBLE) AS t_uni,
+                   CAST(count(*) AS DOUBLE) AS v_uni
+            FROM uni
+        ),
+        ptot AS (SELECT prev, sum(c_big) AS c_prev FROM big GROUP BY 1),
+        sc AS (
+            SELECT e.doc_id,
+                   CASE WHEN b.c_big IS NOT NULL AND p.c_prev IS NOT NULL
+                        THEN b.c_big / CAST(p.c_prev AS DOUBLE)
+                        ELSE 0.0 END AS p_big,
+                   (coalesce(u.c_uni, 0) + 1.0) / (t.t_uni + t.v_uni) AS p_uni
+            FROM ex e
+            LEFT JOIN big b ON b.prev = e.prev AND b.cur = e.cur
+            LEFT JOIN ptot p ON p.prev = e.prev
+            LEFT JOIN uni u ON u.w = e.cur,
+            totals t
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(-ln(0.75 * p_big + 0.25 * p_uni)), 6) AS avg_nll
+        FROM sc GROUP BY doc_id
+    """,
+    description=(
+        "Interpolated bigram LM perplexity (CCNet-style, Wenzek et al. "
+        "2020): train on the lang='en' slice, score every document's "
+        "per-token negative log-likelihood — the classic gibberish / "
+        "boilerplate / wrong-language gate; count tables are the "
+        "reusable per-snapshot artifact, scoring a batch is two joins"
+    ),
+    tags=("llm", "scoring", "perplexity"),
+)
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return scoring.bigram_lm_perplexity(docs, train_pred=F.col("lang") == "en")

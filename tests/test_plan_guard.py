@@ -39,6 +39,8 @@ BNLJ_ALLOWED = {
     "mix_source_temperature",
     # broadcast 1-row gram totals joined to the <=65536-row ratio table
     "dsir_importance_weights",
+    # broadcast 1-row (token total, vocab size) scalar for the backoff term
+    "lm_perplexity_scores",
 }
 
 
