@@ -57,6 +57,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -659,6 +660,7 @@ class MandolineWriter(DataSourceWriter):
         self.schema_json = schema.json()
         raw_bloom = _opt(options, "bloom_columns", "") or ""
         self.bloom_columns = [c.strip() for c in raw_bloom.split(",") if c.strip()]
+        self._extra_meta: dict = {}  # transactional markers (stream sink stamps)
         # captured while the package IS importable (driver), replayed in
         # the runner process by _ensure_importable()
         self._pkg_root = os.path.dirname(
@@ -796,7 +798,12 @@ class MandolineWriter(DataSourceWriter):
                 "shape": [],
                 "chunk_shape": [],
             }
-            new_meta = {**meta, "version-id": int(version_id), "variables": variables}
+            new_meta = {
+                **meta,
+                **self._extra_meta,
+                "version-id": int(version_id),
+                "variables": variables,
+            }
             if new_ids:
                 # grant the refs the tasks deliberately withheld (§3.2
                 # step 2, driver-side so an uncommitted write stays at
@@ -820,6 +827,56 @@ class MandolineWriter(DataSourceWriter):
         # gc_chunks() reclaims them on the next maintenance pass; no
         # compensating writes needed here (abort may itself never run)
         pass
+
+
+class MandolineStreamWriter(MandolineWriter, DataSourceStreamWriter):
+    """Native streaming sink: ``df.writeStream.format("mandoline")`` —
+    one committed version per micro-batch with EXACTLY-ONCE semantics.
+
+    Each batch's tasks append chunks (the batch writer's write path,
+    unchanged); the driver's commit stamps ``(stream_app_id, batch id)``
+    into the version metadata ATOMICALLY with the version row, and a
+    replayed batch id (restart, fresh checkpoint with the same app id)
+    is skipped instead of duplicated — the same recipe as the CDC merge
+    sink, here for plain versioned append. The app id defaults to a
+    digest of the dataset path; pass ``stream_app_id`` to run several
+    independent streams into one dataset (or to deliberately re-append).
+    Replayed tasks' chunks stay at ref 0 and unreferenced — GC fodder,
+    never visible."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        import hashlib
+
+        # streaming appends only: overwrite semantics would truncate the
+        # table every micro-batch
+        super().__init__(options, schema, overwrite=False)
+        self.app_id = _opt(options, "stream_app_id") or (
+            "stream-" + hashlib.sha1(self.path.encode()).hexdigest()[:12]
+        )
+
+    def _last_batch(self) -> int | None:
+        from mandoline_hbase_spark.engine import Connection
+
+        conn = Connection(self.path, os.path.basename(self.path))
+        for v in conn.versions(metadata=True):
+            m = v["metadata"]
+            if m.get("stream_app_id") == self.app_id and "stream_batch_id" in m:
+                return int(m["stream_batch_id"])
+        return None
+
+    def commit(self, messages, batchId):
+        self._ensure_importable()
+        last = self._last_batch()
+        if last is not None and int(batchId) <= last:
+            return  # replay: this batch already committed with its stamp
+        self._extra_meta = {
+            "stream_app_id": self.app_id,
+            "stream_batch_id": int(batchId),
+        }
+        MandolineWriter.commit(self, messages)
+
+    def abort(self, messages, batchId):
+        MandolineWriter.abort(self, messages)
 
 
 # ---------------------------------------------------------------------------
@@ -899,6 +956,9 @@ class MandolineDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return MandolineWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return MandolineStreamWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:
