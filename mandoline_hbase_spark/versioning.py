@@ -316,6 +316,7 @@ def history_df(spark, conn) -> DataFrame:
     for v in conn.versions(metadata=True):
         m = v["metadata"]
         bid = m.get("cdc_batch_id")
+        sbid = m.get("stream_batch_id")
         ts = v["timestamp"]
         if isinstance(ts, _dt.datetime):
             epoch = ts.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
@@ -327,12 +328,15 @@ def history_df(spark, conn) -> DataFrame:
                 sorted((m.get("variables") or {}).keys()),
                 m.get("cdc_app_id"),
                 int(bid) if bid is not None else None,
+                m.get("stream_app_id"),
+                int(sbid) if sbid is not None else None,
             )
         )
     df = spark.createDataFrame(
         rows or [],
         "version_id LONG, _ms LONG, variables ARRAY<STRING>, "
-        "cdc_app_id STRING, cdc_batch_id LONG",
+        "cdc_app_id STRING, cdc_batch_id LONG, "
+        "stream_app_id STRING, stream_batch_id LONG",
     )
     return df.select(
         "version_id",
@@ -340,4 +344,6 @@ def history_df(spark, conn) -> DataFrame:
         "variables",
         "cdc_app_id",
         "cdc_batch_id",
+        "stream_app_id",
+        "stream_batch_id",
     ).orderBy(F.desc("version_id"))
