@@ -269,3 +269,43 @@ def test_bloom_skips_scrambled_layout(ds_spark, store):
         .collect()
     )
     assert [(r.id, r.name) for r in out] == [(123, "name-0123")]
+
+
+def test_timestamp_range_pruning_e2e(ds_spark, store):
+    """Timestamp zone maps: a time-range filter prunes chunks of a
+    time-clustered table, and the pandas-vs-datetime epoch normalization
+    agrees end to end (results stay exact)."""
+    import pyspark.sql.functions as SF
+
+    df = ds_spark.range(400).select(
+        SF.col("id"),
+        SF.timestamp_seconds(SF.lit(1700000000) + SF.col("id") * 3600).alias("ts"),
+    )
+    (
+        df.repartitionByRange(4, "ts")
+        .write.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .mode("append")
+        .save()
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    import datetime
+
+    cutoff = datetime.datetime.utcfromtimestamp(1700000000 + 399 * 3600)
+    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+
+    r = MandolineBatchReader({"path": store.dataset_dir, "variable": "records"}, "records")
+    r.pushFilters([GreaterThanOrEqual(("ts",), cutoff)])
+    assert len(r.partitions()) == 1, "only the newest chunk can hold the cutoff hour"
+
+    out = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .load()
+        .filter(SF.col("ts") >= SF.lit(cutoff))
+        .collect()
+    )
+    assert [r_.id for r_ in out] == [399]
