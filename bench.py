@@ -93,6 +93,7 @@ HEADLINE = [
     "setops_multiset_partkeys",
     "listagg_types_per_brand",
     "stats_comoments_by_flag",
+    "stats_regression_by_flag",
     "window_value_quartiles",
     "median_value_by_type",
     "recursive_order_chains",

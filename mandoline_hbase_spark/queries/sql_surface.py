@@ -523,3 +523,31 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(_CORR_SUBQ_SQL)
+
+
+@register(
+    "stats_regression_by_flag",
+    oracle=r"""
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description=(
+        "Linear-regression aggregates per return flag: slope, intercept, "
+        "R² of price on quantity (one partial-aggregated pass; rounded "
+        "inside double co-moment error)"
+    ),
+    tags=("sql-surface", "aggregation", "stats"),
+)
+def stats_regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+    )
