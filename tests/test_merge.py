@@ -233,3 +233,41 @@ def test_merge_update_can_set_null(ds_spark, store):
     merge_records(ds_spark, store.dataset_dir, upd, ["id"])
     got = _read(ds_spark, store)
     assert got[2] == (2, None, None)
+
+
+def test_merge_crash_before_version_row_is_invisible(ds_spark, store, monkeypatch):
+    """The failed-write contract on the merge path: a crash after chunks
+    and index rows are written but BEFORE the version row leaves nothing
+    visible, the dataset keeps serving the old state, a retry succeeds,
+    and maintenance reclaims the orphans."""
+    from mandoline_hbase_spark import maintenance
+    from mandoline_hbase_spark.engine import Connection
+
+    expected = _seed(ds_spark, store, n=10, parts=2)
+
+    real_write_version = Connection.write_version
+
+    def boom(self, metadata):
+        raise RuntimeError("injected crash at the commit point")
+
+    monkeypatch.setattr(Connection, "write_version", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_records(
+            ds_spark, store.dataset_dir,
+            ds_spark.createDataFrame([(1, "lost", 0.0)], SCHEMA), ["id"],
+        )
+    monkeypatch.setattr(Connection, "write_version", real_write_version)
+
+    assert _read(ds_spark, store) == expected, "failed merge must be invisible"
+    assert len(store.versions()) == 1
+
+    # the orphaned index rows + reservation are sweepable, then a retry lands
+    store.spark = ds_spark
+    maintenance.sweep_failed_commits(store, ds_spark, older_than_s=0.0)
+    maintenance.gc_chunks(store, ds_spark)
+    assert _read(ds_spark, store) == expected
+    merge_records(
+        ds_spark, store.dataset_dir,
+        ds_spark.createDataFrame([(1, "retry", 9.0)], SCHEMA), ["id"],
+    )
+    assert _read(ds_spark, store)[1] == (1, "retry", 9.0)
