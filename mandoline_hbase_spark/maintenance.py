@@ -67,6 +67,53 @@ def _rewrite(conn, role: str, df) -> None:
     _swap_in(conn._dirs[role], tmp)
 
 
+def _stage_ref_deltas(conn, dropped_df):
+    """Executor-side negative ref-delta rows for dropped index records.
+
+    A retention sweep over a large store can drop millions of distinct
+    chunks; collecting one row per chunk to the driver does not scale.
+    Instead the per-chunk deltas are written to a staging dir FROM THE
+    EXECUTORS (the same distributed-append shape the ingest commit uses,
+    ``engine.append_index_rows_df``) while the pre-rewrite index files
+    still exist, and only two scalars (refs, chunks) come back to the
+    driver. Returns ``(tmp_dir, refs_released, chunks_touched)``; the
+    caller publishes the files into the chunks log AFTER the index
+    rewrite via :func:`_publish_ref_deltas` — the same visibility order
+    as the old driver-side append, so a crash in between leaks refs
+    (chunk kept) rather than dangling index rows.
+    """
+    from pyspark.sql import functions as F
+
+    released = (
+        dropped_df.filter(F.col("chunk_id").isNotNull())
+        .groupBy("chunk_id")
+        .agg((-F.count(F.lit(1))).cast("long").alias("ref_delta"))
+        .select("chunk_id", "ref_delta", F.lit(None).cast("binary").alias("data"))
+    )
+    tmp = conn._dirs["chunks"] + f".refdelta-{uuid.uuid4().hex[:8]}"
+    released.write.mode("overwrite").parquet(tmp)
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+
+    t = pa_ds.dataset(tmp, format="parquet").to_table(columns=["ref_delta"])
+    refs = int(pc.sum(t["ref_delta"]).as_py() or 0)
+    return tmp, -refs, t.num_rows
+
+
+def _publish_ref_deltas(conn, tmp_dir: str, chunks_touched: int) -> None:
+    """Move staged ref-delta parquet files into the chunks log (append)."""
+    if chunks_touched:
+        for i, f in enumerate(sorted(os.listdir(tmp_dir))):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp_dir, f),
+                    os.path.join(
+                        conn._dirs["chunks"], f"part-{time.time_ns():020d}-{i:05d}.parquet"
+                    ),
+                )
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def _compacted_chunks_df(conn, spark):
     from pyspark.sql import functions as F
 
@@ -234,29 +281,16 @@ def sweep_failed_commits(conn, spark=None, older_than_s: float = 3600.0) -> dict
         dropped = idx.filter(dead)
         keep = idx.filter(~dead)
 
-        released_rows = (
-            dropped.filter(F.col("chunk_id").isNotNull())
-            .groupBy("chunk_id")
-            .agg((-F.count("*")).cast("long").alias("ref_delta"))
-            .collect()
-        )
+        delta_tmp, refs_released, chunks_touched = _stage_ref_deltas(conn, dropped)
         n_dropped = dropped.count()
         if n_dropped:
             _rewrite(conn, "indices", keep)
-        if released_rows:
-            storage.append_rows(
-                conn._dirs["chunks"],
-                storage.CHUNKS_SCHEMA,
-                [
-                    {"chunk_id": r["chunk_id"], "ref_delta": int(r["ref_delta"]), "data": None}
-                    for r in released_rows
-                ],
-            )
+        _publish_ref_deltas(conn, delta_tmp, chunks_touched)
         for rid in stale_markers:
             storage.release_version_reservation(vdir, rid)
     return {
         "index_rows_dropped": int(n_dropped),
-        "refs_released": int(sum(-r["ref_delta"] for r in released_rows)),
+        "refs_released": int(refs_released),
         "reservations_cleared": len(stale_markers),
     }
 
@@ -319,26 +353,12 @@ def prune_versions(conn, keep_last: int, spark=None) -> dict:
         )
         dropped = anchored.filter(F.col("_rn") > 1).drop("_rn")
 
-        released_rows = (
-            dropped.filter(F.col("chunk_id").isNotNull())
-            .groupBy("chunk_id")
-            .agg((-F.count("*")).cast("long").alias("ref_delta"))
-            .collect()
-        )
-        keys_dropped = int(sum(-r["ref_delta"] for r in released_rows))
+        delta_tmp, keys_dropped, chunks_touched = _stage_ref_deltas(conn, dropped)
         # Cheap count of dropped keys before the rewrite invalidates `idx`.
         total_dropped = dropped.count()
 
         _rewrite(conn, "indices", keep)
-        if released_rows:
-            storage.append_rows(
-                conn._dirs["chunks"],
-                storage.CHUNKS_SCHEMA,
-                [
-                    {"chunk_id": r["chunk_id"], "ref_delta": int(r["ref_delta"]), "data": None}
-                    for r in released_rows
-                ],
-            )
+        _publish_ref_deltas(conn, delta_tmp, chunks_touched)
 
         # versions is tiny at any scale (one row per commit): driver rewrite.
         # Each kept row is rewritten under its ORIGINAL commit-{id} claim

@@ -109,9 +109,9 @@ def merge_records(
     all_cols = [f.name for f in stored_schema.fields]
 
     # Executor-side helpers are NESTED so cloudpickle serializes them by
-    # VALUE: task closures must not reference this package by name — the
-    # driver harness runs with a neutral cwd where workers cannot import
-    # it (see .claude/skills/verify/SKILL.md "Gotchas").
+    # VALUE: task closures must not reference this package by name —
+    # python workers launched from a driver whose cwd is not the repo
+    # cannot import it.
 
     def _fetch_payload(cid: str) -> bytes:
         import pyarrow.compute as pc

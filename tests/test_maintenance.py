@@ -191,3 +191,32 @@ def test_optimize_runs_all_passes_and_preserves_reads(store, spark):
     out = store.optimize()
     assert set(out) == {"indices", "chunks", "gc", "stats"}
     assert np.array_equal(store.read_variable("x"), arr + 1)
+
+
+def test_maintenance_driver_state_is_o1(store, spark, monkeypatch):
+    """Retention and failed-commit sweeps must never funnel per-chunk
+    ref-delta rows through the driver: negative deltas are written from
+    the executors (the same distributed-append shape the ingest commit
+    uses), so a sweep dropping millions of chunks commits with O(1)
+    driver memory. Mirrors test_distributed_ingest_driver_state_is_o1."""
+    from pyspark.sql import DataFrame
+
+    store.spark = spark
+    arrs = [np.full((6, 6), i, dtype=np.float64) for i in range(4)]
+    vids = [store.write_variable("x", a, chunk_shape=(3, 3)) for a in arrs]
+
+    def _no_collect(self, *a, **k):
+        raise AssertionError("driver-side collect() in the maintenance path")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", _no_collect)
+    stats = store.prune_versions(keep_last=2)
+    sweep = store.sweep_failed_commits(older_than_s=0.0)
+    monkeypatch.undo()
+
+    assert stats["floor"] == vids[2] and stats["refs_released"] >= 1
+    assert sweep["index_rows_dropped"] == 0
+    # Released refs are really in the log: GC reclaims the dropped bytes.
+    assert store.gc_chunks()["chunks_removed"] >= 1
+    assert np.array_equal(store.read_variable("x"), arrs[3])
+    assert np.array_equal(store.read_variable("x", version=vids[2]), arrs[2])
