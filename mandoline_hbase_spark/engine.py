@@ -69,30 +69,27 @@ def append_index_rows_df(indices_dir: str, map_df, var_name: str, version_id: in
 def _array_chunk_stats(chunk_id: str, block: np.ndarray) -> list[dict]:
     """Value min/max/nan-count sidecar rows for one array chunk (column
     name 'value' — the tidy-view column the reader's pushed filters
-    reference). Non-finite-only chunks record kind 'allnull' so value
-    comparisons prune them."""
-    finite = block[np.isfinite(block)]
+    reference).
+
+    Spark treats NaN as a real value (equal to itself, greater than any
+    number, NOT NULL), so NaN must never justify a prune: ±Inf is kept
+    in min/max (a `value > 1e6` filter matches an Inf row), the NaN
+    count lands in `nulls` (the reader stays 'maybe' on comparisons when
+    nulls > 0), and an all-NaN chunk emits NO stats row at all — an
+    'allnull' row would wrongly prune `value IS NOT NULL` and
+    `value = double('NaN')`."""
+    non_nan = block[~np.isnan(block)]
     n = int(block.size)
-    if finite.size == 0:
-        return [
-            {
-                "chunk_id": chunk_id,
-                "column": "value",
-                "kind": "allnull",
-                "vmin": None,
-                "vmax": None,
-                "nulls": n,
-                "nrows": n,
-            }
-        ]
+    if non_nan.size == 0:
+        return []
     return [
         {
             "chunk_id": chunk_id,
             "column": "value",
             "kind": "num",
-            "vmin": repr(float(finite.min())),
-            "vmax": repr(float(finite.max())),
-            "nulls": n - int(finite.size),
+            "vmin": repr(float(non_nan.min())),
+            "vmax": repr(float(non_nan.max())),
+            "nulls": n - int(non_nan.size),
             "nrows": n,
         }
     ]

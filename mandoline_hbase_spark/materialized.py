@@ -126,6 +126,12 @@ class IncrementalVarStats:
         if len(var_meta["shape"]) == 0:
             raise InvalidArgumentError("scalar variables have no chunk grid to materialize")
         last = self.watermark()
+        if last is not None and not os.path.isdir(self._stats_dir):
+            # watermark without a stats dir = torn state (e.g. a crash
+            # mid-swap under the PRE-rename-aside scheme, or a manual
+            # delete): an incremental merge would decode only the delta
+            # and permanently lose every older coord — rebuild from zero
+            last = None
         if last is not None and bound < last:
             raise InvalidArgumentError(
                 f"cannot refresh backwards: watermark {last}, requested {bound}"
@@ -143,7 +149,7 @@ class IncrementalVarStats:
         committed_now = sorted(
             int(v["version"]) for v in conn.versions() if int(v["version"]) <= bound
         )
-        seen = self._seen_committed()
+        seen = self._seen_committed() if last is not None else None
         if seen is not None:
             # delta = versions that COMMITTED since the last refresh (set
             # difference, not an id threshold: reserved-early ids commit
@@ -196,9 +202,19 @@ class IncrementalVarStats:
                 tmp = self._stats_dir + f".tmp-{uuid.uuid4().hex[:8]}"
                 merged.write.mode("overwrite").parquet(tmp)
                 live = self._stats_dir
+                # Move the live dir ASIDE before the swap (never rmtree
+                # first): a crash between a delete and the rename would
+                # leave no stats dir while the old watermark survives, and
+                # the next refresh would merge only its delta — silently
+                # dropping every previously materialized coord. With
+                # rename-aside the worst case is a leftover .old dir.
+                old_dir = None
                 if os.path.isdir(live):
-                    shutil.rmtree(live)
+                    old_dir = live + f".old-{uuid.uuid4().hex[:8]}"
+                    os.rename(live, old_dir)
                 os.replace(tmp, live)
+                if old_dir:
+                    shutil.rmtree(old_dir, ignore_errors=True)
             finally:
                 fresh.unpersist()
 
@@ -366,14 +382,35 @@ class IncrementalRecordAgg:
             e_old = []
         else:
             _, _, e_old = _snapshot(self.dataset_path, self.variable, wm)
-        old_ids = sorted({cid for _, cid in e_old})
-        new_ids = sorted({cid for _, cid in e_new})
-        gone = [c for c in old_ids if c not in set(new_ids)]
-        came = [c for c in new_ids if c not in set(old_ids)]
+        # MULTISET diff, not set diff: content addressing legally maps one
+        # chunk id to several coordinates (this class has no key
+        # requirement), so a chunk referenced at two coords counts twice.
+        # Each chunk's decoded rows are weighted by its multiplicity
+        # delta; a set diff would count it once on first build and miss
+        # the -1 when one of two coords re-points away, drifting totals
+        # permanently.
+        from collections import Counter
 
-        delta = self._chunks_df(came, +1)
-        if gone:
-            delta = delta.unionByName(self._chunks_df(gone, -1))
+        old_ct = Counter(cid for _, cid in e_old)
+        new_ct = Counter(cid for _, cid in e_new)
+        deltas = {
+            cid: new_ct[cid] - old_ct[cid]
+            for cid in set(old_ct) | set(new_ct)
+            if new_ct[cid] != old_ct[cid]
+        }
+        by_weight: dict[int, list[str]] = {}
+        for cid, d in deltas.items():
+            by_weight.setdefault(d, []).append(cid)
+        n_decoded = sum(len(ids) for ids in by_weight.values())
+        if not by_weight:
+            # same chunk multiset (pure re-point): only the watermark moves
+            with open(self._wm_path(), "w") as f:
+                json.dump({"version": int(bound)}, f)
+            return {"version": int(bound), "chunks_decoded": 0, "noop": False}
+        parts = [self._chunks_df(sorted(ids), d) for d, ids in sorted(by_weight.items())]
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
         merged = delta if not os.path.isdir(self._groups_dir()) else self.table().unionByName(delta)
         folded = (
             merged.groupBy(*self.group_cols)
@@ -395,4 +432,4 @@ class IncrementalRecordAgg:
             shutil.rmtree(old_dir, ignore_errors=True)
         with open(self._wm_path(), "w") as f:
             json.dump({"version": int(bound)}, f)
-        return {"version": int(bound), "chunks_decoded": len(gone) + len(came), "noop": False}
+        return {"version": int(bound), "chunks_decoded": n_decoded, "noop": False}

@@ -326,6 +326,21 @@ def merge_records(
                 f"merge planned against version {bound} but coordinates "
                 f"{sorted(stale)[:5]} changed concurrently; retry the merge"
             )
+        # A concurrent SCHEMA EVOLUTION (pure append with a widened/added
+        # column) touches no rewritten coordinate, so the stale check
+        # above cannot see it — but committing the PLANNING snapshot's
+        # var_meta would silently revert schema_json to the pre-evolution
+        # schema. Compare against the current head's metadata here,
+        # inside the lock, and refuse on any drift.
+        head_var_meta = (meta.get("variables") or {}).get(variable)
+        if head_var_meta is not None and head_var_meta.get("schema_json") != var_meta.get(
+            "schema_json"
+        ):
+            raise CommitConflictError(
+                f"merge planned against version {bound} but the schema of "
+                f"'{variable}' evolved concurrently; re-plan the merge "
+                "against the current head"
+            )
         base = max(current, default=-1) + 1
         version_id = conn._reserve_version()
         index_entries: list[tuple[tuple[int, ...], str | None]] = [

@@ -57,15 +57,28 @@ def stats_rows(chunk_id: str, pdf) -> list[dict]:
         s = pdf[col]
         nulls = int(s.isna().sum())
         sv = s.dropna()
+        # Spark treats float NaN as a real VALUE (equal to itself, greater
+        # than every number, NOT NULL) while pandas isna() folds it into
+        # the null count — and a float column conflates true nulls with
+        # NaN irrecoverably. So for float dtypes any na might be a NaN
+        # that satisfies a comparison: min/max rows keep the na count
+        # (the reader stays 'maybe' on comparisons when nulls > 0), and
+        # an all-na float column emits NO stats row at all instead of
+        # 'allnull' (a chunk of NaNs matches `x IS NOT NULL` and
+        # `x = double('NaN')` — pruning it would drop rows).
+        floaty = pd.api.types.is_float_dtype(s)
         kind = None
         vmin = vmax = None
         if len(sv):
             if pd.api.types.is_bool_dtype(s):
                 kind = None
             elif pd.api.types.is_datetime64_any_dtype(s):
+                # integer microseconds, tz handled by pandas .value (UTC
+                # epoch) — the same quantization _bloom_positions uses,
+                # so a last-ulp float mismatch can never wrongly prune
                 kind = "ts"
-                vmin = repr(sv.min().value / 1e9)
-                vmax = repr(sv.max().value / 1e9)
+                vmin = repr(int(sv.min().value) // 1000)
+                vmax = repr(int(sv.max().value) // 1000)
             elif pd.api.types.is_numeric_dtype(s):
                 kind = "num"
                 vmin = repr(float(sv.min()))
@@ -74,9 +87,9 @@ def stats_rows(chunk_id: str, pdf) -> list[dict]:
                 kind = "str"
                 vmin = str(sv.min())
                 vmax = str(sv.max())
-        elif nulls == n and n > 0:
+        elif nulls == n and n > 0 and not floaty:
             kind = "allnull"
-        if kind is None and not (nulls == n and n > 0):
+        if kind is None and not (nulls == n and n > 0 and not floaty):
             continue
         out.append(
             {
@@ -140,6 +153,10 @@ def load_stats(stats_dir: str, chunk_ids: list[str]) -> dict[str, dict[str, dict
 
 
 def _norm_value(v: Any) -> tuple[str, Any] | None:
+    """Canonical (kind, value). Timestamps normalize to INTEGER UTC
+    microseconds — exact arithmetic on both writer and reader, matching
+    the stats_rows/_bloom_positions quantization (a last-ulp float or a
+    wall-clock-vs-UTC mismatch on a boundary must never wrongly prune)."""
     import datetime
 
     if v is None or isinstance(v, bool):
@@ -149,10 +166,11 @@ def _norm_value(v: Any) -> tuple[str, Any] | None:
     if isinstance(v, str):
         return ("str", v)
     if isinstance(v, datetime.datetime):
-        wall = v.replace(tzinfo=None)
-        return ("ts", (wall - datetime.datetime(1970, 1, 1)).total_seconds())
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return ("ts", (v - datetime.datetime(1970, 1, 1)) // datetime.timedelta(microseconds=1))
     if isinstance(v, datetime.date):
-        return ("ts", (v - datetime.date(1970, 1, 1)).days * 86400.0)
+        return ("ts", (v - datetime.date(1970, 1, 1)).days * 86_400_000_000)
     return None
 
 
@@ -194,6 +212,12 @@ def _may_match_one(stats: dict[str, dict], f: Any) -> bool:
         return st["nulls"] > 0
     if isinstance(f, IsNotNull):
         return st["nulls"] < st["nrows"]
+    if kind == "num" and st["nulls"] > 0:
+        # A float column's na count conflates true nulls with NaN, and a
+        # NaN row satisfies comparisons under Spark semantics (NaN equals
+        # itself and exceeds every number) — min/max over the non-na
+        # values cannot disprove a match, so stay 'maybe'.
+        return True
     lo, hi = _parse_bound(kind, st["vmin"]), _parse_bound(kind, st["vmax"])
     if lo is None or hi is None:
         return True
@@ -214,6 +238,13 @@ def _may_match_one(stats: dict[str, dict], f: Any) -> bool:
     if nv is None or nv[0] != kind:
         return True
     v = nv[1]
+    if kind == "num" and v != v:
+        # NaN probe under Spark's total order (NaN = NaN, NaN above every
+        # number). nulls == 0 here (the possible-NaN chunk guard above
+        # already returned 'maybe'), so this chunk holds non-NaN rows
+        # only: x < NaN / x <= NaN match them all; x = NaN, x > NaN,
+        # x >= NaN provably match nothing.
+        return isinstance(f, (LessThan, LessThanOrEqual))
     if isinstance(f, EqualTo):
         return lo <= v <= hi
     if isinstance(f, GreaterThan):
@@ -273,12 +304,13 @@ def _bloom_positions(value, k: int = BLOOM_HASHES, m: int = BLOOM_BITS):
     if nv is None:
         return None
     kind, v = nv
-    if kind == "ts":
-        # pandas Timedelta and datetime.timedelta disagree in the last
-        # float ulp of total_seconds(); microsecond quantization makes
-        # the writer's and the filter's payloads identical (a false
-        # NEGATIVE here would be a correctness bug, not a missed prune)
-        v = round(v * 1e6)
+    if kind == "num" and v != v:
+        # NaN: the writer's dropna() excluded NaN rows from the bitset,
+        # so a bloom miss for NaN would be a FALSE negative — unsupported
+        return None
+    # ts values are already integer UTC microseconds from _norm_value
+    # (exact on writer and reader; a float ulp here would be a
+    # correctness bug, not a missed prune)
     payload = f"{kind}:{v!r}".encode()
     for seed in range(k):
         h = hashlib.blake2b(payload, digest_size=8, salt=seed.to_bytes(8, "little"))

@@ -169,3 +169,25 @@ def test_torn_watermark_degrades_to_full_rebuild(spark, store, tmp_path):
     out = m.refresh()  # full rebuild, not a crash
     assert out["incremental"] is False
     _close(m.totals(), _expect(arr))
+
+
+def test_missing_stats_dir_with_live_watermark_rebuilds(spark, store, tmp_path):
+    """A crash between the old-state delete and the swap (or a manual
+    delete) can leave a committed watermark with NO stats dir; an
+    incremental refresh would then merge only the new delta and silently
+    drop every previously materialized coord. The refresh must detect
+    the torn state and rebuild from zero."""
+    import shutil
+
+    arr = np.arange(16, dtype=np.float64).reshape(4, 4)
+    store.write_variable("v", arr, chunk_shape=(2, 2))
+    m = IncrementalVarStats(store, "v", str(tmp_path / "mat"), spark=spark)
+    m.refresh()
+    shutil.rmtree(m._stats_dir)  # watermark survives, state is gone
+
+    patch = np.full((2, 2), 500.0)
+    store.update_region("v", patch, offset=(0, 0))
+    arr[0:2, 0:2] = patch
+    out = m.refresh()
+    assert out["incremental"] is False  # full rebuild, not a delta merge
+    _close(m.totals(), _expect(arr))

@@ -120,3 +120,35 @@ def test_layout_rewrite_cancels_exactly(ds_spark, store, tmp_path):
     cluster_records(ds_spark, store.dataset_dir, ["cat"], target_rows=15)
     view.refresh()
     assert _state(view) == before == _full_recompute(ds_spark, store)
+
+
+def test_duplicate_content_chunks_count_with_multiplicity(ds_spark, store, tmp_path):
+    """Content addressing maps one chunk id to MULTIPLE coordinates when
+    two appends carry identical bytes. The incremental diff must weight
+    each chunk by its multiplicity delta (multiset diff): a set diff
+    counts the shared chunk once on build and misses the release when a
+    merge re-points the duplicated coords — totals drift permanently."""
+    rows = [(i, "abc"[i % 3], float(i % 10)) for i in range(15)]
+    for _ in range(2):  # identical appends -> 2 coords, SAME chunk id
+        (
+            ds_spark.createDataFrame(rows, SCHEMA)
+            .coalesce(1)
+            .write.format("mandoline")
+            .option("path", store.dataset_dir)
+            .option("variable", "records")
+            .mode("append")
+            .save()
+        )
+    view = IncrementalRecordAgg(
+        ds_spark, store.dataset_dir, str(tmp_path / "agg"), ["cat"], ["v"]
+    )
+    view.refresh()
+    assert _state(view) == _full_recompute(ds_spark, store)  # doubled counts
+
+    # a merge touching the duplicated key rewrites BOTH coords: the shared
+    # chunk's multiplicity drops 2 -> 0 and the rewritten (again shared)
+    # chunk's rises 0 -> 2
+    updates = ds_spark.createDataFrame([(5, "c", 99.0)], SCHEMA)
+    merge_records(ds_spark, store.dataset_dir, updates, ["id"])
+    view.refresh()
+    assert _state(view) == _full_recompute(ds_spark, store)

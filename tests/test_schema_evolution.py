@@ -113,3 +113,47 @@ def test_time_travel_reads_old_schema(ds_spark, store):
     )
     assert df_old.schema.simpleString() == "struct<id:bigint,name:string>"
     assert [(r.id, r.name) for r in df_old.collect()] == [(1, "a")]
+
+
+def test_concurrent_evolution_during_merge_raises(ds_spark, store, monkeypatch):
+    """A schema evolution that lands between merge PLANNING and merge
+    COMMIT touches no rewritten coordinate, so the stale-coordinate check
+    cannot see it — committing would silently revert schema_json to the
+    pre-evolution schema. The commit must re-validate the head's schema
+    inside the lock and refuse."""
+    from contextlib import contextmanager
+
+    from mandoline_hbase_spark import merge as merge_mod
+    from mandoline_hbase_spark.errors import CommitConflictError
+
+    _write(ds_spark, store, [(1, "a"), (2, "b")], "id BIGINT, name STRING")
+
+    evolved = {"done": False}
+    orig_lock = merge_mod.storage.dataset_lock
+
+    @contextmanager
+    def racing_lock(path, **kw):
+        # evolution lands after merge PLANNING, before the commit lock
+        if not evolved["done"]:
+            evolved["done"] = True
+            _write(
+                ds_spark, store, [(3, "c", 7.5)], "id BIGINT, name STRING, score DOUBLE"
+            )
+        with orig_lock(path, **kw) as x:
+            yield x
+
+    monkeypatch.setattr(merge_mod.storage, "dataset_lock", racing_lock)
+    updates = ds_spark.createDataFrame([(1, "a2")], "id BIGINT, name STRING")
+    with pytest.raises(CommitConflictError, match="evolved concurrently"):
+        merge_mod.merge_records(ds_spark, store.dataset_dir, updates, ["id"])
+    monkeypatch.undo()
+    # the evolved schema survived untouched; re-planned merge succeeds
+    assert "score" in _read_df(ds_spark, store).columns
+    merge_mod.merge_records(
+        ds_spark,
+        store.dataset_dir,
+        ds_spark.createDataFrame([(1, "a2", None)], "id BIGINT, name STRING, score DOUBLE"),
+        ["id"],
+    )
+    got = {r["id"]: r["name"] for r in _read_df(ds_spark, store).collect()}
+    assert got[1] == "a2" and got[3] == "c"

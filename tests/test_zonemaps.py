@@ -41,9 +41,10 @@ def test_stats_rows_kinds():
     assert st["f"]["nulls"] == 1 and float(st["f"]["vmax"]) == 2.5
     assert st["s"]["kind"] == "str" and st["s"]["vmin"] == "a" and st["s"]["vmax"] == "c"
     assert st["t"]["kind"] == "ts"
-    assert float(st["t"]["vmin"]) == (
+    # bounds are integer UTC microseconds (exact writer/reader arithmetic)
+    assert int(st["t"]["vmin"]) == (
         datetime.datetime(2020, 1, 1) - datetime.datetime(1970, 1, 1)
-    ).total_seconds()
+    ) // datetime.timedelta(microseconds=1)
     assert "b" not in st  # bool: never pruned
     assert st["n"]["kind"] == "allnull"
 
