@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from mandoline_hbase_spark.operators.skew import spread_to_parallelism
+
 
 def tokens_col(text_col: str = "text"):
     return F.split(F.trim(F.col(text_col)), r"\s+")
@@ -103,9 +105,9 @@ def segment_hashes(
     """
     # Spread the single-split fixture scan before the per-row segment md5
     # work (no-op at real scale; AQE coalesces the exchange).
-    staged = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    ).withColumn("_seg_toks", tokens_col(text_col))
+    staged = spread_to_parallelism(df, id_col).withColumn(
+        "_seg_toks", tokens_col(text_col)
+    )
     t = F.col("_seg_toks")
     n_segs = F.ceil(F.size(t) / F.lit(seg_len)).cast("int")
     segs = F.transform(
@@ -144,9 +146,9 @@ def segment_texts(
     """Like :func:`segment_hashes` but emits the segment TEXT instead of
     its md5 — the input for fuzzy (edit-distance) segment matching, where
     the verifier needs the characters, not a digest."""
-    staged = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    ).withColumn("_seg_toks", tokens_col(text_col))
+    staged = spread_to_parallelism(df, id_col).withColumn(
+        "_seg_toks", tokens_col(text_col)
+    )
     t = F.col("_seg_toks")
     n_segs = F.ceil(F.size(t) / F.lit(seg_len)).cast("int")
     segs = F.transform(
@@ -365,7 +367,7 @@ def _subtract_covered_and_rebuild(
     order. Anti-join keyed on (doc, position); the text crosses the
     exchange once as token rows — the floor for any rewrite."""
     toks = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        spread_to_parallelism(df, id_col)
         .withColumn("_t", tokens_col(text_col))
         .select(F.col(id_col), F.posexplode_outer("_t").alias("k", "tok"))
         .filter(F.col("tok") != "")
@@ -456,7 +458,7 @@ def doc_shingle_features(
     # work then runs post-exchange on every core, and the exchange moves
     # raw text instead of the much wider shingle array.
     sh = with_shingle_set(
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col),
+        spread_to_parallelism(df, id_col),
         shingle_n,
         id_col,
         text_col,
@@ -513,6 +515,7 @@ def banded_candidate_pairs(
     id_col: str = "doc_id",
     keys: tuple[str, ...] = ("band", "bh"),
     max_bucket_size: int = 512,
+    hot_broadcast_max: int = 1_000_000,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from bucket co-membership,
     with a hot-bucket guard.
@@ -535,27 +538,62 @@ def banded_candidate_pairs(
     ``max_bucket_size`` high (or restructure with longer bands) when
     exact within-bucket recall matters more than the quadratic task.
 
-    The sizing window shuffles on the same ``keys`` the join uses, so
-    the exchange is reused, not added.
+    Adaptive plan selection (the guard must not tax healthy corpora):
+    one hash-aggregation on ``keys`` sizes the buckets, and the driver
+    sees only the NUMBER of hot buckets (O(1) state).
+
+    - zero hot buckets — the common case — runs the plain band
+      self-join, zero guard machinery in the executed plan;
+    - few hot buckets (≤ ``hot_broadcast_max``) split the stack with a
+      broadcast anti-join (map-side, no extra shuffle): cold buckets
+      all-pairs, hot buckets star rows from the broadcast hub;
+    - pathologically many hot buckets fall back to the fully
+      distributed sizing window, whose exchange the join reuses.
+
+    All three emit identical pair sets for the same input. Callers are
+    batch-context (the streaming user runs inside foreachBatch), so the
+    sizing job at build time is legal.
     """
     from pyspark.sql import Window
 
+    st = stacked.select(id_col, *keys)
+    sizes = st.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_hub")
+    )
+    hot = sizes.filter(F.col("_bsz") > max_bucket_size)
+    n_hot = hot.limit(hot_broadcast_max + 1).count()
+
+    def _all_pairs(src: DataFrame) -> DataFrame:
+        a, b = src.alias("a"), src.alias("b")
+        return (
+            a.join(b, list(keys))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        )
+
+    if n_hot == 0:
+        return _all_pairs(st).distinct()
+
+    if n_hot <= hot_broadcast_max:
+        hot_keys = F.broadcast(hot.select(*keys))
+        small_pairs = _all_pairs(st.join(hot_keys, list(keys), "left_anti"))
+        star_pairs = (
+            st.join(F.broadcast(hot), list(keys))
+            .filter(F.col(id_col) != F.col("_hub"))
+            .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        return small_pairs.union(star_pairs).distinct()
+
     w = Window.partitionBy(*keys)
-    sized = stacked.select(id_col, *keys).withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
+    sized = st.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
         "_hub", F.min(id_col).over(w)
     )
     small = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz", "_hub")
-    a, b = small.alias("a"), small.alias("b")
-    all_pairs = (
-        a.join(b, list(keys))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-    )
     star_pairs = (
         sized.filter((F.col("_bsz") > max_bucket_size) & (F.col(id_col) != F.col("_hub")))
         .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
     )
-    return all_pairs.union(star_pairs).distinct()
+    return _all_pairs(small).union(star_pairs).distinct()
 
 
 def minhash_lsh_candidates(
@@ -710,7 +748,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     # work then runs post-exchange on every core, and the exchange moves
     # raw text instead of the wider hash array.
     hs = F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    spread = spread_to_parallelism(df, id_col)
     out = spread.withColumn("_hs", hs).withColumn("_n", F.size(F.col("_hs")))
     # one aggregate pass accumulates every bit's set-count (vs bits-1
     # separate filter() traversals of the token-hash array)
@@ -877,7 +915,7 @@ def decontamination_overlap(
     # exchange and re-runs the shingle pipeline serially on the scan
     # task. Shingle sets are never empty, so outer is row-identical.
     c = with_shingle_set(
-        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism, id_col),
+        spread_to_parallelism(corpus, id_col),
         shingle_n,
         id_col,
         text_col,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mandoline_hbase_spark.operators.skew import spread_to_parallelism
 from mandoline_hbase_spark.operators.text import n_tokens
 
 
@@ -90,7 +91,7 @@ def chunk_documents(
     """
     if chunk_tokens <= 0 or stride <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    spread = spread_to_parallelism(df, id_col)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     staged = spread.withColumn("_ck_toks", toks)
     t = F.col("_ck_toks")

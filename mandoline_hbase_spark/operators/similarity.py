@@ -28,11 +28,12 @@ def _as_double(col):
 
 def _spread(df: DataFrame, key_col: str) -> DataFrame:
     """Repartition the corpus side to session parallelism before per-row
-    fold math (signatures, cell scores, rerank). The local fixture scan is
-    a single split, and a broadcast join executes in the scan's stage — so
-    without this the whole candidate rerank runs on one core. No-op at
-    real scale (the scan has enough splits; AQE coalesces)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key_col)
+    fold math (signatures, cell scores, rerank) — only when the incoming
+    plan has fewer partitions than cores (see skew.spread_to_parallelism:
+    at real scale the scan has enough splits and no shuffle is added)."""
+    from mandoline_hbase_spark.operators.skew import spread_to_parallelism
+
+    return spread_to_parallelism(df, key_col)
 
 
 def cosine_sim(a, b):

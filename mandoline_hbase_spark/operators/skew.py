@@ -41,3 +41,21 @@ def salted_join(
     )
     out = salted_left.join(salted_right, on + ["_salt"], how)
     return out.drop("_salt")
+
+
+def spread_to_parallelism(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition ``df`` on ``key_col`` up to session parallelism —
+    ONLY when the incoming plan has fewer partitions than cores.
+
+    Purpose: per-row heavy map work (signature folds, window explodes,
+    rerank math) after a small scan. A local fixture parquet is one
+    split, and a broadcast join executes inside the scan's stage, so
+    without a spread the whole stage runs on one core. At real scale the
+    scan already has more splits than cores and the spread would be a
+    full shuffle of the payload for nothing — the partition-count check
+    (driver-side plan metadata, no job) makes it a true no-op there.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key_col)
