@@ -130,19 +130,156 @@ def dataset_lock(dataset_dir: str, timeout_s: float = 30.0):
             pass
 
 
+# --- Conditional-put backends ------------------------------------------------
+#
+# Every claim in the commit protocol (version-id reservation markers, the
+# commit-point version row, the retention floor) reduces to FOUR object
+# operations: put-if-absent, get, exists, delete (+ an unconditional put
+# and a prefix list). ``LocalFSCasBackend`` implements them with
+# ``O_CREAT|O_EXCL``/``link(2)`` — the single-box form. An object-store
+# deployment registers a backend implementing the same four calls with
+# ``If-None-Match: *`` conditional PUTs (S3/GCS/ABS all support this) or
+# a DynamoDB-style conditional write; NOTHING above this seam changes —
+# reserve_version_id / commit_version_row / retention_floor are the only
+# functions that touch it. ``InMemoryCasBackend`` is the reference fake
+# for that contract: the atomicity decision lives in the store (a locked
+# key set), not the filesystem, exactly as it would on a bucket.
+
+
+class LocalFSCasBackend:
+    """Conditional puts via the local filesystem's atomic name claims."""
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        d = os.path.dirname(path)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)  # EEXIST iff the name is already claimed
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def put(self, path: str, data: bytes) -> None:
+        d = os.path.dirname(path)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def get(self, path: str) -> bytes | None:
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+    def list_names(self, dir_path: str, name_prefix: str) -> list[str]:
+        try:
+            return [f for f in os.listdir(dir_path) if f.startswith(name_prefix)]
+        except FileNotFoundError:
+            return []
+
+
+class InMemoryCasBackend:
+    """If-None-Match fake: conditional-put decisions happen in the store
+    (a locked in-process key map), never via filesystem name races —
+    the semantics of ``PUT If-None-Match: *`` against a bucket.
+
+    ``write_through=True`` (default) mirrors winning objects onto the
+    real filesystem so directory-scanning readers (pyarrow/Spark) see
+    committed rows; the mirror happens only AFTER the store awarded the
+    claim, so it is a plain write, never a race.
+    """
+
+    def __init__(self, write_through: bool = True):
+        import threading
+
+        self._lock = threading.Lock()
+        self._objects: dict[str, bytes] = {}
+        self._write_through = write_through
+        self._fs = LocalFSCasBackend()
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        with self._lock:
+            if path in self._objects:
+                return False
+            self._objects[path] = data
+        if self._write_through:
+            self._fs.put(path, data)
+        return True
+
+    def put(self, path: str, data: bytes) -> None:
+        with self._lock:
+            self._objects[path] = data
+        if self._write_through:
+            self._fs.put(path, data)
+
+    def get(self, path: str) -> bytes | None:
+        with self._lock:
+            return self._objects.get(path)
+
+    def exists(self, path: str) -> bool:
+        with self._lock:
+            return path in self._objects
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._objects.pop(path, None)
+        if self._write_through:
+            self._fs.delete(path)
+
+    def list_names(self, dir_path: str, name_prefix: str) -> list[str]:
+        want = os.path.join(dir_path, name_prefix)
+        with self._lock:
+            return [os.path.basename(p) for p in self._objects if p.startswith(want)]
+
+
+_DEFAULT_CAS_BACKEND = LocalFSCasBackend()
+_CAS_BACKENDS: list[tuple[str, object]] = []
+
+
+def register_cas_backend(path_prefix: str, backend) -> None:
+    """Route conditional-put operations for paths under ``path_prefix``
+    through ``backend`` (longest prefix wins; default local FS)."""
+    _CAS_BACKENDS.append((path_prefix, backend))
+    _CAS_BACKENDS.sort(key=lambda kv: -len(kv[0]))
+
+
+def unregister_cas_backend(path_prefix: str) -> None:
+    _CAS_BACKENDS[:] = [kv for kv in _CAS_BACKENDS if kv[0] != path_prefix]
+
+
+def cas_backend_for(path: str):
+    for prefix, backend in _CAS_BACKENDS:
+        if path.startswith(prefix):
+            return backend
+    return _DEFAULT_CAS_BACKEND
+
+
 def commit_version_row(versions_dir: str, version_id: int, rows: list[dict]) -> bool:
     """Conditional append of THE version row — the commit point, made an
     atomic claim of ``version_id``.
 
-    The row is written to a dot-prefixed temp file (invisible to readers)
-    and hard-linked onto ``commit-{id}.parquet``; ``link(2)`` fails with
-    EEXIST if the name is taken, so exactly one committer can ever own a
-    version id — the local-filesystem form of an object store's
-    if-none-match conditional put (or a transactional table format's
-    commit-log entry). Returns False on conflict; the caller re-reads the
-    latest committed state, re-merges its metadata, and retries with a
-    fresh id (optimistic commit), or raises if the id was reserved (a
-    reserved id can only conflict through a protocol violation).
+    The serialized row is conditionally put onto ``commit-{id}.parquet``
+    through the dataset's CAS backend (local FS: hard-link with EEXIST;
+    object store: ``If-None-Match: *``), so exactly one committer can
+    ever own a version id. Returns False on conflict; the caller
+    re-reads the latest committed state, re-merges its metadata, and
+    retries with a fresh id (optimistic commit), or raises if the id was
+    reserved (a reserved id can only conflict through a protocol
+    violation).
     """
     floor = retention_floor(versions_dir)
     if floor is not None and int(version_id) < floor:
@@ -150,34 +287,29 @@ def commit_version_row(versions_dir: str, version_id: int, rows: list[dict]) -> 
         # the floor marker when it dropped the id's row)
         return False
     table = pa.Table.from_pylist(rows, schema=VERSIONS_SCHEMA)
-    tmp = os.path.join(versions_dir, f".tmp-{uuid.uuid4().hex}.parquet")
-    pq.write_table(table, tmp)
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink)
     final = os.path.join(versions_dir, f"commit-{int(version_id):020d}.parquet")
-    try:
-        os.link(tmp, final)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+    return cas_backend_for(versions_dir).put_if_absent(final, sink.getvalue().to_pybytes())
 
 
 def retention_floor(versions_dir: str) -> int | None:
     """Oldest version id retention has NOT pruned (None = never pruned).
     Written by maintenance.prune_versions; consulted by the commit and
     reservation claims so pruned ids can never be re-claimed."""
+    data = cas_backend_for(versions_dir).get(os.path.join(versions_dir, ".pruned-floor"))
+    if data is None:
+        return None
     try:
-        with open(os.path.join(versions_dir, ".pruned-floor")) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
+        return int(data.decode().strip())
+    except ValueError:
         return None
 
 
 def set_retention_floor(versions_dir: str, floor: int) -> None:
-    tmp = os.path.join(versions_dir, f".tmp-floor-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(str(int(floor)))
-    os.replace(tmp, os.path.join(versions_dir, ".pruned-floor"))
+    cas_backend_for(versions_dir).put(
+        os.path.join(versions_dir, ".pruned-floor"), str(int(floor)).encode()
+    )
 
 
 def reservation_held(versions_dir: str, version_id: int) -> bool:
@@ -187,16 +319,19 @@ def reservation_held(versions_dir: str, version_id: int) -> bool:
     dead and reclaimed its executor-written rows — committing would
     publish a version whose data is gone, so the caller must abort
     loudly instead."""
-    return os.path.exists(os.path.join(versions_dir, f".reserved-{int(version_id)}"))
+    return cas_backend_for(versions_dir).exists(
+        os.path.join(versions_dir, f".reserved-{int(version_id)}")
+    )
 
 
 def committed_version_row(versions_dir: str, version_id: int):
     """The committed row for ``version_id`` if present (for idempotent
     replay detection), else None."""
     path = os.path.join(versions_dir, f"commit-{int(version_id):020d}.parquet")
-    if not os.path.exists(path):
+    data = cas_backend_for(versions_dir).get(path)
+    if data is None:
         return None
-    return pq.read_table(path).to_pylist()[0]
+    return pq.read_table(pa.BufferReader(data)).to_pylist()[0]
 
 
 def reserve_version_id(versions_dir: str, candidate: int) -> int:
@@ -220,21 +355,19 @@ def reserve_version_id(versions_dir: str, candidate: int) -> int:
     floor = retention_floor(versions_dir)
     if floor is not None:
         v = max(v, floor)
+    backend = cas_backend_for(versions_dir)
     while True:
         marker = os.path.join(versions_dir, f".reserved-{v}")
-        try:
-            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-        except FileExistsError:
+        if not backend.put_if_absent(marker, b""):
             v += 1
             continue
         # The marker is the PRIMARY claim, but a commit racing on this id
-        # may have linked its commit file between our candidate read and
-        # the marker create (the two names are separate atomic
+        # may have put its commit object between our candidate read and
+        # the marker claim (the two names are separate atomic
         # primitives). Since every committer now takes a marker BEFORE
-        # linking (engine.write_version), seeing a commit file here means
-        # the id is gone for good: release and bump.
-        if os.path.exists(os.path.join(versions_dir, f"commit-{v:020d}.parquet")):
+        # the commit put (engine.write_version), seeing a commit object
+        # here means the id is gone for good: release and bump.
+        if backend.exists(os.path.join(versions_dir, f"commit-{v:020d}.parquet")):
             release_version_reservation(versions_dir, v)
             v += 1
             continue
@@ -242,21 +375,19 @@ def reserve_version_id(versions_dir: str, candidate: int) -> int:
 
 
 def release_version_reservation(versions_dir: str, version_id: int) -> None:
-    try:
-        os.unlink(os.path.join(versions_dir, f".reserved-{int(version_id)}"))
-    except FileNotFoundError:
-        pass
+    cas_backend_for(versions_dir).delete(
+        os.path.join(versions_dir, f".reserved-{int(version_id)}")
+    )
 
 
 def reserved_version_ids(versions_dir: str) -> list[int]:
     """Ids of in-flight (reserved, uncommitted) versions."""
     out = []
-    for f in os.listdir(versions_dir):
-        if f.startswith(".reserved-"):
-            try:
-                out.append(int(f[len(".reserved-") :]))
-            except ValueError:
-                continue
+    for f in cas_backend_for(versions_dir).list_names(versions_dir, ".reserved-"):
+        try:
+            out.append(int(f[len(".reserved-") :]))
+        except ValueError:
+            continue
     return out
 
 

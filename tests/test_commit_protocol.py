@@ -20,6 +20,20 @@ from mandoline_hbase_spark.engine import mk_schema
 from mandoline_hbase_spark.errors import CommitConflictError
 
 
+@pytest.fixture(params=["localfs", "memory"])
+def cas_env(request, tmp_path):
+    """Run the protocol tests against both conditional-put backends:
+    the local-FS name claims and the object-store If-None-Match fake
+    (storage.InMemoryCasBackend) — same contract, different atomicity
+    source."""
+    if request.param == "memory":
+        storage.register_cas_backend(str(tmp_path), storage.InMemoryCasBackend())
+        yield request.param
+        storage.unregister_cas_backend(str(tmp_path))
+    else:
+        yield request.param
+
+
 def _conn(tmp_path):
     schema = mk_schema({"root": "cp.mandoline.io", "base_path": str(tmp_path)})
     schema.create_dataset("cp-ds")
@@ -30,7 +44,7 @@ def _row(v, meta):
     return {"version_id": v, "committed_at": v, "metadata": json.dumps(meta)}
 
 
-def test_conditional_put_claims_id_exactly_once(tmp_path):
+def test_conditional_put_claims_id_exactly_once(tmp_path, cas_env):
     conn = _conn(tmp_path)
     vdir = conn._dirs["versions"]
     assert storage.commit_version_row(vdir, 77, [_row(77, {"a": 1})]) is True
@@ -39,7 +53,7 @@ def test_conditional_put_claims_id_exactly_once(tmp_path):
     assert json.loads(storage.committed_version_row(vdir, 77)["metadata"]) == {"a": 1}
 
 
-def test_write_version_allocation_retries_past_taken_ids(tmp_path):
+def test_write_version_allocation_retries_past_taken_ids(tmp_path, cas_env):
     conn = _conn(tmp_path)
     v1 = conn.write_version({"variables": {}})
     # squat on the next few candidate ids to force the retry loop
@@ -51,7 +65,7 @@ def test_write_version_allocation_retries_past_taken_ids(tmp_path):
     assert v2 > v1 + 3  # skipped every taken id, committed its own
 
 
-def test_reserved_id_replay_is_idempotent(tmp_path):
+def test_reserved_id_replay_is_idempotent(tmp_path, cas_env):
     conn = _conn(tmp_path)
     meta = {"version-id": 12345, "variables": {"x": {"kind": "t"}}}
     assert conn.write_version(meta) == 12345
@@ -61,14 +75,14 @@ def test_reserved_id_replay_is_idempotent(tmp_path):
     assert len(conn.versions()) == 1
 
 
-def test_reserved_id_conflict_with_different_payload_raises(tmp_path):
+def test_reserved_id_conflict_with_different_payload_raises(tmp_path, cas_env):
     conn = _conn(tmp_path)
     conn.write_version({"version-id": 999, "variables": {"x": {"kind": "t"}}})
     with pytest.raises(CommitConflictError):
         conn.write_version({"version-id": 999, "variables": {"y": {"kind": "u"}}})
 
 
-def test_reservation_markers_invisible_to_version_reads(tmp_path):
+def test_reservation_markers_invisible_to_version_reads(tmp_path, cas_env):
     conn = _conn(tmp_path)
     v = conn._reserve_version()
     assert conn.latest_version_id() is None  # marker is not a version row
@@ -171,3 +185,37 @@ def test_prune_preserves_commit_claims_and_floor(spark, tmp_path):
     pruned_meta = {**kept_meta, "version-id": v1}
     with pytest.raises(CommitConflictError, match="retention floor"):
         conn.write_version(pruned_meta)
+
+
+def test_fake_backend_many_drivers_one_bucket(tmp_path):
+    """Many concurrent committers against the If-None-Match fake: every
+    version id is claimed exactly once and every driver eventually
+    commits — the correctness of the protocol rests on the store's
+    conditional put alone (the fake takes no filesystem name races)."""
+    import threading
+
+    storage.register_cas_backend(str(tmp_path), storage.InMemoryCasBackend())
+    try:
+        conn = _conn(tmp_path)
+        vdir = conn._dirs["versions"]
+        won: list[int] = []
+        lock = threading.Lock()
+
+        def driver(_n: int):
+            v = storage.reserve_version_id(vdir, 1)
+            assert storage.commit_version_row(vdir, v, [_row(v, {"d": _n})])
+            storage.release_version_reservation(vdir, v)
+            with lock:
+                won.append(v)
+
+        threads = [threading.Thread(target=driver, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sorted(won) == sorted(set(won)) and len(won) == 16
+        # committed rows visible to the directory-scanning reader too
+        conn._version_cache = None
+        assert len(conn.versions()) == 16
+    finally:
+        storage.unregister_cas_backend(str(tmp_path))
