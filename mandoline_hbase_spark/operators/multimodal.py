@@ -73,19 +73,32 @@ def attach_fake_media(
 
 
 def pillow_decoder(payload: bytes):
-    """Default image decoder: bytes -> (H, W, C) uint8 array via Pillow.
-
-    Import deferred to call time so the operator stays importable in
-    codec-free containers; raises NotImplementedError (not ImportError)
-    when Pillow is absent so callers get the documented contract.
+    """Default image decoder: bytes -> (H, W, C) uint8 array via Pillow
+    when installed, else the vendored pure-Python PNG baseline decoder
+    (``operators.png``) for PNG payloads — so the real decode path runs
+    even in codec-free containers. Non-PNG payloads without Pillow raise
+    NotImplementedError (not ImportError): the documented contract.
     """
     try:
         import PIL.Image
     except ImportError as exc:
+        from mandoline_hbase_spark.operators import png as _png
+
+        if _png.is_png(bytes(payload)):
+            import numpy as np
+
+            arr = _png.decode_png(bytes(payload))
+            if arr.shape[2] == 1:  # grey -> RGB, matching Pillow convert("RGB")
+                arr = arr.repeat(3, axis=2)
+            elif arr.shape[2] == 2:  # grey+alpha: drop alpha, spread grey
+                arr = arr[:, :, :1].repeat(3, axis=2)
+            elif arr.shape[2] == 4:  # RGBA: drop alpha
+                arr = arr[:, :, :3]
+            return np.ascontiguousarray(arr)
         raise NotImplementedError(
-            "media decode requires an image codec library (Pillow); "
-            "not available in this environment — use byte_histogram_features "
-            "or frame_sample for codec-free paths, or inject a decoder"
+            "media decode requires an image codec library (Pillow) for "
+            "non-PNG payloads; use byte_histogram_features or frame_sample "
+            "for codec-free paths, or inject a decoder"
         ) from exc
     import io
 

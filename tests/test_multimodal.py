@@ -217,3 +217,124 @@ def test_arrow_histogram_matches_pandas_variant(spark):
         for r in byte_histogram_features_arrow(docs).collect()
     )
     assert a == b and len(a) == 200
+
+
+# --- vendored PNG baseline codec -------------------------------------------
+
+
+def test_png_round_trip_all_channel_counts():
+    import numpy as np
+
+    from mandoline_hbase_spark.operators import png
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(5, 9, c), dtype=np.uint8)
+        out = png.decode_png(png.encode_png(arr))
+        assert np.array_equal(out, arr), f"channels={c}"
+
+
+def test_png_decodes_all_filter_types():
+    """Hand-filter scanlines with each of the five PNG filters and check
+    the decoder reconstructs the reference image exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mandoline_hbase_spark.operators import png
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, c = arr.shape
+    stride = w * c
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    flat = arr.reshape(h, stride).astype(np.int32)
+    for y, ftype in zip(range(h), (0, 1, 2, 3, 4)):
+        line = flat[y]
+        enc = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            left = line[i - c] if i >= c else 0
+            ul = prev[i - c] if i >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = prev[i]
+            elif ftype == 3:
+                pred = (left + prev[i]) >> 1
+            else:
+                pred = paeth(left, prev[i], ul)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png.decode_png(payload), arr)
+
+
+def test_png_matches_pillow_where_available():
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    from mandoline_hbase_spark.operators import png
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL.Image.fromarray(arr).save(buf, format="PNG")
+    assert np.array_equal(png.decode_png(buf.getvalue()), arr)
+    with PIL.Image.open(io.BytesIO(png.encode_png(arr))) as img:
+        assert np.array_equal(np.asarray(img.convert("RGB")), arr)
+
+
+def test_decode_media_default_decoder_runs_on_png(spark):
+    """The REAL default decode path (no injected decoder) executes in CI:
+    PNG payloads decode on the executors through the vendored baseline
+    (or Pillow where installed); a corrupt payload yields an error row."""
+    import numpy as np
+
+    from mandoline_hbase_spark.operators import png
+    from mandoline_hbase_spark.operators.multimodal import decode_media
+
+    imgs = {
+        1: np.full((2, 3, 3), 10, dtype=np.uint8),
+        2: (np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3) * 7) % 256,
+    }
+    rows = [(k, bytearray(png.encode_png(v))) for k, v in imgs.items()]
+    rows.append((3, bytearray(b"\x89PNG\r\n\x1a\ntruncated")))
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    out = {r.doc_id: r for r in decode_media(df).collect()}
+    for k, v in imgs.items():
+        r = out[k]
+        assert (r.height, r.width, r.n_channels) == (2, 3, 3)
+        assert r.decode_error is None
+        assert np.allclose(
+            np.array(r.pixels).reshape(2, 3, 3), v.astype(np.float64) / 255.0
+        )
+    assert out[3].decode_error is not None and out[3].pixels is None
