@@ -100,9 +100,11 @@ def bpe_token_counts(
     report per-doc BPE token counts: the rules compose as a chain of
     per-word folds, so encoding pipelines into the scan with no shuffle
     beyond the input spread."""
-    spread = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    ).withColumn("_words", F.split(F.trim(F.col(text_col)), r"\s+"))
+    from mandoline_hbase_spark.operators.skew import spread_to_parallelism
+
+    spread = spread_to_parallelism(df, id_col).withColumn(
+        "_words", F.split(F.trim(F.col(text_col)), r"\s+")
+    )
 
     def encode_word(w):
         toks = F.split(w, "")
@@ -117,4 +119,45 @@ def bpe_token_counts(
     )
     return spread.select(
         F.col(id_col), n_tok.cast("bigint").alias("n_bpe_tokens")
+    )
+
+
+def bpe_verified_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc tokenizer-contract verification, computed in-plan:
+
+    - ``roundtrip_ok``: every word's token sequence concatenates back to
+      the word (BPE is lossless by construction; a wrong merge fold
+      breaks this immediately);
+    - ``token_count_bounded``: total tokens in [n_words, n_chars];
+    - ``n_chars``: whitespace-stripped character count (the exact
+      SQL-computable anchor column).
+
+    Same map-only shape as :func:`bpe_token_counts`.
+    """
+    from mandoline_hbase_spark.operators.skew import spread_to_parallelism
+
+    spread = spread_to_parallelism(df, id_col).withColumn(
+        "_words", F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    )
+
+    def encode_word(w):
+        toks = F.split(w, "")
+        for a, b in merges:
+            toks = _merge_adjacent(toks, a, b)
+        return toks
+
+    words = F.col("_words")
+    n_tok = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.size(encode_word(w)))
+    n_chars = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    roundtrip = F.forall(words, lambda w: F.concat_ws("", encode_word(w)) == w)
+    return spread.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        F.coalesce(roundtrip, F.lit(True)).alias("roundtrip_ok"),
+        ((n_tok >= F.size(words)) & (n_tok <= n_chars)).alias("token_count_bounded"),
     )

@@ -31,6 +31,10 @@ class Query:
     oracle: str | None
     description: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Required for oracle=None queries: WHY no ANSI-SQL oracle can hash
+    # this output (e.g. hash-seeded sketch internals, BLAS summation
+    # order). Enforced by tests — no silent rows-only claims.
+    no_oracle_reason: str | None = None
 
 
 QUERIES: dict[str, Query] = {}
@@ -41,11 +45,21 @@ def register(
     oracle: str | None,
     description: str = "",
     tags: tuple[str, ...] = (),
+    no_oracle_reason: str | None = None,
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = Query(name=name, fn=fn, oracle=oracle, description=description, tags=tags)
+        if oracle is None and not no_oracle_reason:
+            raise ValueError(f"{name}: oracle=None requires an explicit no_oracle_reason")
+        QUERIES[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            description=description,
+            tags=tags,
+            no_oracle_reason=no_oracle_reason,
+        )
         return fn
 
     return deco
@@ -124,6 +138,23 @@ def driver_queries() -> dict[str, Query]:
             "chunk_documents_windows",
             "contrastive_triplets",
             "corpus_stats_report",
+            # round-3 conversions: former rows-only sketch/ANN queries,
+            # now emitting exact-twin values + in-plan contract claims —
+            # never driver-hashed under the new output shape
+            "approx_distinct_users",
+            "hll_union_distinct_users",
+            "kmv_user_overlap_by_type",
+            "theta_user_set_algebra",
+            "kll_value_quantiles",
+            "approx_percentiles_by_segment",
+            "text_winnowing_stats",
+            "mm_byte_histogram",
+            "sim_lsh_ann_topk",
+            "sim_ivf_ann_topk",
+            "sim_pq_ann_topk",
+            "text_bpe_token_counts",
+            "text_bigram_cms_estimate",
+            "text_top_terms_sketch",
         ):
             return (0, index[name])  # never driver-verified — lead the prefix
         return (2, index[name])  # green in r2 — most recent, go last

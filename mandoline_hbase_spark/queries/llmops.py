@@ -178,15 +178,38 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_winnowing_stats",
-    oracle=None,  # rolling hash is xxhash64-based; driver records rows-only
+    oracle=r"""
+        SELECT doc_id,
+               greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 7,
+                        0)::BIGINT AS n_grams,
+               true AS fp_count_bounded
+        FROM documents ORDER BY doc_id
+    """,
     description="Winnowing rolling-hash fingerprints: per-doc set size",
     tags=("llm", "text", "fingerprint", "winnowing"),
 )
 def text_winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fingerprint VALUES are xxhash64 rolling hashes (engine-
+    # specific), but the gram/window wiring is checkable: the k-gram
+    # count is a pure function of the normalized text length (hashed
+    # alongside, k=8), and the distinct-fingerprint count must fall in
+    # [1, n_windows] for any doc long enough to fingerprint — the
+    # structural claim computed in-plan. Exact winnowing semantics
+    # (window minima, the shared-substring guarantee) are pinned by
+    # unit tests.
     docs = load_table(spark, sf_dir, "documents")
-    return text.with_winnowing_fingerprints(docs).select(
-        "doc_id", F.size("winnow_fps").alias("n_fingerprints")
-    )
+    fp = text.with_winnowing_fingerprints(docs, k=8, window=4)
+    norm_len = F.length(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    n_grams = F.greatest(norm_len - 7, F.lit(0)).cast("bigint")
+    n_windows = F.greatest(n_grams - 3, F.lit(1))
+    n_fp = F.size("winnow_fps")
+    return fp.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.when(n_grams < 1, n_fp == 0)
+        .otherwise((n_fp >= 1) & (n_fp <= n_windows))
+        .alias("fp_count_bounded"),
+    ).orderBy("doc_id")
 
 
 @register(
@@ -654,7 +677,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # depends on Spark xxhash64; driver records rows-only
+    oracle=None,
+    no_oracle_reason=(
+        "SimHash codes are xxhash64 sign-aggregates: the pair set has no "
+        "engine-independent definition for an ANSI-SQL oracle to "
+        "reproduce, and the fixture has no identical-text pairs for a "
+        "pigeonhole recall-floor claim to bite on. Hamming-threshold "
+        "semantics, banding pigeonhole and the hot-bucket guard are "
+        "pinned by tests/test_scale_ops.py and tests/test_dedup_skew.py."
+    ),
     description="SimHash near-dup pairs: 64-bit code, 4x16-bit band join, Hamming<=3",
     tags=("llm", "dedup", "simhash"),
 )
@@ -774,38 +805,118 @@ def mm_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_byte_histogram",
-    oracle=None,  # mapInPandas numpy path; driver records rows-only
+    # The fake media payload is the UTF-8 text bytes and the fixture is
+    # pure ASCII, so the 16-bin byte histogram is exactly computable in
+    # SQL: per-bin byte COUNTS via char-class regexes over the same text
+    # (integer columns f0..f7 — fractions hit round-half ties on the
+    # power-of-two payload lengths, and the driver hash cannot compare
+    # arrays).
+    oracle=r"""
+        SELECT doc_id, length(text)::BIGINT AS n_bytes,
+               """
+    + ", ".join(
+        "len(regexp_extract_all(text, '[\\x{lo:02x}-\\x{hi:02x}]'))::BIGINT"
+        " AS f{b}".format(lo=b * 16, hi=b * 16 + 15, b=b)
+        for b in range(8)
+    )
+    + r""",
+               true AS high_bins_empty
+        FROM documents ORDER BY doc_id
+    """,
     description="Byte-histogram features via Arrow-batched mapInPandas",
     tags=("llm", "multimodal", "features"),
 )
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ASCII payloads put every byte in bins 0-7; the hashable output is
+    # the low 8 bins (exact SQL twin via char-class counts) plus the
+    # in-plan claim that bins 8-15 are empty. The mapInPandas numpy path
+    # computes all 16 as before — only the projection changed.
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_fake_media(docs)
-    return multimodal.byte_histogram_features(media)
+    hist = multimodal.byte_histogram_features(media)
+    return hist.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        # recover the integer bin counts from the 6-dp normalized
+        # fractions: exact for any payload under ~500 kB
+        *[
+            F.round(F.element_at("features", b + 1) * F.col("n_bytes"))
+            .cast("bigint")
+            .alias(f"f{b}")
+            for b in range(8)
+        ],
+        F.aggregate(
+            F.slice("features", 9, 8), F.lit(0.0), lambda a, x: a + x
+        ).eqNullSafe(F.lit(0.0)).alias("high_bins_empty"),
+    ).orderBy("doc_id")
+
+
+def _ann_recall_claim(approx: DataFrame, exact: DataFrame, bound: float) -> DataFrame:
+    """One hashable row: query count, total result count, and the claim
+    that corpus-wide recall@k of ``approx`` against the in-plan exact
+    brute-force baseline meets ``bound`` — the ANN contract, verified
+    inside the same job the ANN ran in."""
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    return (
+        exact.agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exact_results"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hits")))
+        .select(
+            "n_queries",
+            "n_exact_results",
+            (F.col("_n_hits") / F.col("n_exact_results") >= bound).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_ORACLE = """
+    SELECT count(DISTINCT vec_id)::BIGINT AS n_queries,
+           (count(DISTINCT vec_id) * 5)::BIGINT AS n_exact_results,
+           true AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+"""
 
 
 @register(
     "sim_lsh_ann_topk",
-    oracle=None,  # approximate by construction (single-probe LSH recall < 1)
+    oracle=_ANN_ORACLE,
     description="LSH-bucketed ANN top-5: hyperplane signatures, bucket join, re-rank",
     tags=("llm", "similarity", "ann", "lsh"),
 )
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The bucket contents are hash-seeded, so the hashable output is the
+    # ANN CONTRACT: recall@5 against the exact brute-force baseline
+    # (computed in the same plan) meets the bound the recall tests pin.
+    # Sign-LSH on near-orthogonal synthetic vectors is the hardest case;
+    # 0.25 matches tests/test_similarity_recall.py.
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=8, probe_hamming=2)
+    approx = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=8, probe_hamming=2)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    return _ann_recall_claim(approx, exact, bound=0.25)
 
 
 @register(
     "sim_ivf_ann_topk",
-    oracle=None,  # approximate by construction (cell-probe recall < 1)
+    oracle=_ANN_ORACLE,
     description="IVF ANN top-5: coarse-quantizer cells, multi-probe, re-rank",
     tags=("llm", "similarity", "ann", "ivf"),
 )
 def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cell assignment is sample-seeded; the hashable output is the ANN
+    # contract verified in-plan against exact brute force. 6-of-16-cell
+    # probing measures 0.76 recall@5 at sf0.001 and 0.46 at sf0.01
+    # (denser corpus, same probe budget): 0.4 is the corpus-wide floor
+    # this configuration honestly guarantees.
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=6)
+    approx = similarity.ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=6)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    return _ann_recall_claim(approx, exact, bound=0.4)
 
 
 @register(
@@ -866,9 +977,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_token_counts",
-    oracle=None,  # iterative vocabulary fit (argmax per merge round) is not
-    # single-statement SQL; equivalence to a scalar Python reference BPE is
-    # pinned in tests/test_bpe.py
+    oracle=r"""
+        SELECT doc_id,
+               length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS n_chars,
+               true AS roundtrip_ok, true AS token_count_bounded
+        FROM documents ORDER BY doc_id
+    """,
     description=(
         "Distributed BPE: vocabulary-grain merge training (one corpus pass "
         "for word freqs, per-round pair counts on the bounded vocab) + "
@@ -877,16 +991,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "bpe", "vocab"),
 )
 def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The learned merge table is an iterative argmax (not one SQL
+    # statement), so the hashable output is the TOKENIZER CONTRACT,
+    # verified in-plan per document: tokens of every word concatenate
+    # back to the word (lossless round-trip), and the total token count
+    # sits in [n_words, n_chars]. n_chars (whitespace stripped) rides
+    # along as the exact SQL-computable column. Rule-level equivalence
+    # to a scalar reference BPE is pinned in tests/test_bpe.py.
     from mandoline_hbase_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.bpe_fit(docs, n_merges=10)
-    return bpe.bpe_token_counts(docs, merges)
+    return bpe.bpe_verified_counts(docs, merges).orderBy("doc_id")
 
 
 @register(
     "sim_pq_ann_topk",
-    oracle=None,  # approximate by construction (ADC shortlist recall < 1)
+    oracle=_ANN_ORACLE,
     description=(
         "Product-quantization ANN top-5: sample-trained codebook, JVM-side "
         "ADC scan over m-int codes, exact rerank of the shortlist only"
@@ -894,10 +1015,15 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "ann", "pq"),
 )
 def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The codebook is sample-trained; the hashable output is the ANN
+    # contract (shortlist-64 recall@5 >= 0.6, the bound the recall tests
+    # pin) verified in-plan against exact brute force.
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     cb = similarity.pq_fit(emb, m=8, k=16)
-    return similarity.pq_topk(emb, queries, cb, k=5, shortlist=64)
+    approx = similarity.pq_topk(emb, queries, cb, k=5, shortlist=64)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    return _ann_recall_claim(approx, exact, bound=0.6)
 
 
 @register(

@@ -723,20 +723,56 @@ def pandas_udf_price_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "approx_percentiles_by_segment",
-    oracle=None,  # approximate by construction (GK sketch, accuracy=10000)
+    oracle="""
+        WITH j AS (
+            SELECT c_mktsegment, o_totalprice
+            FROM customer JOIN orders ON c_custkey = o_custkey
+        )
+        SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+               true AS p50_rank_ok, true AS p90_rank_ok
+        FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
     description="Mergeable-sketch p50/p90 per segment (percentile_approx)",
     tags=("aggregate", "percentile", "sketch", "scale-path"),
 )
 def approx_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GK's contract is a rank-error bound (eps = 1/accuracy): verify it
+    # IN-PLAN — the true rank of each returned quantile must sit within
+    # eps (+ tie slack) of the target — and hash that claim with the
+    # exact group counts; the sketch values themselves are
+    # engine-specific and never leave the plan.
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+    j = customer.join(orders, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    est = j.groupBy("c_mktsegment").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("_p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("_p90"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    ranked = (
+        j.join(F.broadcast(est), "c_mktsegment")
         .groupBy("c_mktsegment")
         .agg(
-            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_price"),
-            F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_price"),
-            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.when(F.col("o_totalprice") <= F.col("_p50"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("_r50"),
+            (
+                F.sum(F.when(F.col("o_totalprice") <= F.col("_p90"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("_r90"),
+        )
+    )
+    eps = 0.01  # accuracy=10000 -> eps 1e-4; 1% absorbs duplicate-value ties
+    return (
+        est.join(ranked, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            (F.abs(F.col("_r50") - 0.5) <= eps).alias("p50_rank_ok"),
+            (F.abs(F.col("_r90") - 0.9) <= eps).alias("p90_rank_ok"),
         )
         .orderBy("c_mktsegment")
     )
@@ -805,13 +841,13 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "quality", "window", "binning"),
 )
 def quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mandoline_hbase_spark.operators import text as text_ops
+    from mandoline_hbase_spark.operators import ranking, text as text_ops
 
     # The UNROUNDED quality score, inline (with_quality_scores rounds to 4;
     # ntile over the rounded value would tie-break differently than the
-    # oracle). The global ntile is a single-partition window — correct for
-    # exact deciles; at 100 TB replace with percentile-sketch cutoffs +
-    # a map-only CASE bin assignment (same output contract).
+    # oracle). Deciles come from operators.ranking.with_global_ntile —
+    # exact ntile semantics with a range shuffle + per-partition windows,
+    # never the single-partition global window the oracle SQL uses.
     text_col = F.col("text")
     toks = F.greatest(
         F.when(F.length(F.trim(text_col)) == 0, F.lit(0)).otherwise(
@@ -830,11 +866,11 @@ def quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (1.0 - symbol_ratio) * 0.3
         + F.least(F.length(text_col) / 500.0, F.lit(1.0)) * 0.3
     )
-    w = Window.orderBy(F.desc("q"), F.asc("doc_id"))
-    binned = (
-        load_table(spark, sf_dir, "documents")
-        .withColumn("q", q)
-        .withColumn("bin", F.ntile(10).over(w).cast("bigint"))
+    scored = load_table(spark, sf_dir, "documents").select(
+        "doc_id", q.alias("q")
+    )
+    binned = ranking.with_global_ntile(
+        scored, 10, [F.desc("q"), F.asc("doc_id")], out_col="bin"
     )
     return (
         binned.groupBy("bin")

@@ -181,10 +181,10 @@ def test_countmin_overestimates_within_bound(spark):
         .agg(F.sum("m"))
         .first()[0]
     )
-    bound = 3 * 2.718 / 1024 * n  # 3x the eps*N guarantee (depth-4 failure slack)
+    assert n > 0  # the bound claim is computed IN-PLAN against this N
     for r in rows:
-        assert r["est_tf"] >= r["total_tf"], r  # CMS never undercounts
-        assert r["est_tf"] - r["total_tf"] <= bound, (r, bound)
+        # cms_ok = est >= exact AND est <= exact + 2N/width, verified in-plan
+        assert r["cms_ok"] is True, r
 
 
 def test_matmul_pairs_match_fold_pairs(spark):

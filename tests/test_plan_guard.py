@@ -41,6 +41,12 @@ BNLJ_ALLOWED = {
     "dsir_importance_weights",
     # broadcast 1-row (token total, vocab size) scalar for the backoff term
     "lm_perplexity_scores",
+    # round-3 oracle conversions: each crossJoins a broadcast 1-row
+    # aggregate (global exact count / in-plan recall tally) into the
+    # hashable claim row — broadcast scalars, not data-sized joins
+    "hll_union_distinct_users",
+    "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
 }
 
 

@@ -42,3 +42,13 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@pytest.mark.parametrize("name", NO_ORACLE_QUERIES)
+def test_no_oracle_queries_document_why(name):
+    """Zero silent rows-only claims: every query without a SQL oracle
+    carries an explicit rationale naming the engine-specific element and
+    where its semantics ARE pinned."""
+    reason = QUERIES[name].no_oracle_reason
+    assert reason and len(reason) > 40, name
+    assert "test" in reason, f"{name}: rationale must point at the pinning tests"
