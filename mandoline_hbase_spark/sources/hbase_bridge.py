@@ -132,48 +132,54 @@ def from_kv(kv: DataFrame, schema, dataset: str) -> Connection:
     exist). Row keys are unpacked back into normalized columns — the
     inverse of the packing above.
     """
+    from mandoline_hbase_spark import storage
+
     schema.create_dataset(dataset)
     conn = schema.connect(dataset)
 
+    # Chunks: payload bytes and resolved ref-counts land as chunk-log
+    # records written FROM THE EXECUTORS (same distributed-append shape
+    # as the ingest commit) — a 100 TB export imports without a single
+    # chunk byte crossing the driver.
     rows = kv.filter(F.col("table").endswith(".chunks"))
-    payload = (
+    chunk_log = (
         rows.groupBy("rowkey")
         .pivot("qualifier", ["v", "r"])
         .agg(F.first("value_bytes").alias("b"), F.first("value_long").alias("l"))
         .select(
             F.col("rowkey").alias("chunk_id"),
+            F.col("r_l").cast("long").alias("ref_delta"),
             F.col("v_b").alias("data"),
-            F.col("r_l").alias("ref_count"),
         )
-        .collect()
     )
-    conn.chunk_store().write_chunks_bulk(
-        [(r.chunk_id, int(r.ref_count), bytes(r.data)) for r in payload]
-    )
+    chunk_log.write.mode("append").parquet(conn._dirs["chunks"])
 
-    idx_rows = (
-        kv.filter(F.col("table").endswith(".indices"))
-        .select(
-            F.split(F.col("rowkey"), r"\|").alias("parts"),
-            F.decode(F.col("value_bytes"), "UTF-8").alias("chunk_id"),
-        )
-        .select(
+    # Indices: unpack row keys into index-log records executor-side; one
+    # import-wide seq stamps the batch (exactly how a distributed commit
+    # stamps its appends). "_" is the scalar coordinate (codec
+    # id_to_coordinate), packed keys are "/"-joined ints.
+    seq = storage.next_seq()
+    idx = kv.filter(F.col("table").endswith(".indices")).select(
+        F.split(F.col("rowkey"), r"\|").alias("parts"),
+        F.decode(F.col("value_bytes"), "UTF-8").alias("chunk_id"),
+    )
+    coord = F.when(
+        F.col("parts")[1] == "_", F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(F.split(F.col("parts")[1], "/"), lambda c: c.cast("bigint"))
+    )
+    (
+        idx.select(
             F.col("parts")[0].alias("var_name"),
             F.col("parts")[1].alias("coord_id"),
+            coord.alias("coord"),
             F.col("parts")[2].cast("long").alias("version_id"),
             "chunk_id",
+            F.lit(int(seq)).cast("long").alias("seq"),
         )
-        .collect()
+        .write.mode("append")
+        .parquet(conn._dirs["indices"])
     )
-    from mandoline_hbase_spark.codec import id_to_coordinate
-
-    by_var_version: dict[tuple[str, int], list] = {}
-    for r in idx_rows:
-        by_var_version.setdefault((r.var_name, r.version_id), []).append(
-            (id_to_coordinate(r.coord_id), r.chunk_id)
-        )
-    for (var_name, version_id), entries in sorted(by_var_version.items()):
-        conn.index(var_name).write_index_bulk(entries, version_id)
 
     v_rows = (
         kv.filter(F.col("table").endswith(".versions") & (F.col("qualifier") == "v"))

@@ -68,3 +68,38 @@ def test_bridge_round_trip(spark, populated, tmp_path):
     src_ids = {r.chunk_id for r in store.spark_table("chunks", spark).collect()}
     dst_ids = {r.chunk_id for r in conn2.spark_table("chunks", spark).collect()}
     assert dst_ids == src_ids
+
+
+def test_import_driver_state_is_o1(spark, populated, tmp_path, monkeypatch):
+    """from_kv must never funnel chunk payloads or index rows through the
+    driver: executors append the chunk/index log records; only the tiny
+    versions table (one row per commit) is replayed driver-side."""
+    from pyspark.sql import DataFrame
+
+    from mandoline_hbase_spark.engine import mk_schema
+    from mandoline_hbase_spark.sources.hbase_bridge import from_kv, to_kv
+
+    store, a1, a2 = populated
+    kv = to_kv(store, spark)
+    target = mk_schema(
+        {"root": "import-o1.mandoline.io", "base_path": str(tmp_path / "imp2")}
+    )
+
+    real_collect, real_topandas = DataFrame.collect, DataFrame.toPandas
+
+    def gated_collect(self, *a, **k):
+        # only the versions frame (3 commits) may come to the driver
+        rows = real_collect(self, *a, **k)
+        assert len(rows) <= 3, "oversized driver collect in from_kv"
+        return rows
+
+    def no_topandas(self, *a, **k):
+        raise AssertionError("toPandas in the import path")
+
+    monkeypatch.setattr(DataFrame, "collect", gated_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", no_topandas)
+    conn2 = from_kv(kv, target, "restored-o1")
+    monkeypatch.undo()
+    assert np.array_equal(conn2.read_variable("temp"), a2)
+    assert np.array_equal(conn2.read_variable("temp", version=sorted(
+        int(v["version"]) for v in conn2.versions())[0]), a1)

@@ -220,3 +220,35 @@ def test_maintenance_driver_state_is_o1(store, spark, monkeypatch):
     assert store.gc_chunks()["chunks_removed"] >= 1
     assert np.array_equal(store.read_variable("x"), arrs[3])
     assert np.array_equal(store.read_variable("x", version=vids[2]), arrs[2])
+
+
+def test_crash_between_stage_and_publish_leaks_refs_never_dangles(store, spark, monkeypatch):
+    """Crash ordering of the staged ref-delta publish: deltas become
+    visible only AFTER the index rewrite, so a crash in between leaves
+    leaked refs (chunk kept — recoverable by re-running the sweep's GC)
+    and never an index row pointing at a GC-able chunk."""
+    from mandoline_hbase_spark import maintenance
+
+    store.spark = spark
+    arrs = [np.full((4, 4), i, dtype=np.float64) for i in range(3)]
+    vids = [store.write_variable("x", a, chunk_shape=(2, 2)) for a in arrs]
+
+    real_publish = maintenance._publish_ref_deltas
+
+    def crash_publish(conn, tmp_dir, chunks_touched):
+        raise RuntimeError("simulated crash before ref-delta publish")
+
+    monkeypatch.setattr(maintenance, "_publish_ref_deltas", crash_publish)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.prune_versions(keep_last=1)
+    monkeypatch.undo()
+
+    # the index rewrite landed but no refs were released and the
+    # versions table was not yet rewritten: GC must NOT reclaim the
+    # dropped versions' chunks, the latest read stays byte-identical,
+    # and RE-RUNNING the sweep completes retention cleanly
+    assert store.gc_chunks()["chunks_removed"] == 0
+    assert np.array_equal(store.read_variable("x"), arrs[2])
+    store.prune_versions(keep_last=1)
+    assert [v["version"] for v in store.versions()] == [str(vids[2])]
+    assert np.array_equal(store.read_variable("x"), arrs[2])
