@@ -47,30 +47,63 @@ def shared_segment_edges(
     for hot segments too); pairs between two non-hub members lose that
     segment's contribution, a bounded undercount that only triggers on
     degenerate corpora (the driver fixtures never exceed the cap, so
-    the oracle-checked queries stay exact). The sizing window shuffles
-    on ``seg_md5`` — the same key the join uses, so the exchange is
-    reused, not added.
-    """
-    from pyspark.sql import Window
+    the oracle-checked queries stay exact).
 
-    segs = segment_hashes(df, seg_len, id_col, text_col).select(
-        F.col(id_col).alias("_id"), "seg_md5"
-    ).dropDuplicates(["_id", "seg_md5"])
-    w = Window.partitionBy("seg_md5")
-    sized = segs.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
-        "_hub", F.min("_id").over(w)
+    Plan selection is adaptive like the dedup guard: one hash
+    aggregation sizes the segments and the driver sees only the hot
+    count. Zero hot segments — the common case — runs the plain
+    inverted-index self-join with no guard machinery in the executed
+    plan; few hot segments split with a broadcast anti-join; a
+    pathologically hot corpus falls back to the fully distributed
+    sizing window.
+    """
+    # persist: the (doc, segment) table feeds BOTH the sizing job and
+    # the pair join — without it the md5 segment pipeline recomputes per
+    # consumer (MEMORY_AND_DISK default; spills, never OOMs; size is the
+    # same (id, hash) volume the sizing window would have shuffled)
+    segs = (
+        segment_hashes(df, seg_len, id_col, text_col)
+        .select(F.col(id_col).alias("_id"), "seg_md5")
+        .dropDuplicates(["_id", "seg_md5"])
+        .persist()
     )
-    small = sized.filter(F.col("_bsz") <= max_bucket_size).select("_id", "seg_md5")
-    a = small.select(F.col("_id").alias("src"), "seg_md5")
-    b = small.select(F.col("_id").alias("dst"), "seg_md5")
-    small_pairs = a.join(b, "seg_md5").filter(F.col("src") < F.col("dst")).select("src", "dst")
-    star_pairs = (
-        sized.filter((F.col("_bsz") > max_bucket_size) & (F.col("_id") != F.col("_hub")))
-        .select(F.col("_hub").alias("src"), F.col("_id").alias("dst"))
+    sizes = segs.groupBy("seg_md5").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min("_id").alias("_hub")
     )
+    hot = sizes.filter(F.col("_bsz") > max_bucket_size)
+    hot_broadcast_max = 1_000_000
+    n_hot = hot.limit(hot_broadcast_max + 1).count()
+
+    def _pairs(src: DataFrame) -> DataFrame:
+        a = src.select(F.col("_id").alias("src"), "seg_md5")
+        b = src.select(F.col("_id").alias("dst"), "seg_md5")
+        return a.join(b, "seg_md5").filter(F.col("src") < F.col("dst")).select("src", "dst")
+
+    if n_hot == 0:
+        pair_rows = _pairs(segs)
+    elif n_hot <= hot_broadcast_max:
+        cold = segs.join(F.broadcast(hot.select("seg_md5")), "seg_md5", "left_anti")
+        star = (
+            segs.join(F.broadcast(hot), "seg_md5")
+            .filter(F.col("_id") != F.col("_hub"))
+            .select(F.col("_hub").alias("src"), F.col("_id").alias("dst"))
+        )
+        pair_rows = _pairs(cold).union(star)
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("seg_md5")
+        sized = segs.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
+            "_hub", F.min("_id").over(w)
+        )
+        small = sized.filter(F.col("_bsz") <= max_bucket_size).select("_id", "seg_md5")
+        star = (
+            sized.filter((F.col("_bsz") > max_bucket_size) & (F.col("_id") != F.col("_hub")))
+            .select(F.col("_hub").alias("src"), F.col("_id").alias("dst"))
+        )
+        pair_rows = _pairs(small).union(star)
     return (
-        small_pairs.union(star_pairs)
-        .groupBy("src", "dst")
+        pair_rows.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
