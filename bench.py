@@ -157,6 +157,8 @@ HEADLINE = [
     "mix_source_temperature",
     "dsir_importance_weights",
     "lm_perplexity_scores",
+    "epoch_shuffle_shards",
+    "dataset_split_assign",
 ]
 
 

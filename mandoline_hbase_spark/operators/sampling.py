@@ -208,3 +208,72 @@ def sample_weighted_topk_per_group(
         .filter(F.col("sample_rank") <= k)
         .drop("_aes_key")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic epoch-wise global shuffle for training-data delivery.
+
+    Every epoch needs a DIFFERENT but REPRODUCIBLE permutation of the
+    corpus, sharded for the data-loader fleet. The permutation key is a
+    salted hash of ``(id, epoch)`` — no RNG state, so any shard of any
+    epoch can be recomputed independently (resumable training) and two
+    runs of the same epoch are byte-identical. Plan shape: map-only key
+    computation, one range shuffle on the key; rows land sorted within
+    shards. Shard = pseudorandom key space slice, so shard sizes balance
+    to within hash uniformity regardless of input order or skew.
+
+    Returns the input columns plus ``(epoch, shard, shuffle_pos)`` with
+    ``shuffle_pos`` the row's 0-based position within its shard.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = hash_bucket_hex(F.col(id_col), f"{salt}:e{int(epoch)}")
+    keyed = df.withColumn("_shkey", key)
+    # shard = top bits of the hash (contiguous key ranges), position =
+    # rank within the shard — a per-shard window, never a global one
+    # floor, not cast: Spark's double->int cast truncates while SQL
+    # engines round — floor is identical everywhere
+    shard = F.floor(
+        F.conv(F.col("_shkey"), 16, 10).cast("double") / _HEX_SPACE * n_shards
+    ).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_shard").orderBy(F.asc("_shkey"), F.asc(id_col))
+    return (
+        keyed.withColumn("_shard", F.least(shard, F.lit(n_shards - 1)))
+        .withColumn("shuffle_pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .withColumn("epoch", F.lit(int(epoch)).cast("bigint"))
+        .withColumn("shard", F.col("_shard").cast("bigint"))
+        .drop("_shkey", "_shard")
+    )
+
+
+def split_train_val_test(
+    df: DataFrame,
+    fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by salted id hash.
+
+    The assignment is a pure function of the id (stable across runs,
+    machines and row order — the property that keeps eval sets
+    uncontaminated as the corpus regenerates); fractions partition the
+    hash space. Map-only: one projection, no shuffle.
+    """
+    f_train, f_val, f_test = fractions
+    if abs(f_train + f_val + f_test - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    h = hash_bucket_hex(F.col(id_col), salt)
+    t1 = fraction_to_hex(f_train)
+    t2 = fraction_to_hex(f_train + f_val)
+    return df.withColumn(
+        "split",
+        F.when(h < t1, F.lit("train")).when(h < t2, F.lit("val")).otherwise(F.lit("test")),
+    )

@@ -155,6 +155,9 @@ def driver_queries() -> dict[str, Query]:
             "text_bpe_token_counts",
             "text_bigram_cms_estimate",
             "text_top_terms_sketch",
+            # round-3 additions: never seen by any driver
+            "epoch_shuffle_shards",
+            "dataset_split_assign",
         ):
             return (0, index[name])  # never driver-verified — lead the prefix
         return (2, index[name])  # green in r2 — most recent, go last

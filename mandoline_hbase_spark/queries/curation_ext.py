@@ -561,3 +561,61 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars",
         )
     )
+
+
+@register(
+    "epoch_shuffle_shards",
+    oracle=r"""
+    WITH k AS (
+        SELECT doc_id,
+               substr(md5(doc_id::VARCHAR || ':shuffle:e1'), 1, 8) AS key
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, key,
+               least(floor(('0x' || key)::BIGINT::DOUBLE / 4294967296.0 * 8), 7)::BIGINT
+                   AS shard
+        FROM k
+    )
+    SELECT doc_id, 1::BIGINT AS epoch, shard,
+           (row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1)::BIGINT
+               AS shuffle_pos
+    FROM s ORDER BY doc_id
+    """,
+    description=(
+        "Deterministic epoch-wise global shuffle into data-loader shards: "
+        "salted (id, epoch) hash as the permutation key — reproducible, "
+        "resumable, RNG-free; one range shuffle, per-shard windows only"
+    ),
+    tags=("llm", "training", "shuffle", "sharding"),
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.epoch_shuffle(docs, epoch=1, n_shards=8).select(
+        "doc_id", "epoch", "shard", "shuffle_pos"
+    ).orderBy("doc_id")
+
+
+@register(
+    "dataset_split_assign",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'cccccccc'
+                    THEN 'train'
+                WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'e6666665'
+                    THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+    description=(
+        "Deterministic train/val/test assignment by salted id hash "
+        "(stable across runs and row order — eval sets stay "
+        "uncontaminated as the corpus regenerates); map-only"
+    ),
+    tags=("llm", "training", "split"),
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.split_train_val_test(docs, (0.8, 0.1, 0.1)).select(
+        "doc_id", "split"
+    ).orderBy("doc_id")
