@@ -834,10 +834,13 @@ def connected_components(
     Scale design: each round is one shuffle (edge join + min-agg on the
     vertex key); rounds = graph diameter. Near-dup graphs are star-like
     (clusters of near-identical docs), so diameter is tiny and 2–3
-    rounds converge. ``localCheckpoint`` truncates the plan each round —
-    without it the lineage doubles per iteration and Catalyst analysis
-    time goes exponential. Convergence is detected with a single count
-    of changed labels (no driver collect of data rows).
+    rounds converge. TWO propagation rounds stack lazily between each
+    eager ``localCheckpoint`` + convergence check: the materialization
+    and the changed-label count are the per-round fixed costs, and a
+    2-round lineage is trivially analyzable, so checking every other
+    round halves the fixed cost while unbounded stacking (exponential
+    Catalyst analysis) stays impossible. Convergence is detected with a
+    single count of changed labels (no driver collect of data rows).
     """
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -847,22 +850,29 @@ def connected_components(
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iters):
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
         # min label over {self} ∪ neighbors, one shuffle on "node"
         neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
+            sym.join(lbl, sym.v == lbl.node)
             .select(F.col("u").alias("node"), F.col("label"))
             .groupBy("node")
             .agg(F.min("label").alias("nmin"))
         )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("changed"),
-            )
-        ).localCheckpoint(eager=True)
+        return lbl.join(neighbor_min, "node", "left").select(
+            F.col("node"),
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            (F.col("nmin") < F.col("label")).alias("changed"),
+        )
+
+    rounds = 0
+    while rounds < max_iters:
+        stacked = _propagate(labels)
+        rounds += 1
+        if rounds < max_iters:  # second lazy round before the check
+            stacked = _propagate(stacked.drop("changed"))
+            rounds += 1
+        updated = stacked.localCheckpoint(eager=True)
         changed = updated.filter(F.col("changed")).limit(1).count()
         labels = updated.drop("changed")
         if changed == 0:
