@@ -28,13 +28,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Oracle-backed queries, least-previously-verified families first.
+    """Oracle-backed queries, least-previously-verified first.
 
-    The driver adjudicates a bounded prefix of this dict in order; round 1
-    verified the relational family, so round 2 leads with the LLM-pipeline
-    family (dedup/text/similarity/sampling/packing).  No-oracle sketch/ANN
-    queries are excluded — they are covered by bench.py and the pytest suite
-    (tolerance-bound tests), and a rows-only driver row adds no signal.
+    The driver adjudicates a bounded prefix of this dict in order; after
+    rounds 1-2, 96 queries hold green hash-match rows, so round 3 leads
+    with the 43 that never got one: the sql_surface family, the
+    curation stragglers, the re-predicated TPC-H rows, and the former
+    rows-only sketch/ANN queries now emitting exact-twin values plus
+    in-plan contract claims. The 3 remaining no-oracle queries are
+    excluded (each carries an enforced documented rationale; their
+    semantics are pinned by tolerance-bound pytest suites).
     """
     return {name: q.fn for name, q in driver_queries().items()}
 

@@ -200,7 +200,12 @@ def pagerank_fixed_point(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    sym_deg = sym.join(deg, "u").persist()
+    # eager checkpoint, not persist: every iteration joins this table, and
+    # with the lazy iteration loop (checkpoint cadence) the whole plan
+    # executes after this function returns — a persist/unpersist pair
+    # around the loop would already be released, recomputing the
+    # degree join once per iteration
+    sym_deg = sym.join(deg, "u").localCheckpoint(eager=True)
     ranks = nodes.select(
         F.col(id_col).alias("node"), F.lit(init).cast("bigint").alias("r")
     )
@@ -224,7 +229,6 @@ def pagerank_fixed_point(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
-    sym_deg.unpersist()
     return ranks.select(
         "node", F.col("r").alias("rank_nano"), F.round(F.col("r") / 1e9, 9).alias("rank")
     )
