@@ -219,3 +219,48 @@ def test_fake_backend_many_drivers_one_bucket(tmp_path):
         assert len(conn.versions()) == 16
     finally:
         storage.unregister_cas_backend(str(tmp_path))
+
+
+def test_fake_backend_full_engine_concurrent_writers(tmp_path):
+    """Whole-engine concurrent commits over the If-None-Match fake: eight
+    driver threads write variables through the full write path (chunks ->
+    index rows -> reservation -> version claim); every commit must land
+    with a unique version id and every variable read back exactly —
+    the 'many drivers, one bucket' scenario end to end."""
+    import threading
+
+    import numpy as np
+
+    storage.register_cas_backend(str(tmp_path), storage.InMemoryCasBackend())
+    try:
+        schema = mk_schema({"root": "bucket.mandoline.io", "base_path": str(tmp_path)})
+        schema.create_dataset("shared")
+        results: dict[int, int] = {}
+        errors: list[str] = []
+        lock = threading.Lock()
+
+        def driver(n: int):
+            try:
+                conn = schema.connect("shared")
+                vid = conn.write_variable(
+                    f"v{n}", np.full((4, 4), float(n)), chunk_shape=(2, 2)
+                )
+                with lock:
+                    results[n] = vid
+            except Exception as exc:  # pragma: no cover - diagnostic
+                with lock:
+                    errors.append(f"{n}: {exc}")
+
+        threads = [threading.Thread(target=driver, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert len(set(results.values())) == 8  # unique version ids
+        conn = schema.connect("shared")
+        for n in range(8):
+            assert (conn.read_variable(f"v{n}") == float(n)).all()
+        assert len(conn.versions()) == 8
+    finally:
+        storage.unregister_cas_backend(str(tmp_path))
