@@ -159,6 +159,7 @@ HEADLINE = [
     "lm_perplexity_scores",
     "epoch_shuffle_shards",
     "dataset_split_assign",
+    "curation_policy_verdicts",
 ]
 
 

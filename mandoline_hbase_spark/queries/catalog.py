@@ -82,13 +82,15 @@ def oracle_sql_map() -> dict[str, str]:
 # 1. includes only oracle-backed queries (no-oracle sketch/ANN queries are
 #    exercised by ``bench.py`` and the pytest suite instead), and
 # 2. orders queries so the ones with the *least* prior independent
-#    verification come first.  After rounds 1+2, 96 of the 123 oracle-backed
-#    queries hold a green driver hash-match row (CORRECTNESS_r01/r02); the
-#    27 that never received one — the whole sql_surface family, nine
-#    curation_ext stragglers, variant_props_stats, and the three
-#    re-predicated round-1 vacuous rows — lead the round-3 prefix.
-#    Already-green queries follow, least-recently-verified first, so the
-#    remainder of the prefix re-confirms the oldest greens.
+#    verification come first.  After rounds 1+2, 96 queries hold a green
+#    driver hash-match row (CORRECTNESS_r01/r02); everything that never
+#    received one leads the round-3 prefix — the sql_surface family,
+#    the curation_ext stragglers, variant_props_stats, the three
+#    re-predicated round-1 vacuous rows, the former rows-only
+#    sketch/ANN queries (now emitting exact-twin + in-plan contract
+#    claims), and the round-3 additions.  Already-green queries follow,
+#    least-recently-verified first, so the remainder of the prefix
+#    re-confirms the oldest greens.
 
 # Every query with a green hash-match driver row in CORRECTNESS_r01.json
 # (rank 1 below: verified once, two rounds ago).
@@ -158,6 +160,7 @@ def driver_queries() -> dict[str, Query]:
             # round-3 additions: never seen by any driver
             "epoch_shuffle_shards",
             "dataset_split_assign",
+            "curation_policy_verdicts",
         ):
             return (0, index[name])  # never driver-verified — lead the prefix
         return (2, index[name])  # green in r2 — most recent, go last

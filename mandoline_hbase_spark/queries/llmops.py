@@ -1822,3 +1822,84 @@ def decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return scoring.bigram_lm_perplexity(docs, train_pred=F.col("lang") == "en")
+
+
+@register(
+    "curation_policy_verdicts",
+    oracle=rf"""
+    WITH f AS (
+        SELECT doc_id,
+               round(least((CAST(len(regexp_extract_all(text,
+                        '\b(?:the|of|and|to|in|is|it|a)\b')) AS DOUBLE)
+                        / greatest({_DUCK_NTOK}, 1)) * 4.0, 1.0) * 0.4
+                     + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1)) * 0.3
+                     + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3,
+                     4) AS q,
+               {_duck_lang_scores()},
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+                  + len(regexp_extract_all(text,
+                    '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+                  + len(regexp_extract_all(text, '\+?\d[\d\- ]{{7,}}\d'))
+                  AS BIGINT) AS n_pii,
+               CAST({_DUCK_NTOK} AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    v AS (
+        SELECT doc_id, q, n_pii, n_tok,
+               CASE
+                   WHEN greatest(score_en, score_fr, score_es, score_de, score_zh) = 0
+                       THEN 'unknown'
+                   WHEN score_en = greatest(score_en, score_fr, score_es, score_de, score_zh)
+                       THEN 'en'
+                   WHEN score_fr = greatest(score_en, score_fr, score_es, score_de, score_zh)
+                       THEN 'fr'
+                   WHEN score_es = greatest(score_en, score_fr, score_es, score_de, score_zh)
+                       THEN 'es'
+                   WHEN score_de = greatest(score_en, score_fr, score_es, score_de, score_zh)
+                       THEN 'de'
+                   ELSE 'zh'
+               END AS lang
+        FROM f
+    )
+    SELECT doc_id,
+           concat_ws(',',
+               CASE WHEN q < 0.5 THEN 'low_quality' END,
+               CASE WHEN lang <> 'en' THEN 'non_english' END,
+               CASE WHEN n_pii > 0 THEN 'pii' END,
+               CASE WHEN n_tok < 5 OR n_tok > 10000 THEN 'bad_length' END
+           ) AS reject_reasons,
+           (q >= 0.5 AND lang = 'en' AND n_pii = 0
+            AND n_tok BETWEEN 5 AND 10000) AS keep
+    FROM v ORDER BY doc_id
+    """,
+    description=(
+        "Curation POLICY verdict: the quality / language / PII / length "
+        "gates composed into one keep-or-drop decision with named reject "
+        "reasons — the per-document audit artifact an operated pipeline "
+        "ships next to its training set. One scan, pure column "
+        "arithmetic, every gate individually oracle-proven."
+    ),
+    tags=("llm", "curation", "policy", "governance"),
+)
+def curation_policy_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.with_language_id(text.with_quality_scores(docs))
+    flagged = text.redact_pii(scored)
+    n_tok = text.n_tokens(F.col("text")).cast("bigint")
+    low_q = F.col("quality_score") < 0.5
+    non_en = F.col("lang_pred") != "en"
+    pii = F.col("n_pii") > 0
+    bad_len = (n_tok < 5) | (n_tok > 10000)
+    return flagged.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.when(low_q, F.lit("low_quality")),
+            F.when(non_en, F.lit("non_english")),
+            F.when(pii, F.lit("pii")),
+            F.when(bad_len, F.lit("bad_length")),
+        ).alias("reject_reasons"),
+        (~low_q & ~non_en & ~pii & ~bad_len).alias("keep"),
+    ).orderBy("doc_id")
