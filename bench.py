@@ -160,6 +160,7 @@ HEADLINE = [
     "epoch_shuffle_shards",
     "dataset_split_assign",
     "curation_policy_verdicts",
+    "text_compression_ratio",
 ]
 
 

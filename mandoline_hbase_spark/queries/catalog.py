@@ -161,6 +161,7 @@ def driver_queries() -> dict[str, Query]:
             "epoch_shuffle_shards",
             "dataset_split_assign",
             "curation_policy_verdicts",
+            "text_compression_ratio",
         ):
             return (0, index[name])  # never driver-verified — lead the prefix
         return (2, index[name])  # green in r2 — most recent, go last

