@@ -54,3 +54,23 @@ def test_no_single_partition_window_in_plan(spark):
     df = ranking.with_global_ntile(_df(spark, 500), 10, [F.desc("v"), F.asc("id")])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_ntile_from_rank_column_matches_sql_ntile(spark):
+    """The closed-form column expression equals Spark's own ntile window
+    over every rank, across awkward (n, k) shapes (n < k, n % k != 0,
+    k = 1). One generated rank table per shape, evaluated for real."""
+    for n, k in [(1, 1), (1, 7), (6, 7), (7, 7), (8, 7), (29, 5), (100, 13), (500, 16)]:
+        ranks = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+        got = {
+            r.rn: r.bin
+            for r in ranks.select(
+                "rn", ranking.ntile_from_rank(F.col("rn"), n, k).alias("bin")
+            ).collect()
+        }
+        w = Window.orderBy("rn")
+        want = {
+            r.rn: r.bin
+            for r in ranks.withColumn("bin", F.ntile(k).over(w).cast("bigint")).collect()
+        }
+        assert got == want, (n, k)
