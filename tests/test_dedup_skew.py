@@ -99,3 +99,24 @@ def test_minhash_pairs_unchanged_when_under_cap(spark):
         for r in dedup.minhash_near_duplicates(df, threshold=0.5, max_bucket_size=512).collect()
     }
     assert guarded == {(1, 2)}
+
+
+def test_window_fallback_path_emits_identical_pairs(spark):
+    """hot_broadcast_max=0 forces the fully distributed sizing-window
+    fallback (the pathological many-hot-buckets regime); its pair set
+    must equal the broadcast-split path's."""
+    hot = [(i, 0, 7) for i in range(40)]
+    cold = [(i, 1, 9) for i in (100, 101, 102)]
+    st = _stacked(spark, hot + cold)
+    via_bcast = {
+        (r.id_a, r.id_b)
+        for r in dedup.banded_candidate_pairs(st, "doc_id", max_bucket_size=10).collect()
+    }
+    via_window = {
+        (r.id_a, r.id_b)
+        for r in dedup.banded_candidate_pairs(
+            st, "doc_id", max_bucket_size=10, hot_broadcast_max=0
+        ).collect()
+    }
+    assert via_window == via_bcast
+    assert via_window == {(0, i) for i in range(1, 40)} | {(100, 101), (100, 102), (101, 102)}
