@@ -30,6 +30,7 @@ def shared_segment_edges(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int = 512,
+    hot_broadcast_max: int = 1_000_000,
 ) -> DataFrame:
     """Doc-similarity edges: pairs sharing at least ``min_shared``
     distinct segments, found by self-joining the (doc, segment-hash)
@@ -71,7 +72,6 @@ def shared_segment_edges(
         F.count(F.lit(1)).alias("_bsz"), F.min("_id").alias("_hub")
     )
     hot = sizes.filter(F.col("_bsz") > max_bucket_size)
-    hot_broadcast_max = 1_000_000
     n_hot = hot.limit(hot_broadcast_max + 1).count()
 
     def _pairs(src: DataFrame) -> DataFrame:

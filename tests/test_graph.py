@@ -91,3 +91,23 @@ def test_shared_segment_edges_guard_off_below_cap(spark):
     edges = graph.shared_segment_edges(df, seg_len=3, min_shared=2, max_bucket_size=5)
     got = {(e.src, e.dst, e.shared) for e in edges.collect()}
     assert got == {(a, b, 2) for a in range(5) for b in range(a + 1, 5)}
+
+
+def test_shared_segment_edges_window_fallback_identical(spark):
+    """hot_broadcast_max=0 forces the distributed sizing-window fallback;
+    edges and shared counts must equal the broadcast-split path's."""
+    n = 50
+    rows = [(i, "all rights reserved boilerplate") for i in range(n)]
+    rows += [(1000 + i, "a b c d e f g h") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(seg_len=4, min_shared=1, max_bucket_size=10)
+    via_bcast = {
+        (e.src, e.dst, e.shared)
+        for e in graph.shared_segment_edges(df, **kw).collect()
+    }
+    via_window = {
+        (e.src, e.dst, e.shared)
+        for e in graph.shared_segment_edges(df, **kw, hot_broadcast_max=0).collect()
+    }
+    assert via_window == via_bcast
+    assert (0, 1, 1) in via_window  # star around the hot segment's min id
