@@ -348,17 +348,7 @@ class MandolineBatchReader(DataSourceReader):
                 )
             self._entries = [(c, cid) for c, cid in self._entries if hits(c)]
 
-    def pushFilters(self, filters):
-        """Keep the pushable filters for planning-time chunk pruning:
-        zone-map/bloom skipping on record scans, coordinate-region
-        derivation on array scans (``WHERE dim0 = 5`` plans like a
-        ``read_region`` call). EVERY filter is returned (Spark still
-        evaluates all of them post-scan), so pruning is advisory —
-        it only drops chunks that provably contain no matching cell."""
-        self._pushed_filters = list(filters)
-        return filters
-
-    def _filter_region(self):
+    def _filter_region(self, pushed):
         """Merge the explicit ``region`` option with per-dimension bounds
         derived from pushed filters on the dim columns; None when the
         scan is unbounded. An empty intersection returns zero-width
@@ -384,7 +374,7 @@ class MandolineBatchReader(DataSourceReader):
         except ImportError:  # pragma: no cover
             return self.region
         derived = False
-        for f in self._pushed_filters:
+        for f in pushed:
             attr = getattr(f, "attribute", None)
             if not attr or len(attr) != 1:
                 continue
@@ -438,19 +428,22 @@ class MandolineBatchReader(DataSourceReader):
         except Exception:
             return entries
 
-    def _zonemap_entries(self):
-        return self._prune_by_stats(self._entries, self._pushed_filters)
-
     def partitions(self):
+        # consume-and-clear the pushed filters (see pushFilters): the
+        # reader instance outlives this query, and the next query on the
+        # same DataFrame may plan WITHOUT calling pushFilters — pruning
+        # with this query's filters there would drop its rows
+        pushed, self._pushed_filters = self._pushed_filters, []
         chunks_dir = os.path.join(self.path, "chunks")
         if self.form == "records":
-            groups = _group([cid for _, cid in self._zonemap_entries()], self.per_partition)
+            pruned = self._prune_by_stats(self._entries, pushed)
+            groups = _group([cid for _, cid in pruned], self.per_partition)
             sj = self._var_meta.get("schema_json")
             return [RecordScanPartition(chunks_dir, g, sj) for g in groups] or [
                 RecordScanPartition(chunks_dir, [], sj)
             ]
         vm = self._var_meta
-        region = self._filter_region()
+        region = self._filter_region(pushed)
         entries = self._entries
         if region is not None and region != self.region:
             cs = vm["chunk_shape"]
@@ -469,7 +462,7 @@ class MandolineBatchReader(DataSourceReader):
         # min/max in the stats sidecar; filters on the tidy 'value' column
         # prune chunks the same way record scans do
         value_filters = [
-            f for f in self._pushed_filters if getattr(f, "attribute", None) == ("value",)
+            f for f in pushed if getattr(f, "attribute", None) == ("value",)
         ]
         entries = self._prune_by_stats(entries, value_filters)
         groups = _group(entries, self.per_partition)
@@ -507,6 +500,35 @@ class MandolineBatchReader(DataSourceReader):
 # ---------------------------------------------------------------------------
 # stream reader — the version log as a change feed
 # ---------------------------------------------------------------------------
+
+
+class MandolinePruningBatchReader(MandolineBatchReader):
+    """Batch reader WITH filter pushdown — opt-in via
+    ``option("filter_pruning", "true")``.
+
+    Why opt-in: Spark's Python DSv2 caches ONE read plan per loaded
+    DataFrame (PythonDataSourceV2.readInfo is a single mutable slot that
+    filter pushdown overwrites), so after ``df.filter(c).count()`` a
+    subsequent ``df.count()`` on the SAME ``df`` reuses the
+    filter-pruned partitions and silently loses rows — regardless of
+    what pushFilters returned. No reader-side discipline can repair a
+    stale cached plan, so the default reader declares no pushFilters at
+    all (planning never depends on query filters; region/version
+    pruning stays, those are options and part of the plan-cache key).
+    Enable this reader when a loaded DataFrame serves ONE query shape —
+    the loader/point-lookup pattern the skipping exists for — and
+    re-``load()`` per query otherwise.
+    """
+
+    def pushFilters(self, filters):
+        """Keep the pushable filters for planning-time chunk pruning:
+        zone-map/bloom skipping on record scans, coordinate-region
+        derivation on array scans (``WHERE dim0 = 5`` plans like a
+        ``read_region`` call). EVERY filter is returned (Spark still
+        evaluates all of them post-scan), so pruning is advisory —
+        it only drops chunks that provably contain no matching cell."""
+        self._pushed_filters = list(filters)
+        return filters
 
 
 class MandolineStreamReader(DataSourceStreamReader):
@@ -949,7 +971,12 @@ class MandolineDataSource(DataSource):
             snap = self._snap()
         except (FileNotFoundError, ValueError, KeyError):
             snap = None
-        return MandolineBatchReader(self.options, self._form(), snapshot=snap)
+        cls = (
+            MandolinePruningBatchReader
+            if str(_opt(self.options, "filter_pruning", "false")).lower() == "true"
+            else MandolineBatchReader
+        )
+        return cls(self.options, self._form(), snapshot=snap)
 
     def streamReader(self, schema):
         return MandolineStreamReader(self.options)

@@ -77,14 +77,14 @@ def test_array_read_time_travel(ds_spark, store):
 def test_array_read_partition_per_chunk(store):
     """Planning yields one input partition per chunk by default — the scan
     parallelizes across the chunk grid, no driver-side data movement."""
-    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+    from mandoline_hbase_spark.sources.datasource import MandolinePruningBatchReader
 
     arr = np.arange(64, dtype=np.float64).reshape(8, 8)
     store.write_variable("v", arr, chunk_shape=(2, 2))  # 16 chunks
-    reader = MandolineBatchReader({"path": store.dataset_dir, "variable": "v"}, "array")
+    reader = MandolinePruningBatchReader({"path": store.dataset_dir, "variable": "v"}, "array")
     parts = reader.partitions()
     assert len(parts) == 16
-    grouped = MandolineBatchReader(
+    grouped = MandolinePruningBatchReader(
         {"path": store.dataset_dir, "variable": "v", "chunks_per_partition": 4}, "array"
     )
     assert len(grouped.partitions()) == 4
@@ -225,11 +225,11 @@ def test_change_feed_stream(ds_spark, store, tmp_path):
 def test_array_read_region_prunes_partitions(ds_spark, store):
     import numpy as np
 
-    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+    from mandoline_hbase_spark.sources.datasource import MandolinePruningBatchReader
 
     arr = np.arange(256, dtype=np.float64).reshape(16, 16)
     store.write_variable("v", arr, chunk_shape=(4, 4))  # 16 chunks
-    reader = MandolineBatchReader(
+    reader = MandolinePruningBatchReader(
         {"path": store.dataset_dir, "variable": "v", "region": "0:4,0:8"}, "array"
     )
     assert len(reader.partitions()) == 2  # only the two intersecting chunks
@@ -248,19 +248,19 @@ def test_array_read_region_prunes_partitions(ds_spark, store):
 def test_reader_errors_are_clear(ds_spark, store, tmp_path):
     import pytest
 
-    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+    from mandoline_hbase_spark.sources.datasource import MandolinePruningBatchReader
 
     # not a dataset directory
     with pytest.raises(Exception, match="versions"):
-        MandolineBatchReader({"path": str(tmp_path / "nope"), "variable": "v"}, "array")
+        MandolinePruningBatchReader({"path": str(tmp_path / "nope"), "variable": "v"}, "array")
     # dataset exists but variable does not
     arr = np.zeros((2, 2), dtype=np.float64)
     store.write_variable("v", arr, chunk_shape=(2, 2))
     with pytest.raises(KeyError, match="ghost"):
-        MandolineBatchReader({"path": store.dataset_dir, "variable": "ghost"}, "array")
+        MandolinePruningBatchReader({"path": store.dataset_dir, "variable": "ghost"}, "array")
     # region rank mismatch
     with pytest.raises(ValueError, match="dims"):
-        MandolineBatchReader(
+        MandolinePruningBatchReader(
             {"path": store.dataset_dir, "variable": "v", "region": "0:1"}, "array"
         )
     # records form on an array variable
@@ -318,13 +318,13 @@ def test_array_dim_filter_pushdown_prunes_chunks(ds_spark, store):
     """WHERE dim0 = k plans like read_region: only intersecting chunks
     produce tasks, and results stay exact (Spark re-applies filters)."""
     from pyspark.sql.datasource import EqualTo, LessThan
-    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+    from mandoline_hbase_spark.sources.datasource import MandolinePruningBatchReader
 
     arr = np.arange(64, dtype=np.float64).reshape(8, 8)
     store.write_variable("v", arr, chunk_shape=(2, 2))  # 16 chunks
     opts = {"path": store.dataset_dir, "variable": "v"}
 
-    pruned = MandolineBatchReader(opts, "array")
+    pruned = MandolinePruningBatchReader(opts, "array")
     leftover = list(pruned.pushFilters([EqualTo(("dim0",), 5), LessThan(("dim1",), 4)]))
     assert len(leftover) == 2, "all filters still evaluated by Spark"
     # dim0=5 -> one chunk row (of 4); dim1<4 -> two chunk cols (of 4)
@@ -343,11 +343,11 @@ def test_array_dim_filter_pushdown_prunes_chunks(ds_spark, store):
 
 def test_array_dim_filter_empty_intersection(ds_spark, store):
     from pyspark.sql.datasource import GreaterThan, LessThan
-    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+    from mandoline_hbase_spark.sources.datasource import MandolinePruningBatchReader
 
     arr = np.ones((4, 4), dtype=np.float64)
     store.write_variable("v", arr, chunk_shape=(2, 2))
-    r = MandolineBatchReader({"path": store.dataset_dir, "variable": "v"}, "array")
+    r = MandolinePruningBatchReader({"path": store.dataset_dir, "variable": "v"}, "array")
     r.pushFilters([GreaterThan(("dim0",), 2), LessThan(("dim0",), 1)])
     parts = r.partitions()
     assert len(parts) == 1 and parts[0].entries == [], "contradiction -> zero chunks"
@@ -375,13 +375,13 @@ def test_array_value_filter_skips_chunks(ds_spark, store):
     min/max sidecar — scientific 'find the hot cells' scans read only
     the chunks that can contain them."""
     from pyspark.sql.datasource import GreaterThan
-    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+    from mandoline_hbase_spark.sources.datasource import MandolinePruningBatchReader
 
     arr = np.arange(64, dtype=np.float64).reshape(8, 8)  # chunk maxima rise with dim0
     store.write_variable("v", arr, chunk_shape=(2, 8))   # 4 chunks, disjoint value ranges
     opts = {"path": store.dataset_dir, "variable": "v"}
 
-    r = MandolineBatchReader(opts, "array")
+    r = MandolinePruningBatchReader(opts, "array")
     r.pushFilters([GreaterThan(("value",), 47.0)])
     assert len(r.partitions()) == 1  # values 48..63 live in one chunk
 
@@ -507,3 +507,33 @@ def test_native_stream_sink_exactly_once(ds_spark, store, tmp_path):
         .load()
     )
     assert fresh.count() == 4
+
+
+def test_same_dataframe_filter_then_full_scan_loses_no_rows(ds_spark, store):
+    """Regression: Spark's Python DSv2 caches ONE read plan per loaded
+    DataFrame and filter pushdown overwrites it, so with a pruning
+    reader, df.filter(c).count() followed by df.count() on the SAME df
+    replays the filter-pruned partitions and silently drops rows. The
+    DEFAULT reader therefore declares no pushFilters — this pattern must
+    return every row."""
+    seed = [(i, f"n{i}", float(i)) for i in range(40)]
+    (
+        ds_spark.createDataFrame(seed, "id BIGINT, name STRING, score DOUBLE")
+        .repartitionByRange(4, "id")
+        .write.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .mode("append")
+        .save()
+    )
+    df = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .load()
+    )
+    assert df.filter("score >= 30").count() == 10
+    assert df.count() == 40  # the poisoned-plan replay would return 10
+    assert df.filter("id = 7").count() == 1
+    assert df.count() == 40

@@ -97,9 +97,9 @@ def test_full_lakehouse_loop(ds_spark, tmp_path):
     assert {r["cat"]: (r["n"], float(r["sum_v"])) for r in view.table().collect()} == expected
 
     # 4. clustered layout prunes point lookups
-    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+    from mandoline_hbase_spark.sources.datasource import MandolinePruningBatchReader
 
-    r = MandolineBatchReader({"path": path, "variable": "records"}, "records")
+    r = MandolinePruningBatchReader({"path": path, "variable": "records"}, "records")
     r.pushFilters([EqualTo(("id",), 3)])
     assert len(r.partitions()) == 1
 

@@ -50,9 +50,9 @@ def _write_scrambled(ds_spark, store, n=200):
 
 
 def _pruned_parts(store, filt):
-    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+    from mandoline_hbase_spark.sources.datasource import MandolinePruningBatchReader
 
-    r = MandolineBatchReader({"path": store.dataset_dir, "variable": "records"}, "records")
+    r = MandolinePruningBatchReader({"path": store.dataset_dir, "variable": "records"}, "records")
     r.pushFilters([filt])
     return len(r.partitions())
 

@@ -154,20 +154,24 @@ def _seed_clustered(ds_spark, store, n=400, chunks=4):
 
 
 def test_reader_prunes_chunks_with_pushed_filters(ds_spark, store):
-    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+    # pruning lives on the OPT-IN reader subclass (filter_pruning=true):
+    # the default reader declares no pushFilters so Spark's per-relation
+    # read-plan cache can never serve filter-pruned partitions to a
+    # filterless query
+    from mandoline_hbase_spark.sources.datasource import MandolinePruningBatchReader
 
     _seed_clustered(ds_spark, store)
     opts = {"path": store.dataset_dir, "variable": "records"}
-    full = MandolineBatchReader(opts, "records")
+    full = MandolinePruningBatchReader(opts, "records")
     n_all = len(full.partitions())
     assert n_all == 4
 
-    pruned = MandolineBatchReader(opts, "records")
+    pruned = MandolinePruningBatchReader(opts, "records")
     leftover = list(pruned.pushFilters([EqualTo(("id",), 7)]))
     assert len(leftover) == 1, "all filters must still be evaluated by Spark"
     assert len(pruned.partitions()) == 1  # point lookup -> one chunk
 
-    rng = MandolineBatchReader(opts, "records")
+    rng = MandolinePruningBatchReader(opts, "records")
     rng.pushFilters([GreaterThan(("id",), 150), LessThanOrEqual(("id",), 240)])
     assert 1 <= len(rng.partitions()) <= 2  # range scan -> the overlapping chunks
 
@@ -239,7 +243,7 @@ def test_bloom_int_float_and_timestamp_parity():
 def test_bloom_skips_scrambled_layout(ds_spark, store):
     """The case min/max cannot touch: hash-scrambled ingest where every
     chunk spans the whole id range — blooms still prune point lookups."""
-    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+    from mandoline_hbase_spark.sources.datasource import MandolinePruningBatchReader
 
     df = ds_spark.createDataFrame(
         [(i, f"name-{i:04d}", float(i)) for i in range(400)],
@@ -255,7 +259,7 @@ def test_bloom_skips_scrambled_layout(ds_spark, store):
         .save()
     )
     opts = {"path": store.dataset_dir, "variable": "records"}
-    point = MandolineBatchReader(opts, "records")
+    point = MandolinePruningBatchReader(opts, "records")
     point.pushFilters([EqualTo(("id",), 123)])
     assert len(point.partitions()) == 1, "bloom miss is definitive on 3 of 4 chunks"
 
@@ -294,9 +298,9 @@ def test_timestamp_range_pruning_e2e(ds_spark, store):
     import datetime
 
     cutoff = datetime.datetime.utcfromtimestamp(1700000000 + 399 * 3600)
-    from mandoline_hbase_spark.sources.datasource import MandolineBatchReader
+    from mandoline_hbase_spark.sources.datasource import MandolinePruningBatchReader
 
-    r = MandolineBatchReader({"path": store.dataset_dir, "variable": "records"}, "records")
+    r = MandolinePruningBatchReader({"path": store.dataset_dir, "variable": "records"}, "records")
     r.pushFilters([GreaterThanOrEqual(("ts",), cutoff)])
     assert len(r.partitions()) == 1, "only the newest chunk can hold the cutoff hour"
 
