@@ -264,3 +264,58 @@ def test_fake_backend_full_engine_concurrent_writers(tmp_path):
         assert len(conn.versions()) == 8
     finally:
         storage.unregister_cas_backend(str(tmp_path))
+
+
+def test_cas_backends_agree_on_random_histories(tmp_path):
+    """Property: the local-FS and If-None-Match fake backends produce
+    identical outcomes for any operation history — the seam's contract
+    (put-if-absent wins exactly once per key, delete reopens it, get
+    returns the winner's bytes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ops = st.lists(
+        st.tuples(
+            st.sampled_from(["pia", "put", "get", "exists", "delete"]),
+            st.integers(0, 4),  # key id
+            st.integers(0, 3),  # payload id
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    case = {"n": 0}
+
+    @settings(max_examples=60, deadline=None)
+    @given(history=ops)
+    def check(history):
+        case["n"] += 1
+        base = tmp_path / f"case-{case['n']}"
+        base.mkdir()
+        fs = storage.LocalFSCasBackend()
+        mem = storage.InMemoryCasBackend(write_through=False)
+        fs_dir = str(base / "fs")
+        (base / "fs").mkdir()
+        for op, k, p in history:
+            key_fs = f"{fs_dir}/k{k}"
+            key_mem = f"mem/k{k}"
+            payload = f"payload-{p}".encode()
+            if op == "pia":
+                assert fs.put_if_absent(key_fs, payload) == mem.put_if_absent(
+                    key_mem, payload
+                )
+            elif op == "put":
+                fs.put(key_fs, payload)
+                mem.put(key_mem, payload)
+            elif op == "get":
+                assert fs.get(key_fs) == mem.get(key_mem)
+            elif op == "exists":
+                assert fs.exists(key_fs) == mem.exists(key_mem)
+            else:
+                fs.delete(key_fs)
+                mem.delete(key_mem)
+        names_fs = {n[1:] for n in fs.list_names(fs_dir, "k")}
+        names_mem = {n[1:] for n in mem.list_names("mem", "k")}
+        assert names_fs == names_mem
+
+    check()
