@@ -161,6 +161,7 @@ HEADLINE = [
     "dataset_split_assign",
     "curation_policy_verdicts",
     "text_compression_ratio",
+    "split_leakage_report",
 ]
 
 

@@ -162,6 +162,7 @@ def driver_queries() -> dict[str, Query]:
             "dataset_split_assign",
             "curation_policy_verdicts",
             "text_compression_ratio",
+            "split_leakage_report",
         ):
             return (0, index[name])  # never driver-verified — lead the prefix
         return (2, index[name])  # green in r2 — most recent, go last

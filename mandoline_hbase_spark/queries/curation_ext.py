@@ -619,3 +619,69 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.split_train_val_test(docs, (0.8, 0.1, 0.1)).select(
         "doc_id", "split"
     ).orderBy("doc_id")
+
+
+@register(
+    "split_leakage_report",
+    oracle=_DUCK_SHINGLES
+    + r""",
+    assigned AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'cccccccc'
+                        THEN 'train'
+                    WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'e6666665'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    leaks AS (
+        SELECT a.doc_id AS train_id, b.doc_id AS holdout_id,
+               b.split AS holdout_split,
+               round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                     / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+        FROM assigned a
+        JOIN assigned b ON a.split = 'train' AND b.split <> 'train'
+        JOIN sh sa ON sa.doc_id = a.doc_id
+        JOIN sh sb ON sb.doc_id = b.doc_id
+        WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.7
+    )
+    SELECT train_id, holdout_id, holdout_split, jaccard
+    FROM leaks ORDER BY train_id, holdout_id
+    """,
+    description=(
+        "Cross-split leakage audit: near-duplicate pairs (MinHash-LSH "
+        "candidates, exact-Jaccard >= 0.7 verified) that STRADDLE the "
+        "train/holdout hash split — the eval-contamination report a "
+        "training pipeline must publish before anyone trusts its "
+        "held-out numbers. Candidate generation is the same banded, "
+        "skew-guarded LSH the dedup path uses; only pairs crossing the "
+        "split survive the final filter."
+    ),
+    tags=("llm", "training", "split", "dedup", "governance"),
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = sampling.split_train_val_test(docs, (0.8, 0.1, 0.1)).select(
+        "doc_id", "split"
+    )
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.7)
+    a = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    b = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    crossing = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            ((F.col("_sa") == "train") & (F.col("_sb") != "train"))
+            | ((F.col("_sb") == "train") & (F.col("_sa") != "train"))
+        )
+    )
+    train_id = F.when(F.col("_sa") == "train", F.col("id_a")).otherwise(F.col("id_b"))
+    holdout_id = F.when(F.col("_sa") == "train", F.col("id_b")).otherwise(F.col("id_a"))
+    holdout_split = F.when(F.col("_sa") == "train", F.col("_sb")).otherwise(F.col("_sa"))
+    return crossing.select(
+        train_id.alias("train_id"),
+        holdout_id.alias("holdout_id"),
+        holdout_split.alias("holdout_split"),
+        F.col("jaccard"),
+    ).orderBy("train_id", "holdout_id")
