@@ -74,3 +74,43 @@ def test_index_exact_point_get_no_fallback(store):
     # bound arity does
     idx2 = store.index("p", {**meta, "version-id": v1 + 999})
     assert idx2.chunk_at((0,)) == idx.chunk_at((0,), v1)
+
+
+def test_bench_headline_is_a_catalog_subset():
+    """Every bench headline name must resolve in the catalog (a typo
+    would crash the driver's per-round bench run)."""
+    import bench
+
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline names"
+
+
+def test_driver_prefix_leads_with_unverified():
+    """The driver-facing order puts every query WITHOUT a green driver
+    hash-match row (CORRECTNESS_r01/r02) ahead of all re-confirmations."""
+    import json
+    import os
+
+    from mandoline_hbase_spark.queries.catalog import driver_queries
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green = set()
+    for fn in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        p = os.path.join(root, fn)
+        if os.path.exists(p):
+            d = json.load(open(p))
+            green |= {
+                k
+                for k, v in d.items()
+                if isinstance(v, dict) and v.get("hash_match") and v.get("spark_rows", 0) > 0
+            }
+    names = list(driver_queries())
+    seen_green = False
+    for n in names:
+        if n in green:
+            seen_green = True
+        else:
+            assert not seen_green, f"unverified query {n} ranked after a green one"
