@@ -537,3 +537,39 @@ def test_same_dataframe_filter_then_full_scan_loses_no_rows(ds_spark, store):
     assert df.count() == 40  # the poisoned-plan replay would return 10
     assert df.filter("id = 7").count() == 1
     assert df.count() == 40
+
+
+def test_filter_pruning_option_routes_through_spark_read(ds_spark, store):
+    """The opt-in option must actually engage pruning in a real
+    spark.read plan: a point lookup on a clustered layout returns exact
+    rows, and a FRESH pruning load used for one query shape stays
+    correct across its own re-executions."""
+    seed = [(i, f"n{i}", float(i)) for i in range(400)]
+    (
+        ds_spark.createDataFrame(seed, "id BIGINT, name STRING, score DOUBLE")
+        .repartitionByRange(4, "id")
+        .write.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .mode("append")
+        .save()
+    )
+
+    def load(pruning):
+        r = (
+            ds_spark.read.format("mandoline")
+            .option("path", store.dataset_dir)
+            .option("variable", "records")
+            .option("form", "records")
+        )
+        if pruning:
+            r = r.option("filter_pruning", "true")
+        return r.load()
+
+    got = load(True).filter("id = 7").collect()
+    assert [(r.id, r.name) for r in got] == [(7, "n7")]
+    # the same filtered query repeats deterministically on its own load
+    df = load(True).filter("score >= 390")
+    assert df.count() == 10 and df.count() == 10
+    # and a fresh default load sees everything regardless
+    assert load(False).count() == 400
