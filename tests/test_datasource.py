@@ -568,6 +568,9 @@ def test_filter_pruning_option_routes_through_spark_read(ds_spark, store):
 
     got = load(True).filter("id = 7").collect()
     assert [(r.id, r.name) for r in got] == [(7, "n7")]
+    # pruning really engaged: the point lookup plans ONE chunk task
+    assert load(True).filter("id = 7").rdd.getNumPartitions() == 1
+    assert load(False).filter("id = 7").rdd.getNumPartitions() == 4
     # the same filtered query repeats deterministically on its own load
     df = load(True).filter("score >= 390")
     assert df.count() == 10 and df.count() == 10
