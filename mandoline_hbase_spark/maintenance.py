@@ -266,12 +266,14 @@ def sweep_failed_commits(conn, spark=None, older_than_s: float = 3600.0) -> dict
         vdir = conn._dirs["versions"]
         stale_markers, young = [], []
         for rid in storage.reserved_version_ids(vdir):
-            marker = os.path.join(vdir, f".reserved-{rid}")
-            try:
-                age = now - os.stat(marker).st_mtime
-            except FileNotFoundError:
-                continue
-            (stale_markers if age >= older_than_s else young).append(rid)
+            # age comes from the marker payload via the CAS backend (not
+            # os.stat on a local path — a pure object-store backend has
+            # no file to stat); unknown-age legacy markers read as +inf
+            # created-at, i.e. young/protected, never silently reclaimed
+            created = storage.reservation_created_at(vdir, rid)
+            if created is None:
+                continue  # released between list and read
+            (stale_markers if now - created >= older_than_s else young).append(rid)
 
         idx = conn.spark_table("indices", spark)
         protected = committed + young

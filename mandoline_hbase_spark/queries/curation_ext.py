@@ -602,7 +602,7 @@ def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CASE WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'cccccccc'
                     THEN 'train'
-                WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'e6666665'
+                WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'e6666666'
                     THEN 'val'
                 ELSE 'test' END AS split
     FROM documents ORDER BY doc_id
@@ -629,7 +629,7 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CASE WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'cccccccc'
                         THEN 'train'
-                    WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'e6666665'
+                    WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'e6666666'
                         THEN 'val'
                     ELSE 'test' END AS split
         FROM documents

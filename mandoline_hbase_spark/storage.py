@@ -200,7 +200,15 @@ class InMemoryCasBackend:
     ``write_through=True`` (default) mirrors winning objects onto the
     real filesystem so directory-scanning readers (pyarrow/Spark) see
     committed rows; the mirror happens only AFTER the store awarded the
-    claim, so it is a plain write, never a race.
+    claim, so it is a plain write, never a race. In this mode the
+    filesystem is also consulted on a store MISS: objects that predate
+    ``register_cas_backend`` (committed version rows, the retention
+    floor, reservation markers) are committed state, and a fake that
+    cannot see them would let ``put_if_absent`` re-win an
+    already-committed id and overwrite the real commit file. With
+    ``write_through=False`` the store is the only truth (a blank
+    bucket) — callers must register the backend before the dataset
+    directory holds any objects.
     """
 
     def __init__(self, write_through: bool = True):
@@ -215,6 +223,9 @@ class InMemoryCasBackend:
         with self._lock:
             if path in self._objects:
                 return False
+            if self._write_through and self._fs.exists(path):
+                # pre-registration object: an existing claim, not ours to re-win
+                return False
             self._objects[path] = data
         if self._write_through:
             self._fs.put(path, data)
@@ -228,11 +239,15 @@ class InMemoryCasBackend:
 
     def get(self, path: str) -> bytes | None:
         with self._lock:
-            return self._objects.get(path)
+            if path in self._objects:
+                return self._objects[path]
+        return self._fs.get(path) if self._write_through else None
 
     def exists(self, path: str) -> bool:
         with self._lock:
-            return path in self._objects
+            if path in self._objects:
+                return True
+        return self._write_through and self._fs.exists(path)
 
     def delete(self, path: str) -> None:
         with self._lock:
@@ -243,7 +258,10 @@ class InMemoryCasBackend:
     def list_names(self, dir_path: str, name_prefix: str) -> list[str]:
         want = os.path.join(dir_path, name_prefix)
         with self._lock:
-            return [os.path.basename(p) for p in self._objects if p.startswith(want)]
+            names = {os.path.basename(p) for p in self._objects if p.startswith(want)}
+        if self._write_through:
+            names.update(self._fs.list_names(dir_path, name_prefix))
+        return sorted(names)
 
 
 _DEFAULT_CAS_BACKEND = LocalFSCasBackend()
@@ -358,7 +376,10 @@ def reserve_version_id(versions_dir: str, candidate: int) -> int:
     backend = cas_backend_for(versions_dir)
     while True:
         marker = os.path.join(versions_dir, f".reserved-{v}")
-        if not backend.put_if_absent(marker, b""):
+        # payload = creation time, so sweep age checks go through the
+        # backend's get() instead of os.stat on a local path (a pure
+        # object-store backend has no local file to stat)
+        if not backend.put_if_absent(marker, repr(time.time()).encode("ascii")):
             v += 1
             continue
         # The marker is the PRIMARY claim, but a commit racing on this id
@@ -372,6 +393,30 @@ def reserve_version_id(versions_dir: str, candidate: int) -> int:
             v += 1
             continue
         return v
+
+
+def reservation_created_at(versions_dir: str, version_id: int) -> float | None:
+    """Creation time (epoch seconds) of a ``.reserved-<id>`` marker, read
+    through the CAS backend so it works on pure object-store backends.
+
+    Returns None when the marker no longer exists. A legacy marker with
+    an empty/unparseable payload falls back to ``os.stat`` mtime; if no
+    local file exists either, returns ``+inf`` ("just created") so the
+    sweeper PROTECTS unknown-age reservations instead of reclaiming rows
+    a live job may still reference.
+    """
+    marker = os.path.join(versions_dir, f".reserved-{int(version_id)}")
+    data = cas_backend_for(versions_dir).get(marker)
+    if data is None:
+        return None
+    try:
+        return float(data)
+    except ValueError:
+        pass
+    try:
+        return os.stat(marker).st_mtime
+    except OSError:
+        return float("inf")
 
 
 def release_version_reservation(versions_dir: str, version_id: int) -> None:

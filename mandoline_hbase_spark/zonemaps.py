@@ -25,8 +25,16 @@ Statistics are ADVISORY, never load-bearing for correctness:
   idempotent across chunk rewrites of identical bytes.
 
 Only three comparable kinds are recorded: ``num`` (int/float/decimal),
-``ts`` (naive wall-clock timestamps as epoch seconds) and ``str``.
+``ts_us`` (timestamps as integer UTC epoch microseconds) and ``str``.
 Everything else (arrays, structs, binary, bool) is left unpruned.
+
+Kind names double as format versions: an earlier writer recorded
+timestamps as epoch-seconds floats under kind ``ts``. Readers treat any
+unrecognized kind — including legacy ``ts`` — as unparseable and keep
+the chunk ('maybe'), so stale sidecars degrade to no-prune rather than
+comparing microsecond filter values (~1e15) against second bounds
+(~1e9) and wrongly pruning live chunks. Any future bound-format change
+must likewise ship under a NEW kind name.
 """
 
 from __future__ import annotations
@@ -75,8 +83,10 @@ def stats_rows(chunk_id: str, pdf) -> list[dict]:
             elif pd.api.types.is_datetime64_any_dtype(s):
                 # integer microseconds, tz handled by pandas .value (UTC
                 # epoch) — the same quantization _bloom_positions uses,
-                # so a last-ulp float mismatch can never wrongly prune
-                kind = "ts"
+                # so a last-ulp float mismatch can never wrongly prune.
+                # 'ts_us' (not legacy 'ts') so readers can tell this
+                # bound format from the old epoch-seconds one.
+                kind = "ts_us"
                 vmin = repr(int(sv.min().value) // 1000)
                 vmax = repr(int(sv.max().value) // 1000)
             elif pd.api.types.is_numeric_dtype(s):
@@ -174,10 +184,16 @@ def _norm_value(v: Any) -> tuple[str, Any] | None:
     return None
 
 
+# stats-sidecar kind -> the _norm_value kind its bounds compare against.
+# Legacy / unknown kinds are absent: their bounds are unparseable and the
+# reader stays 'maybe' (no-prune) instead of risking a wrong-prune.
+_COMPARABLE_KINDS = {"num": "num", "ts_us": "ts", "str": "str"}
+
+
 def _parse_bound(kind: str, raw: str | None) -> Any:
-    if raw is None:
+    if raw is None or kind not in _COMPARABLE_KINDS:
         return None
-    return float(raw) if kind in ("num", "ts") else raw
+    return float(raw) if kind in ("num", "ts_us") else raw
 
 
 def _may_match_one(stats: dict[str, dict], f: Any) -> bool:
@@ -220,9 +236,12 @@ def _may_match_one(stats: dict[str, dict], f: Any) -> bool:
         return True
     lo, hi = _parse_bound(kind, st["vmin"]), _parse_bound(kind, st["vmax"])
     if lo is None or hi is None:
+        # includes legacy/unknown kinds (e.g. pre-ts_us 'ts' sidecars),
+        # whose bounds cannot be trusted against current filter values
         return True
+    norm_kind = _COMPARABLE_KINDS[kind]
     if isinstance(f, StringStartsWith):
-        if kind != "str" or not isinstance(f.value, str):
+        if norm_kind != "str" or not isinstance(f.value, str):
             return True
         p = f.value
         # strings with prefix p all sort >= p; and if even vmin's p-length
@@ -230,12 +249,12 @@ def _may_match_one(stats: dict[str, dict], f: Any) -> bool:
         return hi >= p and str(lo)[: len(p)] <= p
     if isinstance(f, In):
         vs = [_norm_value(v) for v in f.value]
-        vs = [v for k, v in [x for x in vs if x is not None] if k == kind]
+        vs = [v for k, v in [x for x in vs if x is not None] if k == norm_kind]
         if not vs:
             return True
         return any(lo <= v <= hi for v in vs)
     nv = _norm_value(getattr(f, "value", None))
-    if nv is None or nv[0] != kind:
+    if nv is None or nv[0] != norm_kind:
         return True
     v = nv[1]
     if kind == "num" and v != v:

@@ -88,29 +88,21 @@ def test_bench_headline_is_a_catalog_subset():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline names"
 
 
-def test_driver_prefix_leads_with_unverified():
-    """The driver-facing order puts every query WITHOUT a green driver
-    hash-match row (CORRECTNESS_r01/r02) ahead of all re-confirmations."""
-    import json
-    import os
+def test_driver_prefix_leads_with_stalest_verification():
+    """The driver-facing order is least-recently-verified first: rank 0
+    (never green, or oracle changed since last green — _REVERIFY_FIRST)
+    leads, then greens by ascending last-green round. The driver only
+    adjudicates a bounded prefix, so this ordering is what keeps every
+    query's independent evidence fresh across rounds."""
+    from mandoline_hbase_spark.queries.catalog import (
+        _REVERIFY_FIRST,
+        _last_green_round,
+        driver_queries,
+    )
 
-    from mandoline_hbase_spark.queries.catalog import driver_queries
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green = set()
-    for fn in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        p = os.path.join(root, fn)
-        if os.path.exists(p):
-            d = json.load(open(p))
-            green |= {
-                k
-                for k, v in d.items()
-                if isinstance(v, dict) and v.get("hash_match") and v.get("spark_rows", 0) > 0
-            }
+    last = _last_green_round()
     names = list(driver_queries())
-    seen_green = False
-    for n in names:
-        if n in green:
-            seen_green = True
-        else:
-            assert not seen_green, f"unverified query {n} ranked after a green one"
+    ranks = [0 if n in _REVERIFY_FIRST else last.get(n, 0) for n in names]
+    assert ranks == sorted(ranks), "driver order not non-decreasing in staleness rank"
+    for n in _REVERIFY_FIRST:
+        assert n in names[: len(_REVERIFY_FIRST)], f"{n} (changed oracle) not at the front"

@@ -266,6 +266,26 @@ def test_fake_backend_full_engine_concurrent_writers(tmp_path):
         storage.unregister_cas_backend(str(tmp_path))
 
 
+def test_fake_backend_sees_pre_registration_objects(tmp_path):
+    """Objects written before register_cas_backend (committed version
+    rows, the retention floor, reservation markers) are committed state:
+    a write-through fake must NOT re-win them (overwriting the real
+    commit file) and must surface them through get/exists/list_names."""
+    pre = tmp_path / "commit-00000000000000000001.parquet"
+    pre.write_bytes(b"committed-by-an-earlier-driver")
+    mem = storage.InMemoryCasBackend(write_through=True)
+    # re-winning an already-committed id is the exact corruption ADVICE named
+    assert mem.put_if_absent(str(pre), b"usurper") is False
+    assert pre.read_bytes() == b"committed-by-an-earlier-driver"
+    assert mem.exists(str(pre)) is True
+    assert mem.get(str(pre)) == b"committed-by-an-earlier-driver"
+    assert "commit-00000000000000000001.parquet" in mem.list_names(str(tmp_path), "commit-")
+    # a blank-bucket fake (write_through=False) is pure in-memory truth
+    blank = storage.InMemoryCasBackend(write_through=False)
+    assert blank.exists(str(pre)) is False
+    assert blank.put_if_absent("mem/other", b"x") is True
+
+
 def test_cas_backends_agree_on_random_histories(tmp_path):
     """Property: the local-FS and If-None-Match fake backends produce
     identical outcomes for any operation history — the seam's contract

@@ -222,6 +222,60 @@ def test_maintenance_driver_state_is_o1(store, spark, monkeypatch):
     assert np.array_equal(store.read_variable("x", version=vids[2]), arrs[2])
 
 
+def test_sweep_reads_marker_age_through_backend_not_stat(store, spark, monkeypatch):
+    """Reservation-marker age comes from the marker payload via the CAS
+    backend, never os.stat on a local path — a pure object-store backend
+    has no file to stat, and the old stat path silently skipped every
+    stale reservation there (ids never released)."""
+    import os
+    import time
+
+    from mandoline_hbase_spark import storage
+
+    store.spark = spark
+    vdir = store._dirs["versions"]
+    rid = storage.reserve_version_id(vdir, 1)
+    # Backdate the PAYLOAD only; freshen the file mtime so a stat-based
+    # age would wrongly read "young".
+    marker = os.path.join(vdir, f".reserved-{rid}")
+    storage.cas_backend_for(vdir).put(marker, repr(time.time() - 7200).encode())
+    os.utime(marker, None)
+
+    real_stat = os.stat
+
+    def _no_stat_markers(path, *a, **k):
+        if ".reserved-" in str(path):
+            raise AssertionError("os.stat on a reservation marker in the sweep path")
+        return real_stat(path, *a, **k)
+
+    monkeypatch.setattr(os, "stat", _no_stat_markers)
+    swept = store.sweep_failed_commits(older_than_s=3600.0)
+    monkeypatch.undo()
+    assert swept["reservations_cleared"] == 1
+    assert rid not in storage.reserved_version_ids(vdir)
+
+    # unknown-age markers (legacy empty payload, no statable file) are
+    # protected, not reclaimed
+    rid2 = storage.reserve_version_id(vdir, rid + 1)
+    marker2 = os.path.join(vdir, f".reserved-{rid2}")
+    storage.cas_backend_for(vdir).put(marker2, b"")
+
+    def _no_local_file(path, *a, **k):
+        if ".reserved-" in str(path):
+            raise FileNotFoundError(path)  # object-store backend: no local file
+        return real_stat(path, *a, **k)
+
+    monkeypatch.setattr(os, "stat", _no_local_file)
+    try:
+        assert storage.reservation_created_at(vdir, rid2) == float("inf")
+        swept2 = store.sweep_failed_commits(older_than_s=0.0)
+    finally:
+        monkeypatch.undo()
+    assert swept2["reservations_cleared"] == 0
+    assert rid2 in storage.reserved_version_ids(vdir)
+    storage.release_version_reservation(vdir, rid2)
+
+
 def test_crash_between_stage_and_publish_leaks_refs_never_dangles(store, spark, monkeypatch):
     """Crash ordering of the staged ref-delta publish: deltas become
     visible only AFTER the index rewrite, so a crash in between leaves

@@ -62,6 +62,26 @@ def test_sample_fraction_bounds():
         sampling.fraction_to_hex(1.5)
 
 
+def test_split_oracle_literals_match_fraction_to_hex():
+    """The dataset_split_assign / split_leakage_report oracle SQL hardcodes
+    the 0.8/0.1/0.1 hash-space boundaries; derive them from the same
+    fraction_to_hex the Spark operator uses so the two can never drift
+    (a one-off boundary is a ~2^-32-per-doc latent driver mismatch)."""
+    import re
+
+    from mandoline_hbase_spark.queries.catalog import oracle_sql_map
+
+    t_train = sampling.fraction_to_hex(0.8)
+    t_val = sampling.fraction_to_hex(0.8 + 0.1)  # float sum, as the operator computes it
+    for name in ("dataset_split_assign", "split_leakage_report"):
+        sql = oracle_sql_map()[name]
+        literals = re.findall(r"< '([0-9a-f]{8})'", sql)
+        assert literals.count(t_train) >= 1, (name, t_train, literals)
+        assert literals.count(t_val) >= 1, (name, t_val, literals)
+        for lit in literals:
+            assert lit in (t_train, t_val), (name, lit)
+
+
 def test_stratified_rates(spark):
     rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(400)]
     df = spark.createDataFrame(rows, "doc_id bigint, lang string")

@@ -40,7 +40,7 @@ def test_stats_rows_kinds():
     assert st["i"]["kind"] == "num" and float(st["i"]["vmin"]) == 1.0
     assert st["f"]["nulls"] == 1 and float(st["f"]["vmax"]) == 2.5
     assert st["s"]["kind"] == "str" and st["s"]["vmin"] == "a" and st["s"]["vmax"] == "c"
-    assert st["t"]["kind"] == "ts"
+    assert st["t"]["kind"] == "ts_us"
     # bounds are integer UTC microseconds (exact writer/reader arithmetic)
     assert int(st["t"]["vmin"]) == (
         datetime.datetime(2020, 1, 1) - datetime.datetime(1970, 1, 1)
@@ -101,6 +101,41 @@ def test_allnull_chunk_pruning():
     st = _stats(pd.DataFrame({"x": [None, None]}))
     assert zonemaps._may_match_one(st, EqualTo(("x",), 1)) is False
     assert zonemaps._may_match_one(st, IsNull(("x",))) is True
+
+
+def test_legacy_ts_sidecar_never_prunes():
+    """Pre-ts_us sidecars stored epoch-seconds floats under kind 'ts'.
+    Their bounds are three orders of magnitude off the current
+    microsecond filter values, so the reader must treat them as
+    unparseable (keep the chunk) — never compare and wrong-prune."""
+    t = datetime.datetime(2020, 1, 1)
+    legacy = {
+        "x": {
+            "chunk_id": "c1",
+            "column": "x",
+            "kind": "ts",  # legacy epoch-seconds format
+            "vmin": repr(t.timestamp()),
+            "vmax": repr((t + datetime.timedelta(days=2)).timestamp()),
+            "nulls": 0,
+            "nrows": 3,
+        }
+    }
+    # filter value inside the legacy chunk's real range: a naive
+    # seconds-vs-microseconds compare would prove "no match" and drop rows
+    probe = t + datetime.timedelta(days=1)
+    for f in (
+        EqualTo(("x",), probe),
+        GreaterThan(("x",), probe),
+        LessThanOrEqual(("x",), probe),
+        In(("x",), (probe,)),
+        StringStartsWith(("x",), "2020"),
+    ):
+        assert zonemaps._may_match_one(legacy, f) is True
+    # null accounting is format-independent and still works on legacy rows
+    assert zonemaps._may_match_one(legacy, IsNull(("x",))) is False
+    # current-format rows on the same values still prune
+    current = _stats(pd.DataFrame({"x": pd.to_datetime(["2020-01-01", "2020-01-03"])}))
+    assert zonemaps._may_match_one(current, EqualTo(("x",), t + datetime.timedelta(days=30))) is False
 
 
 def test_prune_chunks_keeps_statless():
