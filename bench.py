@@ -162,6 +162,9 @@ HEADLINE = [
     "curation_policy_verdicts",
     "text_compression_ratio",
     "split_leakage_report",
+    "bm25_search_topk",
+    "domain_quota_sample",
+    "dedup_prefix_filter",
 ]
 
 
@@ -245,7 +248,9 @@ _FAMILY_PREFIXES = (
     ("dedup", ("dedup_", "decontam_", "graph_")),
     ("ann", ("sim_", "emb_")),
     ("curate", ("sample_", "curate_", "corpus_", "pack_", "mix_", "chunk_",
-                "quality_", "contrastive_")),
+                "quality_", "contrastive_", "domain_", "dataset_", "split_",
+                "epoch_")),
+    ("search", ("bm25_",)),
 )
 
 

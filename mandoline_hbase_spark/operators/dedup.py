@@ -641,6 +641,78 @@ def jaccard_pairs(
     )
 
 
+def prefix_filter_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 4096,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin-style):
+    all pairs with shingle-Jaccard >= ``threshold``, no probabilistic
+    recall bound — the deterministic alternative to MinHash-LSH.
+
+    Prefix-filter principle: order each doc's shingles by a GLOBAL rank
+    (corpus document-frequency asc, shingle asc — rarest first); if
+    ``J(A,B) >= t`` the two docs MUST share a shingle inside their
+    first ``|X| - floor(t*|X|) + 1`` shingles (one more than the tight
+    ``ceil`` bound, absorbing float rounding of ``t*|X|`` on the safe
+    side). Only those prefix shingles generate candidates, and because
+    the global order puts RARE shingles first, prefix buckets are small
+    by construction — boilerplate shingles ("all rights reserved")
+    have huge df, sort last, and never enter a prefix unless a doc is
+    nearly all boilerplate.
+
+    Plan at 100 TB: explode is map-side; the df aggregate is
+    vocabulary-grain with map-side partial combine; the rank window is
+    keyed per doc (bounded by doc length); the candidate self-join is
+    bucket-bounded through the same adaptive hot-key guard the LSH path
+    uses (``max_bucket_size`` defaults higher here since degradation
+    to star pairs would cost exactness — a corpus that trips it gets
+    the documented bounded undercount, same contract as
+    ``banded_candidate_pairs``); the verify join is id-keyed.
+    """
+    feats = with_shingle_set(
+        spread_to_parallelism(df, id_col), shingle_n, id_col, text_col
+    ).localCheckpoint(eager=True)  # feeds prefix build AND the verify joins
+    from pyspark.sql import Window
+
+    exploded = feats.select(
+        F.col(id_col), F.size("sh").alias("_n"), F.explode("sh").alias("shingle")
+    )
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = exploded.join(dfreq, "shingle")
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    prefix = (
+        ranked.withColumn("_pos", F.row_number().over(w))
+        .filter(
+            F.col("_pos")
+            <= F.col("_n") - F.floor(F.lit(float(threshold)) * F.col("_n")) + F.lit(1)
+        )
+        .select(F.col(id_col), "shingle")
+    )
+    cands = banded_candidate_pairs(
+        prefix, id_col, keys=("shingle",), max_bucket_size=max_bucket_size
+    )
+    fa = feats.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    fb = feats.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= float(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     threshold: float = 0.8,

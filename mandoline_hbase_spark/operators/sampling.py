@@ -93,6 +93,84 @@ def sample_topk_per_group(
     )
 
 
+def sample_domain_quota(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "quota",
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Per-domain quota curation: keep at most ``quota`` docs per group,
+    chosen deterministically (smallest salted hash, id tiebreak) — the
+    RefinedWeb-style cap that stops one hot domain from dominating a
+    training mix. Output = input columns + ``quota_rank`` (1..quota),
+    EXACTLY equal to :func:`sample_topk_per_group` with the same salt.
+
+    This is the scale path for skewed domains: the naive per-group
+    window shuffles the whole corpus and funnels each hot domain into
+    one sort task. Here only candidate SURVIVORS shuffle:
+
+    1. group sizes — a group-grain aggregate (tiny), broadcast back;
+    2. map-only prefilter ``hash < threshold(oversample*quota/size)``
+       bounds every group to ~``oversample*quota`` expected survivors;
+    3. the exact window runs on survivors only;
+    4. a deficiency audit (group-grain) catches the rare group whose
+       prefilter kept fewer than ``min(size, quota)`` rows — those
+       groups (usually none; the probability at 4x oversample is
+       e^-quota-ish by Chernoff) rerun without the prefilter and
+       replace their survivor ranks, keeping the output exact.
+
+    Groups at or below ``oversample*quota`` rows skip the prefilter
+    entirely (threshold saturates at keep-everything), so small-domain
+    results never depend on the audit.
+    """
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    h = hash_bucket_hex(F.col(id_col), salt)
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gsz"))
+
+    # map-only prefilter: per-group hash threshold, saturating at 1.0
+    frac = F.least(F.lit(1.0), F.lit(float(oversample) * quota) / F.col("_gsz"))
+    # fraction_to_hex inlined as a Column: floor(frac * 16^8) as 8-hex
+    thr = F.lpad(
+        F.lower(F.hex(F.least(F.floor(frac * _HEX_SPACE), F.lit(_HEX_SPACE - 1)).cast("bigint"))),
+        8,
+        "0",
+    )
+    tagged = df.join(F.broadcast(sizes), group_col)
+    survivors = tagged.filter(h < thr).drop("_gsz")
+
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    ranked = survivors.withColumn("quota_rank", F.row_number().over(w).cast("bigint"))
+    # eager checkpoint: the audit count and the returned plan both read
+    # `kept` (≈ quota x groups rows — output-sized); without it the
+    # prefilter+window pipeline would execute twice
+    kept = ranked.filter(F.col("quota_rank") <= quota).localCheckpoint(eager=True)
+
+    # deficiency audit: group-grain counts only (never row data)
+    surv_counts = kept.groupBy(group_col).agg(F.count(F.lit(1)).alias("_kept"))
+    deficient = (
+        sizes.join(surv_counts, group_col, "left")
+        .filter(
+            F.coalesce(F.col("_kept"), F.lit(0))
+            < F.least(F.col("_gsz"), F.lit(quota).cast("bigint"))
+        )
+        .select(group_col)
+    )
+    n_deficient = deficient.count()
+    if n_deficient == 0:
+        return kept
+    # rare exact fallback: full window for the deficient groups only
+    redo = df.join(F.broadcast(deficient), group_col, "semi")
+    redo_kept = (
+        redo.withColumn("quota_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("quota_rank") <= quota)
+    )
+    good = kept.join(F.broadcast(deficient), group_col, "anti")
+    return good.unionByName(redo_kept)
+
+
 def sample_weighted_topk(
     df: DataFrame,
     k: int,

@@ -1,0 +1,145 @@
+"""Full-text search: inverted-index postings and BM25 ranking.
+
+The reference engine's only query surface is coordinate lookup
+(hbase.clj:184-198 ``find-index``); a training-data store additionally
+needs content retrieval — "find the documents about X" — for curation
+audits, eval-set mining, and contamination forensics. This module
+provides the standard IR primitives as DataFrame plans:
+
+- :func:`postings` — the inverted index ``(term, doc_id, tf)`` plus a
+  doc-length table, the same two aggregates every search engine builds;
+- :func:`bm25_topk` — Okapi BM25 ranking (Lucene's positive-idf
+  variant) for a bounded set of query terms.
+
+Scale design (100 TB corpus, 1000 executors):
+
+- The exploded token stream is aggregated TWICE, both map-side partial:
+  ``(doc, term)`` for tf and ``(doc)`` for length. The query-term
+  filter is applied *before* the tf shuffle, so the per-query work
+  after the one corpus-wide length pass is proportional to the
+  postings of the queried terms, not the corpus.
+- Corpus scalars (N, total length) and per-term document frequencies
+  are term-grain aggregates — tiny — and join back via broadcast;
+  nothing larger than the vocabulary ever concentrates.
+- The final score is a per-doc fold over a FIXED, ordered list of
+  query terms (one pivoted column per term, coalesced then added
+  left-to-right), so the floating-point summation order is
+  deterministic and engine-independent — the property the DuckDB
+  oracle hash-compare requires. Ranking ties break on doc_id.
+- In a served deployment the ``postings`` output is the thing you
+  materialize (partitioned by term) and ``bm25_topk`` becomes a
+  broadcast-join against it; the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from mandoline_hbase_spark.operators.text import _spread, term_frequencies
+
+
+def postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Inverted-index building blocks: ``(doc, term, tf)`` and
+    ``(doc, dl)`` where ``dl`` is the document's token count.
+
+    Both aggregates partial-combine before their shuffle; ``dl`` comes
+    from the raw token stream (not a sum over tf) so it is ONE
+    aggregate keyed on the doc id.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    dl = (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode_outer(toks).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    )
+    return tf, dl
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for ``query_terms`` under Okapi BM25.
+
+    Uses Lucene's always-positive idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    and the standard saturation term
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    ``avgdl`` is computed as an exact integer sum divided once (not a
+    float ``avg``), so the scalar is bit-identical across engines; the
+    per-term contributions are added in the fixed order of
+    ``query_terms``. Output: ``(rank, doc_id, score)``, score rounded
+    to 6 decimals, rank dense in (rounded score desc, doc_id asc).
+    """
+    terms = list(dict.fromkeys(query_terms))  # dedup, preserve order
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    tf, dl = postings(df, id_col, text_col)
+
+    # corpus scalars: exact integer sums -> one double division each
+    n_docs = df.select(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    corpus = dl.agg(F.sum("dl").cast("bigint").alias("sum_dl")).crossJoin(
+        F.broadcast(n_docs)
+    )
+
+    # df(t) over the queried terms only — term-grain, broadcastable
+    qtf = tf.filter(F.col("term").isin(terms))
+    dft = qtf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+
+    scored = (
+        qtf.join(dl, id_col)  # doc-keyed; qtf side is postings of q terms only
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(corpus))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df_t").cast("double") + F.lit(0.5))
+        / (F.col("df_t").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    sat = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    contrib = scored.select(F.col(id_col), "term", (idf * sat).alias("c"))
+
+    # pivot to one column per query term, then fold in declared order —
+    # deterministic summation, no engine-dependent agg ordering
+    per_term = [
+        F.sum(F.when(F.col("term") == t, F.col("c"))).alias(f"_c{i}")
+        for i, t in enumerate(terms)
+    ]
+    folded = reduce(
+        lambda acc, i: acc + F.coalesce(F.col(f"_c{i}"), F.lit(0.0)),
+        range(1, len(terms)),
+        F.coalesce(F.col("_c0"), F.lit(0.0)),
+    )
+    ranked = (
+        contrib.groupBy(id_col)
+        .agg(*per_term)
+        .select(F.col(id_col), F.round(folded, 6).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    # top-k first (TakeOrderedAndProject — per-partition heaps, never a
+    # global sort), THEN the rank window over only the k surviving rows;
+    # a pre-limit global row_number would move the whole match set to
+    # one partition.
+    top = ranked.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", id_col, "score"
+    )

@@ -685,3 +685,63 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         holdout_split.alias("holdout_split"),
         F.col("jaccard"),
     ).orderBy("train_id", "holdout_id")
+
+
+@register(
+    "domain_quota_sample",
+    oracle=r"""
+    SELECT source, quota_rank, doc_id FROM (
+        SELECT source, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(doc_id::VARCHAR || ':quota'), 1, 8),
+                            doc_id) AS BIGINT) AS quota_rank
+        FROM documents
+    ) WHERE quota_rank <= 4
+    ORDER BY source, quota_rank
+    """,
+    description=(
+        "Per-domain quota curation (RefinedWeb-style cap): keep at most 4 "
+        "docs per source, deterministically by salted id hash. Scale path "
+        "is primary: a group-grain size aggregate broadcasts back, a "
+        "map-only hash-threshold prefilter bounds every domain to "
+        "~oversample*quota survivors, the exact window runs on survivors "
+        "only, and a group-grain deficiency audit falls back to the full "
+        "window for any group the prefilter under-kept (exactness "
+        "guaranteed; the naive global window never runs on the corpus)."
+    ),
+    tags=("llm", "curation", "sampling", "quota"),
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_domain_quota(docs, quota=4, group_col="source").select(
+        "source", "quota_rank", "doc_id"
+    ).orderBy("source", "quota_rank")
+
+
+@register(
+    "dedup_prefix_filter",
+    oracle=_DUCK_SHINGLES
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+    """,
+    description=(
+        "EXACT set-similarity self-join via PPJoin-style prefix filtering "
+        "— the deterministic alternative to MinHash-LSH: shingles ranked "
+        "rarest-first by a vocabulary-grain df aggregate, only each doc's "
+        "|X|-floor(t|X|)+1 prefix shingles generate candidates (guaranteed "
+        "to cover every pair with J>=t), bucket join guarded, exact "
+        "verify. Oracle = brute-force all-pairs thresholding; unlike the "
+        "LSH row this equality is unconditional, not a recall argument."
+    ),
+    tags=("llm", "dedup", "prefix-filter", "ppjoin"),
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_near_duplicates(docs, threshold=0.7)

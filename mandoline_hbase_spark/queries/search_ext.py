@@ -1,0 +1,94 @@
+"""Content-retrieval queries: inverted-index / BM25 search over documents.
+
+The reference's query surface stops at coordinate lookup
+(hbase.clj:184-198); these queries add the IR retrieval layer a
+training-data store needs for curation audits and eval-set mining.
+Parity discipline matches llmops.py: identical tokenization on both
+engines, exact-integer corpus scalars, per-term score contributions
+added in a FIXED order (pivoted columns, not an unordered SUM), doubles
+rounded identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mandoline_hbase_spark.operators import search
+from mandoline_hbase_spark.queries.catalog import register
+from mandoline_hbase_spark.sources.tables import load_table
+
+# Query terms: one rare ('dup', df≈5% of docs) + two common — exercises
+# the idf spread. Fixed order defines the score summation order.
+_BM25_TERMS = ("dup", "hash", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_DUCK_BM25 = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE length(term) > 0 GROUP BY doc_id, term
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM toks WHERE length(term) > 0 GROUP BY doc_id
+    ),
+    corpus AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl
+    ),
+    dft AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df_t
+        FROM tf WHERE term IN ('dup', 'hash', 'vector') GROUP BY term
+    ),
+    contrib AS (
+        SELECT tf.doc_id, tf.term,
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+                        / (CAST(df_t AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                   AS c
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN dft USING (term)
+        CROSS JOIN corpus
+    ),
+    agg AS (
+        SELECT doc_id,
+               round(  coalesce(sum(CASE WHEN term = 'dup'    THEN c END), 0.0)
+                     + coalesce(sum(CASE WHEN term = 'hash'   THEN c END), 0.0)
+                     + coalesce(sum(CASE WHEN term = 'vector' THEN c END), 0.0),
+                     6) AS score
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT rank, doc_id, score FROM (
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+                   AS rank,
+               doc_id, score
+        FROM agg
+    ) WHERE rank <= 25
+"""
+
+
+@register(
+    "bm25_search_topk",
+    oracle=_DUCK_BM25,
+    description=(
+        "Okapi BM25 top-25 retrieval (Lucene positive-idf variant) for a "
+        "3-term query over the inverted index: query-term filter applied "
+        "before the tf shuffle, doc-frequency and corpus scalars joined "
+        "back as broadcasts, per-term contributions folded in a fixed "
+        "order so float summation is engine-deterministic, top-k via "
+        "TakeOrderedAndProject (no global sort, no global window)."
+    ),
+    tags=("search", "text", "bm25", "topk"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return search.bm25_topk(docs, _BM25_TERMS, k=25, k1=_BM25_K1, b=_BM25_B)

@@ -120,3 +120,63 @@ def test_window_fallback_path_emits_identical_pairs(spark):
     }
     assert via_window == via_bcast
     assert via_window == {(0, i) for i in range(1, 40)} | {(100, 101), (100, 102), (101, 102)}
+
+
+def test_prefix_filter_equals_exact_all_pairs(spark):
+    """Prefix filtering is EXACT: its output must equal brute-force
+    all-pairs Jaccard thresholding on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from mandoline_hbase_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.prefix_filter_near_duplicates(docs, threshold=0.7).collect()
+    }
+    sh = dedup.with_shingle_set(docs)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+    )
+    expected = {(r["id_a"], r["id_b"], r["jaccard"]) for r in brute.collect()}
+    assert got == expected
+    assert expected, "fixture must contain at least one true near-dup pair"
+
+
+def test_prefix_filter_candidates_subquadratic(spark):
+    """The rare-first prefix keeps candidate volume far below n^2/2."""
+    from pyspark.sql import functions as F
+
+    from mandoline_hbase_spark.operators import dedup
+    from mandoline_hbase_spark.operators.skew import spread_to_parallelism
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    feats = dedup.with_shingle_set(spread_to_parallelism(docs, "doc_id"))
+    exploded = feats.select(
+        F.col("doc_id"), F.size("sh").alias("_n"), F.explode("sh").alias("shingle")
+    )
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    prefix = (
+        exploded.join(dfreq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .filter(F.col("_pos") <= F.col("_n") - F.floor(F.lit(0.7) * F.col("_n")) + F.lit(1))
+        .select("doc_id", "shingle")
+    )
+    cands = dedup.banded_candidate_pairs(prefix, "doc_id", keys=("shingle",))
+    assert cands.count() < (n * (n - 1) // 2) * 0.25

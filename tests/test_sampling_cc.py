@@ -140,3 +140,36 @@ def test_weighted_topk_partition_invariant_and_excludes_nonpositive(spark):
     kept = {d for d, _ in a}
     # rows with weight <= 0 (i % 7 in {0, 1}) never appear
     assert not any(d % 7 in (0, 1) for d in kept)
+
+
+def test_domain_quota_equals_naive_window(spark):
+    rows = [(i, f"d{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    naive = sampling.sample_topk_per_group(df, k=10, group_col="source", salt="quota")
+    naive_set = {(r["source"], r["sample_rank"], r["doc_id"]) for r in naive.collect()}
+    fast = sampling.sample_domain_quota(df, quota=10, group_col="source")
+    fast_set = {(r["source"], r["quota_rank"], r["doc_id"]) for r in fast.collect()}
+    assert fast_set == naive_set
+
+
+def test_domain_quota_deficiency_fallback_is_exact(spark):
+    """Force the prefilter to under-keep (oversample < 1) so the audit
+    reruns groups through the exact window — output must still equal
+    the naive form."""
+    rows = [(i, f"d{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    naive = sampling.sample_topk_per_group(df, k=20, group_col="source", salt="quota")
+    naive_set = {(r["source"], r["sample_rank"], r["doc_id"]) for r in naive.collect()}
+    fast = sampling.sample_domain_quota(df, quota=20, group_col="source", oversample=0.5)
+    fast_set = {(r["source"], r["quota_rank"], r["doc_id"]) for r in fast.collect()}
+    assert fast_set == naive_set
+
+
+def test_domain_quota_small_groups_and_bounds(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id bigint, source string")
+    out = sampling.sample_domain_quota(df, quota=5, group_col="source").collect()
+    assert len(out) == 3  # groups below quota keep everything
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.sample_domain_quota(df, quota=0, group_col="source")

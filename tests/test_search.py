@@ -1,0 +1,89 @@
+"""BM25 retrieval: hand-computed scores, contract edges, plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mandoline_hbase_spark.operators import search
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana banana"),
+        (3, "cherry durian cherry apple"),
+        (4, "durian durian"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _bm25_expected(docs, terms, k1=1.2, b=0.75):
+    """Plain-Python BM25 over token lists, same fold order as the operator."""
+    toks = {d: t.lower().split() for d, t in docs if t.strip()}
+    n = len(docs)  # N counts ALL docs, including empty ones
+    dl = {d: len(ts) for d, ts in toks.items()}
+    avgdl = sum(dl.values()) / n
+    out = {}
+    for d, ts in toks.items():
+        score = 0.0
+        for term in terms:
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            df_t = sum(1 for o in toks.values() if term in o)
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            score += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+        if score:
+            out[d] = round(score, 6)
+    return out
+
+
+def test_bm25_matches_hand_computation(spark, corpus):
+    rows = [(1, "apple banana apple cherry"), (2, "banana banana banana"),
+            (3, "cherry durian cherry apple"), (4, "durian durian"), (5, "")]
+    expected = _bm25_expected(rows, ["apple", "durian"])
+    got = {r["doc_id"]: r["score"] for r in
+           search.bm25_topk(corpus, ["apple", "durian"], k=10).collect()}
+    assert got == pytest.approx(expected, abs=1e-9)
+
+
+def test_bm25_rank_orders_by_score_then_id(spark, corpus):
+    out = search.bm25_topk(corpus, ["banana"], k=10).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    keys = [(-r["score"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
+    # doc 2 is pure banana spam but longer; doc 1 has one banana in 4 tokens
+    assert out[0]["doc_id"] == 2
+
+
+def test_bm25_k_bounds_and_missing_terms(spark, corpus):
+    assert search.bm25_topk(corpus, ["apple", "zzz"], k=1).count() == 1
+    # a term absent from the corpus contributes nothing, never errors
+    assert search.bm25_topk(corpus, ["zzz"], k=5).count() == 0
+    with pytest.raises(ValueError):
+        search.bm25_topk(corpus, [])
+
+
+def test_bm25_duplicate_query_terms_counted_once(spark, corpus):
+    once = {r["doc_id"]: r["score"] for r in search.bm25_topk(corpus, ["apple"], k=10).collect()}
+    twice = {r["doc_id"]: r["score"] for r in
+             search.bm25_topk(corpus, ["apple", "apple"], k=10).collect()}
+    assert once == twice
+
+
+def test_bm25_plan_is_topk_not_global_sort(spark, corpus):
+    plan = search.bm25_topk(corpus, ["apple"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the only window runs over the k pre-limited rows
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_postings_shapes(spark, corpus):
+    tf, dl = search.postings(corpus)
+    assert {tuple(r) for r in tf.filter("term = 'apple'").collect()} == {
+        (1, "apple", 2), (3, "apple", 1)}
+    assert {tuple(r) for r in dl.collect()} == {(1, 4), (2, 3), (3, 4), (4, 2)}
