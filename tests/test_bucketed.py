@@ -1,0 +1,83 @@
+"""Bucketed materialization: the write-once-join-shuffle-free contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from mandoline_hbase_spark.operators import bucketed
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force real join strategies so an Exchange can't hide behind a
+    broadcast for these small fixtures."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cobucketed_join_has_no_exchange(no_broadcast, spark):
+    a = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "va", (2 * __import__("pyspark").sql.functions.col("k")).cast("bigint")
+    )
+    b = spark.range(0, 500).withColumnRenamed("id", "k").withColumn(
+        "vb", (3 * __import__("pyspark").sql.functions.col("k")).cast("bigint")
+    )
+    bucketed.materialize_bucketed(a, "t_bucket_a", ["k"], 4)
+    bucketed.materialize_bucketed(b, "t_bucket_b", ["k"], 4)
+    joined = bucketed.bucketed_equi_join(spark, "t_bucket_a", "t_bucket_b", ["k"])
+    assert bucketed.exchange_count(joined) == 0
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert joined.count() == 500
+    # the same join on the UNbucketed frames shuffles both sides
+    assert bucketed.exchange_count(a.join(b, "k")) >= 2
+
+
+def test_bucketed_scan_selected_one_file_per_bucket(no_broadcast, spark):
+    """The write path produces exactly one file per bucket (repartition
+    before bucketBy) and the join planner consumes the bucketed layout.
+    Note: Spark's v1 planner does NOT consume sortBy order (the merge
+    join re-sorts within buckets); sortBy remains worthwhile for
+    columnar compression and parquet min/max locality."""
+    import glob
+
+    a = spark.range(0, 300).withColumnRenamed("id", "k")
+    b = spark.range(0, 300).withColumnRenamed("id", "k")
+    bucketed.materialize_bucketed(a, "t_sorted_a", ["k"], 2)
+    bucketed.materialize_bucketed(b, "t_sorted_b", ["k"], 2)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_sorted_a", "t_sorted_b"):
+        assert len(glob.glob(f"{wh}/{t}/part-*.parquet")) == 2
+    joined = bucketed.bucketed_equi_join(spark, "t_sorted_a", "t_sorted_b", ["k"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan and "SelectedBucketsCount: 2 out of 2" in plan
+    assert bucketed.exchange_count(joined) == 0
+
+
+def test_mismatched_buckets_fall_back_visibly(no_broadcast, spark):
+    a = spark.range(0, 100).withColumnRenamed("id", "k")
+    b = spark.range(0, 100).withColumnRenamed("id", "k")
+    bucketed.materialize_bucketed(a, "t_mis_a", ["k"], 2)
+    bucketed.materialize_bucketed(b, "t_mis_b", ["k"], 3)
+    joined = bucketed.bucketed_equi_join(spark, "t_mis_a", "t_mis_b", ["k"])
+    # exchange_count exposes the silent shuffle fallback Spark inserts
+    assert bucketed.exchange_count(joined) >= 1
+    assert joined.count() == 100
+
+
+def test_bucketed_rewrite_replaces(spark):
+    a = spark.range(0, 10).withColumnRenamed("id", "k")
+    bucketed.materialize_bucketed(a, "t_replace", ["k"], 2)
+    again = bucketed.materialize_bucketed(a.filter("k < 5"), "t_replace", ["k"], 2)
+    assert again.count() == 5
+    spark.sql("DROP TABLE IF EXISTS t_replace")
+
+
+def test_bucketed_validation(spark):
+    a = spark.range(0, 10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        bucketed.materialize_bucketed(a, "t_bad", ["nope"], 2)
+    with pytest.raises(ValueError):
+        bucketed.materialize_bucketed(a, "t_bad", ["k"], 0)
