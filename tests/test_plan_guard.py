@@ -47,6 +47,10 @@ BNLJ_ALLOWED = {
     "hll_union_distinct_users",
     "sim_lsh_ann_topk",
     "sim_ivf_ann_topk",
+    # BM25 crossJoins two broadcast 1-row aggregates (corpus N, total
+    # doc length) into the postings of the query terms — broadcast
+    # scalars, same shape as tfidf's doc count
+    "bm25_search_topk",
 }
 
 
