@@ -73,6 +73,33 @@ def zorder_key(col_a, col_b, bits: int = 16):
     return key
 
 
+def zorder_key_n(cols, bits: int = 16):
+    """Morton key interleaving the low ``bits`` of N non-negative
+    integer columns round-robin (column 0 owns the most significant
+    bit of each round) — :func:`zorder_key` generalized beyond two
+    dimensions, for chunk layouts clustered on three or more filter
+    columns (e.g. var hash x time bucket x tenant).
+
+    Total key width is ``len(cols) * bits`` and must fit a signed
+    64-bit long (<= 63); the same shift/mask whole-stage-codegen
+    arithmetic, no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("zorder_key_n needs at least one column")
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits = {n * bits} key bits; max 63")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + (n - 1 - j)))
+    return key
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -100,3 +100,52 @@ def test_zorder_key_is_bijective_and_box_monotone(spark):
     assert keys.distinct().count() == side * side
     lo, hi = keys.agg(F.min("z"), F.max("z")).first()
     assert lo == 0 and hi == side * side - 1
+
+
+def test_zorder_key_n_matches_two_col_form(spark):
+    """zorder_key_n over [a, b] must equal the 2-col zorder_key bit for
+    bit (a owns the higher bit of each round in both)."""
+    from pyspark.sql import functions as F
+
+    from mandoline_hbase_spark.sources.lake import zorder_key, zorder_key_n
+
+    df = spark.range(0, 64).select(
+        (F.col("id") % 8).alias("a"), (F.col("id") / 8).cast("long").alias("b")
+    )
+    rows = df.select(
+        zorder_key(F.col("a"), F.col("b"), bits=3).alias("z2"),
+        zorder_key_n([F.col("a"), F.col("b")], bits=3).alias("zn"),
+    ).collect()
+    assert all(r["z2"] == r["zn"] for r in rows)
+
+
+def test_zorder_key_n_three_cols_bijective(spark):
+    from pyspark.sql import functions as F
+
+    from mandoline_hbase_spark.sources.lake import zorder_key_n
+
+    df = spark.range(0, 512).select(
+        (F.col("id") % 8).alias("a"),
+        ((F.col("id") / 8) % 8).cast("long").alias("b"),
+        (F.col("id") / 64).cast("long").alias("c"),
+    )
+    keys = [
+        r["z"]
+        for r in df.select(
+            zorder_key_n([F.col("a"), F.col("b"), F.col("c")], bits=3).alias("z")
+        ).collect()
+    ]
+    assert len(set(keys)) == 512  # bijective over the 8x8x8 cube
+    assert min(keys) == 0 and max(keys) == 511
+
+
+def test_zorder_key_n_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mandoline_hbase_spark.sources.lake import zorder_key_n
+
+    with _pytest.raises(ValueError):
+        zorder_key_n([], bits=8)
+    with _pytest.raises(ValueError):
+        zorder_key_n([F.col("a"), F.col("b")], bits=32)  # 64 key bits > 63
