@@ -165,6 +165,8 @@ HEADLINE = [
     "bm25_search_topk",
     "domain_quota_sample",
     "dedup_prefix_filter",
+    "search_phrase_occurrences",
+    "search_boolean_filter",
 ]
 
 

@@ -63,6 +63,89 @@ def postings(
     return tf, dl
 
 
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: one ``(doc, term, pos)`` row per token
+    occurrence (1-based positions) — the structure phrase queries need.
+    posexplode is map-side; no shuffle until a consumer keys on
+    something.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.posexplode_outer(toks).alias("_p0", "term"))
+        .filter(F.length("term") > 0)
+        .select(F.col(id_col), "term", (F.col("_p0") + 1).cast("bigint").alias("pos"))
+    )
+
+
+def phrase_occurrences(
+    df: DataFrame,
+    phrase_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs containing the exact consecutive phrase, with occurrence
+    counts: ``(doc_id, n_occurrences)``.
+
+    The standard positional-postings phrase join: postings are filtered
+    to the phrase's terms BEFORE any shuffle (work ∝ those terms'
+    postings, not the corpus), then term i joins term 0 on
+    ``(doc, anchor_pos + i)``. Every join is keyed on (doc, pos) —
+    co-partitioned after the first, and AQE broadcasts the rare-term
+    sides. Anchor = the first term's positions, so each surviving
+    anchor row is exactly one phrase occurrence.
+    """
+    terms = list(phrase_terms)
+    if len(terms) < 2:
+        raise ValueError("phrase_terms needs at least two terms")
+    tp = positional_postings(df, id_col, text_col)
+    anchors = tp.filter(F.col("term") == terms[0]).select(id_col, "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = tp.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        anchors = anchors.join(nxt, [id_col, "pos"], "left_semi")
+    return (
+        anchors.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+
+
+def boolean_search(
+    df: DataFrame,
+    must: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean retrieval: ids of docs containing EVERY ``must`` term and
+    NONE of the ``must_not`` terms.
+
+    One distinct (doc, term) pass over the filtered postings, then a
+    single doc-grain aggregate counts matched must-terms and flags any
+    banned term — one shuffle total, no per-term join chain.
+    """
+    must, must_not = list(must), list(must_not)
+    if not must and not must_not:
+        raise ValueError("boolean_search needs at least one term")
+    base = df.select(F.col(id_col)).distinct() if not must else None
+    tf = term_frequencies(df, id_col, text_col)
+    relevant = tf.filter(F.col("term").isin(must + must_not)).select(id_col, "term")
+    flags = relevant.groupBy(id_col).agg(
+        F.count(F.when(F.col("term").isin(must), True)).alias("_hits"),
+        F.count(F.when(F.col("term").isin(must_not), True)).alias("_bans"),
+    )
+    if must:
+        return flags.filter(
+            (F.col("_hits") == len(must)) & (F.col("_bans") == 0)
+        ).select(id_col)
+    # must_not only: anti-join the banned docs off the corpus
+    banned = flags.filter(F.col("_bans") > 0).select(id_col)
+    return base.join(banned, id_col, "left_anti")
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: Sequence[str],

@@ -92,3 +92,65 @@ _DUCK_BM25 = r"""
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return search.bm25_topk(docs, _BM25_TERMS, k=25, k1=_BM25_K1, b=_BM25_B)
+
+
+@register(
+    "search_phrase_occurrences",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    tp AS (
+        SELECT doc_id, unnest(t) AS term,
+               unnest(generate_series(1, len(t))) AS pos
+        FROM toks
+    ),
+    a AS (SELECT doc_id, pos FROM tp WHERE term = 'hash'),
+    b AS (SELECT doc_id, pos FROM tp WHERE term = 'join')
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """,
+    description=(
+        "Exact-phrase retrieval ('hash join') over the positional "
+        "inverted index: postings filtered to the phrase terms before "
+        "any shuffle, successive (doc, anchor_pos+i) semi-joins — work "
+        "is proportional to the phrase terms' postings, never the "
+        "corpus; every join is (doc, pos)-keyed and co-partitioned."
+    ),
+    tags=("search", "text", "phrase"),
+)
+def search_phrase_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return search.phrase_occurrences(docs, ["hash", "join"]).orderBy("doc_id")
+
+
+@register(
+    "search_boolean_filter",
+    oracle=r"""
+    WITH tp AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    )
+    SELECT doc_id FROM tp
+    WHERE term IN ('dup', 'hash', 'vector')
+    GROUP BY doc_id
+    HAVING count(DISTINCT CASE WHEN term IN ('dup', 'hash') THEN term END) = 2
+       AND count(CASE WHEN term = 'vector' THEN 1 END) = 0
+    ORDER BY doc_id
+    """,
+    description=(
+        "Boolean retrieval (MUST dup AND hash, MUST NOT vector): one "
+        "distinct (doc, term) pass over postings filtered to the query "
+        "terms, then a single doc-grain aggregate — one shuffle total, "
+        "no per-term join chain."
+    ),
+    tags=("search", "text", "boolean"),
+)
+def search_boolean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return search.boolean_search(docs, must=["dup", "hash"], must_not=["vector"]).orderBy(
+        "doc_id"
+    )

@@ -87,3 +87,36 @@ def test_postings_shapes(spark, corpus):
     assert {tuple(r) for r in tf.filter("term = 'apple'").collect()} == {
         (1, "apple", 2), (3, "apple", 1)}
     assert {tuple(r) for r in dl.collect()} == {(1, 4), (2, 3), (3, 4), (4, 2)}
+
+
+def test_positional_postings(spark, corpus):
+    tp = search.positional_postings(corpus)
+    rows = {tuple(r) for r in tp.filter("doc_id = 1").collect()}
+    assert rows == {(1, "apple", 1), (1, "banana", 2), (1, "apple", 3), (1, "cherry", 4)}
+
+
+def test_phrase_occurrences(spark, corpus):
+    # "banana apple" occurs once (doc 1: positions 2,3); "apple banana" once (1,2)
+    got = {tuple(r) for r in search.phrase_occurrences(corpus, ["banana", "apple"]).collect()}
+    assert got == {(1, 1)}
+    # tripled banana: "banana banana" occurs twice in doc 2 (overlapping)
+    got2 = {tuple(r) for r in search.phrase_occurrences(corpus, ["banana", "banana"]).collect()}
+    assert got2 == {(2, 2)}
+    # three-term phrase across doc 3: "cherry durian cherry"
+    got3 = {tuple(r) for r in
+            search.phrase_occurrences(corpus, ["cherry", "durian", "cherry"]).collect()}
+    assert got3 == {(3, 1)}
+    # absent phrase -> empty
+    assert search.phrase_occurrences(corpus, ["durian", "apple"]).count() == 0
+    with pytest.raises(ValueError):
+        search.phrase_occurrences(corpus, ["solo"])
+
+
+def test_boolean_search(spark, corpus):
+    ids = lambda df: {r["doc_id"] for r in df.collect()}
+    assert ids(search.boolean_search(corpus, must=["apple", "cherry"])) == {1, 3}
+    assert ids(search.boolean_search(corpus, must=["apple"], must_not=["durian"])) == {1}
+    assert ids(search.boolean_search(corpus, must_not=["banana"])) == {3, 4, 5}
+    assert ids(search.boolean_search(corpus, must=["zzz"])) == set()
+    with pytest.raises(ValueError):
+        search.boolean_search(corpus)
