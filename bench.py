@@ -167,6 +167,7 @@ HEADLINE = [
     "dedup_prefix_filter",
     "search_phrase_occurrences",
     "search_boolean_filter",
+    "search_bm25_rerank_cosine",
 ]
 
 

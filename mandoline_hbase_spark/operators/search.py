@@ -63,6 +63,60 @@ def postings(
     return tf, dl
 
 
+def bm25_rerank_cosine(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: Sequence[str],
+    query_vec: DataFrame,
+    k_retrieve: int = 25,
+    k_final: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Retrieve-then-rerank: BM25 shortlist of ``k_retrieve`` docs,
+    re-ranked by cosine similarity of their embeddings to ``query_vec``
+    (a 1-row DataFrame with ``vec_col``); top ``k_final`` returned as
+    ``(rank, doc_id, bm25_score, cosine)``.
+
+    The modern two-stage search shape: the cheap lexical stage bounds
+    the candidate set, so the embedding join touches ``k_retrieve``
+    rows — never the corpus — and the query vector broadcasts. Cosine
+    uses the left-fold sum (``similarity.cosine_sim``) whose DuckDB
+    ``list_cosine_similarity`` parity the sim_* oracles establish.
+    """
+    from mandoline_hbase_spark.operators.similarity import cosine_sim
+
+    shortlist = bm25_topk(
+        docs, query_terms, k=k_retrieve, k1=k1, b=b, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col), F.col("score").alias("bm25_score"))
+    qv = query_vec.select(
+        F.col(vec_col).cast("array<double>").alias("_qv")
+    ).limit(1)
+    cand = (
+        shortlist.join(
+            emb.select(
+                F.col(vec_id_col).alias(id_col),
+                F.col(vec_col).cast("array<double>").alias("_cv"),
+            ),
+            id_col,
+        )
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cosine", F.round(cosine_sim(F.col("_cv"), F.col("_qv")), 6))
+        .select(id_col, "bm25_score", "cosine")
+    )
+    from pyspark.sql import Window
+
+    top = cand.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k_final)
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", id_col, "bm25_score", "cosine"
+    )
+
+
 def positional_postings(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -12,6 +12,7 @@ rounded identically.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mandoline_hbase_spark.operators import search
 from mandoline_hbase_spark.queries.catalog import register
@@ -23,7 +24,9 @@ _BM25_TERMS = ("dup", "hash", "vector")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
-_DUCK_BM25 = r"""
+# CTE chain shared by the pure-BM25 query and the rerank hybrid (the
+# final SELECT differs); 'agg' holds (doc_id, score rounded to 6).
+_DUCK_BM25_CTES = r"""
     WITH toks AS (
         SELECT doc_id,
                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
@@ -67,6 +70,9 @@ _DUCK_BM25 = r"""
                      6) AS score
         FROM contrib GROUP BY doc_id
     )
+"""
+
+_DUCK_BM25 = _DUCK_BM25_CTES + r"""
     SELECT rank, doc_id, score FROM (
         SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
                    AS rank,
@@ -153,4 +159,47 @@ def search_boolean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return search.boolean_search(docs, must=["dup", "hash"], must_not=["vector"]).orderBy(
         "doc_id"
+    )
+
+
+@register(
+    "search_bm25_rerank_cosine",
+    oracle=_DUCK_BM25_CTES
+    + r""",
+    bm AS (
+        SELECT doc_id, score FROM (
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS BIGINT) AS r
+            FROM agg
+        ) WHERE r <= 25
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+    cand AS (
+        SELECT bm.doc_id, bm.score AS bm25_score,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                   AS cosine
+        FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id CROSS JOIN q
+    )
+    SELECT rank, doc_id, bm25_score, cosine FROM (
+        SELECT CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT)
+                   AS rank,
+               doc_id, bm25_score, cosine
+        FROM cand
+    ) WHERE rank <= 10
+    """,
+    description=(
+        "Retrieve-then-rerank hybrid search: BM25 top-25 lexical "
+        "shortlist, re-ranked by embedding cosine against a broadcast "
+        "query vector — the embedding join touches 25 rows, never the "
+        "corpus; the two-stage shape every modern search stack uses."
+    ),
+    tags=("search", "ann", "bm25", "rerank", "hybrid"),
+)
+def search_bm25_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 7)
+    return search.bm25_rerank_cosine(
+        docs, emb, _BM25_TERMS, qv, k_retrieve=25, k_final=10
     )

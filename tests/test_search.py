@@ -120,3 +120,26 @@ def test_boolean_search(spark, corpus):
     assert ids(search.boolean_search(corpus, must=["zzz"])) == set()
     with pytest.raises(ValueError):
         search.boolean_search(corpus)
+
+
+def test_bm25_rerank_cosine_shapes(spark, corpus):
+    """Rerank returns <= k_final rows ordered by cosine, carrying the
+    lexical score through; docs without embeddings drop out."""
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    qv = emb.filter("vec_id = 3")
+    out = search.bm25_rerank_cosine(
+        corpus, emb, ["apple", "banana", "durian"], qv, k_retrieve=10, k_final=2
+    ).collect()
+    assert [r["rank"] for r in out] == [1, 2]
+    keys = [(-r["cosine"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
+    # doc 3's embedding equals the query -> cosine 1.0 leads
+    assert out[0]["doc_id"] == 3 and out[0]["cosine"] == 1.0
+    assert all(r["bm25_score"] > 0 for r in out)
+    # doc 4 matched 'durian' lexically but has no embedding: excluded
+    assert 4 not in {r["doc_id"] for r in out}
