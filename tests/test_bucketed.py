@@ -81,3 +81,22 @@ def test_bucketed_validation(spark):
         bucketed.materialize_bucketed(a, "t_bad", ["nope"], 2)
     with pytest.raises(ValueError):
         bucketed.materialize_bucketed(a, "t_bad", ["k"], 0)
+
+
+def test_bucketed_postings_join_shuffle_free(no_broadcast, spark):
+    """The search-index materialization story end-to-end: postings and
+    doc-length tables written co-bucketed on doc_id join with zero
+    Exchange — the repeated-join workload bucketing exists for."""
+    from mandoline_hbase_spark.operators import search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tf, dl = search.postings(docs)
+    bucketed.materialize_bucketed(tf, "t_postings_tf", ["doc_id"], 4)
+    bucketed.materialize_bucketed(dl, "t_postings_dl", ["doc_id"], 4)
+    joined = bucketed.bucketed_equi_join(spark, "t_postings_tf", "t_postings_dl", ["doc_id"])
+    assert bucketed.exchange_count(joined) == 0
+    # the join is still correct: every tf row finds its doc length
+    assert joined.count() == tf.count()
+    assert joined.filter("dl is null").count() == 0
+    for t in ("t_postings_tf", "t_postings_dl"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
