@@ -168,6 +168,7 @@ HEADLINE = [
     "search_phrase_occurrences",
     "search_boolean_filter",
     "search_bm25_rerank_cosine",
+    "cluster_aware_split",
 ]
 
 

@@ -355,3 +355,31 @@ def split_train_val_test(
         "split",
         F.when(h < t1, F.lit("train")).when(h < t2, F.lit("val")).otherwise(F.lit("test")),
     )
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment keyed on a GROUP column instead of the
+    row id: every row of a group lands in the same split.
+
+    The leakage-free form of :func:`split_train_val_test` — split by
+    near-dup cluster id (``dedup.near_duplicate_clusters``) and a
+    training document can never share a cluster with an eval document,
+    closing the contamination channel `split_leakage_report` measures
+    AFTER the fact. Same hash-space partition (identical thresholds and
+    salt), map-only given the group column.
+    """
+    f_train, f_val, f_test = fractions
+    if abs(f_train + f_val + f_test - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    h = hash_bucket_hex(F.col(group_col), salt)
+    t1 = fraction_to_hex(f_train)
+    t2 = fraction_to_hex(f_train + f_val)
+    return df.withColumn(
+        "split",
+        F.when(h < t1, F.lit("train")).when(h < t2, F.lit("val")).otherwise(F.lit("test")),
+    )

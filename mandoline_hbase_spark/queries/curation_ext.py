@@ -745,3 +745,54 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.prefix_filter_near_duplicates(docs, threshold=0.7)
+
+
+@register(
+    "cluster_aware_split",
+    oracle=_DUCK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + r""",
+    pairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    assign AS (
+        SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(cluster_id::VARCHAR || ':split'), 1, 8) < 'cccccccc'
+                    THEN 'train'
+                WHEN substr(md5(cluster_id::VARCHAR || ':split'), 1, 8) < 'e6666666'
+                    THEN 'val'
+                ELSE 'test' END AS split
+    FROM assign ORDER BY doc_id
+    """,
+    description=(
+        "Leakage-free train/val/test split: assignment hashes the "
+        "near-dup CLUSTER id (LSH pairs -> connected components), so "
+        "every member of a duplicate cluster lands in the same split by "
+        "construction — the contamination channel split_leakage_report "
+        "measures after the fact is closed up front. Same hash-space "
+        "thresholds as the per-doc split; map-only given the cluster "
+        "column."
+    ),
+    tags=("llm", "training", "split", "dedup", "governance"),
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.near_duplicate_clusters(docs, threshold=0.7).select(
+        "doc_id", "cluster_id"
+    )
+    return sampling.split_by_group(clusters, "cluster_id", (0.8, 0.1, 0.1)).select(
+        "doc_id", "cluster_id", "split"
+    ).orderBy("doc_id")

@@ -173,3 +173,31 @@ def test_domain_quota_small_groups_and_bounds(spark):
 
     with _pytest.raises(ValueError):
         sampling.sample_domain_quota(df, quota=0, group_col="source")
+
+
+def test_split_by_group_is_leakage_free(spark):
+    """Every member of a group lands in the same split, so a near-dup
+    pair (same cluster) can never cross train/eval — the property the
+    per-doc split cannot give."""
+    rows = [(i, i // 5) for i in range(500)]  # clusters of 5
+    df = spark.createDataFrame(rows, "doc_id bigint, cluster_id bigint")
+    out = sampling.split_by_group(df, "cluster_id")
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert per_cluster == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # group-hash decision: matches the doc-level splitter applied to the id=cluster
+    ref = sampling.split_train_val_test(
+        df.select(F.col("cluster_id").alias("doc_id")).distinct()
+    )
+    ref_map = {r["doc_id"]: r["split"] for r in ref.collect()}
+    assert all(r["split"] == ref_map[r["cluster_id"]] for r in out.collect())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.split_by_group(df, "cluster_id", (0.5, 0.2, 0.2))
