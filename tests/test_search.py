@@ -143,3 +143,28 @@ def test_bm25_rerank_cosine_shapes(spark, corpus):
     assert all(r["bm25_score"] > 0 for r in out)
     # doc 4 matched 'durian' lexically but has no embedding: excluded
     assert 4 not in {r["doc_id"] for r in out}
+
+
+def test_bm25_property_random_corpora(spark):
+    """Property: on random small corpora the operator equals a plain-
+    Python BM25 computed with the same fold order — scores, membership,
+    and ordering."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    doc = st.lists(st.sampled_from(vocab), min_size=0, max_size=12).map(" ".join)
+    corpora = st.lists(doc, min_size=1, max_size=8)
+    terms = st.lists(st.sampled_from(vocab + ["zz"]), min_size=1, max_size=3, unique=True)
+
+    @settings(max_examples=12, deadline=None)
+    @given(texts=corpora, qterms=terms)
+    def check(texts, qterms):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r["doc_id"]: r["score"] for r in
+               search.bm25_topk(df, qterms, k=50).collect()}
+        expected = _bm25_expected(rows, qterms)
+        assert got == pytest.approx(expected, abs=1e-9)
+
+    check()
