@@ -51,6 +51,9 @@ BNLJ_ALLOWED = {
     # doc length) into the postings of the query terms — broadcast
     # scalars, same shape as tfidf's doc count
     "bm25_search_topk",
+    # the rerank stage additionally crossJoins the broadcast 1-row
+    # query vector into the k-row shortlist
+    "search_bm25_rerank_cosine",
 }
 
 
