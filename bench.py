@@ -253,7 +253,7 @@ _FAMILY_PREFIXES = (
     ("ann", ("sim_", "emb_")),
     ("curate", ("sample_", "curate_", "corpus_", "pack_", "mix_", "chunk_",
                 "quality_", "contrastive_", "domain_", "dataset_", "split_",
-                "epoch_")),
+                "epoch_", "cluster_")),
     ("search", ("bm25_",)),
 )
 
