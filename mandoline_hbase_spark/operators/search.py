@@ -49,16 +49,22 @@ def postings(
 
     Both aggregates partial-combine before their shuffle; ``dl`` comes
     from the raw token stream (not a sum over tf) so it is ONE
-    aggregate keyed on the doc id.
+    aggregate keyed on the doc id. ``dl`` carries one row for EVERY
+    document — empty docs get ``dl = 0`` — so the pair of tables is a
+    complete, self-sufficient index: corpus scalars (N, Σdl) derive
+    from ``dl`` alone, which is what lets a continuously-maintained
+    index (streaming/search.py) serve BM25 without ever rescanning
+    document text.
     """
     tf = term_frequencies(df, id_col, text_col)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     dl = (
         _spread(df, id_col)
         .select(F.col(id_col), F.explode_outer(toks).alias("term"))
-        .filter(F.length("term") > 0)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+        .agg(
+            F.count(F.when(F.length("term") > 0, True)).cast("bigint").alias("dl")
+        )
     )
     return tf, dl
 
@@ -221,15 +227,34 @@ def bm25_topk(
     ``query_terms``. Output: ``(rank, doc_id, score)``, score rounded
     to 6 decimals, rank dense in (rounded score desc, doc_id asc).
     """
+    tf, dl = postings(df, id_col, text_col)
+    return bm25_topk_from_postings(tf, dl, query_terms, k=k, k1=k1, b=b, id_col=id_col)
+
+
+def bm25_topk_from_postings(
+    tf: DataFrame,
+    dl: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k served from PRE-MATERIALIZED index tables — the form a
+    deployed search stack runs, where ``(tf, dl)`` live as (bucketed or
+    streaming-maintained) tables and queries never touch document text.
+    ``dl`` must carry one row per document (``postings`` guarantees
+    this, empty docs included), so N and Σdl both derive from it in a
+    single tiny aggregate.
+    """
     terms = list(dict.fromkeys(query_terms))  # dedup, preserve order
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    tf, dl = postings(df, id_col, text_col)
 
     # corpus scalars: exact integer sums -> one double division each
-    n_docs = df.select(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    corpus = dl.agg(F.sum("dl").cast("bigint").alias("sum_dl")).crossJoin(
-        F.broadcast(n_docs)
+    corpus = dl.agg(
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
 
     # df(t) over the queried terms only — term-grain, broadcastable

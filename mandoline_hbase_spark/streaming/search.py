@@ -1,0 +1,108 @@
+"""Continuously-maintained full-text index: streaming postings upkeep.
+
+``operators.search`` builds its inverted index from document text at
+query time; a deployed search stack materializes the index ONCE and
+keeps it current as documents arrive. This module is that upkeep loop
+under Structured Streaming: each micro-batch of (new, immutable)
+documents appends its postings — no corpus rescan, no read-modify-write
+(documents are append-only in this store, so the index delta of a batch
+is exactly ``postings(batch)``).
+
+Layout under ``index_dir`` (parquet, one deterministically-named
+directory per micro-batch, written distributed by executors):
+
+- ``tf/``  ``(doc_id, term, tf)`` — the inverted postings
+- ``dl/``  ``(doc_id, dl)``       — one row PER DOCUMENT (empty docs
+  carry ``dl = 0``), so corpus scalars (N, Σdl) and per-term document
+  frequencies all derive from the index tables alone
+
+Deterministic ``batch-{id}`` directory names + ``mode("overwrite")``
+make ``foreachBatch`` replays idempotent — the same replay-safety
+discipline as streaming/curation.py. Serving a query is
+``operators.search.bm25_topk_from_postings(read_index(...))``: document
+text is never touched after ingest.
+
+At 100 TB the two roles are lakehouse tables partitioned/bucketed on
+``term`` and ``doc_id`` respectively (see ``operators/bucketed.py`` —
+the tf/dl equi-join then plans with zero Exchange); the per-batch
+append cost is proportional to the batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mandoline_hbase_spark.operators import search
+
+_TF_DDL = "doc_id bigint, term string, tf bigint"
+_DL_DDL = "doc_id bigint, dl bigint"
+
+
+def _batch_dir(index_dir: str, role: str, batch_id: int) -> str:
+    return os.path.join(index_dir, role, f"batch-{int(batch_id):010d}")
+
+
+def append_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """The ``foreachBatch`` body: append this batch's postings delta.
+
+    Safe to replay (overwrite into the batch's own directories); the
+    driver never materializes batch rows.
+    """
+    tf, dl = search.postings(batch_df, id_col, text_col)
+    tf.write.mode("overwrite").parquet(_batch_dir(index_dir, "tf", batch_id))
+    dl.write.mode("overwrite").parquet(_batch_dir(index_dir, "dl", batch_id))
+
+
+def start_index_maintenance(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Run the postings-upkeep loop over a streaming documents frame;
+    returns the StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_index_batch(batch_df, batch_id, index_dir, id_col, text_col)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_index(spark: SparkSession, index_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The accumulated ``(tf, dl)`` index tables (empty-schema frames
+    when nothing has been indexed yet)."""
+    out = []
+    for role, ddl in (("tf", _TF_DDL), ("dl", _DL_DDL)):
+        root = os.path.join(index_dir, role)
+        if os.path.isdir(root) and any(os.scandir(root)):
+            out.append(spark.read.schema(ddl).parquet(os.path.join(root, "batch-*")))
+        else:
+            out.append(spark.createDataFrame([], ddl))
+    return out[0], out[1]
+
+
+def bm25_search(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms,
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve a BM25 query from the maintained index — no document text."""
+    tf, dl = read_index(spark, index_dir)
+    return search.bm25_topk_from_postings(tf, dl, query_terms, k=k, k1=k1, b=b)

@@ -86,7 +86,9 @@ def test_postings_shapes(spark, corpus):
     tf, dl = search.postings(corpus)
     assert {tuple(r) for r in tf.filter("term = 'apple'").collect()} == {
         (1, "apple", 2), (3, "apple", 1)}
-    assert {tuple(r) for r in dl.collect()} == {(1, 4), (2, 3), (3, 4), (4, 2)}
+    # one dl row per document — the empty doc is present with dl = 0,
+    # which is what lets corpus scalars (N, sum_dl) derive from dl alone
+    assert {tuple(r) for r in dl.collect()} == {(1, 4), (2, 3), (3, 4), (4, 2), (5, 0)}
 
 
 def test_positional_postings(spark, corpus):
