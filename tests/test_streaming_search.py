@@ -78,3 +78,48 @@ def test_empty_index_reads_and_serves(spark, tmp_path):
     assert ssearch.bm25_search(spark, index_dir, ["apple"]).count() == 0
     with pytest.raises(ValueError):
         ssearch.bm25_search(spark, index_dir, [])
+
+
+def test_compact_index_preserves_content(spark, tmp_path):
+    import os
+
+    index_dir = _run_stream(spark, tmp_path)
+    tf_before, dl_before = ssearch.read_index(spark, index_dir)
+    before = ({tuple(r) for r in tf_before.collect()}, {tuple(r) for r in dl_before.collect()})
+    stats = ssearch.compact_index(spark, index_dir)
+    assert stats == {"tf": 1, "dl": 1}
+    for role in ("tf", "dl"):
+        dirs = [e.name for e in os.scandir(os.path.join(index_dir, role)) if e.is_dir()]
+        assert dirs == ["batch-compacted-001"]
+    tf_after, dl_after = ssearch.read_index(spark, index_dir)
+    after = ({tuple(r) for r in tf_after.collect()}, {tuple(r) for r in dl_after.collect()})
+    assert after == before
+    # single consolidated dir: a second compaction is a no-op
+    assert ssearch.compact_index(spark, index_dir) == {"tf": 1, "dl": 1}
+    # BM25 service unchanged
+    assert ssearch.bm25_search(spark, index_dir, ["apple"], k=3).count() == 3
+
+
+def test_compact_index_converges_after_simulated_crash(spark, tmp_path):
+    """A crash between the consolidated rename and the source removals
+    leaves duplicate rows visible; re-running the compaction folds them
+    away (dropDuplicates across batch dirs)."""
+    index_dir = _run_stream(spark, tmp_path)
+    tf0, dl0 = ssearch.read_index(spark, index_dir)
+    want = {tuple(r) for r in tf0.collect()}
+    ssearch.compact_index(spark, index_dir)
+    # simulate the crash: resurrect one superseded source next to the
+    # consolidated dir (duplicate content now visible)
+    src = str(tmp_path / "dup")
+    spark.createDataFrame(BATCHES[0], DDL).write.mode("overwrite").parquet(src)
+    from mandoline_hbase_spark.operators import search as osearch
+
+    tf_b, _ = osearch.postings(spark.read.parquet(src))
+    import os
+
+    tf_b.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "tf", "batch-0000000000")
+    )
+    ssearch.compact_index(spark, index_dir)
+    tf1, _ = ssearch.read_index(spark, index_dir)
+    assert {tuple(r) for r in tf1.collect()} == want
