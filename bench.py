@@ -169,6 +169,7 @@ HEADLINE = [
     "search_boolean_filter",
     "search_bm25_rerank_cosine",
     "cluster_aware_split",
+    "text_pmi_pairs",
 ]
 
 

@@ -584,3 +584,79 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("compressed_bytes") / raw, 4)
         ),
     )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    min_pair_docs: int = 5,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` term pairs by pointwise mutual information over
+    document co-occurrence: ``PMI(a,b) = ln(n_ab * N / (n_a * n_b))``
+    with ``n_x`` = documents containing x, ``N`` = corpus size —
+    the classic word-association miner (collocations, multi-word
+    entities, topic seeds).
+
+    Every PMI input is an exact integer count, so the single ``ln``
+    per surviving pair is bit-reproducible across engines — no float
+    summation anywhere. Plan: distinct (doc, term) explode (map-side),
+    within-doc pair self-join (work ∝ Σ distinct-terms-per-doc², the
+    inherent co-occurrence cost — at scale cap the per-doc vocabulary
+    first, e.g. keep each doc's top terms by tf), vocabulary²-grain
+    pair aggregate with map-side partial combine, ``min_pair_docs``
+    prefilter BEFORE the broadcast joins against the term-count table,
+    top-k via TakeOrderedAndProject.
+
+    Output: ``(rank, term_a, term_b, n_pair, pmi)`` with ``term_a <
+    term_b``, pmi rounded to 6, ties broken lexicographically.
+    """
+    terms = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .dropDuplicates([id_col, "term"])
+    )
+    n_docs = df.select(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tcount = terms.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    a = terms.select(F.col(id_col), F.col("term").alias("term_a"))
+    b = terms.select(F.col(id_col), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, id_col)
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_pair_docs))
+    )
+    ta = tcount.select(F.col("term").alias("term_a"), F.col("n_t").alias("_na"))
+    tb = tcount.select(F.col("term").alias("term_b"), F.col("n_t").alias("_nb"))
+    scored = (
+        pairs.join(F.broadcast(ta), "term_a")
+        .join(F.broadcast(tb), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") * F.col("n_docs").cast("double"))
+                    / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    ).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", "term_a", "term_b", "n_pair", "pmi"
+    )

@@ -1938,3 +1938,55 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repetitive_compresses_better"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_pmi_pairs",
+    oracle=r"""
+    WITH terms AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    tcount AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n_t FROM terms GROUP BY term
+    ),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               CAST(count(*) AS BIGINT) AS n_pair
+        FROM terms a JOIN terms b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term
+        HAVING count(*) >= 5
+    ),
+    scored AS (
+        SELECT term_a, term_b, n_pair,
+               round(ln((n_pair::DOUBLE * n.n_docs::DOUBLE)
+                        / (ta.n_t::DOUBLE * tb.n_t::DOUBLE)), 6) AS pmi
+        FROM pairs
+        JOIN tcount ta ON ta.term = pairs.term_a
+        JOIN tcount tb ON tb.term = pairs.term_b
+        CROSS JOIN n
+    )
+    SELECT rank, term_a, term_b, n_pair, pmi FROM (
+        SELECT CAST(row_number() OVER (ORDER BY pmi DESC, term_a ASC, term_b ASC)
+                    AS BIGINT) AS rank,
+               term_a, term_b, n_pair, pmi
+        FROM scored
+    ) WHERE rank <= 50
+    """,
+    description=(
+        "Word-association mining: top-50 term pairs by document-level "
+        "PMI. Every PMI input is an exact integer count (doc "
+        "frequencies, pair frequencies, N), so the single ln per "
+        "surviving pair is bit-reproducible — no float summation. "
+        "Within-doc pair join over distinct terms, vocabulary^2-grain "
+        "aggregate with partial combine, min-count prefilter before "
+        "the broadcast term-count joins, TakeOrderedAndProject top-k."
+    ),
+    tags=("llm", "text", "pmi", "collocations"),
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pmi_cooccurrence(docs, min_pair_docs=5, k=50)

@@ -170,3 +170,30 @@ def test_bm25_property_random_corpora(spark):
         assert got == pytest.approx(expected, abs=1e-9)
 
     check()
+
+
+def test_pmi_hand_computed(spark):
+    """PMI over a corpus where one pair always co-occurs and another
+    never does."""
+    import math
+
+    from mandoline_hbase_spark.operators import text as otext
+
+    rows = [(i, "aa bb") for i in range(4)] + [(4, "aa cc"), (5, "cc dd")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r["term_a"], r["term_b"]): (r["n_pair"], r["pmi"], r["rank"]) for r in
+           otext.pmi_cooccurrence(df, min_pair_docs=1, k=10).collect()}
+    n = 6
+    # aa-bb: n_pair=4, n_aa=5, n_bb=4
+    assert out[("aa", "bb")][0] == 4
+    assert out[("aa", "bb")][1] == round(math.log(4 * n / (5 * 4)), 6)
+    # cc-dd co-occur once; aa-dd never (absent)
+    assert out[("cc", "dd")][0] == 1
+    assert ("aa", "dd") not in out
+    # ranks are 1..len and ordered by (pmi desc, lexicographic)
+    ranks = sorted(v[2] for v in out.values())
+    assert ranks == list(range(1, len(out) + 1))
+    # min_pair_docs prunes singleton pairs
+    pruned = {(r["term_a"], r["term_b"]) for r in
+              otext.pmi_cooccurrence(df, min_pair_docs=2, k=10).collect()}
+    assert pruned == {("aa", "bb")}
