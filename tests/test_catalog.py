@@ -104,5 +104,6 @@ def test_driver_prefix_leads_with_stalest_verification():
     names = list(driver_queries())
     ranks = [0 if n in _REVERIFY_FIRST else last.get(n, 0) for n in names]
     assert ranks == sorted(ranks), "driver order not non-decreasing in staleness rank"
+    n_rank0 = sum(1 for r in ranks if r == 0)
     for n in _REVERIFY_FIRST:
-        assert n in names[: len(_REVERIFY_FIRST)], f"{n} (changed oracle) not at the front"
+        assert n in names[:n_rank0], f"{n} (changed oracle) not in the rank-0 prefix"

@@ -54,6 +54,9 @@ BNLJ_ALLOWED = {
     # the rerank stage additionally crossJoins the broadcast 1-row
     # query vector into the k-row shortlist
     "search_bm25_rerank_cosine",
+    # PMI crossJoins the broadcast 1-row corpus doc count into the
+    # min-count-filtered pair table
+    "text_pmi_pairs",
 }
 
 
