@@ -170,6 +170,8 @@ HEADLINE = [
     "search_bm25_rerank_cosine",
     "cluster_aware_split",
     "text_pmi_pairs",
+    "search_facets_by_source",
+    "search_spell_suggest",
 ]
 
 

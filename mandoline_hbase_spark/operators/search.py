@@ -206,6 +206,74 @@ def boolean_search(
     return base.join(banned, id_col, "left_anti")
 
 
+def search_facets(
+    df: DataFrame,
+    must: Sequence[str],
+    facet_cols: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Faceted result counts: how the docs matching every ``must`` term
+    distribute over the facet columns (source, lang, …) — the
+    counts a search UI renders next to the result list.
+
+    One semi-join of the facet projection against the boolean match
+    set (doc-grain, bounded by the match count), then a facet-grain
+    aggregate. Output: facet columns + ``n_docs``.
+    """
+    if not facet_cols:
+        raise ValueError("facet_cols must be non-empty")
+    hits = boolean_search(df, must=must, id_col=id_col, text_col=text_col)
+    return (
+        df.select(F.col(id_col), *[F.col(c) for c in facet_cols])
+        .join(hits, id_col, "left_semi")
+        .groupBy(*facet_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def spell_suggest(
+    df: DataFrame,
+    probe_terms: Sequence[str],
+    max_distance: int = 2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Did-you-mean suggestions: for each probe term, the ``k`` corpus
+    vocabulary terms within ``max_distance`` edits, ranked by (edit
+    distance asc, document frequency desc, term asc).
+
+    The vocabulary (term, df) table is vocabulary-grain — tiny next to
+    the corpus — and the probe list broadcasts, so the Levenshtein
+    verify runs probe x vocab, never touching documents. At real
+    vocabulary sizes, block by length bands / first letter like
+    ``dedup.fuzzy_segment_pairs`` to bound the candidate product.
+    Output: ``(probe, rank, suggestion, distance, df_t)``.
+    """
+    probes = list(dict.fromkeys(probe_terms))
+    if not probes:
+        raise ValueError("probe_terms must be non-empty")
+    tf = term_frequencies(df, id_col, text_col)
+    vocab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+    probe_df = df.sparkSession.createDataFrame([(p,) for p in probes], "probe string")
+    cand = (
+        vocab.crossJoin(F.broadcast(probe_df))
+        .withColumn("distance", F.levenshtein("probe", "term").cast("bigint"))
+        .filter(F.col("distance") <= int(max_distance))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe").orderBy(
+        F.col("distance").asc(), F.col("df_t").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("probe", "rank", F.col("term").alias("suggestion"), "distance", "df_t")
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: Sequence[str],

@@ -203,3 +203,77 @@ def search_bm25_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_rerank_cosine(
         docs, emb, _BM25_TERMS, qv, k_retrieve=25, k_final=10
     )
+
+
+@register(
+    "search_facets_by_source",
+    oracle=r"""
+    WITH tp AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id FROM tp WHERE term IN ('dup', 'hash')
+        GROUP BY doc_id HAVING count(DISTINCT term) = 2
+    )
+    SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN hits USING (doc_id)
+    GROUP BY d.source, d.lang ORDER BY d.source, d.lang
+    """,
+    description=(
+        "Faceted search counts: distribution of the docs matching ALL "
+        "query terms over (source, lang) — one doc-grain semi-join "
+        "against the boolean match set, then a facet-grain aggregate."
+    ),
+    tags=("search", "facets", "boolean"),
+)
+def search_facets_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return search.search_facets(docs, must=["dup", "hash"], facet_cols=["source", "lang"]).orderBy(
+        "source", "lang"
+    )
+
+
+@register(
+    "search_spell_suggest",
+    oracle=r"""
+    WITH tf AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents
+        ) WHERE length(term) > 0
+        GROUP BY doc_id, term
+    ),
+    vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+    probes AS (SELECT unnest(['hsah', 'vectro', 'quer']) AS probe),
+    cand AS (
+        SELECT probe, term, CAST(levenshtein(probe, term) AS BIGINT) AS distance, df_t
+        FROM vocab CROSS JOIN probes
+        WHERE levenshtein(probe, term) <= 2
+    )
+    SELECT probe, rank, suggestion, distance, df_t FROM (
+        SELECT probe,
+               CAST(row_number() OVER (PARTITION BY probe
+                    ORDER BY distance ASC, df_t DESC, term ASC) AS BIGINT) AS rank,
+               term AS suggestion, distance, df_t
+        FROM cand
+    ) WHERE rank <= 3
+    ORDER BY probe, rank
+    """,
+    description=(
+        "Did-you-mean suggestions: misspelled probes matched against "
+        "the corpus vocabulary by Levenshtein distance (<=2), ranked "
+        "by (distance, document frequency, term). The vocabulary table "
+        "is vocabulary-grain and the probe list broadcasts — documents "
+        "are never touched; at real vocab sizes block by length/first "
+        "letter like the fuzzy segment join."
+    ),
+    tags=("search", "spelling", "fuzzy"),
+)
+def search_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return search.spell_suggest(docs, ["hsah", "vectro", "quer"], max_distance=2, k=3).orderBy(
+        "probe", "rank"
+    )

@@ -197,3 +197,23 @@ def test_pmi_hand_computed(spark):
     pruned = {(r["term_a"], r["term_b"]) for r in
               otext.pmi_cooccurrence(df, min_pair_docs=2, k=10).collect()}
     assert pruned == {("aa", "bb")}
+
+
+def test_search_facets_and_spell(spark, corpus):
+    from pyspark.sql import functions as F
+
+    faceted = corpus.withColumn("src", F.when(F.col("doc_id") <= 2, "a").otherwise("b"))
+    out = {(r["src"], r["n_docs"]) for r in
+           search.search_facets(faceted, must=["apple"], facet_cols=["src"]).collect()}
+    assert out == {("a", 1), ("b", 1)}  # docs 1 and 3 contain 'apple'
+    with pytest.raises(ValueError):
+        search.search_facets(faceted, must=["apple"], facet_cols=[])
+
+    sug = search.spell_suggest(corpus, ["aple", "zzz"], max_distance=2, k=2).collect()
+    by_probe = {}
+    for r in sug:
+        by_probe.setdefault(r["probe"], []).append((r["rank"], r["suggestion"], r["distance"]))
+    assert by_probe["aple"][0][1] == "apple" and by_probe["aple"][0][2] == 1
+    assert "zzz" not in by_probe  # nothing within 2 edits
+    with pytest.raises(ValueError):
+        search.spell_suggest(corpus, [])
