@@ -172,6 +172,7 @@ HEADLINE = [
     "text_pmi_pairs",
     "search_facets_by_source",
     "search_spell_suggest",
+    "search_snippets",
 ]
 
 

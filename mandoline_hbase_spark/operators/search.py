@@ -206,6 +206,45 @@ def boolean_search(
     return base.join(banned, id_col, "left_anti")
 
 
+def snippets(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context result snippets: for each doc containing any
+    query term, the token window around the FIRST occurrence (smallest
+    position of any query term) — ``(doc_id, anchor_pos, snippet)``.
+
+    The anchor comes from the positional postings of the query terms
+    only (doc-grain min over a term-filtered explode); the snippet
+    slice re-reads just the matching docs' token arrays via a doc-keyed
+    join. Deterministic by construction, so it oracle-hashes.
+    """
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    tp = positional_postings(df, id_col, text_col)
+    anchors = (
+        tp.filter(F.col("term").isin(terms))
+        .groupBy(id_col)
+        .agg(F.min("pos").cast("bigint").alias("anchor_pos"))
+    )
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    staged = df.select(F.col(id_col), toks.alias("_t"))
+    start = F.greatest(F.lit(1), F.col("anchor_pos") - window)
+    end = F.least(F.size("_t"), F.col("anchor_pos") + window)
+    return (
+        staged.join(anchors, id_col)
+        .select(
+            F.col(id_col),
+            "anchor_pos",
+            F.concat_ws(" ", F.slice("_t", start, end - start + F.lit(1))).alias("snippet"),
+        )
+    )
+
+
 def search_facets(
     df: DataFrame,
     must: Sequence[str],

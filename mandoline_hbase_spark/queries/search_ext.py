@@ -277,3 +277,39 @@ def search_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.spell_suggest(docs, ["hsah", "vectro", "quer"], max_distance=2, k=3).orderBy(
         "probe", "rank"
     )
+
+
+@register(
+    "search_snippets",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    tp AS (
+        SELECT doc_id, unnest(t) AS term,
+               unnest(generate_series(1, len(t))) AS pos
+        FROM toks
+    ),
+    anchors AS (
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS anchor_pos
+        FROM tp WHERE term IN ('dup') GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.anchor_pos,
+           array_to_string(
+               t[greatest(1, anchor_pos - 3):least(len(t), anchor_pos + 3)],
+               ' ') AS snippet
+    FROM anchors a JOIN toks USING (doc_id)
+    ORDER BY a.doc_id
+    """,
+    description=(
+        "Keyword-in-context snippets around the first query-term "
+        "occurrence: anchor from the positional postings of the query "
+        "terms only (doc-grain min), snippet slice via one doc-keyed "
+        "join back to the matching docs' token arrays."
+    ),
+    tags=("search", "snippets", "highlight"),
+)
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return search.snippets(docs, ["dup"], window=3).orderBy("doc_id")

@@ -217,3 +217,16 @@ def test_search_facets_and_spell(spark, corpus):
     assert "zzz" not in by_probe  # nothing within 2 edits
     with pytest.raises(ValueError):
         search.spell_suggest(corpus, [])
+
+
+def test_snippets_window_and_clamping(spark, corpus):
+    out = {r["doc_id"]: (r["anchor_pos"], r["snippet"]) for r in
+           search.snippets(corpus, ["cherry"], window=1).collect()}
+    # doc 1: cherry at pos 4 (end-clamped window)
+    assert out[1] == (4, "apple cherry")
+    # doc 3: first cherry at pos 1 (start-clamped)
+    assert out[3] == (1, "cherry durian")
+    # docs without the term are absent
+    assert set(out) == {1, 3}
+    with pytest.raises(ValueError):
+        search.snippets(corpus, [])
