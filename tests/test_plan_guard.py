@@ -57,6 +57,9 @@ BNLJ_ALLOWED = {
     # PMI crossJoins the broadcast 1-row corpus doc count into the
     # min-count-filtered pair table
     "text_pmi_pairs",
+    # spell suggest crossJoins the broadcast probe list (a few rows)
+    # against the vocabulary-grain term table — never document data
+    "search_spell_suggest",
 }
 
 
