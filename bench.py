@@ -258,7 +258,7 @@ _FAMILY_PREFIXES = (
     ("curate", ("sample_", "curate_", "corpus_", "pack_", "mix_", "chunk_",
                 "quality_", "contrastive_", "domain_", "dataset_", "split_",
                 "epoch_", "cluster_")),
-    ("search", ("bm25_",)),
+    ("search", ("bm25_", "search_")),
 )
 
 

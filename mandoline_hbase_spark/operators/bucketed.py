@@ -51,13 +51,26 @@ def materialize_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # a crashed earlier write can leave the managed location behind with
     # no catalog entry; Spark then refuses the name outright
-    # (LOCATION_ALREADY_EXISTS) — clear the orphan dir, local/file only
+    # (LOCATION_ALREADY_EXISTS) — clear the orphan dir, local/file only.
+    # The managed location depends on the database: warehouse/<t> for
+    # default, warehouse/<db>.db/<t> otherwise; guessing wrong would
+    # rmtree a LIVE table's data, so only the shapes we can derive
+    # exactly are cleaned (same-named dot-qualified forms get no
+    # cleanup and may still raise LOCATION_ALREADY_EXISTS).
     import shutil
     from urllib.parse import urlparse
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-    if wh.scheme in ("", "file") and wh.path:
-        orphan = os.path.join(wh.path, table_name.split(".")[-1].lower())
+    parts = [p.lower() for p in table_name.split(".")]
+    if wh.scheme in ("", "file") and wh.path and len(parts) <= 2:
+        if len(parts) == 1:
+            parts = [spark.catalog.currentDatabase().lower(), parts[0]]
+        db, tbl = parts
+        orphan = (
+            os.path.join(wh.path, tbl)
+            if db == "default"
+            else os.path.join(wh.path, f"{db}.db", tbl)
+        )
         if os.path.isdir(orphan):
             shutil.rmtree(orphan, ignore_errors=True)
     (

@@ -370,16 +370,8 @@ def split_by_group(
     near-dup cluster id (``dedup.near_duplicate_clusters``) and a
     training document can never share a cluster with an eval document,
     closing the contamination channel `split_leakage_report` measures
-    AFTER the fact. Same hash-space partition (identical thresholds and
-    salt), map-only given the group column.
+    AFTER the fact. Delegates to :func:`split_train_val_test` keyed on
+    the group column, so the two forms can never diverge (same hash
+    space, thresholds, and salt by construction).
     """
-    f_train, f_val, f_test = fractions
-    if abs(f_train + f_val + f_test - 1.0) > 1e-9:
-        raise ValueError("fractions must sum to 1")
-    h = hash_bucket_hex(F.col(group_col), salt)
-    t1 = fraction_to_hex(f_train)
-    t2 = fraction_to_hex(f_train + f_val)
-    return df.withColumn(
-        "split",
-        F.when(h < t1, F.lit("train")).when(h < t2, F.lit("val")).otherwise(F.lit("test")),
-    )
+    return split_train_val_test(df, fractions, id_col=group_col, salt=salt)

@@ -187,7 +187,10 @@ def boolean_search(
     single doc-grain aggregate counts matched must-terms and flags any
     banned term — one shuffle total, no per-term join chain.
     """
-    must, must_not = list(must), list(must_not)
+    # dedup (preserving order): a repeated must term would make the
+    # _hits == len(must) check unsatisfiable over distinct (doc, term)
+    must = list(dict.fromkeys(must))
+    must_not = list(dict.fromkeys(must_not))
     if not must and not must_not:
         raise ValueError("boolean_search needs at least one term")
     base = df.select(F.col(id_col)).distinct() if not must else None

@@ -622,6 +622,9 @@ def pmi_cooccurrence(
         )
         .filter(F.length("term") > 0)
         .dropDuplicates([id_col, "term"])
+        # eager checkpoint: tcount and BOTH self-join sides read this
+        # table — without it the corpus explode executes three times
+        .localCheckpoint(eager=True)
     )
     n_docs = df.select(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     tcount = terms.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))

@@ -124,7 +124,16 @@ def _last_green_round() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if isinstance(row, dict) and row.get("hash_match") and not row.get("err"):
+            # spark_rows > 0 guards against VACUOUS greens: a 0-row
+            # hash-match (predicate regressed to matching nothing)
+            # must rank the query forward for re-verification, not
+            # certify it (the round-1 q9/q22/anti regression class)
+            if (
+                isinstance(row, dict)
+                and row.get("hash_match")
+                and not row.get("err")
+                and row.get("spark_rows", 0) > 0
+            ):
                 out[name] = max(out.get(name, 0), rnd)
     return out
 

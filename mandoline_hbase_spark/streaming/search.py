@@ -36,8 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mandoline_hbase_spark.operators import search
 
-_TF_DDL = "doc_id bigint, term string, tf bigint"
-_DL_DDL = "doc_id bigint, dl bigint"
+def _tf_ddl(id_col: str) -> str:
+    return f"{id_col} bigint, term string, tf bigint"
+
+
+def _dl_ddl(id_col: str) -> str:
+    return f"{id_col} bigint, dl bigint"
 
 
 def _batch_dir(index_dir: str, role: str, batch_id: int) -> str:
@@ -82,11 +86,15 @@ def start_index_maintenance(
     )
 
 
-def read_index(spark: SparkSession, index_dir: str) -> tuple[DataFrame, DataFrame]:
+def read_index(
+    spark: SparkSession, index_dir: str, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
     """The accumulated ``(tf, dl)`` index tables (empty-schema frames
-    when nothing has been indexed yet)."""
+    when nothing has been indexed yet). ``id_col`` must match the one
+    the maintenance loop wrote — the read schema is by NAME, and a
+    mismatched name would surface as an all-null key column."""
     out = []
-    for role, ddl in (("tf", _TF_DDL), ("dl", _DL_DDL)):
+    for role, ddl in (("tf", _tf_ddl(id_col)), ("dl", _dl_ddl(id_col))):
         root = os.path.join(index_dir, role)
         if os.path.isdir(root) and any(os.scandir(root)):
             out.append(spark.read.schema(ddl).parquet(os.path.join(root, "batch-*")))
@@ -162,7 +170,8 @@ def bm25_search(
     k: int = 25,
     k1: float = 1.2,
     b: float = 0.75,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Serve a BM25 query from the maintained index — no document text."""
-    tf, dl = read_index(spark, index_dir)
-    return search.bm25_topk_from_postings(tf, dl, query_terms, k=k, k1=k1, b=b)
+    tf, dl = read_index(spark, index_dir, id_col)
+    return search.bm25_topk_from_postings(tf, dl, query_terms, k=k, k1=k1, b=b, id_col=id_col)
