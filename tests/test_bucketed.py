@@ -100,3 +100,24 @@ def test_bucketed_postings_join_shuffle_free(no_broadcast, spark):
     assert joined.filter("dl is null").count() == 0
     for t in ("t_postings_tf", "t_postings_dl"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_qualified_rewrite_never_touches_default_tables(spark):
+    """A db-qualified rewrite must not clean up (delete!) the
+    same-named default-database table's managed location."""
+    import glob
+
+    victim = spark.range(0, 7).withColumnRenamed("id", "k")
+    bucketed.materialize_bucketed(victim, "t_victim", ["k"], 2)
+    spark.sql("CREATE DATABASE IF NOT EXISTS otherdb")
+    other = spark.range(0, 3).withColumnRenamed("id", "k")
+    bucketed.materialize_bucketed(other, "otherdb.t_victim", ["k"], 2)
+    # both tables intact, both locations distinct
+    assert spark.table("t_victim").count() == 7
+    assert spark.table("otherdb.t_victim").count() == 3
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert glob.glob(f"{wh}/t_victim/part-*.parquet")
+    assert glob.glob(f"{wh}/otherdb.db/t_victim/part-*.parquet")
+    spark.sql("DROP TABLE IF EXISTS t_victim")
+    spark.sql("DROP TABLE IF EXISTS otherdb.t_victim")
+    spark.sql("DROP DATABASE IF EXISTS otherdb")

@@ -230,3 +230,11 @@ def test_snippets_window_and_clamping(spark, corpus):
     assert set(out) == {1, 3}
     with pytest.raises(ValueError):
         search.snippets(corpus, [])
+
+
+def test_boolean_search_duplicate_must_terms(spark, corpus):
+    """A repeated must term must not make the match unsatisfiable."""
+    once = {r["doc_id"] for r in search.boolean_search(corpus, must=["apple"]).collect()}
+    twice = {r["doc_id"] for r in
+             search.boolean_search(corpus, must=["apple", "apple"]).collect()}
+    assert twice == once == {1, 3}

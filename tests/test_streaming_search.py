@@ -123,3 +123,18 @@ def test_compact_index_converges_after_simulated_crash(spark, tmp_path):
     ssearch.compact_index(spark, index_dir)
     tf1, _ = ssearch.read_index(spark, index_dir)
     assert {tuple(r) for r in tf1.collect()} == want
+
+
+def test_index_round_trip_with_custom_id_col(spark, tmp_path):
+    """A non-default id column reads back by NAME — not as an all-null
+    doc_id column through a fixed schema."""
+    index_dir = str(tmp_path / "index")
+    b = spark.createDataFrame(
+        [(10, "apple banana"), (20, "banana banana")], "page_id bigint, text string"
+    )
+    ssearch.append_index_batch(b, 0, index_dir, id_col="page_id")
+    tf, dl = ssearch.read_index(spark, index_dir, id_col="page_id")
+    assert {tuple(r) for r in dl.collect()} == {(10, 2), (20, 2)}
+    assert tf.filter("page_id is null").count() == 0
+    out = ssearch.bm25_search(spark, index_dir, ["banana"], k=5, id_col="page_id")
+    assert {r["page_id"] for r in out.collect()} == {10, 20}
