@@ -90,15 +90,16 @@ def oracle_sql_map() -> dict[str, str]:
 #    1-3 every catalog query holds at least one green row (union = 142).
 
 # Queries whose Spark code or oracle SQL changed materially AFTER their
-# most recent green driver row — their old green no longer certifies the
-# current text, so they re-verify ahead of everything already-green.
-_REVERIFY_FIRST = frozenset(
-    {
-        # round 4: split-boundary literal corrected e6666665 -> e6666666
-        "dataset_split_assign",
-        "split_leakage_report",
-    }
-)
+# most recent green driver row, mapped to the round the change landed
+# in: their older greens no longer certify the current text, so they
+# re-verify ahead of everything already-green. The pin expires by
+# itself — once a CORRECTNESS round >= the change round records a
+# green, the normal last-green ranking takes over.
+_REVERIFY_FIRST = {
+    # round 4: split-boundary literal corrected e6666665 -> e6666666
+    "dataset_split_assign": 4,
+    "split_leakage_report": 4,
+}
 
 
 def _last_green_round() -> dict[str, int]:
@@ -145,8 +146,8 @@ def driver_queries() -> dict[str, Query]:
     last_green = _last_green_round()
 
     def rank(name: str) -> tuple[int, int]:
-        if name in _REVERIFY_FIRST:
-            return (0, index[name])
+        if last_green.get(name, 0) < _REVERIFY_FIRST.get(name, 0):
+            return (0, index[name])  # changed since its newest green
         return (last_green.get(name, 0), index[name])
 
     return {n: QUERIES[n] for n in sorted(names, key=rank)}

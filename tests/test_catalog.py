@@ -102,8 +102,15 @@ def test_driver_prefix_leads_with_stalest_verification():
 
     last = _last_green_round()
     names = list(driver_queries())
-    ranks = [0 if n in _REVERIFY_FIRST else last.get(n, 0) for n in names]
+
+    def rank(n):
+        if last.get(n, 0) < _REVERIFY_FIRST.get(n, 0):
+            return 0
+        return last.get(n, 0)
+
+    ranks = [rank(n) for n in names]
     assert ranks == sorted(ranks), "driver order not non-decreasing in staleness rank"
     n_rank0 = sum(1 for r in ranks if r == 0)
-    for n in _REVERIFY_FIRST:
-        assert n in names[:n_rank0], f"{n} (changed oracle) not in the rank-0 prefix"
+    for n, changed_round in _REVERIFY_FIRST.items():
+        if last.get(n, 0) < changed_round:
+            assert n in names[:n_rank0], f"{n} (changed oracle) not in the rank-0 prefix"
