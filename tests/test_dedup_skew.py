@@ -180,3 +180,46 @@ def test_prefix_filter_candidates_subquadratic(spark):
     )
     cands = dedup.banded_candidate_pairs(prefix, "doc_id", keys=("shingle",))
     assert cands.count() < (n * (n - 1) // 2) * 0.25
+
+
+def test_prefix_filter_property_random_corpora(spark):
+    """Property: prefix filtering equals brute-force all-pairs Jaccard
+    thresholding on random corpora — the 100%-recall claim, randomized."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from mandoline_hbase_spark.operators import dedup
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    doc = st.lists(st.sampled_from(vocab), min_size=3, max_size=10).map(" ".join)
+    corpora = st.lists(doc, min_size=2, max_size=7)
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts=corpora, thr=st.sampled_from([0.5, 0.7]))
+    def check(texts, thr):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+               dedup.prefix_filter_near_duplicates(df, threshold=thr).collect()}
+        sh = dedup.with_shingle_set(df)
+        a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        brute = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= thr)
+        )
+        expected = {(r["id_a"], r["id_b"], r["jaccard"]) for r in brute.collect()}
+        assert got == expected
+
+    check()
