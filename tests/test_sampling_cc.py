@@ -201,3 +201,20 @@ def test_split_by_group_is_leakage_free(spark):
 
     with _pytest.raises(ValueError):
         sampling.split_by_group(df, "cluster_id", (0.5, 0.2, 0.2))
+
+
+def test_domain_quota_hot_domain_exact(spark):
+    """One domain holds 30k of 33k rows (the RefinedWeb hot-domain
+    shape); the prefiltered path must still equal the naive window
+    exactly, with the window seeing only ~oversample*quota survivors
+    of the hot domain rather than all 30k rows."""
+    rows = [(i, "hot") for i in range(30_000)] + [
+        (100_000 + i, f"cold{i % 30}") for i in range(3_000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    naive = sampling.sample_topk_per_group(df, k=25, group_col="source", salt="quota")
+    naive_set = {(r["source"], r["sample_rank"], r["doc_id"]) for r in naive.collect()}
+    fast = sampling.sample_domain_quota(df, quota=25, group_col="source")
+    fast_set = {(r["source"], r["quota_rank"], r["doc_id"]) for r in fast.collect()}
+    assert fast_set == naive_set
+    assert sum(1 for s, _, _ in fast_set if s == "hot") == 25
