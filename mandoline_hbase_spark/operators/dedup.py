@@ -516,6 +516,7 @@ def banded_candidate_pairs(
     keys: tuple[str, ...] = ("band", "bh"),
     max_bucket_size: int = 512,
     hot_broadcast_max: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from bucket co-membership,
     with a hot-bucket guard.
@@ -553,6 +554,15 @@ def banded_candidate_pairs(
     All three emit identical pair sets for the same input. Callers are
     batch-context (the streaming user runs inside foreachBatch), so the
     sizing job at build time is legal.
+
+    ``stats`` (optional out-param): the guard's activation is made
+    MACHINE-VISIBLE, not just documented — ``stats["n_hot"]`` is set to
+    the number of buckets that degraded to star pairing (0 on healthy
+    corpora; when it exceeds ``hot_broadcast_max`` the value is the
+    probe cap + 1, a lower bound). Callers advertising exactness
+    (``prefix_filter_near_duplicates``) propagate it so an operator can
+    detect at runtime that the EXACT contract narrowed to the
+    hub-relative bound instead of discovering it in a docstring.
     """
     from pyspark.sql import Window
 
@@ -562,6 +572,8 @@ def banded_candidate_pairs(
     )
     hot = sizes.filter(F.col("_bsz") > max_bucket_size)
     n_hot = hot.limit(hot_broadcast_max + 1).count()
+    if stats is not None:
+        stats["n_hot"] = int(n_hot)
 
     def _all_pairs(src: DataFrame) -> DataFrame:
         a, b = src.alias("a"), src.alias("b")
@@ -604,17 +616,20 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int = 512,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     rows-per-band = num_hashes // bands; two docs collide if any band of
     their signatures matches exactly. Returns distinct (id_a, id_b) with
     id_a < id_b. Oversized buckets degrade to star pairing (see
-    ``banded_candidate_pairs``).
+    ``banded_candidate_pairs``; ``stats["n_hot"]`` reports how many).
     """
     features = doc_shingle_features(df, num_hashes, shingle_n, id_col, text_col)
     stacked = _band_stack(features, num_hashes, bands, id_col)
-    return banded_candidate_pairs(stacked, id_col, max_bucket_size=max_bucket_size)
+    return banded_candidate_pairs(
+        stacked, id_col, max_bucket_size=max_bucket_size, stats=stats
+    )
 
 
 def jaccard_pairs(
@@ -648,6 +663,7 @@ def prefix_filter_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int = 4096,
+    stats: dict | None = None,
 ) -> DataFrame:
     """EXACT set-similarity join via prefix filtering (PPJoin-style):
     all pairs with shingle-Jaccard >= ``threshold``, no probabilistic
@@ -672,6 +688,14 @@ def prefix_filter_near_duplicates(
     to star pairs would cost exactness — a corpus that trips it gets
     the documented bounded undercount, same contract as
     ``banded_candidate_pairs``); the verify join is id-keyed.
+
+    Pass a ``stats`` dict to OBSERVE the guard: ``stats["n_hot"]`` is
+    the number of prefix buckets that exceeded ``max_bucket_size`` and
+    degraded to hub-relative recall. ``n_hot == 0`` certifies at
+    runtime that this invocation's output is the unconditional exact
+    join; callers that require unconditional exactness regardless of
+    corpus shape should instead raise ``max_bucket_size`` (the cost is
+    a quadratic join task per degenerate bucket, not wrong answers).
     """
     feats = with_shingle_set(
         spread_to_parallelism(df, id_col), shingle_n, id_col, text_col
@@ -693,7 +717,7 @@ def prefix_filter_near_duplicates(
         .select(F.col(id_col), "shingle")
     )
     cands = banded_candidate_pairs(
-        prefix, id_col, keys=("shingle",), max_bucket_size=max_bucket_size
+        prefix, id_col, keys=("shingle",), max_bucket_size=max_bucket_size, stats=stats
     )
     # exact LENGTH filter before the array joins: J >= t forces
     # t*|B| <= |A| (and symmetrically), so mismatched sizes prune on two

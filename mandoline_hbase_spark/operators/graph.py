@@ -65,7 +65,14 @@ def shared_segment_edges(
     # entry per call for the session's lifetime; the checkpoint's blocks
     # are freed by the context cleaner once the plan is unreachable.
     # Size is the same (id, hash) volume the sizing window would have
-    # shuffled.
+    # shuffled. Known trade: localCheckpoint truncates lineage, so on a
+    # real cluster an executor loss makes the downstream job fail
+    # (non-recomputable blocks) where a persisted plan would recover;
+    # long multi-hour jobs on flaky fleets should prefer RELIABLE
+    # checkpointing (sparkContext.setCheckpointDir + .checkpoint()) or
+    # persist with a caller-managed unpersist. Local mode and the
+    # bounded jobs here never see that failure mode, and the eager job
+    # this line triggers is the same sizing scan the guard needs anyway.
     segs = (
         segment_hashes(df, seg_len, id_col, text_col)
         .select(F.col(id_col).alias("_id"), "seg_md5")

@@ -124,11 +124,23 @@ def sample_domain_quota(
     Groups at or below ``oversample*quota`` rows skip the prefilter
     entirely (threshold saturates at keep-everything), so small-domain
     results never depend on the audit.
+
+    NULL group keys form a group of their own, exactly as the window
+    form treats them (``Window.partitionBy`` puts all nulls in one
+    partition) — every join on the group key below is null-safe
+    (``<=>``), so null-group rows flow through the prefilter, the
+    audit, and the fallback like any other group.
     """
     if quota < 1:
         raise ValueError(f"quota must be >= 1, got {quota}")
     h = hash_bucket_hex(F.col(id_col), salt)
-    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gsz"))
+    # the group key lands in a separate column (`_qgrp`) on every
+    # group-grain table so joins back to row data can use eqNullSafe
+    # without ambiguous-column conflicts
+    sizes = df.groupBy(F.col(group_col).alias("_qgrp")).agg(
+        F.count(F.lit(1)).alias("_gsz")
+    )
+    gk = F.col(group_col).eqNullSafe(F.col("_qgrp"))
 
     # map-only prefilter: per-group hash threshold, saturating at 1.0
     frac = F.least(F.lit(1.0), F.lit(float(oversample) * quota) / F.col("_gsz"))
@@ -138,8 +150,8 @@ def sample_domain_quota(
         8,
         "0",
     )
-    tagged = df.join(F.broadcast(sizes), group_col)
-    survivors = tagged.filter(h < thr).drop("_gsz")
+    tagged = df.join(F.broadcast(sizes), gk)
+    survivors = tagged.filter(h < thr).drop("_qgrp", "_gsz")
 
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     ranked = survivors.withColumn("quota_rank", F.row_number().over(w).cast("bigint"))
@@ -149,25 +161,27 @@ def sample_domain_quota(
     kept = ranked.filter(F.col("quota_rank") <= quota).localCheckpoint(eager=True)
 
     # deficiency audit: group-grain counts only (never row data)
-    surv_counts = kept.groupBy(group_col).agg(F.count(F.lit(1)).alias("_kept"))
+    surv_counts = kept.groupBy(F.col(group_col).alias("_qgrp")).agg(
+        F.count(F.lit(1)).alias("_kept")
+    )
     deficient = (
-        sizes.join(surv_counts, group_col, "left")
+        sizes.join(surv_counts, "_qgrp", "left")
         .filter(
             F.coalesce(F.col("_kept"), F.lit(0))
             < F.least(F.col("_gsz"), F.lit(quota).cast("bigint"))
         )
-        .select(group_col)
+        .select("_qgrp")
     )
     n_deficient = deficient.count()
     if n_deficient == 0:
         return kept
     # rare exact fallback: full window for the deficient groups only
-    redo = df.join(F.broadcast(deficient), group_col, "semi")
+    redo = df.join(F.broadcast(deficient), gk, "semi")
     redo_kept = (
         redo.withColumn("quota_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("quota_rank") <= quota)
     )
-    good = kept.join(F.broadcast(deficient), group_col, "anti")
+    good = kept.join(F.broadcast(deficient), gk, "anti")
     return good.unionByName(redo_kept)
 
 

@@ -99,6 +99,13 @@ _REVERIFY_FIRST = {
     # round 4: split-boundary literal corrected e6666665 -> e6666666
     "dataset_split_assign": 4,
     "split_leakage_report": 4,
+    # round 5: wrapper now passes an unbounded hot-bucket cap (oracle
+    # equality made unconditional) — same output on the fixtures, but
+    # the executed plan changed
+    "dedup_prefix_filter": 5,
+    # round 5: quota joins made null-safe (same output on null-free
+    # fixtures; plan changed)
+    "domain_quota_sample": 5,
 }
 
 
@@ -133,7 +140,7 @@ def _last_green_round() -> dict[str, int]:
                 isinstance(row, dict)
                 and row.get("hash_match")
                 and not row.get("err")
-                and row.get("spark_rows", 0) > 0
+                and (row.get("spark_rows") or 0) > 0
             ):
                 out[name] = max(out.get(name, 0), rnd)
     return out

@@ -737,14 +737,22 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rarest-first by a vocabulary-grain df aggregate, only each doc's "
         "|X|-floor(t|X|)+1 prefix shingles generate candidates (guaranteed "
         "to cover every pair with J>=t), bucket join guarded, exact "
-        "verify. Oracle = brute-force all-pairs thresholding; unlike the "
-        "LSH row this equality is unconditional, not a recall argument."
+        "verify. Oracle = brute-force all-pairs thresholding; this "
+        "wrapper passes an unbounded bucket cap, so unlike the LSH row "
+        "the equality is unconditional, not a recall argument (the "
+        "operator's default cap trades exactness for a bounded "
+        "undercount only on degenerate corpora, and surfaces the "
+        "narrowing via stats['n_hot'])."
     ),
     tags=("llm", "dedup", "prefix-filter", "ppjoin"),
 )
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.prefix_filter_near_duplicates(docs, threshold=0.7)
+    # unbounded cap: the oracle claims brute-force equality with no
+    # hot-bucket caveat, so the guard must never degrade here
+    return dedup.prefix_filter_near_duplicates(
+        docs, threshold=0.7, max_bucket_size=2**31 - 1
+    )
 
 
 @register(

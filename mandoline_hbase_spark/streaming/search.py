@@ -87,19 +87,34 @@ def start_index_maintenance(
 
 
 def read_index(
-    spark: SparkSession, index_dir: str, id_col: str = "doc_id"
+    spark: SparkSession, index_dir: str, id_col: str = "doc_id", dedup: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """The accumulated ``(tf, dl)`` index tables (empty-schema frames
     when nothing has been indexed yet). ``id_col`` must match the one
     the maintenance loop wrote — the read schema is by NAME, and a
-    mismatched name would surface as an all-null key column."""
+    mismatched name would surface as an all-null key column.
+
+    ``dedup=True`` drops duplicate rows before returning. Duplicates
+    are reader-visible in exactly two windows (see ``compact_index``):
+    after a compaction crash between the rename and the source removal,
+    and after a checkpoint-rollback stream replay re-creates a batch
+    directory a compaction already folded in. In either window the
+    plain read double-counts tf/dl rows — BM25's df(t), N, and Σdl are
+    all inflated — so serve with ``dedup=True`` until the next
+    successful ``compact_index`` run folds the duplicates away. The
+    dedup is row-level and lossless: postings rows are per-(doc, term)
+    value-identical across batches because documents are immutable and
+    ingested once, so duplicate rows are byte-equal. Cost is one
+    shuffle on the served path; the steady state (no crash, no
+    rollback) never needs it."""
     out = []
     for role, ddl in (("tf", _tf_ddl(id_col)), ("dl", _dl_ddl(id_col))):
         root = os.path.join(index_dir, role)
         if os.path.isdir(root) and any(os.scandir(root)):
-            out.append(spark.read.schema(ddl).parquet(os.path.join(root, "batch-*")))
+            df = spark.read.schema(ddl).parquet(os.path.join(root, "batch-*"))
         else:
-            out.append(spark.createDataFrame([], ddl))
+            df = spark.createDataFrame([], ddl)
+        out.append(df.dropDuplicates() if dedup else df)
     return out[0], out[1]
 
 
@@ -116,8 +131,22 @@ def compact_index(spark: SparkSession, index_dir: str, target_rows: int = 1_000_
     the union and removes everything superseded, the dedup being
     content-level: postings rows are per-(doc, term) unique across
     batches because documents are immutable and ingested once).
-    Single-maintainer discipline: run from one process, like the other
-    maintenance entry points.
+
+    Operational contract (nothing below enforces it — same
+    single-maintainer discipline as the other maintenance entry
+    points):
+
+    - QUIESCE the maintenance stream while compacting: a concurrent
+      micro-batch writing into ``batch-{id}`` while its rows are being
+      folded would be deleted by the source removal, and a
+      checkpoint-rollback replay can re-create a batch directory the
+      compaction already folded in (duplicates until the next run).
+    - After a compaction CRASH (between ``os.replace`` and the source
+      removals) duplicate postings are reader-visible: served BM25
+      scores are WRONG (df_t, N, Σdl double-counted) until either the
+      compaction is re-run or reads pass ``dedup=True``
+      (``read_index`` / ``bm25_search``), which drops the byte-equal
+      duplicate rows at the cost of a shuffle.
     """
     import math
     import shutil
@@ -171,7 +200,11 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    dedup: bool = False,
 ) -> DataFrame:
-    """Serve a BM25 query from the maintained index — no document text."""
-    tf, dl = read_index(spark, index_dir, id_col)
+    """Serve a BM25 query from the maintained index — no document text.
+
+    ``dedup=True``: serve correctly through the post-compaction-crash /
+    post-rollback duplicate window (see ``read_index``)."""
+    tf, dl = read_index(spark, index_dir, id_col, dedup=dedup)
     return search.bm25_topk_from_postings(tf, dl, query_terms, k=k, k1=k1, b=b, id_col=id_col)

@@ -223,3 +223,42 @@ def test_prefix_filter_property_random_corpora(spark):
         assert got == expected
 
     check()
+
+
+def test_n_hot_signal_fires_on_forced_hot_corpus(spark):
+    """The guard's activation is machine-visible: stats['n_hot'] counts
+    degraded buckets, so EXACT-contract narrowing is observable at
+    runtime rather than only documented."""
+    hot = [(i, 0, 7) for i in range(40)]  # one bucket over the cap
+    cold = [(i, 1, 9) for i in (100, 101, 102)]
+    stats: dict = {}
+    out = dedup.banded_candidate_pairs(
+        _stacked(spark, hot + cold), "doc_id", max_bucket_size=10, stats=stats
+    )
+    out.count()
+    assert stats["n_hot"] == 1
+
+    # healthy corpus: the signal is zero and the pair set is the exact one
+    stats2: dict = {}
+    dedup.banded_candidate_pairs(
+        _stacked(spark, cold), "doc_id", max_bucket_size=10, stats=stats2
+    ).count()
+    assert stats2["n_hot"] == 0
+
+
+def test_n_hot_propagates_through_prefix_filter(spark):
+    """prefix_filter_near_duplicates surfaces the same signal: zero on a
+    healthy corpus, positive when a tiny cap forces degradation."""
+    docs = [
+        (i, f"unique{i} document number {i} talks about topic{i} only")
+        for i in range(6)
+    ] + [(100 + i, "shared boilerplate text repeated across many documents here") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    healthy: dict = {}
+    dedup.prefix_filter_near_duplicates(df, threshold=0.7, stats=healthy).count()
+    assert healthy["n_hot"] == 0
+    forced: dict = {}
+    dedup.prefix_filter_near_duplicates(
+        df, threshold=0.7, max_bucket_size=2, stats=forced
+    ).count()
+    assert forced["n_hot"] >= 1

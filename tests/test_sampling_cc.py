@@ -143,13 +143,19 @@ def test_weighted_topk_partition_invariant_and_excludes_nonpositive(spark):
 
 
 def test_domain_quota_equals_naive_window(spark):
-    rows = [(i, f"d{i % 7}") for i in range(700)]
+    # includes a NULL group (25 rows, above the quota): the window form
+    # keeps nulls as a group of their own, and the quota path must agree
+    # — its joins on the group key are null-safe
+    rows = [(i, f"d{i % 7}") for i in range(700)] + [
+        (10_000 + i, None) for i in range(25)
+    ]
     df = spark.createDataFrame(rows, "doc_id bigint, source string")
     naive = sampling.sample_topk_per_group(df, k=10, group_col="source", salt="quota")
     naive_set = {(r["source"], r["sample_rank"], r["doc_id"]) for r in naive.collect()}
     fast = sampling.sample_domain_quota(df, quota=10, group_col="source")
     fast_set = {(r["source"], r["quota_rank"], r["doc_id"]) for r in fast.collect()}
     assert fast_set == naive_set
+    assert sum(1 for s, _, _ in fast_set if s is None) == 10
 
 
 def test_domain_quota_deficiency_fallback_is_exact(spark):

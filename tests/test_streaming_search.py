@@ -138,3 +138,31 @@ def test_index_round_trip_with_custom_id_col(spark, tmp_path):
     assert tf.filter("page_id is null").count() == 0
     out = ssearch.bm25_search(spark, index_dir, ["banana"], k=5, id_col="page_id")
     assert {r["page_id"] for r in out.collect()} == {10, 20}
+
+
+def test_dedup_read_serves_correctly_through_duplicate_window(spark, tmp_path):
+    """After a compaction crash (or a checkpoint-rollback replay) leaves
+    duplicate postings visible, the plain read double-counts df_t/N/Σdl
+    — dedup=True serves the correct scores until the next compaction."""
+    import os
+
+    index_dir = _run_stream(spark, tmp_path)
+    terms = ["apple", "durian"]
+    want = {(r["rank"], r["doc_id"], r["score"]) for r in
+            ssearch.bm25_search(spark, index_dir, terms, k=10).collect()}
+    ssearch.compact_index(spark, index_dir)
+    # resurrect a folded batch in BOTH roles: the full crash window
+    tf_b, dl_b = search.postings(spark.createDataFrame(BATCHES[0], DDL))
+    tf_b.write.mode("overwrite").parquet(os.path.join(index_dir, "tf", "batch-0000000000"))
+    dl_b.write.mode("overwrite").parquet(os.path.join(index_dir, "dl", "batch-0000000000"))
+    plain = {(r["rank"], r["doc_id"], r["score"]) for r in
+             ssearch.bm25_search(spark, index_dir, terms, k=10).collect()}
+    assert plain != want  # the duplicate window IS wrong without dedup
+    served = {(r["rank"], r["doc_id"], r["score"]) for r in
+              ssearch.bm25_search(spark, index_dir, terms, k=10, dedup=True).collect()}
+    assert served == want
+    # and the next compaction run restores the plain read
+    ssearch.compact_index(spark, index_dir)
+    healed = {(r["rank"], r["doc_id"], r["score"]) for r in
+              ssearch.bm25_search(spark, index_dir, terms, k=10).collect()}
+    assert healed == want
