@@ -39,3 +39,7 @@ class CommitConflictError(MandolineError):
 
 class InvalidArgumentError(MandolineError, ValueError):
     """Mirror of IllegalArgumentException validation (hbase.clj:98-100, 139-150)."""
+
+
+class StorageError(MandolineError, RuntimeError):
+    """Backend/storage-layer misconfiguration or I/O protocol failure."""

@@ -20,14 +20,24 @@ from mandoline_hbase_spark.engine import mk_schema
 from mandoline_hbase_spark.errors import CommitConflictError
 
 
-@pytest.fixture(params=["localfs", "memory"])
+@pytest.fixture(params=["localfs", "memory", "s3"])
 def cas_env(request, tmp_path):
-    """Run the protocol tests against both conditional-put backends:
-    the local-FS name claims and the object-store If-None-Match fake
-    (storage.InMemoryCasBackend) — same contract, different atomicity
-    source."""
+    """Run the protocol tests against all three conditional-put
+    backends: local-FS name claims, the in-process If-None-Match fake
+    (storage.InMemoryCasBackend), and the S3 adapter over a hermetic
+    bucket fake (objectstore.S3CasBackend) — same contract, three
+    different atomicity sources."""
     if request.param == "memory":
         storage.register_cas_backend(str(tmp_path), storage.InMemoryCasBackend())
+        yield request.param
+        storage.unregister_cas_backend(str(tmp_path))
+    elif request.param == "s3":
+        from mandoline_hbase_spark.objectstore import FakeS3Client, S3CasBackend
+
+        backend = S3CasBackend(
+            "cp-bucket", FakeS3Client(str(tmp_path / "_bucket")), root=str(tmp_path)
+        )
+        storage.register_cas_backend(str(tmp_path), backend)
         yield request.param
         storage.unregister_cas_backend(str(tmp_path))
     else:
