@@ -287,10 +287,13 @@ def spell_suggest(
     distance asc, document frequency desc, term asc).
 
     The vocabulary (term, df) table is vocabulary-grain — tiny next to
-    the corpus — and the probe list broadcasts, so the Levenshtein
-    verify runs probe x vocab, never touching documents. At real
-    vocabulary sizes, block by length bands / first letter like
-    ``dedup.fuzzy_segment_pairs`` to bound the candidate product.
+    the corpus — and the probe list broadcasts, so the verify runs
+    probe x vocab, never touching documents. A LENGTH-BAND block runs
+    before the Levenshtein computation: edit distance is lower-bounded
+    by the length difference, so ``|len(term) - len(probe)| >
+    max_distance`` rows are pruned on two ints — exact-preserving
+    (unlike first-letter blocking, which would lose first-letter
+    typos), and the same banding idiom as ``dedup.fuzzy_segment_pairs``.
     Output: ``(probe, rank, suggestion, distance, df_t)``.
     """
     probes = list(dict.fromkeys(probe_terms))
@@ -301,6 +304,11 @@ def spell_suggest(
     probe_df = df.sparkSession.createDataFrame([(p,) for p in probes], "probe string")
     cand = (
         vocab.crossJoin(F.broadcast(probe_df))
+        # band filter FIRST: int comparison prunes before any edit-
+        # distance DP runs (levenshtein is O(len^2) per pair)
+        .filter(
+            F.abs(F.length("term") - F.length("probe")) <= F.lit(int(max_distance))
+        )
         .withColumn("distance", F.levenshtein("probe", "term").cast("bigint"))
         .filter(F.col("distance") <= int(max_distance))
     )
@@ -356,6 +364,16 @@ def bm25_topk_from_postings(
     ``dl`` must carry one row per document (``postings`` guarantees
     this, empty docs included), so N and Σdl both derive from it in a
     single tiny aggregate.
+
+    Zero-Exchange serving: when ``tf`` and ``dl`` are co-bucketed on
+    ``id_col`` (``operators.bucketed.materialize_bucketed`` with the
+    same bucket count), the whole query plans with NO hash/range
+    Exchange — the doc-keyed join and the per-doc fold both reuse the
+    bucket layout; df(t) is a SINGLE-ROW conditional aggregate over the
+    queried terms (never a term-grain groupBy, so no term shuffle) that
+    broadcasts back, and corpus scalars likewise. The only movement is
+    two scalar collect-to-one-partition steps and the broadcasts —
+    asserted by ``tests/test_bucketed.py`` via ``exchange_count == 0``.
     """
     terms = list(dict.fromkeys(query_terms))  # dedup, preserve order
     if not terms:
@@ -367,15 +385,27 @@ def bm25_topk_from_postings(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
 
-    # df(t) over the queried terms only — term-grain, broadcastable
+    # df(t) over the queried terms only: one row, one bigint per term —
+    # integer-exact, identical to a groupBy("term").count() but without
+    # the term-grain hash Exchange
     qtf = tf.filter(F.col("term").isin(terms))
-    dft = qtf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+    dfts = qtf.agg(
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_df{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    df_t = F.coalesce(
+        *[F.when(F.col("term") == t, F.col(f"_df{i}")) for i, t in enumerate(terms)]
+    ).cast("bigint")
 
     scored = (
         qtf.join(dl, id_col)  # doc-keyed; qtf side is postings of q terms only
-        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(dfts))
         .crossJoin(F.broadcast(corpus))
-    )
+    ).withColumn("df_t", df_t)
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     idf = F.log(
         F.lit(1.0)

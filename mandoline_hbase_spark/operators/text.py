@@ -592,6 +592,7 @@ def pmi_cooccurrence(
     k: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_terms_per_doc: int | None = None,
 ) -> DataFrame:
     """Top-``k`` term pairs by pointwise mutual information over
     document co-occurrence: ``PMI(a,b) = ln(n_ab * N / (n_a * n_b))``
@@ -601,18 +602,28 @@ def pmi_cooccurrence(
 
     Every PMI input is an exact integer count, so the single ``ln``
     per surviving pair is bit-reproducible across engines — no float
-    summation anywhere. Plan: distinct (doc, term) explode (map-side),
-    within-doc pair self-join (work ∝ Σ distinct-terms-per-doc², the
-    inherent co-occurrence cost — at scale cap the per-doc vocabulary
-    first, e.g. keep each doc's top terms by tf), vocabulary²-grain
+    summation anywhere. Plan: (doc, term, tf) aggregate (map-side
+    partial combine), within-doc pair self-join, vocabulary²-grain
     pair aggregate with map-side partial combine, ``min_pair_docs``
     prefilter BEFORE the broadcast joins against the term-count table,
     top-k via TakeOrderedAndProject.
 
+    ``max_terms_per_doc`` is the SCALE control on the pair join, whose
+    work is Σ per-doc distinct-terms² — one 50k-distinct-term document
+    would emit ~1.25B pairs into a single join task. When set, each
+    document contributes only its top terms by (tf desc, term asc) —
+    a per-doc window over the already doc-keyed tf table, so candidate
+    volume is bounded by ``docs * cap²/2``; term document-counts
+    ``n_x`` stay corpus-exact (computed before the cap) and only pair
+    counts through dropped LOW-TF terms are forgone, the standard
+    collocation-mining trade. ``None`` (default) is the uncapped exact
+    form — the oracle-parity harness, same scale-path-vs-exact pattern
+    as ``sampling.sample_domain_quota``.
+
     Output: ``(rank, term_a, term_b, n_pair, pmi)`` with ``term_a <
     term_b``, pmi rounded to 6, ties broken lexicographically.
     """
-    terms = (
+    doc_tf = (
         _spread(df, id_col)
         .select(
             F.col(id_col),
@@ -621,13 +632,29 @@ def pmi_cooccurrence(
             ).alias("term"),
         )
         .filter(F.length("term") > 0)
-        .dropDuplicates([id_col, "term"])
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
         # eager checkpoint: tcount and BOTH self-join sides read this
         # table — without it the corpus explode executes three times
         .localCheckpoint(eager=True)
     )
+    # n_t MUST count every containing document (corpus-exact PMI
+    # denominators even under the cap), so it aggregates BEFORE the cap
+    tcount = doc_tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    if max_terms_per_doc is not None:
+        from pyspark.sql import Window
+
+        wcap = Window.partitionBy(id_col).orderBy(
+            F.col("_tf").desc(), F.col("term").asc()
+        )
+        terms = (
+            doc_tf.withColumn("_tr", F.row_number().over(wcap))
+            .filter(F.col("_tr") <= int(max_terms_per_doc))
+            .select(id_col, "term")
+        )
+    else:
+        terms = doc_tf.select(id_col, "term")
     n_docs = df.select(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    tcount = terms.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
     a = terms.select(F.col(id_col), F.col("term").alias("term_a"))
     b = terms.select(F.col(id_col), F.col("term").alias("term_b"))
     pairs = (

@@ -106,6 +106,16 @@ _REVERIFY_FIRST = {
     # round 5: quota joins made null-safe (same output on null-free
     # fixtures; plan changed)
     "domain_quota_sample": 5,
+    # round 5: PMI term table now aggregates (doc, term, tf) so the
+    # scale cap can rank by tf — uncapped output identical, plan changed
+    "text_pmi_pairs": 5,
+    # round 5: length-band block added before the levenshtein verify
+    # (exact-preserving; plan changed)
+    "search_spell_suggest": 5,
+    # round 5: df(t) became a single-row conditional aggregate (zero-
+    # Exchange serving) — integer-identical counts, plan changed
+    "bm25_search_topk": 5,
+    "search_bm25_rerank_cosine": 5,
 }
 
 

@@ -121,3 +121,30 @@ def test_qualified_rewrite_never_touches_default_tables(spark):
     spark.sql("DROP TABLE IF EXISTS t_victim")
     spark.sql("DROP TABLE IF EXISTS otherdb.t_victim")
     spark.sql("DROP DATABASE IF EXISTS otherdb")
+
+
+def test_bm25_served_from_cobucketed_index_zero_exchange(no_broadcast, spark):
+    """The served-search path END TO END: with tf/dl co-bucketed on
+    doc_id, the ENTIRE bm25_topk_from_postings plan contains zero
+    hash/range Exchange — the doc-keyed join and the per-doc score fold
+    both reuse the bucket layout, df(t) and the corpus scalars are
+    single-row aggregates that broadcast back. Results are identical to
+    the unbucketed form."""
+    from mandoline_hbase_spark.operators import search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tf, dl = search.postings(docs)
+    terms = ["data", "the", "model"]
+    want = [tuple(r) for r in
+            search.bm25_topk_from_postings(tf, dl, terms, k=10).collect()]
+    bucketed.materialize_bucketed(tf, "t_bm25_tf", ["doc_id"], 4)
+    bucketed.materialize_bucketed(dl, "t_bm25_dl", ["doc_id"], 4)
+    try:
+        served = search.bm25_topk_from_postings(
+            spark.table("t_bm25_tf"), spark.table("t_bm25_dl"), terms, k=10
+        )
+        assert bucketed.exchange_count(served) == 0
+        assert [tuple(r) for r in served.collect()] == want and want
+    finally:
+        for t in ("t_bm25_tf", "t_bm25_dl"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -238,3 +238,58 @@ def test_boolean_search_duplicate_must_terms(spark, corpus):
     twice = {r["doc_id"] for r in
              search.boolean_search(corpus, must=["apple", "apple"]).collect()}
     assert twice == once == {1, 3}
+
+
+def test_pmi_cap_nonbinding_equals_uncapped(spark):
+    """A cap larger than any doc's vocabulary is a no-op: capped and
+    uncapped outputs are identical (the exact form stays the oracle)."""
+    from mandoline_hbase_spark.operators import text as otext
+
+    rows = [(i, "aa bb") for i in range(4)] + [(4, "aa cc"), (5, "cc dd")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = {tuple(r) for r in otext.pmi_cooccurrence(df, min_pair_docs=1, k=10).collect()}
+    capped = {tuple(r) for r in
+              otext.pmi_cooccurrence(df, min_pair_docs=1, k=10, max_terms_per_doc=100).collect()}
+    assert capped == base and base
+
+
+def test_pmi_skewed_doc_completes_with_bounded_candidates(spark):
+    """The scale control: one 50k-distinct-term document would emit
+    ~1.25B within-doc pairs uncapped; with max_terms_per_doc=64 it
+    contributes at most 64*63/2 pairs and the job completes quickly.
+    Pair/term document-counts stay corpus-exact for surviving pairs."""
+    import math
+
+    from mandoline_hbase_spark.operators import text as otext
+
+    mega = " ".join(f"t{i:05d}" for i in range(50_000))
+    rows = [(0, mega)] + [(i, "alpha beta common") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r["term_a"], r["term_b"]): (r["n_pair"], r["pmi"]) for r in
+           otext.pmi_cooccurrence(df, min_pair_docs=2, k=10, max_terms_per_doc=64).collect()}
+    # the high-tf pair from the normal docs survives with exact counts
+    # (n_alpha = n_beta = 5: the mega-doc does not contain them)
+    assert out[("alpha", "beta")] == (5, round(math.log(5 * 6 / (5 * 5)), 6))
+    # every surviving pair needed >= 2 docs, so no mega-doc-only pair appears
+    assert all(n >= 2 for n, _ in out.values())
+
+
+def test_spell_suggest_length_band_blocks_before_levenshtein(spark, corpus):
+    """The band filter must sit BEFORE the edit-distance computation in
+    the executed condition (conjunct order short-circuits the O(len^2)
+    Levenshtein DP for out-of-band rows), and must not change results
+    (edit distance >= length difference, so banding is exact)."""
+    out = search.spell_suggest(corpus, ["aple"], max_distance=2, k=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln and "levenshtein" in ln]
+    assert join_lines, plan
+    cond = join_lines[0]
+    band_at = cond.find("abs((length(")
+    lev_at = cond.find("levenshtein(")
+    assert band_at != -1 and band_at < lev_at, cond
+    # correctness on a vocabulary with terms far outside the band
+    rows = [(1, "apple banana extraordinarily xy")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["probe"], r["suggestion"], r["distance"]) for r in
+           search.spell_suggest(df, ["aple"], max_distance=2, k=5).collect()}
+    assert got == {("aple", "apple", 1)}
