@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from mandoline_hbase_spark import storage
-from mandoline_hbase_spark.engine import Connection, Index
+from mandoline_hbase_spark.engine import Connection
 from mandoline_hbase_spark.errors import CommitConflictError
 from mandoline_hbase_spark.sources.datasource import _snapshot
 
@@ -268,116 +268,204 @@ def merge_records(
             columns=["coord", "new_chunk_id", "n_matched", "n_rows"],
         )
 
-    rewrites = [
-        (int(r["coord"]), r["new_chunk_id"], int(r["n_matched"]))
-        for r in matched.groupBy("coord").applyInPandas(_rewrite, schema=out_schema).collect()
-    ]  # O(touched chunks) driver state — same order as every commit's index append
+    # The rewrite manifest never funnels through the driver: the version
+    # id is reserved BEFORE the rewrite job (same protocol as
+    # write_variable_from_df), so executors bake it into ref-delta and
+    # index rows directly; the driver sees only O(1) aggregate counts.
+    # Rows of a version that never commits are invisible to every read
+    # and reclaimed by maintenance.sweep_failed_commits + gc_chunks.
+    from mandoline_hbase_spark.engine import append_index_rows_df
 
-    # -- 4. inserts (unmatched source rows) ----------------------------------
-    insert_results: list[tuple[str, int]] = []
-    if insert_not_matched:
-        not_matched = upd.join(target_keys.select(*key_cols), on=key_cols, how="left_anti")
-
-        def _write_inserts(pdfs: Iterator) -> Iterator:
-            import pandas as pd
-
-            parts = [p for p in pdfs if len(p)]
-            if not parts:
-                return
-            new = pd.concat(parts, ignore_index=True)[all_cols]
-            cid = _put_chunk(_encode_records(new))
-            _put_stats(cid, new)
-            yield pd.DataFrame([(cid, len(new))], columns=["chunk_id", "n_rows"])
-
-        insert_results = [
-            (r["chunk_id"], int(r["n_rows"]))
-            for r in not_matched.mapInPandas(
-                _write_inserts, schema="chunk_id STRING, n_rows BIGINT"
-            ).collect()
-        ]  # O(partitions) driver state
-
-    # -- 5. commit: index re-points + version row (driver, locked) -----------
     conn = Connection(dataset_path, os.path.basename(dataset_path))
-    new_ids = [cid for _, cid, _ in rewrites if cid] + [cid for cid, _ in insert_results]
-    n_updated = sum(n for _, cid, n in rewrites) if mode == "update" else 0
-    n_deleted = sum(n for _, cid, n in rewrites) if mode == "delete" else 0
-    n_inserted = sum(n for _, n in insert_results)
-    planned = {int(c[0]): cid for c, cid in entries}
-    with storage.dataset_lock(dataset_path):
-        latest = conn.latest_version_id()
-        meta = conn.metadata(latest) if latest is not None else {}
-        # optimistic concurrency (Delta-style conflict detection): the
-        # rewrite was computed from the planning snapshot; if another
-        # writer changed any coordinate this merge re-points, committing
-        # would silently drop their update — refuse and let the caller
-        # retry against the new head. Coordinates nobody re-pointed are
-        # free to have changed (disjoint merges compose), and the insert
-        # base is re-derived from the CURRENT head so concurrent appends
-        # are never overwritten.
-        _, _, current_entries = _snapshot(dataset_path, variable, None)
-        current = {int(c[0]): cid for c, cid in current_entries}
-        stale = [
-            coord
-            for coord, _, _ in rewrites
-            if current.get(coord) != planned.get(coord)
-        ]
-        if stale:
-            raise CommitConflictError(
-                f"merge planned against version {bound} but coordinates "
-                f"{sorted(stale)[:5]} changed concurrently; retry the merge"
-            )
-        # A concurrent SCHEMA EVOLUTION (pure append with a widened/added
-        # column) touches no rewritten coordinate, so the stale check
-        # above cannot see it — but committing the PLANNING snapshot's
-        # var_meta would silently revert schema_json to the pre-evolution
-        # schema. Compare against the current head's metadata here,
-        # inside the lock, and refuse on any drift.
-        head_var_meta = (meta.get("variables") or {}).get(variable)
-        if head_var_meta is not None and head_var_meta.get("schema_json") != var_meta.get(
-            "schema_json"
-        ):
-            raise CommitConflictError(
-                f"merge planned against version {bound} but the schema of "
-                f"'{variable}' evolved concurrently; re-plan the merge "
-                "against the current head"
-            )
-        base = max(current, default=-1) + 1
-        version_id = conn._reserve_version()
-        index_entries: list[tuple[tuple[int, ...], str | None]] = [
-            ((coord,), cid) for coord, cid, _ in rewrites
-        ]
-        index_entries.extend(
-            ((base + i,), cid) for i, (cid, _) in enumerate(insert_results)
+    indices_dir = conn._dirs["indices"]
+    versions_dir = conn._dirs["versions"]
+    version_id = conn._reserve_version()
+    seq = storage.next_seq()
+    persisted = []
+    try:
+        rewritten = (
+            matched.groupBy("coord").applyInPandas(_rewrite, schema=out_schema).persist()
         )
-        safe_extra = {
-            k: v for k, v in (extra_meta or {}).items() if k not in ("version-id", "variables")
-        }
-        new_meta = {**meta, **safe_extra, "version-id": int(version_id)}
-        new_meta.setdefault("variables", {})[variable] = dict(var_meta)
-        try:
-            if new_ids:
-                conn.chunk_store().write_chunks_bulk([(cid, 1, None) for cid in new_ids])
-            idx = Index(
-                dataset_path,
-                os.path.join(dataset_path, "indices"),
-                variable,
-                new_meta,
-                version_id,
+        persisted.append(rewritten)
+        # O(1) driver state: one aggregate row (counts only, never the
+        # manifest). Triggering it also materializes the persist, i.e.
+        # runs the chunk-payload writes (§3.2 order: chunks first).
+        agg = rewritten.agg(
+            F.count(F.lit(1)).alias("n_rw"),
+            F.coalesce(F.sum("n_matched"), F.lit(0)).alias("n_m"),
+            F.coalesce(
+                F.sum(F.when(F.col("new_chunk_id").isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias("n_tomb"),
+        ).first()
+        n_rewritten, n_matched_total, n_tombstoned = int(agg[0]), int(agg[1]), int(agg[2])
+        # ref deltas, executor-written (content addressing can map two
+        # coords to one chunk — the delta is the reference count)
+        (
+            rewritten.filter(F.col("new_chunk_id").isNotNull())
+            .groupBy("new_chunk_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("ref_delta"))
+            .select(
+                F.col("new_chunk_id").alias("chunk_id"),
+                "ref_delta",
+                F.lit(None).cast("binary").alias("data"),
             )
-            idx.write_index_bulk(index_entries, version_id)
+            .write.mode("append")
+            .parquet(chunks_dir)
+        )
+        # index re-points, executor-written with the reserved id
+        # (invisible until the version row commits)
+        append_index_rows_df(
+            indices_dir,
+            rewritten.select(
+                F.col("coord").cast("string").alias("coord_id"),
+                F.array(F.col("coord")).alias("coord"),
+                F.col("new_chunk_id").alias("chunk_id"),
+            ),
+            variable,
+            version_id,
+            seq,
+        )
+
+        # -- 4. inserts (unmatched source rows) ------------------------------
+        n_inserted = n_insert_chunks = 0
+        inserts = None
+        if insert_not_matched:
+            not_matched = upd.join(
+                target_keys.select(*key_cols), on=key_cols, how="left_anti"
+            )
+
+            def _write_inserts(pdfs: Iterator) -> Iterator:
+                import pandas as pd
+
+                parts = [p for p in pdfs if len(p)]
+                if not parts:
+                    return
+                new = pd.concat(parts, ignore_index=True)[all_cols]
+                cid = _put_chunk(_encode_records(new))
+                _put_stats(cid, new)
+                yield pd.DataFrame([(cid, len(new))], columns=["chunk_id", "n_rows"])
+
+            inserts = not_matched.mapInPandas(
+                _write_inserts, schema="chunk_id STRING, n_rows BIGINT"
+            ).persist()
+            persisted.append(inserts)
+            ins_agg = inserts.agg(
+                F.count(F.lit(1)).alias("n_c"),
+                F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_r"),
+            ).first()
+            n_insert_chunks, n_inserted = int(ins_agg[0]), int(ins_agg[1])
+            (
+                inserts.groupBy("chunk_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("ref_delta"))
+                .select("chunk_id", "ref_delta", F.lit(None).cast("binary").alias("data"))
+                .write.mode("append")
+                .parquet(chunks_dir)
+            )
+
+        # -- 5. commit: conflict checks + version row (driver, locked) -------
+        planned = {int(c[0]): cid for c, cid in entries}
+        with storage.dataset_lock(dataset_path):
+            latest = conn.latest_version_id()
+            meta = conn.metadata(latest) if latest is not None else {}
+            # optimistic concurrency (Delta-style conflict detection): the
+            # rewrite was computed from the planning snapshot; if another
+            # writer changed any coordinate this merge re-points,
+            # committing would silently drop their update — refuse and let
+            # the caller retry against the new head. Coordinates nobody
+            # re-pointed are free to have changed (disjoint merges
+            # compose), and the insert base is re-derived from the CURRENT
+            # head so concurrent appends are never overwritten. The check
+            # stays distributed: the (usually empty) set of
+            # concurrently-changed coords joins against the persisted
+            # rewrite manifest; the driver collects at most 5 rows.
+            _, _, current_entries = _snapshot(dataset_path, variable, None)
+            current = {int(c[0]): cid for c, cid in current_entries}
+            changed = [
+                c
+                for c in set(planned) | set(current)
+                if current.get(c) != planned.get(c)
+            ]
+            if changed:
+                changed_df = spark.createDataFrame(
+                    [(int(c),) for c in changed], "coord BIGINT"
+                )
+                stale = [
+                    int(r["coord"])
+                    for r in rewritten.join(F.broadcast(changed_df), "coord", "semi")
+                    .select("coord")
+                    .limit(5)
+                    .collect()
+                ]
+                if stale:
+                    raise CommitConflictError(
+                        f"merge planned against version {bound} but coordinates "
+                        f"{sorted(stale)} changed concurrently; retry the merge"
+                    )
+            # A concurrent SCHEMA EVOLUTION (pure append with a widened/
+            # added column) touches no rewritten coordinate, so the stale
+            # check above cannot see it — but committing the PLANNING
+            # snapshot's var_meta would silently revert schema_json to the
+            # pre-evolution schema. Compare against the current head's
+            # metadata here, inside the lock, and refuse on any drift.
+            head_var_meta = (meta.get("variables") or {}).get(variable)
+            if head_var_meta is not None and head_var_meta.get(
+                "schema_json"
+            ) != var_meta.get("schema_json"):
+                raise CommitConflictError(
+                    f"merge planned against version {bound} but the schema of "
+                    f"'{variable}' evolved concurrently; re-plan the merge "
+                    "against the current head"
+                )
+            if n_insert_chunks:
+                # insert coords claim fresh coordinates past the CURRENT
+                # head (computed under the lock, so concurrent appends
+                # compose); the rows themselves are appended by executors
+                # — deterministic (chunk_id, n_rows) order, O(insert
+                # chunks) = O(task count), never O(rows)
+                base = max(current, default=-1) + 1
+                from pyspark.sql import Window
+
+                w_ins = Window.orderBy("chunk_id", "n_rows")
+                append_index_rows_df(
+                    indices_dir,
+                    inserts.withColumn("_rn", F.row_number().over(w_ins))
+                    .withColumn("_coord", F.lit(base - 1).cast("long") + F.col("_rn"))
+                    .select(
+                        F.col("_coord").cast("string").alias("coord_id"),
+                        F.array(F.col("_coord")).alias("coord"),
+                        "chunk_id",
+                    ),
+                    variable,
+                    version_id,
+                    seq,
+                )
+            if not storage.reservation_held(versions_dir, version_id):
+                # the failed-commit sweeper reclaimed this job's rows;
+                # committing would publish a version whose data is gone
+                raise CommitConflictError(
+                    f"reservation for merge version {version_id} was swept "
+                    "mid-job; aborting commit (raise sweep older_than_s)"
+                )
+            safe_extra = {
+                k: v
+                for k, v in (extra_meta or {}).items()
+                if k not in ("version-id", "variables")
+            }
+            new_meta = {**meta, **safe_extra, "version-id": int(version_id)}
+            new_meta.setdefault("variables", {})[variable] = dict(var_meta)
             conn.write_version(new_meta)  # commit point
-        finally:
-            storage.release_version_reservation(
-                os.path.join(dataset_path, "versions"), version_id
-            )
+    finally:
+        storage.release_version_reservation(versions_dir, version_id)
+        for df in persisted:
+            df.unpersist()
 
     return {
         "version": int(version_id),
         "base_version": int(bound),
-        "updated": int(n_updated),
-        "deleted": int(n_deleted),
+        "updated": int(n_matched_total) if mode == "update" else 0,
+        "deleted": int(n_matched_total) if mode == "delete" else 0,
         "inserted": int(n_inserted),
         "chunks_total": n_chunks,
-        "chunks_rewritten": len(rewrites),
-        "tombstoned": sum(1 for _, cid, _ in rewrites if cid is None),
+        "chunks_rewritten": n_rewritten,
+        "tombstoned": n_tombstoned,
     }

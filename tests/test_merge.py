@@ -271,3 +271,44 @@ def test_merge_crash_before_version_row_is_invisible(ds_spark, store, monkeypatc
         ds_spark.createDataFrame([(1, "retry", 9.0)], SCHEMA), ["id"],
     )
     assert _read(ds_spark, store)[1] == (1, "retry", 9.0)
+
+
+def test_merge_driver_state_is_o1(ds_spark, store, monkeypatch):
+    """The rewrite/insert manifests never funnel through the driver: every
+    driver-side collect in the merge path returns O(1) rows (aggregate
+    counts, conflict probes) — never the per-touched-chunk manifest.
+    Executors write payloads, ref deltas AND index rows; the driver
+    appends only the version row."""
+    from pyspark.sql import DataFrame
+
+    _seed(ds_spark, store, n=40, parts=8)
+
+    orig_collect = DataFrame.collect
+
+    def bounded_collect(self, *a, **k):
+        rows = orig_collect(self, *a, **k)
+        assert len(rows) <= 8, (
+            f"driver-side collect of {len(rows)} rows in the merge path "
+            "(manifest funneled through the driver)"
+        )
+        return rows
+
+    def no_topandas(self, *a, **k):
+        raise AssertionError("driver-side toPandas() in the merge path")
+
+    monkeypatch.setattr(DataFrame, "collect", bounded_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", no_topandas)
+    upd = ds_spark.createDataFrame(
+        [(i, f"upd-{i}", -1.0) for i in range(0, 40, 3)]
+        + [(100 + i, f"new-{i}", 9.0) for i in range(6)],
+        SCHEMA,
+    )
+    res = merge_records(ds_spark, store.dataset_dir, upd, ["id"])
+    monkeypatch.undo()
+    assert res["updated"] == 14 and res["inserted"] == 6
+    got = _read(ds_spark, store)
+    assert len(got) == 46
+    for i in range(0, 40, 3):
+        assert got[i] == (i, f"upd-{i}", -1.0)
+    for i in range(6):
+        assert got[100 + i] == (100 + i, f"new-{i}", 9.0)
