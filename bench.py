@@ -170,6 +170,7 @@ HEADLINE = [
     "search_bm25_rerank_cosine",
     "cluster_aware_split",
     "text_pmi_pairs",
+    "text_pmi_pairs_capped",
     "search_facets_by_source",
     "search_spell_suggest",
     "search_snippets",

@@ -254,8 +254,15 @@ def merge_records(
             # replace matched rows wholesale: drop them, append the update
             # rows. NOT pandas DataFrame.update(), which silently skips
             # NaN cells in the source — an update setting a column to
-            # NULL would keep the old value.
-            new = pd.concat([old[~mask], pdf[list(old.columns)]], ignore_index=True)
+            # NULL would keep the old value. The appended rows are sorted
+            # by key so the chunk BYTES (and the content-addressed id)
+            # are deterministic regardless of shuffle arrival order — a
+            # task retry must produce the same cid its ref/index rows
+            # were credited to.
+            new = pd.concat(
+                [old[~mask], pdf.sort_values(key_cols)[list(old.columns)]],
+                ignore_index=True,
+            )
         if len(new) == 0:
             return pd.DataFrame(
                 [(coord, None, n_matched, 0)],
@@ -281,15 +288,20 @@ def merge_records(
     versions_dir = conn._dirs["versions"]
     version_id = conn._reserve_version()
     seq = storage.next_seq()
-    persisted = []
     try:
-        rewritten = (
-            matched.groupBy("coord").applyInPandas(_rewrite, schema=out_schema).persist()
-        )
-        persisted.append(rewritten)
+        # eager localCheckpoint, NOT persist: the manifest feeds three
+        # separate actions (counts, ref deltas, index rows) and a
+        # persisted plan is RECOMPUTABLE — a lost partition would re-run
+        # _rewrite, and any nondeterminism in chunk bytes would credit
+        # refs to one cid while the index points at another (GC would
+        # then reclaim committed data). The checkpoint pins one
+        # materialization; losing its blocks fails the merge loudly
+        # before the version row, which is the safe outcome.
+        rewritten = matched.groupBy("coord").applyInPandas(
+            _rewrite, schema=out_schema
+        ).localCheckpoint(eager=True)
         # O(1) driver state: one aggregate row (counts only, never the
-        # manifest). Triggering it also materializes the persist, i.e.
-        # runs the chunk-payload writes (§3.2 order: chunks first).
+        # manifest).
         agg = rewritten.agg(
             F.count(F.lit(1)).alias("n_rw"),
             F.coalesce(F.sum("n_matched"), F.lit(0)).alias("n_m"),
@@ -340,15 +352,30 @@ def merge_records(
                 parts = [p for p in pdfs if len(p)]
                 if not parts:
                     return
-                new = pd.concat(parts, ignore_index=True)[all_cols]
+                # key-sorted for deterministic chunk bytes (see _rewrite)
+                new = (
+                    pd.concat(parts, ignore_index=True)[all_cols]
+                    .sort_values(key_cols)
+                    .reset_index(drop=True)
+                )
                 cid = _put_chunk(_encode_records(new))
                 _put_stats(cid, new)
                 yield pd.DataFrame([(cid, len(new))], columns=["chunk_id", "n_rows"])
 
-            inserts = not_matched.mapInPandas(
-                _write_inserts, schema="chunk_id STRING, n_rows BIGINT"
-            ).persist()
-            persisted.append(inserts)
+            # ranked OUTSIDE the lock: the coordinate offsets (_rn) don't
+            # depend on the base, so the window job never extends the
+            # critical section; eager checkpoint for the same
+            # no-recompute reason as the rewrite manifest
+            from pyspark.sql import Window
+
+            w_ins = Window.orderBy("chunk_id", "n_rows")
+            inserts = (
+                not_matched.mapInPandas(
+                    _write_inserts, schema="chunk_id STRING, n_rows BIGINT"
+                )
+                .withColumn("_rn", F.row_number().over(w_ins))
+                .localCheckpoint(eager=True)
+            )
             ins_agg = inserts.agg(
                 F.count(F.lit(1)).alias("n_c"),
                 F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_r"),
@@ -376,7 +403,7 @@ def merge_records(
             # compose), and the insert base is re-derived from the CURRENT
             # head so concurrent appends are never overwritten. The check
             # stays distributed: the (usually empty) set of
-            # concurrently-changed coords joins against the persisted
+            # concurrently-changed coords joins against the checkpointed
             # rewrite manifest; the driver collects at most 5 rows.
             _, _, current_entries = _snapshot(dataset_path, variable, None)
             current = {int(c[0]): cid for c, cid in current_entries}
@@ -419,18 +446,15 @@ def merge_records(
             if n_insert_chunks:
                 # insert coords claim fresh coordinates past the CURRENT
                 # head (computed under the lock, so concurrent appends
-                # compose); the rows themselves are appended by executors
-                # — deterministic (chunk_id, n_rows) order, O(insert
-                # chunks) = O(task count), never O(rows)
+                # compose); only the base-literal addition and the append
+                # of O(insert chunks) checkpointed rows run in-lock — the
+                # ranking window already ran outside it
                 base = max(current, default=-1) + 1
-                from pyspark.sql import Window
-
-                w_ins = Window.orderBy("chunk_id", "n_rows")
                 append_index_rows_df(
                     indices_dir,
-                    inserts.withColumn("_rn", F.row_number().over(w_ins))
-                    .withColumn("_coord", F.lit(base - 1).cast("long") + F.col("_rn"))
-                    .select(
+                    inserts.withColumn(
+                        "_coord", F.lit(base - 1).cast("long") + F.col("_rn")
+                    ).select(
                         F.col("_coord").cast("string").alias("coord_id"),
                         F.array(F.col("_coord")).alias("coord"),
                         "chunk_id",
@@ -455,9 +479,9 @@ def merge_records(
             new_meta.setdefault("variables", {})[variable] = dict(var_meta)
             conn.write_version(new_meta)  # commit point
     finally:
+        # checkpoint blocks are freed by the context cleaner once the
+        # plans become unreachable; only the reservation needs release
         storage.release_version_reservation(versions_dir, version_id)
-        for df in persisted:
-            df.unpersist()
 
     return {
         "version": int(version_id),

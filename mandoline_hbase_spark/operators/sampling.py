@@ -100,6 +100,7 @@ def sample_domain_quota(
     id_col: str = "doc_id",
     salt: str = "quota",
     oversample: float = 4.0,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Per-domain quota curation: keep at most ``quota`` docs per group,
     chosen deterministically (smallest salted hash, id tiebreak) — the
@@ -130,6 +131,11 @@ def sample_domain_quota(
     partition) — every join on the group key below is null-safe
     (``<=>``), so null-group rows flow through the prefilter, the
     audit, and the fallback like any other group.
+
+    ``stats`` (optional out-param): ``stats["n_deficient"]`` records
+    how many groups the audit sent through the exact fallback (0 = the
+    prefiltered fast path served everything) — the same runtime
+    observability hook as ``dedup.banded_candidate_pairs``.
     """
     if quota < 1:
         raise ValueError(f"quota must be >= 1, got {quota}")
@@ -160,12 +166,16 @@ def sample_domain_quota(
     # prefilter+window pipeline would execute twice
     kept = ranked.filter(F.col("quota_rank") <= quota).localCheckpoint(eager=True)
 
-    # deficiency audit: group-grain counts only (never row data)
-    surv_counts = kept.groupBy(F.col(group_col).alias("_qgrp")).agg(
+    # deficiency audit: group-grain counts only (never row data). The
+    # audit join must be null-safe too — a plain `=` would flag the
+    # NULL group deficient on every call and route it through the
+    # full-window fallback forever (the exact skew path this function
+    # exists to avoid)
+    surv_counts = kept.groupBy(F.col(group_col).alias("_qgrp2")).agg(
         F.count(F.lit(1)).alias("_kept")
     )
     deficient = (
-        sizes.join(surv_counts, "_qgrp", "left")
+        sizes.join(surv_counts, F.col("_qgrp").eqNullSafe(F.col("_qgrp2")), "left")
         .filter(
             F.coalesce(F.col("_kept"), F.lit(0))
             < F.least(F.col("_gsz"), F.lit(quota).cast("bigint"))
@@ -173,6 +183,8 @@ def sample_domain_quota(
         .select("_qgrp")
     )
     n_deficient = deficient.count()
+    if stats is not None:
+        stats["n_deficient"] = int(n_deficient)
     if n_deficient == 0:
         return kept
     # rare exact fallback: full window for the deficient groups only

@@ -1990,3 +1990,70 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.pmi_cooccurrence(docs, min_pair_docs=5, k=50)
+
+
+@register(
+    "text_pmi_pairs_capped",
+    oracle=r"""
+    WITH doc_tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents
+        ) WHERE length(term) > 0
+        GROUP BY doc_id, term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    tcount AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n_t FROM doc_tf GROUP BY term
+    ),
+    capped AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id, term,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tf DESC, term ASC
+                   ) AS r
+            FROM doc_tf
+        ) WHERE r <= 12
+    ),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               CAST(count(*) AS BIGINT) AS n_pair
+        FROM capped a JOIN capped b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term
+        HAVING count(*) >= 5
+    ),
+    scored AS (
+        SELECT term_a, term_b, n_pair,
+               round(ln((n_pair::DOUBLE * n.n_docs::DOUBLE)
+                        / (ta.n_t::DOUBLE * tb.n_t::DOUBLE)), 6) AS pmi
+        FROM pairs
+        JOIN tcount ta ON ta.term = pairs.term_a
+        JOIN tcount tb ON tb.term = pairs.term_b
+        CROSS JOIN n
+    )
+    SELECT rank, term_a, term_b, n_pair, pmi FROM (
+        SELECT CAST(row_number() OVER (ORDER BY pmi DESC, term_a ASC, term_b ASC)
+                    AS BIGINT) AS rank,
+               term_a, term_b, n_pair, pmi
+        FROM scored
+    ) WHERE rank <= 50
+    """,
+    description=(
+        "PMI mining through the SCALE PATH: each document contributes "
+        "only its top-12 terms by (tf desc, term asc) to the within-doc "
+        "pair join, bounding candidate volume by docs*cap^2/2 — the "
+        "guard that keeps one 50k-distinct-term document from emitting "
+        "~1.25B pairs into a single task. Term document-counts (the PMI "
+        "denominators) stay corpus-exact: they aggregate BEFORE the "
+        "cap. The oracle reproduces the cap window exactly (same tf/"
+        "term tie-break), so the scale path itself is driver-verified — "
+        "the same exactness-of-the-fast-path pattern as "
+        "domain_quota_sample."
+    ),
+    tags=("llm", "text", "pmi", "collocations", "scale-path"),
+)
+def text_pmi_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pmi_cooccurrence(docs, min_pair_docs=5, k=50, max_terms_per_doc=12)

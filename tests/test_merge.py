@@ -312,3 +312,59 @@ def test_merge_driver_state_is_o1(ds_spark, store, monkeypatch):
         assert got[i] == (i, f"upd-{i}", -1.0)
     for i in range(6):
         assert got[100 + i] == (100 + i, f"new-{i}", 9.0)
+
+
+def test_merge_aborts_when_reservation_swept(ds_spark, store, monkeypatch):
+    """MERGE reserves its version id before the distributed rewrite; if
+    the failed-commit sweeper reclaims the reservation mid-job, the
+    commit must abort loudly instead of publishing a version whose
+    executor-written rows were reclaimed."""
+    from mandoline_hbase_spark import storage
+    from mandoline_hbase_spark.errors import CommitConflictError
+
+    _seed(ds_spark, store, n=20, parts=4)
+    v_before = store.latest_version_id()
+
+    real_lock = storage.dataset_lock
+
+    def sweeping_lock(path, **kw):
+        # the sweeper strikes right before the commit section
+        for rid in storage.reserved_version_ids(store._dirs["versions"]):
+            storage.release_version_reservation(store._dirs["versions"], rid)
+        return real_lock(path, **kw)
+
+    monkeypatch.setattr("mandoline_hbase_spark.merge.storage.dataset_lock", sweeping_lock)
+    upd = ds_spark.createDataFrame([(1, "x", 0.0)], SCHEMA)
+    with pytest.raises(CommitConflictError, match="swept"):
+        merge_records(ds_spark, store.dataset_dir, upd, ["id"])
+    monkeypatch.undo()
+    store._version_cache = None
+    assert store.latest_version_id() == v_before  # nothing was published
+
+
+def test_merge_chunk_ids_deterministic_across_row_orders(ds_spark, tmp_path):
+    """Chunk BYTES (and therefore content-addressed ids) must not depend
+    on row ARRIVAL ORDER within a partition: two merges of the same
+    logical update set, fed in opposite input orders through the same
+    hash partitioning, produce identical chunk maps. This is what makes
+    a task retry safe — a recomputed partition (whose shuffle rows can
+    arrive in any order) re-derives the same cid its ref/index rows
+    were credited to. (Chunk GRANULARITY legitimately follows the
+    partition count; only intra-partition order must not matter.)"""
+    from mandoline_hbase_spark.engine import mk_schema
+
+    upd_rows = [(i, f"u-{i}", float(-i)) for i in range(0, 30, 2)] + [
+        (200 + i, f"n-{i}", 1.0) for i in range(5)
+    ]
+    maps = []
+    for variant, rows in (("a", upd_rows), ("b", list(reversed(upd_rows)))):
+        schema = mk_schema(
+            {"root": "det.mandoline.io", "base_path": str(tmp_path / variant)}
+        )
+        schema.create_dataset("ds")
+        store = schema.connect("ds")
+        _seed(ds_spark, store, n=30, parts=3)
+        upd = ds_spark.createDataFrame(rows, SCHEMA).repartition(4, "id")
+        merge_records(ds_spark, store.dataset_dir, upd, ["id"])
+        maps.append(_chunk_map(store))
+    assert maps[0] == maps[1]

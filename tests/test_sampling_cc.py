@@ -152,10 +152,14 @@ def test_domain_quota_equals_naive_window(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, source string")
     naive = sampling.sample_topk_per_group(df, k=10, group_col="source", salt="quota")
     naive_set = {(r["source"], r["sample_rank"], r["doc_id"]) for r in naive.collect()}
-    fast = sampling.sample_domain_quota(df, quota=10, group_col="source")
+    stats: dict = {}
+    fast = sampling.sample_domain_quota(df, quota=10, group_col="source", stats=stats)
     fast_set = {(r["source"], r["quota_rank"], r["doc_id"]) for r in fast.collect()}
     assert fast_set == naive_set
     assert sum(1 for s, _, _ in fast_set if s is None) == 10
+    # the NULL group is served by the PREFILTERED fast path, not by a
+    # perpetual deficiency fallback (the audit join is null-safe too)
+    assert stats["n_deficient"] == 0
 
 
 def test_domain_quota_deficiency_fallback_is_exact(spark):
