@@ -166,3 +166,33 @@ def test_dedup_read_serves_correctly_through_duplicate_window(spark, tmp_path):
     healed = {(r["rank"], r["doc_id"], r["score"]) for r in
               ssearch.bm25_search(spark, index_dir, terms, k=10).collect()}
     assert healed == want
+
+
+def test_streamed_index_bucketed_serving_zero_exchange(spark, tmp_path):
+    """End-to-end deployment shape: the STREAM-maintained index is
+    materialized as doc_id-co-bucketed tables (the small-files
+    compaction's lakehouse form) and BM25 serves from them with zero
+    hash/range Exchange — identical results to serving straight from
+    the batch directories."""
+    from mandoline_hbase_spark.operators import bucketed
+
+    index_dir = _run_stream(spark, tmp_path)
+    terms = ["apple", "durian"]
+    want = {(r["rank"], r["doc_id"], r["score"]) for r in
+            ssearch.bm25_search(spark, index_dir, terms, k=10).collect()}
+    tf, dl = ssearch.read_index(spark, index_dir)
+    bucketed.materialize_bucketed(tf, "t_stream_tf", ["doc_id"], 4)
+    bucketed.materialize_bucketed(dl, "t_stream_dl", ["doc_id"], 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        served = search.bm25_topk_from_postings(
+            spark.table("t_stream_tf"), spark.table("t_stream_dl"), terms, k=10
+        )
+        assert bucketed.exchange_count(served) == 0
+        got = {(r["rank"], r["doc_id"], r["score"]) for r in served.collect()}
+        assert got == want and want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("t_stream_tf", "t_stream_dl"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
