@@ -142,6 +142,7 @@ HEADLINE = [
     "sim_lsh_ann_topk",
     "sim_ivf_ann_topk",
     "sim_pq_ann_topk",
+    "sim_ivf_served_topk",
     "pack_sequences",
     "decontam_overlap",
     "decontam_span_removal",

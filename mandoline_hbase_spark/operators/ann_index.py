@@ -1,0 +1,253 @@
+"""Served ANN: train once, materialize the index, answer many queries.
+
+``similarity.ivf_topk`` / ``pq_topk`` are the self-contained forms —
+they fit/assign/encode the corpus inside the query, which is right for
+one-shot curation jobs and for the oracle harness. A deployed
+similarity-search stack does what a deployed text-search stack does
+(see ``operators/search.bm25_topk_from_postings``): it pays the
+training/encode cost ONCE, persists the index as tables, and serves
+every query from those tables alone.
+
+Index layout under ``index_dir`` (all parquet, executor-written):
+
+- ``cells/``    — ``(id, embedding)`` PARTITIONED BY ``cell`` (the IVF
+  coarse-quantizer assignment). Partitioning by cell is the scale
+  decision: an ``n_probe``-cell query compiles to a partition-pruned
+  scan (``PartitionFilters: cell IN (...)`` — asserted by test), so a
+  1000-cell corpus answers a 4-probe query by reading ~0.4% of the
+  data. This is the lakehouse form of FAISS's inverted lists.
+- ``codes/``    — ``(id, code ARRAY<INT>)`` partitioned by ``cell``:
+  the PQ-compressed corpus (m small ints per vector) for ADC scans.
+- ``codebook.json`` — the trained artifacts (IVF centroids + PQ
+  codebook), kilobytes; loaded driver-side at serve time and shipped
+  as literals/broadcasts exactly like the fit-inline forms.
+
+Serving reuses the fit-inline operators' scoring expressions, so
+``ivf_topk_from_index`` equals ``similarity.ivf_topk`` bit-for-bit for
+the same seed/params, and ``pq_topk_from_index`` equals
+``similarity.pq_topk`` for the same codebook (both asserted by tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mandoline_hbase_spark.operators import similarity
+from mandoline_hbase_spark.operators.similarity import (
+    _as_double,
+    _cell_scores,
+    _centroids,
+    _spread,
+    cosine_sim,
+)
+
+
+def materialize_ann_index(
+    emb_df: DataFrame,
+    index_dir: str,
+    dim: int,
+    n_centroids: int = 16,
+    seed: int = 7,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    pq_sample_n: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build the index: one corpus pass for the cell assignment + full
+    vectors, one for the PQ codes; centroids/codebook persist as JSON.
+    Returns summary counts. Rebuild = overwrite (the index is derived
+    state; the corpus of record stays wherever it lives)."""
+    cents = _centroids(dim, n_centroids, seed)
+    codebook = similarity.pq_fit(
+        emb_df, m=pq_m, k=pq_k, sample_n=pq_sample_n, id_col=id_col, vec_col=vec_col
+    )
+
+    assigned = (
+        _spread(emb_df, id_col)
+        .select(F.col(id_col), _as_double(vec_col).alias("embedding"))
+        .withColumn("cells", _cell_scores(F.col("embedding"), cents))
+        .withColumn(
+            "cell", (F.array_position("cells", F.array_max("cells")) - 1).cast("int")
+        )
+        .drop("cells")
+    )
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "cells"))
+    )
+    codes = similarity.pq_encode(emb_df, codebook, id_col, vec_col).join(
+        assigned.select(id_col, "cell"), id_col
+    )
+    (
+        codes.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+    meta = {
+        "dim": int(dim),
+        "n_centroids": int(n_centroids),
+        "seed": int(seed),
+        "id_col": id_col,
+        "centroids": [[float(x) for x in row] for row in cents],
+        "pq_codebook": [
+            [[float(x) for x in c] for c in sub] for sub in codebook
+        ],
+    }
+    tmp = os.path.join(index_dir, ".codebook.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "codebook.json"))
+    n = assigned.count()
+    return {"n_vectors": int(n), "n_centroids": int(n_centroids), "pq_m": int(pq_m)}
+
+
+def load_ann_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "codebook.json")) as f:
+        return json.load(f)
+
+
+def _probe_cells(queries_df: DataFrame, cents, n_probe: int, id_col: str, vec_col: str):
+    """Driver-side probe-cell computation: the query set is the
+    broadcast-bounded side (same contract as pq_topk's lookup tables),
+    so collecting it is O(queries). Returns (rows, probed_cell_set) with
+    rows = (query_id, qvec, cell)."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    rows, probed = [], set()
+    for r in queries_df.select(id_col, vec_col).collect():
+        qv = np.asarray(list(r[1]), dtype=np.float64)
+        scores = C @ qv
+        # ties broken by lower cell index, matching the fit-inline
+        # form's array_sort on (-score, idx)
+        order = sorted(range(len(scores)), key=lambda i: (-scores[i], i))[:n_probe]
+        for c in order:
+            rows.append((int(r[0]), [float(x) for x in qv], int(c)))
+            probed.add(int(c))
+    return rows, sorted(probed)
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN served from the materialized index: probe cells are
+    computed driver-side from the persisted centroids, and the corpus
+    scan carries a LITERAL ``cell IN (...)`` predicate — Spark prunes
+    the non-probed partitions at planning time (PartitionFilters), so
+    the read is ∝ probed cells, not corpus size. Scoring matches
+    ``similarity.ivf_topk`` exactly."""
+    from pyspark.sql import Window
+
+    meta = load_ann_meta(index_dir)
+    rows, probed = _probe_cells(queries_df, meta["centroids"], n_probe, id_col, vec_col)
+    if not rows:
+        raise ValueError("queries_df is empty")
+    probes = spark.createDataFrame(
+        rows, "query_id bigint, qvec array<double>, cell int"
+    )
+    corpus = (
+        spark.read.parquet(os.path.join(index_dir, "cells"))
+        .filter(F.col("cell").isin(probed))  # literal -> partition pruning
+        .select(
+            F.col(meta["id_col"]).alias("neighbor_id"),
+            F.col("embedding").alias("cvec"),
+            "cell",
+        )
+    )
+    cands = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = cands.withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def pq_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    shortlist: int = 32,
+    n_probe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN served from the materialized codes: ADC lookup-table scan
+    over ``codes/`` (m ints per row), shortlist, exact rerank against
+    ``cells/`` full vectors via an id semi-join.
+
+    ``n_probe`` composes the two index structures (IVF-PQ): when set,
+    the ADC scan itself is partition-pruned to the probed cells —
+    FAISS's IVFPQ as a lakehouse layout. ``None`` scans all codes
+    (plain PQ), matching ``similarity.pq_topk`` exactly."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    meta = load_ann_meta(index_dir)
+    codebook = np.asarray(meta["pq_codebook"], dtype=np.float64)
+    m, kc, d = codebook.shape
+    qrows = queries_df.select(id_col, vec_col).collect()  # k-bounded: query set
+    table_rows = []
+    for r in qrows:
+        qv = np.asarray(list(r[1]), dtype=np.float64)
+        dtab = [
+            [float(((qv[j * d : (j + 1) * d] - codebook[j][c]) ** 2).sum()) for c in range(kc)]
+            for j in range(m)
+        ]
+        table_rows.append((int(r[0]), [float(x) for x in qv], dtab))
+    queries = spark.createDataFrame(
+        table_rows, "query_id bigint, qvec array<double>, dtab array<array<double>>"
+    )
+
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    if n_probe is not None:
+        _, probed = _probe_cells(
+            queries_df, meta["centroids"], n_probe, id_col, vec_col
+        )
+        codes = codes.filter(F.col("cell").isin(probed))
+    codes = codes.select(F.col(meta["id_col"]).alias("neighbor_id"), "code")
+
+    pairs = codes.crossJoin(F.broadcast(queries)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    adc_terms = [
+        F.element_at(F.element_at("dtab", j + 1), F.element_at("code", j + 1) + 1)
+        for j in range(m)
+    ]
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    short = (
+        pairs.withColumn("adc", adc)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= shortlist)
+        .select("query_id", "qvec", "neighbor_id")
+    )
+    vectors = spark.read.parquet(os.path.join(index_dir, "cells")).select(
+        F.col(meta["id_col"]).alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    exact = short.join(vectors, "neighbor_id")
+    sims = exact.withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )

@@ -920,6 +920,49 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_served_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qvec, c.embedding::DOUBLE[]) AS sim
+        FROM q, embeddings c
+        WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC)::INT AS rank
+        FROM sims
+    )
+    WHERE rank <= 5
+    """,
+    description=(
+        "ANN served from a MATERIALIZED index (train-once/serve-many, "
+        "operators/ann_index.py): IVF assignments + vectors persisted "
+        "partitioned by cell, probes compile to partition-pruned scans; "
+        "probing every cell degrades exactly to brute force, so the "
+        "served path takes the full value-level cosine-top-k oracle — "
+        "the deployment shape is itself driver-verified, same pattern "
+        "as BM25 served from postings."
+    ),
+    tags=("llm", "similarity", "ann", "ivf", "served"),
+)
+def sim_ivf_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mandoline_hbase_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    index_dir = tempfile.mkdtemp(prefix="mandoline-ann-")
+    ann_index.materialize_ann_index(emb, index_dir, dim=64, n_centroids=8, seed=7)
+    return ann_index.ivf_topk_from_index(spark, index_dir, queries, k=5, n_probe=8)
+
+
+@register(
     "vocab_top_terms_per_source",
     oracle=r"""
         WITH tf AS (

@@ -1,0 +1,106 @@
+"""Served ANN: the materialized index answers queries identically to the
+fit-inline operators, and probes compile to partition-pruned scans."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mandoline_hbase_spark.operators import ann_index, similarity
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index_dir = str(tmp_path_factory.mktemp("ann") / "index")
+    summary = ann_index.materialize_ann_index(
+        emb, index_dir, dim=64, n_centroids=8, seed=7, pq_m=8, pq_k=16
+    )
+    return emb, index_dir, summary
+
+
+def _rows(df):
+    return sorted((r.query_id, r.rank, r.neighbor_id, r.sim) for r in df.collect())
+
+
+def test_served_ivf_equals_fit_inline(spark, built):
+    emb, index_dir, summary = built
+    assert summary["n_vectors"] == emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = _rows(
+        similarity.ivf_topk(emb, queries, dim=64, k=5, n_centroids=8, n_probe=3, seed=7)
+    )
+    got = _rows(
+        ann_index.ivf_topk_from_index(spark, index_dir, queries, k=5, n_probe=3)
+    )
+    assert got == want and got
+
+
+def test_served_ivf_scan_is_partition_pruned(spark, built):
+    """The probe set becomes a LITERAL cell IN (...) predicate, so the
+    cells/ scan prunes non-probed partitions at planning time — the
+    read is proportional to probed cells, not corpus size."""
+    emb, index_dir, _ = built
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = ann_index.ivf_topk_from_index(spark, index_dir, queries, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln and " IN " in ln for ln in scan_lines), plan[:4000]
+
+
+def test_served_pq_equals_fit_inline(spark, built):
+    emb, index_dir, _ = built
+    queries = emb.filter(F.col("vec_id") < 5)
+    meta = ann_index.load_ann_meta(index_dir)
+    import numpy as np
+
+    codebook = np.asarray(meta["pq_codebook"])
+    want = _rows(similarity.pq_topk(emb, queries, codebook, k=5, shortlist=24))
+    got = _rows(
+        ann_index.pq_topk_from_index(spark, index_dir, queries, k=5, shortlist=24)
+    )
+    assert got == want and got
+
+
+def test_ivfpq_composition_recall(spark, built):
+    """n_probe composes the two structures (IVF-PQ): the cell-pruned ADC
+    scan keeps high recall against exact brute force, and probing every
+    cell recovers the plain-PQ result exactly."""
+    emb, index_dir, _ = built
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in similarity.cosine_topk(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    served = {}
+    for r in ann_index.pq_topk_from_index(
+        spark, index_dir, queries, k=5, shortlist=32, n_probe=4
+    ).collect():
+        served.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & served.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.5, recall  # half the cells probed; shortlist reranked
+    # full probe == plain PQ (no pruning)
+    plain = _rows(ann_index.pq_topk_from_index(spark, index_dir, queries, k=5, shortlist=32))
+    full = _rows(
+        ann_index.pq_topk_from_index(spark, index_dir, queries, k=5, shortlist=32, n_probe=8)
+    )
+    assert plain == full
+
+
+def test_rebuild_is_deterministic(spark, built, tmp_path):
+    """Same corpus + params -> byte-identical codebook artifact (the
+    deterministic-fit contract the inline operators already carry)."""
+    emb, index_dir, _ = built
+    other = str(tmp_path / "index2")
+    ann_index.materialize_ann_index(
+        emb, other, dim=64, n_centroids=8, seed=7, pq_m=8, pq_k=16
+    )
+    a = json.load(open(os.path.join(index_dir, "codebook.json")))
+    b = json.load(open(os.path.join(other, "codebook.json")))
+    assert a == b
