@@ -57,15 +57,23 @@ def materialize_ann_index(
     pq_sample_n: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_pq: bool = True,
 ) -> dict:
     """Build the index: one corpus pass for the cell assignment + full
     vectors, one for the PQ codes; centroids/codebook persist as JSON.
     Returns summary counts. Rebuild = overwrite (the index is derived
-    state; the corpus of record stays wherever it lives)."""
+    state; the corpus of record stays wherever it lives). The overwrite
+    is NOT transactional across the three artifacts — readers racing a
+    rebuild can see mixed generations. Deployment discipline: rebuild
+    into a FRESH directory and swap the serving pointer (a conditional
+    put on the pointer object — the CAS seam again), or quiesce reads,
+    exactly as streaming/search.compact_index documents for postings."""
     cents = _centroids(dim, n_centroids, seed)
-    codebook = similarity.pq_fit(
-        emb_df, m=pq_m, k=pq_k, sample_n=pq_sample_n, id_col=id_col, vec_col=vec_col
-    )
+    codebook = None
+    if include_pq:
+        codebook = similarity.pq_fit(
+            emb_df, m=pq_m, k=pq_k, sample_n=pq_sample_n, id_col=id_col, vec_col=vec_col
+        )
 
     assigned = (
         _spread(emb_df, id_col)
@@ -77,34 +85,47 @@ def materialize_ann_index(
         .drop("cells")
     )
     (
-        assigned.write.mode("overwrite")
+        # repartition on the partition column first: ONE file per cell
+        # instead of (tasks x cells) small files — same discipline as
+        # bucketed.materialize_bucketed
+        assigned.repartition(n_centroids, F.col("cell"))
+        .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(index_dir, "cells"))
     )
-    codes = similarity.pq_encode(emb_df, codebook, id_col, vec_col).join(
-        assigned.select(id_col, "cell"), id_col
-    )
-    (
-        codes.write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(index_dir, "codes"))
-    )
+    if include_pq:
+        codes = similarity.pq_encode(emb_df, codebook, id_col, vec_col).join(
+            assigned.select(id_col, "cell"), id_col
+        )
+        (
+            codes.repartition(n_centroids, F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(index_dir, "codes"))
+        )
     meta = {
         "dim": int(dim),
         "n_centroids": int(n_centroids),
         "seed": int(seed),
         "id_col": id_col,
         "centroids": [[float(x) for x in row] for row in cents],
-        "pq_codebook": [
-            [[float(x) for x in c] for c in sub] for sub in codebook
-        ],
+        "pq_codebook": None
+        if codebook is None
+        else [[[float(x) for x in c] for c in sub] for sub in codebook],
     }
     tmp = os.path.join(index_dir, ".codebook.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(index_dir, "codebook.json"))
-    n = assigned.count()
+    # metadata-only count of the WRITTEN table (no plan recompute)
+    n = spark_read_count(emb_df.sparkSession, os.path.join(index_dir, "cells"))
     return {"n_vectors": int(n), "n_centroids": int(n_centroids), "pq_m": int(pq_m)}
+
+
+def spark_read_count(spark: SparkSession, path: str) -> int:
+    """Row count of a written parquet dir — served from footer metadata
+    (LocalTableScan-free aggregate), never re-running the build plan."""
+    return spark.read.parquet(path).count()
 
 
 def load_ann_meta(index_dir: str) -> dict:

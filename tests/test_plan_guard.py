@@ -55,8 +55,9 @@ BNLJ_ALLOWED = {
     # query vector into the k-row shortlist
     "search_bm25_rerank_cosine",
     # PMI crossJoins the broadcast 1-row corpus doc count into the
-    # min-count-filtered pair table
+    # min-count-filtered pair table (capped form: identical shape)
     "text_pmi_pairs",
+    "text_pmi_pairs_capped",
     # spell suggest crossJoins the broadcast probe list (a few rows)
     # against the vocabulary-grain term table — never document data
     "search_spell_suggest",
