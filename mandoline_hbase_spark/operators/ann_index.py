@@ -94,8 +94,15 @@ def materialize_ann_index(
         .parquet(os.path.join(index_dir, "cells"))
     )
     if include_pq:
+        # the cell column joins back from the just-WRITTEN table: the
+        # assignment plan (n_centroids aggregate folds per row) must not
+        # recompute for the codes pass — same no-recompute discipline as
+        # the merge manifests
+        written_cells = emb_df.sparkSession.read.parquet(
+            os.path.join(index_dir, "cells")
+        ).select(id_col, "cell")
         codes = similarity.pq_encode(emb_df, codebook, id_col, vec_col).join(
-            assigned.select(id_col, "cell"), id_col
+            written_cells, id_col
         )
         (
             codes.repartition(n_centroids, F.col("cell"))
@@ -136,22 +143,33 @@ def load_ann_meta(index_dir: str) -> dict:
 def _probe_cells(queries_df: DataFrame, cents, n_probe: int, id_col: str, vec_col: str):
     """Driver-side probe-cell computation: the query set is the
     broadcast-bounded side (same contract as pq_topk's lookup tables),
-    so collecting it is O(queries). Returns (rows, probed_cell_set) with
-    rows = (query_id, qvec, cell)."""
-    import numpy as np
+    so collecting it is O(queries). Returns (rows, probed_cell_set,
+    id_type) with rows = (query_id, qvec, cell).
 
-    C = np.asarray(cents, dtype=np.float64)
+    The dot products are SEQUENTIAL left-folds — the same summation
+    order as the JVM ``aggregate(zip_with(...))`` expression that
+    assigned the corpus cells and that ``similarity.ivf_topk`` uses to
+    probe — so near-tie cell scores order identically and the served
+    form's bit-for-bit parity claim holds. (A BLAS matvec may sum in a
+    different order and flip a ~1-ulp tie.) Query ids keep their
+    schema type; no integer assumption."""
+    id_type = queries_df.schema[id_col].dataType.simpleString()
     rows, probed = [], set()
     for r in queries_df.select(id_col, vec_col).collect():
-        qv = np.asarray(list(r[1]), dtype=np.float64)
-        scores = C @ qv
+        qv = [float(x) for x in r[1]]
+        scores = []
+        for row in cents:
+            acc = 0.0
+            for a, b in zip(qv, row):
+                acc += a * b
+            scores.append(acc)
         # ties broken by lower cell index, matching the fit-inline
         # form's array_sort on (-score, idx)
         order = sorted(range(len(scores)), key=lambda i: (-scores[i], i))[:n_probe]
         for c in order:
-            rows.append((int(r[0]), [float(x) for x in qv], int(c)))
+            rows.append((r[0], qv, int(c)))
             probed.add(int(c))
-    return rows, sorted(probed)
+    return rows, sorted(probed), id_type
 
 
 def ivf_topk_from_index(
@@ -172,11 +190,13 @@ def ivf_topk_from_index(
     from pyspark.sql import Window
 
     meta = load_ann_meta(index_dir)
-    rows, probed = _probe_cells(queries_df, meta["centroids"], n_probe, id_col, vec_col)
+    rows, probed, id_type = _probe_cells(
+        queries_df, meta["centroids"], n_probe, id_col, vec_col
+    )
     if not rows:
         raise ValueError("queries_df is empty")
     probes = spark.createDataFrame(
-        rows, "query_id bigint, qvec array<double>, cell int"
+        rows, f"query_id {id_type}, qvec array<double>, cell int"
     )
     corpus = (
         spark.read.parquet(os.path.join(index_dir, "cells"))
@@ -214,61 +234,52 @@ def pq_topk_from_index(
     ``cells/`` full vectors via an id semi-join.
 
     ``n_probe`` composes the two index structures (IVF-PQ): when set,
-    the ADC scan itself is partition-pruned to the probed cells —
-    FAISS's IVFPQ as a lakehouse layout. ``None`` scans all codes
-    (plain PQ), matching ``similarity.pq_topk`` exactly."""
+    each query's ADC scan is bounded to ITS OWN probed cells (the
+    probes join the codes ON cell, so per-query candidate volume is
+    ∝ n_probe cells regardless of batch size), and the codes scan is
+    partition-pruned to the union of probed cells — FAISS's IVFPQ as a
+    lakehouse layout. ``None`` scans all codes (plain PQ), matching
+    ``similarity.pq_topk`` exactly. The ADC expression, shortlist
+    tie-break and exact rerank are the SHARED
+    ``similarity.adc_shortlist_rerank`` definition."""
     import numpy as np
-    from pyspark.sql import Window
 
     meta = load_ann_meta(index_dir)
+    if meta.get("pq_codebook") is None:
+        raise ValueError(
+            f"index at {index_dir} was built without PQ codes "
+            "(materialize_ann_index(include_pq=False)); rebuild with "
+            "include_pq=True to serve PQ queries"
+        )
     codebook = np.asarray(meta["pq_codebook"], dtype=np.float64)
-    m, kc, d = codebook.shape
-    qrows = queries_df.select(id_col, vec_col).collect()  # k-bounded: query set
-    table_rows = []
-    for r in qrows:
-        qv = np.asarray(list(r[1]), dtype=np.float64)
-        dtab = [
-            [float(((qv[j * d : (j + 1) * d] - codebook[j][c]) ** 2).sum()) for c in range(kc)]
-            for j in range(m)
-        ]
-        table_rows.append((int(r[0]), [float(x) for x in qv], dtab))
-    queries = spark.createDataFrame(
-        table_rows, "query_id bigint, qvec array<double>, dtab array<array<double>>"
-    )
+    queries = similarity.pq_query_tables(queries_df, codebook, id_col, vec_col)
 
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     if n_probe is not None:
-        _, probed = _probe_cells(
+        rows, probed, id_type = _probe_cells(
             queries_df, meta["centroids"], n_probe, id_col, vec_col
         )
+        # union filter = partition pruning for the SCAN; per-query
+        # bound = the (query, cell) probe join below
         codes = codes.filter(F.col("cell").isin(probed))
-    codes = codes.select(F.col(meta["id_col"]).alias("neighbor_id"), "code")
-
-    pairs = codes.crossJoin(F.broadcast(queries)).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    adc_terms = [
-        F.element_at(F.element_at("dtab", j + 1), F.element_at("code", j + 1) + 1)
-        for j in range(m)
-    ]
-    adc = adc_terms[0]
-    for t in adc_terms[1:]:
-        adc = adc + t
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
-    short = (
-        pairs.withColumn("adc", adc)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= shortlist)
-        .select("query_id", "qvec", "neighbor_id")
-    )
+        probe_pairs = spark.createDataFrame(
+            [(r[0], r[2]) for r in rows], f"query_id {id_type}, cell int"
+        )
+        cands = (
+            codes.select(F.col(meta["id_col"]).alias("neighbor_id"), "code", "cell")
+            .join(F.broadcast(probe_pairs), "cell")
+            .join(F.broadcast(queries), "query_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+    else:
+        cands = (
+            codes.select(F.col(meta["id_col"]).alias("neighbor_id"), "code")
+            .crossJoin(F.broadcast(queries))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
     vectors = spark.read.parquet(os.path.join(index_dir, "cells")).select(
         F.col(meta["id_col"]).alias("neighbor_id"), F.col("embedding").alias("cvec")
     )
-    exact = short.join(vectors, "neighbor_id")
-    sims = exact.withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    return similarity.adc_shortlist_rerank(
+        cands, vectors, codebook.shape[0], k, shortlist
     )

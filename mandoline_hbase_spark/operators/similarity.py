@@ -511,32 +511,69 @@ def pq_topk(
     (query, code) pair instead of re-deriving subspace L2 against the
     codebook literal (3x on the sf0.1 fixture).
     """
+    queries = pq_query_tables(queries_df, codebook, id_col, vec_col)
+    codes = pq_encode(emb_df, codebook, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "code"
+    )
+    cands = codes.crossJoin(F.broadcast(queries)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    vectors = _spread(emb_df, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    )
+    return adc_shortlist_rerank(cands, vectors, codebook.shape[0], k, shortlist)
+
+
+def pq_query_tables(
+    queries_df: DataFrame,
+    codebook: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The per-query ADC LOOKUP TABLES as a broadcastable frame
+    ``(query_id, qvec, dtab)``: the driver precomputes an m x k
+    subspace-distance table per query vector (state bounded by the
+    query count — the side that is broadcast anyway). Shared by the
+    fit-inline and served PQ paths so the ADC math has exactly one
+    definition. The query-id type follows ``queries_df``'s schema (no
+    integer-id assumption)."""
     import numpy as np
-    from pyspark.sql import Window
 
     m, kc, d = codebook.shape
+    id_type = queries_df.schema[id_col].dataType.simpleString()
     qrows = queries_df.select(id_col, vec_col).collect()  # k-bounded: query set
     table_rows = []
     for r in qrows:
-        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qv = np.asarray(list(r[vec_col]), dtype=np.float64)
         dtab = [
             [float(((qv[j * d : (j + 1) * d] - codebook[j][c]) ** 2).sum()) for c in range(kc)]
             for j in range(m)
         ]
-        table_rows.append((int(r[id_col]), [float(x) for x in qv], dtab))
-    queries = emb_df.sparkSession.createDataFrame(
-        table_rows, "query_id bigint, qvec array<double>, dtab array<array<double>>"
+        table_rows.append((r[id_col], [float(x) for x in qv], dtab))
+    return queries_df.sparkSession.createDataFrame(
+        table_rows, f"query_id {id_type}, qvec array<double>, dtab array<array<double>>"
     )
-    codes = pq_encode(emb_df, codebook, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "code"
-    )
-    pairs = codes.crossJoin(F.broadcast(queries)).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+
+
+def adc_shortlist_rerank(
+    cands: DataFrame, vectors: DataFrame, m: int, k: int, shortlist: int
+) -> DataFrame:
+    """ADC-shortlist-then-exact-rerank over prepared candidates: one
+    definition of the asymmetric-distance expression, the shortlist
+    tie-break and the exact-cosine rerank, used by both the fit-inline
+    (``pq_topk``) and served (``ann_index.pq_topk_from_index``) forms —
+    a parity fix to either applies to both by construction.
+
+    ``cands``: ``(query_id, qvec, dtab, neighbor_id, code)`` rows;
+    ``vectors``: ``(neighbor_id, cvec)`` full-precision rerank source —
+    read for ``shortlist`` candidates per query only (id-keyed join).
+    The ``_rk <= shortlist`` filter rewrites to WindowGroupLimit, so
+    the per-query ADC ordering is a map-side partial top-k, never a
+    full per-query sort."""
+    from pyspark.sql import Window
+
     adc_terms = [
-        F.element_at(
-            F.element_at("dtab", j + 1), F.element_at("code", j + 1) + 1
-        )
+        F.element_at(F.element_at("dtab", j + 1), F.element_at("code", j + 1) + 1)
         for j in range(m)
     ]
     adc = adc_terms[0]
@@ -544,17 +581,12 @@ def pq_topk(
         adc = adc + t
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     short = (
-        pairs.withColumn("adc", adc)
+        cands.withColumn("adc", adc)
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= shortlist)
         .select("query_id", "qvec", "neighbor_id")
     )
-    exact = short.join(
-        _spread(emb_df, id_col).select(
-            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
-        ),
-        "neighbor_id",
-    )
+    exact = short.join(vectors, "neighbor_id")
     sims = exact.withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
     w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

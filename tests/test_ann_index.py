@@ -104,3 +104,19 @@ def test_rebuild_is_deterministic(spark, built, tmp_path):
     a = json.load(open(os.path.join(index_dir, "codebook.json")))
     b = json.load(open(os.path.join(other, "codebook.json")))
     assert a == b
+
+
+def test_pq_serve_refused_without_codes(spark, tmp_path):
+    """An IVF-only index (include_pq=False) must refuse PQ serving with
+    a clear error, not an opaque NoneType crash."""
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "ivf-only")
+    ann_index.materialize_ann_index(
+        emb, d, dim=64, n_centroids=8, seed=7, include_pq=False
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    assert ann_index.ivf_topk_from_index(spark, d, queries, k=3, n_probe=2).count() > 0
+    with pytest.raises(ValueError, match="without PQ codes"):
+        ann_index.pq_topk_from_index(spark, d, queries, k=3)
