@@ -1,0 +1,153 @@
+"""Streaming ANN index upkeep: stream-maintained cells == batch
+assignment, served IVF == fit-inline over the union corpus, replay
+idempotence, compaction convergence, and dedup-serving through the
+crash window — the vector sibling of test_streaming_search.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mandoline_hbase_spark.operators import similarity
+from mandoline_hbase_spark.streaming import ann as sann
+from tests.conftest import SF_SMOKE
+
+DDL = "vec_id bigint, embedding array<double>"
+
+
+@pytest.fixture(scope="module")
+def batches(spark):
+    emb = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .orderBy("vec_id")
+        .limit(90)
+        .collect()
+    )
+    rows = [(r.vec_id, list(r.embedding)) for r in emb]
+    return [rows[:30], rows[30:60], rows[60:90]]
+
+
+def _run_stream(spark, tmp_path, batches) -> str:
+    src = str(tmp_path / "incoming")
+    index_dir = str(tmp_path / "annidx")
+    sann.init_ann_index(index_dir, dim=64, n_centroids=8, seed=7)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, DDL).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(DDL).option("maxFilesPerTrigger", 1).parquet(src + "/b*")
+    )
+    q = sann.start_ann_maintenance(stream, index_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    return index_dir
+
+
+def _union_df(spark, batches):
+    return spark.createDataFrame([r for b in batches for r in b], DDL)
+
+
+def test_streamed_cells_equal_batch_assignment(spark, tmp_path, batches):
+    index_dir = _run_stream(spark, tmp_path, batches)
+    got = {
+        (r.vec_id, r.cell)
+        for r in sann.read_cells(spark, index_dir).select("vec_id", "cell").collect()
+    }
+    # batch form: assign the union corpus in one pass with the same centroids
+    import numpy as np
+
+    from mandoline_hbase_spark.operators.similarity import _cell_scores, _centroids
+
+    cents = _centroids(64, 8, 7)
+    want = {
+        (r.vec_id, r.cell)
+        for r in _union_df(spark, batches)
+        .withColumn("cells", _cell_scores(F.col("embedding"), cents))
+        .withColumn("cell", (F.array_position("cells", F.array_max("cells")) - 1).cast("int"))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == want and len(got) == 90
+
+
+def test_served_from_stream_equals_fit_inline(spark, tmp_path, batches):
+    index_dir = _run_stream(spark, tmp_path, batches)
+    union = _union_df(spark, batches)
+    queries = union.filter(F.col("vec_id") < 5)
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.sim)
+        for r in similarity.ivf_topk(
+            union, queries, dim=64, k=5, n_centroids=8, n_probe=3, seed=7
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.sim)
+        for r in sann.ivf_search(spark, index_dir, queries, k=5, n_probe=3).collect()
+    )
+    assert got == want and got
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path, batches):
+    index_dir = str(tmp_path / "annidx")
+    sann.init_ann_index(index_dir, dim=64, n_centroids=8, seed=7)
+    b0 = spark.createDataFrame(batches[0], DDL)
+    sann.append_ann_batch(b0, 0, index_dir)
+
+    def snap():
+        return {
+            (r.vec_id, tuple(r.embedding), r.cell)
+            for r in sann.read_cells(spark, index_dir).collect()
+        }
+
+    before = snap()
+    sann.append_ann_batch(b0, 0, index_dir)  # foreachBatch crash replay
+    after = snap()
+    assert after == before and len(after) == 30
+
+
+def test_compaction_preserves_results_and_heals_duplicates(spark, tmp_path, batches):
+    index_dir = _run_stream(spark, tmp_path, batches)
+    queries = _union_df(spark, batches).filter(F.col("vec_id") < 3)
+    want = sorted(
+        tuple(r) for r in sann.ivf_search(spark, index_dir, queries, k=5).collect()
+    )
+    assert sann.compact_ann_index(spark, index_dir) == 1
+    root = os.path.join(index_dir, "cells")
+    assert [e.name for e in os.scandir(root) if e.is_dir()] == ["batch-compacted-001"]
+    after = sorted(
+        tuple(r) for r in sann.ivf_search(spark, index_dir, queries, k=5).collect()
+    )
+    assert after == want
+    # simulate the crash window: resurrect a folded batch -> duplicates
+    sann.append_ann_batch(spark.createDataFrame(batches[0], DDL), 0, index_dir)
+    dup = sorted(
+        tuple(r) for r in sann.ivf_search(spark, index_dir, queries, k=5, dedup=True).collect()
+    )
+    assert dup == want  # dedup serving is correct through the window
+    assert sann.compact_ann_index(spark, index_dir) == 1  # rerun converges
+    healed = sorted(
+        tuple(r) for r in sann.ivf_search(spark, index_dir, queries, k=5).collect()
+    )
+    assert healed == want
+
+
+def test_empty_index_reads(spark, tmp_path):
+    index_dir = str(tmp_path / "annidx")
+    sann.init_ann_index(index_dir, dim=64, n_centroids=8, seed=7)
+    assert sann.read_cells(spark, index_dir).count() == 0
+
+
+def test_streamed_ivf_scan_is_partition_pruned(spark, tmp_path, batches):
+    """The cell predicate pushes through the per-batch union: every
+    batch dir's scan carries PartitionFilters on cell, so probes read
+    only probed partitions inside each batch — the scale property the
+    cell layout exists for."""
+    index_dir = _run_stream(spark, tmp_path, batches)
+    queries = _union_df(spark, batches).filter(F.col("vec_id") < 2)
+    out = sann.ivf_search(spark, index_dir, queries, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scans and all("cell" in ln and " IN " in ln for ln in scans), plan[:4000]
