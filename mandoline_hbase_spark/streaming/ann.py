@@ -217,6 +217,30 @@ def compact_ann_index(
     return 1
 
 
+def cell_occupancy_report(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The RETRAIN signal for the fixed coarse quantizer: per-cell
+    vector counts plus each cell's share of the corpus. Fixed centroids
+    make appends pure, but corpus drift skews occupancy — a hot cell
+    degrades probe selectivity toward a full scan (its partition holds
+    an outsized corpus share), which is when production systems retrain
+    offline and swap the serving pointer. One cell-grain aggregate
+    (n_centroids rows); ``share`` is exact-integer count over exact
+    count."""
+    cells = read_cells(spark, index_dir)
+    total = cells.count()
+    return (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .withColumn(
+            "share",
+            F.when(
+                F.lit(total) > 0, F.round(F.col("n_vectors") / F.lit(total), 6)
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy(F.col("n_vectors").desc(), F.col("cell").asc())
+    )
+
+
 def ivf_search(
     spark: SparkSession,
     index_dir: str,

@@ -151,3 +151,16 @@ def test_streamed_ivf_scan_is_partition_pruned(spark, tmp_path, batches):
     plan = out._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert scans and all("cell" in ln and " IN " in ln for ln in scans), plan[:4000]
+
+
+def test_cell_occupancy_report(spark, tmp_path, batches):
+    """The retrain signal: per-cell counts + corpus share, summing to
+    the indexed total."""
+    index_dir = _run_stream(spark, tmp_path, batches)
+    rows = sann.cell_occupancy_report(spark, index_dir).collect()
+    assert sum(r.n_vectors for r in rows) == 90
+    assert all(0.0 < r.share <= 1.0 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    # descending occupancy order, hottest first
+    counts = [r.n_vectors for r in rows]
+    assert counts == sorted(counts, reverse=True)
