@@ -42,7 +42,6 @@ from mandoline_hbase_spark.operators.similarity import (
     _cell_scores,
     _centroids,
     _spread,
-    cosine_sim,
 )
 
 
@@ -124,14 +123,18 @@ def materialize_ann_index(
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(index_dir, "codebook.json"))
-    # metadata-only count of the WRITTEN table (no plan recompute)
+    # count the WRITTEN table, not the build plan: a zero-column scan
+    # of the (just-written, cell-count files) parquet dir is cheap and
+    # never recomputes the assignment expressions
     n = spark_read_count(emb_df.sparkSession, os.path.join(index_dir, "cells"))
     return {"n_vectors": int(n), "n_centroids": int(n_centroids), "pq_m": int(pq_m)}
 
 
 def spark_read_count(spark: SparkSession, path: str) -> int:
-    """Row count of a written parquet dir — served from footer metadata
-    (LocalTableScan-free aggregate), never re-running the build plan."""
+    """Row count of a written parquet dir — a plain zero-column count
+    scan over the files (NOT a footer-metadata-only read; Spark needs
+    ``spark.sql.parquet.aggregatePushdown`` for that). The point is
+    only that the BUILD plan never re-executes."""
     return spark.read.parquet(path).count()
 
 
@@ -187,8 +190,6 @@ def ivf_topk_from_index(
     the non-probed partitions at planning time (PartitionFilters), so
     the read is ∝ probed cells, not corpus size. Scoring matches
     ``similarity.ivf_topk`` exactly."""
-    from pyspark.sql import Window
-
     meta = load_ann_meta(index_dir)
     rows, probed, id_type = _probe_cells(
         queries_df, meta["centroids"], n_probe, id_col, vec_col
@@ -210,13 +211,7 @@ def ivf_topk_from_index(
     cands = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    sims = cands.withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
-    )
+    return similarity.cosine_rank_topk(cands, k)
 
 
 def pq_topk_from_index(

@@ -259,6 +259,21 @@ def ivf_topk(
     cands = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    return cosine_rank_topk(cands, k)
+
+
+def cosine_rank_topk(cands: DataFrame, k: int) -> DataFrame:
+    """The IVF serving tail — exact cosine over candidate pairs, then
+    the per-query rank window with the (sim desc, neighbor asc)
+    tie-break and round-6 score. ONE definition shared by the
+    fit-inline (``ivf_topk``), served (``ann_index.ivf_topk_from_index``)
+    and stream-maintained (``streaming/ann.ivf_search``) forms, so a
+    tie-break or rounding fix applies to all three by construction.
+    ``cands``: ``(query_id, qvec, neighbor_id, cvec)`` rows. The
+    ``rank <= k`` filter rewrites to WindowGroupLimit (map-side partial
+    top-k per query, never a full per-query sort)."""
+    from pyspark.sql import Window
+
     sims = cands.withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -967,19 +967,30 @@ def sim_ivf_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # train-once/serve-many IS the semantics: the index for a corpus is
     # built on first use and every later call only serves (the bench's
     # warm pass builds, the timed pass measures serving — mirroring the
-    # deployed shape). The location is DETERMINISTIC per corpus dir
-    # (one bounded dir per sf_dir, never a leak-per-process), and the
-    # deterministic build means reuse can never change results. Build
-    # happens in a scratch dir, then an atomic rename claims the final
-    # name; a concurrent builder that loses the rename discards its
-    # scratch and serves the winner's index.
+    # deployed shape). The location is DETERMINISTIC per corpus CONTENT:
+    # the tag fingerprints the corpus path, the embeddings file's
+    # (mtime_ns, size) and the build params, so a regenerated fixture
+    # or changed parameters land on a FRESH dir — a stale index can
+    # never serve. Build happens in a scratch dir, then an atomic
+    # rename claims the final name; a builder that loses the rename
+    # serves the winner's identical index. A crashed partial dir (final
+    # exists, marker missing) is never deleted — its squatter name is
+    # abandoned and the loser serves from its own scratch instead, so
+    # no process can ever rmtree an index another process is serving.
     index_dir = _SERVED_ANN_INDEX.get(sf_dir)
     if index_dir is None:
-        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+        try:
+            st = os.stat(emb_path)
+            stamp = f"{st.st_mtime_ns}:{st.st_size}"
+        except OSError:
+            stamp = "nostat"
+        params = "dim64:c8:s7:noPQ"
+        tag = hashlib.md5(f"{emb_path}|{stamp}|{params}".encode()).hexdigest()[:16]
         final = os.path.join(tempfile.gettempdir(), f"mandoline-ann-{tag}")
-        if not os.path.exists(os.path.join(final, "codebook.json")):
-            if os.path.isdir(final):  # crashed partial build: clear it
-                shutil.rmtree(final, ignore_errors=True)
+        if os.path.exists(os.path.join(final, "codebook.json")):
+            index_dir = final
+        else:
             work = tempfile.mkdtemp(prefix="mandoline-ann-build-")
             # IVF artifacts only: this query serves the cell-partitioned
             # layout (PQ codes are exercised by tests/test_ann_index.py)
@@ -988,9 +999,14 @@ def sim_ivf_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             try:
                 os.rename(work, final)
+                index_dir = final
             except OSError:
-                shutil.rmtree(work, ignore_errors=True)  # racer won
-        index_dir = _SERVED_ANN_INDEX[sf_dir] = final
+                if os.path.exists(os.path.join(final, "codebook.json")):
+                    shutil.rmtree(work, ignore_errors=True)  # racer won
+                    index_dir = final
+                else:
+                    index_dir = work  # squatting partial dir: serve scratch
+        _SERVED_ANN_INDEX[sf_dir] = index_dir
     return ann_index.ivf_topk_from_index(spark, index_dir, queries, k=5, n_probe=8)
 
 

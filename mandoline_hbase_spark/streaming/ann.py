@@ -49,23 +49,31 @@ from mandoline_hbase_spark.operators.similarity import (
     _as_double,
     _cell_scores,
     _centroids,
-    cosine_sim,
+    cosine_rank_topk,
 )
 
 
 def init_ann_index(
-    index_dir: str, dim: int, n_centroids: int = 16, seed: int = 7, id_col: str = "vec_id"
+    index_dir: str,
+    dim: int,
+    n_centroids: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    id_type: str = "bigint",
 ) -> dict:
     """Train (here: derive deterministically; a k-means fit drops in)
     and persist the coarse quantizer. Must run ONCE before the
     maintenance stream starts — every batch assignment and every query
-    probe reads these centroids, which is what makes appends pure."""
+    probe reads these centroids, which is what makes appends pure.
+    ``id_type`` is recorded so empty-index reads carry the same schema
+    as populated ones (string ids work end to end)."""
     cents = _centroids(dim, n_centroids, seed)
     meta = {
         "dim": int(dim),
         "n_centroids": int(n_centroids),
         "seed": int(seed),
         "id_col": id_col,
+        "id_type": id_type,
         "centroids": [[float(x) for x in row] for row in cents],
         "pq_codebook": None,
     }
@@ -158,7 +166,9 @@ def read_cells(spark: SparkSession, index_dir: str, dedup: bool = False) -> Data
     )
     if not sources:
         return spark.createDataFrame(
-            [], f"{meta['id_col']} bigint, embedding array<double>, cell int"
+            [],
+            f"{meta['id_col']} {meta.get('id_type', 'bigint')}, "
+            "embedding array<double>, cell int",
         )
     # one read per batch dir, each with ITS OWN basePath, so the cell=N
     # partition level inside every batch survives discovery (a single
@@ -191,7 +201,13 @@ def compact_ann_index(
     meta = _load_meta(index_dir)
     df = read_cells(spark, index_dir, dedup=True)
     n = df.count()
-    k = max(1, math.ceil(n / max(1, target_rows)))
+    # files per CELL, not total: hash-repartitioning on `cell` alone can
+    # never split one cell across tasks, so target_rows must translate
+    # into an intra-cell salt — (cell, id-hash bucket) keys give
+    # files_per_cell output files under each cell=N partition dir
+    files_per_cell = max(
+        1, math.ceil(n / max(1, int(meta["n_centroids"])) / max(1, target_rows))
+    )
     gen = 1 + max(
         (
             int(os.path.basename(p).rsplit("-", 1)[1])
@@ -205,8 +221,10 @@ def compact_ann_index(
     for p in (new_dir, tmp_dir):
         if os.path.isdir(p):
             shutil.rmtree(p)
+    id_col = meta["id_col"]
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell))
     (
-        df.repartition(max(k, int(meta["n_centroids"])), F.col("cell"))
+        df.repartition(int(meta["n_centroids"]) * files_per_cell, F.col("cell"), salt)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(tmp_dir)
@@ -223,20 +241,18 @@ def cell_occupancy_report(spark: SparkSession, index_dir: str) -> DataFrame:
     make appends pure, but corpus drift skews occupancy — a hot cell
     degrades probe selectivity toward a full scan (its partition holds
     an outsized corpus share), which is when production systems retrain
-    offline and swap the serving pointer. One cell-grain aggregate
-    (n_centroids rows); ``share`` is exact-integer count over exact
-    count."""
-    cells = read_cells(spark, index_dir)
-    total = cells.count()
+    offline and swap the serving pointer. ONE scan: the total derives
+    from a window over the (n_centroids-row) cell-grain aggregate, so
+    counts and shares come from the same snapshot — a batch landing
+    between two separate jobs cannot skew the shares."""
+    from pyspark.sql import Window
+
+    counts = read_cells(spark, index_dir).groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    total = F.sum("n_vectors").over(Window.partitionBy())  # n_centroids rows
     return (
-        cells.groupBy("cell")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
-        .withColumn(
-            "share",
-            F.when(
-                F.lit(total) > 0, F.round(F.col("n_vectors") / F.lit(total), 6)
-            ).otherwise(F.lit(0.0)),
-        )
+        counts.withColumn("share", F.round(F.col("n_vectors") / total, 6))
         .orderBy(F.col("n_vectors").desc(), F.col("cell").asc())
     )
 
@@ -254,8 +270,6 @@ def ivf_search(
     probe computation and scoring to the static served path, so results
     equal ``similarity.ivf_topk`` over the union corpus. The cell
     predicate prunes ``cell=N`` partitions inside every batch dir."""
-    from pyspark.sql import Window
-
     meta = _load_meta(index_dir)
     id_col = meta["id_col"]
     rows, probed, id_type = _probe_cells(
@@ -274,10 +288,4 @@ def ivf_search(
     cands = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    sims = cands.withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
-    )
+    return cosine_rank_topk(cands, k)

@@ -42,7 +42,7 @@ def _run_stream(spark, tmp_path, batches) -> str:
         spark.readStream.schema(DDL).option("maxFilesPerTrigger", 1).parquet(src + "/b*")
     )
     q = sann.start_ann_maintenance(stream, index_dir, str(tmp_path / "ckpt"))
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "maintenance stream did not finish in 180s"
     return index_dir
 
 
@@ -164,3 +164,23 @@ def test_cell_occupancy_report(spark, tmp_path, batches):
     # descending occupancy order, hottest first
     counts = [r.n_vectors for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_compaction_sizes_files_within_cells(spark, tmp_path, batches):
+    """target_rows translates into intra-cell file sizing: hash
+    repartitioning on cell alone can never split a cell, so the
+    compactor salts within cells — a small target must yield multiple
+    files under at least one cell=N dir, and results are unchanged."""
+    index_dir = _run_stream(spark, tmp_path, batches)
+    queries = _union_df(spark, batches).filter(F.col("vec_id") < 3)
+    want = sorted(tuple(r) for r in sann.ivf_search(spark, index_dir, queries, k=5).collect())
+    assert sann.compact_ann_index(spark, index_dir, target_rows=5) == 1
+    root = os.path.join(index_dir, "cells", "batch-compacted-001")
+    multi = 0
+    for cell_dir in (e.path for e in os.scandir(root) if e.is_dir()):
+        files = [f for f in os.listdir(cell_dir) if f.endswith(".parquet")]
+        assert files
+        multi += len(files) > 1
+    assert multi >= 1
+    after = sorted(tuple(r) for r in sann.ivf_search(spark, index_dir, queries, k=5).collect())
+    assert after == want
