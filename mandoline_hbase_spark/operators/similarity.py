@@ -230,8 +230,6 @@ def ivf_topk(
     rerank. Recall rises with n_probe; n_probe = n_centroids degrades
     gracefully to exact brute force.
     """
-    from pyspark.sql import Window
-
     cents = _centroids(dim, n_centroids, seed)
     corpus = (
         _spread(emb_df, id_col)

@@ -979,14 +979,18 @@ def sim_ivf_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no process can ever rmtree an index another process is serving.
     index_dir = _SERVED_ANN_INDEX.get(sf_dir)
     if index_dir is None:
+        # ONE params dict feeds both the cache key and the build call, so
+        # a parameter edit can never serve a stale index through a
+        # forgotten hand-maintained key string
+        build = dict(dim=64, n_centroids=8, seed=7, include_pq=False)
         emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
         try:
             st = os.stat(emb_path)
             stamp = f"{st.st_mtime_ns}:{st.st_size}"
         except OSError:
             stamp = "nostat"
-        params = "dim64:c8:s7:noPQ"
-        tag = hashlib.md5(f"{emb_path}|{stamp}|{params}".encode()).hexdigest()[:16]
+        key = f"{emb_path}|{stamp}|{sorted(build.items())}"
+        tag = hashlib.md5(key.encode()).hexdigest()[:16]
         final = os.path.join(tempfile.gettempdir(), f"mandoline-ann-{tag}")
         if os.path.exists(os.path.join(final, "codebook.json")):
             index_dir = final
@@ -994,9 +998,7 @@ def sim_ivf_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             work = tempfile.mkdtemp(prefix="mandoline-ann-build-")
             # IVF artifacts only: this query serves the cell-partitioned
             # layout (PQ codes are exercised by tests/test_ann_index.py)
-            ann_index.materialize_ann_index(
-                emb, work, dim=64, n_centroids=8, seed=7, include_pq=False
-            )
+            ann_index.materialize_ann_index(emb, work, **build)
             try:
                 os.rename(work, final)
                 index_dir = final
@@ -1005,7 +1007,17 @@ def sim_ivf_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     shutil.rmtree(work, ignore_errors=True)  # racer won
                     index_dir = final
                 else:
-                    index_dir = work  # squatting partial dir: serve scratch
+                    # crashed-partial squatter on the canonical name:
+                    # quarantine it ASIDE (never rmtree — some process
+                    # may think it is serving from it) and retry, so
+                    # the canonical slot heals instead of every future
+                    # process rebuilding into abandoned scratch dirs
+                    try:
+                        os.rename(final, f"{final}.quarantine-{os.getpid()}")
+                        os.rename(work, final)
+                        index_dir = final
+                    except OSError:
+                        index_dir = work  # lost every race: serve scratch
         _SERVED_ANN_INDEX[sf_dir] = index_dir
     return ann_index.ivf_topk_from_index(spark, index_dir, queries, k=5, n_probe=8)
 

@@ -201,13 +201,6 @@ def compact_ann_index(
     meta = _load_meta(index_dir)
     df = read_cells(spark, index_dir, dedup=True)
     n = df.count()
-    # files per CELL, not total: hash-repartitioning on `cell` alone can
-    # never split one cell across tasks, so target_rows must translate
-    # into an intra-cell salt — (cell, id-hash bucket) keys give
-    # files_per_cell output files under each cell=N partition dir
-    files_per_cell = max(
-        1, math.ceil(n / max(1, int(meta["n_centroids"])) / max(1, target_rows))
-    )
     gen = 1 + max(
         (
             int(os.path.basename(p).rsplit("-", 1)[1])
@@ -221,10 +214,26 @@ def compact_ann_index(
     for p in (new_dir, tmp_dir):
         if os.path.isdir(p):
             shutil.rmtree(p)
+    # per-CELL file sizing: hash-repartitioning on `cell` alone can
+    # never split one cell across tasks, so target_rows becomes an
+    # intra-cell salt whose modulus is EACH CELL'S OWN row count over
+    # the target (a skewed hot cell gets many files, cold cells one) —
+    # a corpus-average modulus would violate the target exactly under
+    # the drift skew cell_occupancy_report exists to detect
     id_col = meta["id_col"]
-    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell))
+    per_cell = df.groupBy("cell").agg(
+        F.greatest(
+            F.lit(1), F.ceil(F.count(F.lit(1)) / F.lit(int(max(1, target_rows))))
+        )
+        .cast("int")
+        .alias("_files")
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.col("_files"))
+    n_parts = max(int(meta["n_centroids"]), math.ceil(n / max(1, target_rows)))
     (
-        df.repartition(int(meta["n_centroids"]) * files_per_cell, F.col("cell"), salt)
+        df.join(F.broadcast(per_cell), "cell")
+        .repartition(n_parts, F.col("cell"), salt)
+        .drop("_files")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(tmp_dir)
@@ -247,7 +256,10 @@ def cell_occupancy_report(spark: SparkSession, index_dir: str) -> DataFrame:
     between two separate jobs cannot skew the shares."""
     from pyspark.sql import Window
 
-    counts = read_cells(spark, index_dir).groupBy("cell").agg(
+    # dedup=True: through the post-compaction-crash duplicate window a
+    # plain read double-counts resurrected batches, which would fake a
+    # hot-cell retrain signal
+    counts = read_cells(spark, index_dir, dedup=True).groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
     )
     total = F.sum("n_vectors").over(Window.partitionBy())  # n_centroids rows
