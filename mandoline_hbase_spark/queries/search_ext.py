@@ -100,6 +100,74 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(docs, _BM25_TERMS, k=25, k1=_BM25_K1, b=_BM25_B)
 
 
+_SERVED_POSTINGS: dict[str, str] = {}
+
+
+@register(
+    "bm25_served_topk",
+    oracle=_DUCK_BM25,
+    description=(
+        "BM25 served from MATERIALIZED postings tables (train-once/"
+        "serve-many, the deployed shape): the inverted index (tf, dl) "
+        "is built once per corpus and persisted; queries read the "
+        "postings alone — document text is never touched at serve "
+        "time. Postings derivation is deterministic, so the served "
+        "scores equal the corpus-side bm25_search_topk bit-for-bit and "
+        "the same value-level oracle adjudicates the deployment shape "
+        "itself — the text sibling of sim_ivf_served_topk."
+    ),
+    tags=("search", "text", "bm25", "topk", "served"),
+)
+def bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    index_dir = _SERVED_POSTINGS.get(sf_dir)
+    if index_dir is None:
+        # content-fingerprinted cache slot + atomic rename claim — the
+        # same stale-proof / race-safe protocol as sim_ivf_served_topk
+        doc_path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+        try:
+            st = os.stat(doc_path)
+            stamp = f"{st.st_mtime_ns}:{st.st_size}"
+        except OSError:
+            stamp = "nostat"
+        tag = hashlib.md5(f"{doc_path}|{stamp}|postings-v1".encode()).hexdigest()[:16]
+        final = os.path.join(tempfile.gettempdir(), f"mandoline-postings-{tag}")
+        marker = os.path.join(final, "_built")
+        if os.path.exists(marker):
+            index_dir = final
+        else:
+            work = tempfile.mkdtemp(prefix="mandoline-postings-build-")
+            docs = load_table(spark, sf_dir, "documents")
+            tf, dl = search.postings(docs)
+            tf.write.mode("overwrite").parquet(os.path.join(work, "tf"))
+            dl.write.mode("overwrite").parquet(os.path.join(work, "dl"))
+            open(os.path.join(work, "_built"), "w").close()
+            try:
+                os.rename(work, final)
+                index_dir = final
+            except OSError:
+                if os.path.exists(marker):
+                    shutil.rmtree(work, ignore_errors=True)  # racer won
+                    index_dir = final
+                else:
+                    try:
+                        os.rename(final, f"{final}.quarantine-{os.getpid()}")
+                        os.rename(work, final)
+                        index_dir = final
+                    except OSError:
+                        index_dir = work
+        _SERVED_POSTINGS[sf_dir] = index_dir
+    tf = spark.read.parquet(f"{index_dir}/tf")
+    dl = spark.read.parquet(f"{index_dir}/dl")
+    return search.bm25_topk_from_postings(
+        tf, dl, _BM25_TERMS, k=25, k1=_BM25_K1, b=_BM25_B
+    )
+
+
 @register(
     "search_phrase_occurrences",
     oracle=r"""
