@@ -51,6 +51,10 @@ BNLJ_ALLOWED = {
     # doc length) into the postings of the query terms — broadcast
     # scalars, same shape as tfidf's doc count
     "bm25_search_topk",
+    # the served form calls the same bm25_topk_from_postings scoring
+    # (operators/search.py) — the BNLJ pair is the identical designed
+    # broadcast 1-row scalar crossJoin (corpus N, total doc length)
+    "bm25_served_topk",
     # the rerank stage additionally crossJoins the broadcast 1-row
     # query vector into the k-row shortlist
     "search_bm25_rerank_cosine",
