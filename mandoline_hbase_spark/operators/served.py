@@ -1,0 +1,96 @@
+"""Served-artifact lifecycle: content-fingerprinted cache slot with an
+atomic rename claim.
+
+Train-once/serve-many queries (``sim_ivf_served_topk``,
+``bm25_served_topk``) build an index artifact the first time a corpus is
+seen and serve every later call from it. The lifecycle below is the one
+subtle piece, so it exists exactly once:
+
+- The slot name is a CONTENT fingerprint — the source file's path,
+  ``(mtime_ns, size)`` stamp, and the full build-params dict — so a
+  regenerated fixture or a parameter edit lands on a FRESH directory; a
+  stale artifact can never serve. ONE params dict must feed both the
+  fingerprint and the build call (never a hand-maintained key string).
+- The build happens in a private scratch dir, then an atomic
+  ``os.rename`` claims the canonical name. A builder that loses the
+  rename race serves the winner's identical artifact (builds are
+  deterministic functions of the fingerprinted inputs).
+- A crashed partial dir squatting on the canonical name (dir exists,
+  ready marker missing) is never deleted — some other process may
+  believe it is serving from it. It is quarantine-renamed ASIDE and the
+  claim retried, so the canonical slot heals instead of every future
+  process abandoning scratch builds. A process that loses every race
+  serves from its own scratch dir; correctness is unaffected.
+
+At cluster scale the same protocol runs over the object store: the
+scratch build is a key prefix, the rename claim is a conditional put on
+a pointer object (the ``objectstore`` CAS seam), and the quarantine is a
+pointer swap — see ``materialize_ann_index``'s deployment note.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+from typing import Callable
+
+__all__ = ["content_fingerprint", "served_artifact"]
+
+
+def content_fingerprint(src_path: str, params: dict) -> str:
+    """Fingerprint a build: absolute source path + (mtime_ns, size) of
+    the source file + the sorted params dict. Pass the SAME dict to the
+    build function so the key can never drift from the build."""
+    src_path = os.path.abspath(src_path)
+    try:
+        st = os.stat(src_path)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    return f"{src_path}|{stamp}|{sorted(params.items())}"
+
+
+def served_artifact(
+    name: str,
+    fingerprint: str,
+    build_fn: Callable[[str], None],
+    marker: str = "_built",
+) -> str:
+    """Return a directory holding the ready artifact for ``fingerprint``,
+    building it with ``build_fn(work_dir)`` if no ready slot exists.
+
+    ``marker`` is the ready sentinel filename inside the artifact dir:
+    its presence means the build completed (the scratch build is only
+    renamed in whole, so marker-present implies artifact-complete). If
+    ``build_fn`` itself creates a completion file (e.g. an index's
+    ``codebook.json``, written last), name it as the marker; otherwise
+    the default ``_built`` sentinel is stamped after ``build_fn``
+    returns.
+    """
+    tag = hashlib.md5(fingerprint.encode()).hexdigest()[:16]
+    final = os.path.join(tempfile.gettempdir(), f"{name}-{tag}")
+    if os.path.exists(os.path.join(final, marker)):
+        return final
+    work = tempfile.mkdtemp(prefix=f"{name}-build-")
+    build_fn(work)
+    mk = os.path.join(work, marker)
+    if not os.path.exists(mk):
+        open(mk, "w").close()
+    try:
+        os.rename(work, final)
+        return final
+    except OSError:
+        if os.path.exists(os.path.join(final, marker)):
+            shutil.rmtree(work, ignore_errors=True)  # racer won
+            return final
+        # crashed-partial squatter on the canonical name: quarantine it
+        # ASIDE (never rmtree — some process may be serving from it)
+        # and retry, so the canonical slot heals
+        try:
+            os.rename(final, f"{final}.quarantine-{os.getpid()}")
+            os.rename(work, final)
+            return final
+        except OSError:
+            return work  # lost every race: serve scratch

@@ -119,47 +119,32 @@ _SERVED_POSTINGS: dict[str, str] = {}
     tags=("search", "text", "bm25", "topk", "served"),
 )
 def bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
+
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
 
     index_dir = _SERVED_POSTINGS.get(sf_dir)
     if index_dir is None:
         # content-fingerprinted cache slot + atomic rename claim — the
-        # same stale-proof / race-safe protocol as sim_ivf_served_topk
-        doc_path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-        try:
-            st = os.stat(doc_path)
-            stamp = f"{st.st_mtime_ns}:{st.st_size}"
-        except OSError:
-            stamp = "nostat"
-        tag = hashlib.md5(f"{doc_path}|{stamp}|postings-v1".encode()).hexdigest()[:16]
-        final = os.path.join(tempfile.gettempdir(), f"mandoline-postings-{tag}")
-        marker = os.path.join(final, "_built")
-        if os.path.exists(marker):
-            index_dir = final
-        else:
-            work = tempfile.mkdtemp(prefix="mandoline-postings-build-")
+        # same stale-proof / race-safe protocol as sim_ivf_served_topk,
+        # shared via operators/served.py
+
+        def _build(work: str) -> None:
             docs = load_table(spark, sf_dir, "documents")
             tf, dl = search.postings(docs)
             tf.write.mode("overwrite").parquet(os.path.join(work, "tf"))
             dl.write.mode("overwrite").parquet(os.path.join(work, "dl"))
-            open(os.path.join(work, "_built"), "w").close()
-            try:
-                os.rename(work, final)
-                index_dir = final
-            except OSError:
-                if os.path.exists(marker):
-                    shutil.rmtree(work, ignore_errors=True)  # racer won
-                    index_dir = final
-                else:
-                    try:
-                        os.rename(final, f"{final}.quarantine-{os.getpid()}")
-                        os.rename(work, final)
-                        index_dir = final
-                    except OSError:
-                        index_dir = work
+
+        index_dir = served_artifact(
+            "mandoline-postings",
+            content_fingerprint(
+                os.path.join(sf_dir, "documents.parquet"), {"layout": "postings-v1"}
+            ),
+            _build,
+        )
         _SERVED_POSTINGS[sf_dir] = index_dir
     tf = spark.read.parquet(f"{index_dir}/tf")
     dl = spark.read.parquet(f"{index_dir}/dl")
