@@ -43,3 +43,9 @@ class InvalidArgumentError(MandolineError, ValueError):
 
 class StorageError(MandolineError, RuntimeError):
     """Backend/storage-layer misconfiguration or I/O protocol failure."""
+
+
+class LeaseHeldError(MandolineError, RuntimeError):
+    """A maintenance lease (single-maintainer mutual exclusion over the
+    CAS seam, the same check-and-put contract as hbase.clj:241-248) is
+    held by another process; the caller must not proceed."""

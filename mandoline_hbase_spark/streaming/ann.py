@@ -183,65 +183,81 @@ def read_cells(spark: SparkSession, index_dir: str, dedup: bool = False) -> Data
 
 
 def compact_ann_index(
-    spark: SparkSession, index_dir: str, target_rows: int = 1_000_000
+    spark: SparkSession,
+    index_dir: str,
+    target_rows: int = 1_000_000,
+    owner: str | None = None,
+    steal_stale_after_s: float | None = None,
 ) -> int:
     """Fold batch directories into one consolidated batch (small-files
     maintenance; same staging/crash-convergence protocol as
     streaming/search.compact_index — quiesce the stream while running,
     serve with ``dedup=True`` after a compaction crash until rerun).
+    The single-compactor rule is ENFORCED by the ``.compaction.lease``
+    conditional-put claim (``lease.maintenance_lease``): a second
+    concurrent compactor raises :class:`LeaseHeldError` instead of
+    removing batch dirs the winner never folded in; pass
+    ``steal_stale_after_s`` to break a hard-crashed owner's lease.
     Returns the number of batch dirs afterwards."""
-    root = os.path.join(index_dir, "cells")
-    if not os.path.isdir(root):
-        return 0
-    sources = sorted(
-        e.path for e in os.scandir(root) if e.is_dir() and e.name.startswith("batch-")
-    )
-    if len(sources) <= 1:
-        return len(sources)
-    meta = _load_meta(index_dir)
-    df = read_cells(spark, index_dir, dedup=True)
-    n = df.count()
-    gen = 1 + max(
-        (
-            int(os.path.basename(p).rsplit("-", 1)[1])
-            for p in sources
-            if "compacted" in os.path.basename(p)
-        ),
-        default=0,
-    )
-    new_dir = os.path.join(root, f"batch-compacted-{gen:03d}")
-    tmp_dir = os.path.join(root, f".staging-compacted-{gen:03d}")
-    for p in (new_dir, tmp_dir):
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-    # per-CELL file sizing: hash-repartitioning on `cell` alone can
-    # never split one cell across tasks, so target_rows becomes an
-    # intra-cell salt whose modulus is EACH CELL'S OWN row count over
-    # the target (a skewed hot cell gets many files, cold cells one) —
-    # a corpus-average modulus would violate the target exactly under
-    # the drift skew cell_occupancy_report exists to detect
-    id_col = meta["id_col"]
-    per_cell = df.groupBy("cell").agg(
-        F.greatest(
-            F.lit(1), F.ceil(F.count(F.lit(1)) / F.lit(int(max(1, target_rows))))
+    from mandoline_hbase_spark.lease import maintenance_lease
+
+    with maintenance_lease(
+        index_dir, "compaction", owner=owner, steal_stale_after_s=steal_stale_after_s
+    ):
+        root = os.path.join(index_dir, "cells")
+        if not os.path.isdir(root):
+            return 0
+        sources = sorted(
+            e.path
+            for e in os.scandir(root)
+            if e.is_dir() and e.name.startswith("batch-")
         )
-        .cast("int")
-        .alias("_files")
-    )
-    salt = F.pmod(F.xxhash64(F.col(id_col)), F.col("_files"))
-    n_parts = max(int(meta["n_centroids"]), math.ceil(n / max(1, target_rows)))
-    (
-        df.join(F.broadcast(per_cell), "cell")
-        .repartition(n_parts, F.col("cell"), salt)
-        .drop("_files")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(tmp_dir)
-    )
-    os.replace(tmp_dir, new_dir)
-    for p in sources:
-        shutil.rmtree(p, ignore_errors=True)
-    return 1
+        if len(sources) <= 1:
+            return len(sources)
+        meta = _load_meta(index_dir)
+        df = read_cells(spark, index_dir, dedup=True)
+        n = df.count()
+        gen = 1 + max(
+            (
+                int(os.path.basename(p).rsplit("-", 1)[1])
+                for p in sources
+                if "compacted" in os.path.basename(p)
+            ),
+            default=0,
+        )
+        new_dir = os.path.join(root, f"batch-compacted-{gen:03d}")
+        tmp_dir = os.path.join(root, f".staging-compacted-{gen:03d}")
+        for p in (new_dir, tmp_dir):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        # per-CELL file sizing: hash-repartitioning on `cell` alone can
+        # never split one cell across tasks, so target_rows becomes an
+        # intra-cell salt whose modulus is EACH CELL'S OWN row count over
+        # the target (a skewed hot cell gets many files, cold cells one) —
+        # a corpus-average modulus would violate the target exactly under
+        # the drift skew cell_occupancy_report exists to detect
+        id_col = meta["id_col"]
+        per_cell = df.groupBy("cell").agg(
+            F.greatest(
+                F.lit(1), F.ceil(F.count(F.lit(1)) / F.lit(int(max(1, target_rows))))
+            )
+            .cast("int")
+            .alias("_files")
+        )
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.col("_files"))
+        n_parts = max(int(meta["n_centroids"]), math.ceil(n / max(1, target_rows)))
+        (
+            df.join(F.broadcast(per_cell), "cell")
+            .repartition(n_parts, F.col("cell"), salt)
+            .drop("_files")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp_dir)
+        )
+        os.replace(tmp_dir, new_dir)
+        for p in sources:
+            shutil.rmtree(p, ignore_errors=True)
+        return 1
 
 
 def cell_occupancy_report(spark: SparkSession, index_dir: str) -> DataFrame:

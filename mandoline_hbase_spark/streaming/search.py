@@ -118,7 +118,13 @@ def read_index(
     return out[0], out[1]
 
 
-def compact_index(spark: SparkSession, index_dir: str, target_rows: int = 1_000_000) -> dict:
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    target_rows: int = 1_000_000,
+    owner: str | None = None,
+    steal_stale_after_s: float | None = None,
+) -> dict:
     """Fold accumulated per-batch postings directories into one
     consolidated batch — the small-files maintenance every streaming
     sink needs (same role as ``layout.compact_records`` for record
@@ -132,9 +138,14 @@ def compact_index(spark: SparkSession, index_dir: str, target_rows: int = 1_000_
     content-level: postings rows are per-(doc, term) unique across
     batches because documents are immutable and ingested once).
 
-    Operational contract (nothing below enforces it — same
-    single-maintainer discipline as the other maintenance entry
-    points):
+    The single-COMPACTOR rule is ENFORCED: the body runs under the
+    ``.compaction.lease`` conditional-put claim (``lease.maintenance_lease``
+    over the CAS seam — a second concurrent compactor raises
+    :class:`LeaseHeldError` instead of deleting batch dirs the winner's
+    consolidated output never folded in). A hard-crashed owner's lease
+    is broken by passing ``steal_stale_after_s`` (choose ≫ the longest
+    plausible compaction). Remaining operational contract the lease
+    does NOT cover:
 
     - QUIESCE the maintenance stream while compacting: a concurrent
       micro-batch writing into ``batch-{id}`` while its rows are being
@@ -151,45 +162,50 @@ def compact_index(spark: SparkSession, index_dir: str, target_rows: int = 1_000_
     import math
     import shutil
 
-    stats = {}
-    for role in ("tf", "dl"):
-        root = os.path.join(index_dir, role)
-        if not os.path.isdir(root):
-            stats[role] = 0
-            continue
-        sources = sorted(
-            e.path
-            for e in os.scandir(root)
-            if e.is_dir() and e.name.startswith("batch-")
-        )
-        if len(sources) <= 1:
-            stats[role] = len(sources)
-            continue
-        df = spark.read.parquet(*sources).dropDuplicates()
-        n = df.count()
-        k = max(1, math.ceil(n / max(1, target_rows)))
-        # "batch-compacted-N" matches read_index's batch-* glob but can
-        # never collide with a stream batch dir (digits only); N bumps
-        # past any earlier compaction. Staged dot-prefixed (invisible
-        # to the glob), then atomically renamed BEFORE sources are
-        # removed — a crash in between leaves duplicates, which the
-        # next compaction's dropDuplicates folds away.
-        gen = 1 + max(
-            (int(os.path.basename(p).rsplit("-", 1)[1]) for p in sources
-             if "compacted" in os.path.basename(p)),
-            default=0,
-        )
-        new_dir = os.path.join(root, f"batch-compacted-{gen:03d}")
-        tmp_dir = os.path.join(root, f".staging-compacted-{gen:03d}")
-        for p in (new_dir, tmp_dir):
-            if os.path.isdir(p):
-                shutil.rmtree(p)
-        df.coalesce(k).write.mode("overwrite").parquet(tmp_dir)
-        os.replace(tmp_dir, new_dir)
-        for p in sources:
-            shutil.rmtree(p, ignore_errors=True)
-        stats[role] = 1
-    return stats
+    from mandoline_hbase_spark.lease import maintenance_lease
+
+    with maintenance_lease(
+        index_dir, "compaction", owner=owner, steal_stale_after_s=steal_stale_after_s
+    ):
+        stats = {}
+        for role in ("tf", "dl"):
+            root = os.path.join(index_dir, role)
+            if not os.path.isdir(root):
+                stats[role] = 0
+                continue
+            sources = sorted(
+                e.path
+                for e in os.scandir(root)
+                if e.is_dir() and e.name.startswith("batch-")
+            )
+            if len(sources) <= 1:
+                stats[role] = len(sources)
+                continue
+            df = spark.read.parquet(*sources).dropDuplicates()
+            n = df.count()
+            k = max(1, math.ceil(n / max(1, target_rows)))
+            # "batch-compacted-N" matches read_index's batch-* glob but can
+            # never collide with a stream batch dir (digits only); N bumps
+            # past any earlier compaction. Staged dot-prefixed (invisible
+            # to the glob), then atomically renamed BEFORE sources are
+            # removed — a crash in between leaves duplicates, which the
+            # next compaction's dropDuplicates folds away.
+            gen = 1 + max(
+                (int(os.path.basename(p).rsplit("-", 1)[1]) for p in sources
+                 if "compacted" in os.path.basename(p)),
+                default=0,
+            )
+            new_dir = os.path.join(root, f"batch-compacted-{gen:03d}")
+            tmp_dir = os.path.join(root, f".staging-compacted-{gen:03d}")
+            for p in (new_dir, tmp_dir):
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+            df.coalesce(k).write.mode("overwrite").parquet(tmp_dir)
+            os.replace(tmp_dir, new_dir)
+            for p in sources:
+                shutil.rmtree(p, ignore_errors=True)
+            stats[role] = 1
+        return stats
 
 
 def bm25_search(

@@ -1,0 +1,159 @@
+"""Maintenance lease (lease.py): single-compactor enforcement over the
+CAS seam — the check-and-put contract (hbase.clj:241-248) applied to
+index maintenance, per VERDICT r5 #4. Exactly one of two concurrent
+compactors may proceed; reads stay correct throughout."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mandoline_hbase_spark import storage
+from mandoline_hbase_spark.errors import LeaseHeldError
+from mandoline_hbase_spark.lease import lease_holder, maintenance_lease
+from mandoline_hbase_spark.streaming import ann as sann
+from mandoline_hbase_spark.streaming import search as ssearch
+
+
+def test_acquire_release_cycle(tmp_path):
+    d = str(tmp_path / "idx")
+    assert lease_holder(d) is None
+    with maintenance_lease(d, owner="me") as who:
+        assert who == "me"
+        assert lease_holder(d)["owner"] == "me"
+        assert os.path.exists(os.path.join(d, ".compaction.lease"))
+    assert lease_holder(d) is None  # released
+    with maintenance_lease(d):  # re-acquirable
+        pass
+
+
+def test_second_acquirer_raises_and_release_on_exception(tmp_path):
+    d = str(tmp_path / "idx")
+    with maintenance_lease(d, owner="a"):
+        with pytest.raises(LeaseHeldError, match="held by a"):
+            with maintenance_lease(d, owner="b"):
+                pass
+    # a body that raises still releases (finally)
+    with pytest.raises(RuntimeError, match="boom"):
+        with maintenance_lease(d, owner="c"):
+            raise RuntimeError("boom")
+    assert lease_holder(d) is None
+
+
+def test_stale_lease_break_and_fresh_lease_respected(tmp_path):
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    # a hard-crashed owner's leftover lease, acquired long ago
+    storage.cas_backend_for(d).put(
+        os.path.join(d, ".compaction.lease"),
+        json.dumps({"owner": "crashed", "acquired_at_unix": time.time() - 9999}).encode(),
+    )
+    # without steal: respected
+    with pytest.raises(LeaseHeldError):
+        with maintenance_lease(d, owner="b"):
+            pass
+    # with steal threshold below its age: broken and reclaimed
+    with maintenance_lease(d, owner="b", steal_stale_after_s=60) as who:
+        assert lease_holder(d)["owner"] == "b" == who
+    # a FRESH lease is never stolen even with the threshold set
+    with maintenance_lease(d, owner="c"):
+        with pytest.raises(LeaseHeldError):
+            with maintenance_lease(d, owner="d", steal_stale_after_s=60):
+                pass
+
+
+def test_concurrent_acquirers_exactly_one_wins(tmp_path):
+    d = str(tmp_path / "idx")
+    barrier = threading.Barrier(8)
+    wins, losses = [], []
+
+    def contend(i):
+        barrier.wait()
+        try:
+            with maintenance_lease(d, owner=f"t{i}"):
+                wins.append(i)
+                time.sleep(0.05)  # hold it across the others' attempts
+        except LeaseHeldError:
+            losses.append(i)
+
+    ts = [threading.Thread(target=contend, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(wins) == 1 and len(losses) == 7
+    assert lease_holder(d) is None
+
+
+DDL = "doc_id bigint, text string"
+
+
+def test_two_concurrent_compactors_one_wins_reads_correct(spark, tmp_path):
+    """VERDICT r5 #4's done-criterion: two concurrent compactors on the
+    same postings index — exactly one proceeds, the loser raises
+    LeaseHeldError, and the index content is intact afterwards."""
+    index_dir = str(tmp_path / "pidx")
+    for i, text in enumerate(["apple banana", "banana cherry", "apple apple"]):
+        ssearch.append_index_batch(
+            spark.createDataFrame([(i, text)], DDL), i, index_dir
+        )
+    tf0, dl0 = ssearch.read_index(spark, index_dir)
+    want_tf = {tuple(r) for r in tf0.collect()}
+    want_dl = {tuple(r) for r in dl0.collect()}
+
+    started = threading.Event()
+    blocker_err = []
+
+    def hold_and_compact():
+        # this thread takes the lease first and compacts while holding it
+        try:
+            with maintenance_lease(index_dir, owner="winner"):
+                started.set()
+                time.sleep(0.3)  # window where the rival must lose
+            # after release, the real compaction runs uncontended
+            ssearch.compact_index(spark, index_dir)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            blocker_err.append(exc)
+            started.set()
+
+    t = threading.Thread(target=hold_and_compact)
+    t.start()
+    started.wait(5)
+    with pytest.raises(LeaseHeldError):
+        ssearch.compact_index(spark, index_dir)
+    t.join()
+    assert not blocker_err
+    tf1, dl1 = ssearch.read_index(spark, index_dir)
+    assert {tuple(r) for r in tf1.collect()} == want_tf
+    assert {tuple(r) for r in dl1.collect()} == want_dl
+    # the winner compacted: one consolidated dir per role
+    for role in ("tf", "dl"):
+        dirs = [e.name for e in os.scandir(os.path.join(index_dir, role)) if e.is_dir()]
+        assert dirs == ["batch-compacted-001"]
+    assert lease_holder(index_dir) is None
+
+
+def test_ann_compactor_respects_lease(spark, tmp_path):
+    index_dir = str(tmp_path / "aidx")
+    sann.init_ann_index(index_dir, dim=4, n_centroids=2)
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(6)],
+        "vec_id bigint, embedding array<double>",
+    )
+    sann.append_ann_batch(vecs.filter(F.col("vec_id") < 3), 0, index_dir)
+    sann.append_ann_batch(vecs.filter(F.col("vec_id") >= 3), 1, index_dir)
+    with maintenance_lease(index_dir, owner="rival"):
+        with pytest.raises(LeaseHeldError):
+            sann.compact_ann_index(spark, index_dir)
+    # nothing was touched while blocked
+    names = sorted(
+        e.name for e in os.scandir(os.path.join(index_dir, "cells")) if e.is_dir()
+    )
+    assert names == ["batch-0000000000", "batch-0000000001"]
+    assert sann.compact_ann_index(spark, index_dir) == 1  # uncontended run
+    assert lease_holder(index_dir) is None
