@@ -14,20 +14,32 @@ rebuild-into-fresh-dir-and-swap discipline
 
 Layout under ``index_dir``:
 
-- ``codebook.json``      — written once by ``init_ann_index`` (the
-  trained centroids; serving and every batch assignment read it).
-- ``cells/batch-{id}/``  — one deterministically-named directory per
-  micro-batch, each internally partitioned by ``cell``; replays
-  overwrite their own directory (idempotent, the streaming/search.py
-  discipline). Readers glob ``batch-*`` with a ``basePath`` so the
-  ``cell=N`` partition column survives — and cell pruning still
-  prunes, per batch directory.
+- ``codebook.json``      — written by ``init_ann_index`` (the trained
+  centroids; serving and every batch assignment read it) and REPLACED
+  atomically by ``retrain_ann_index``. It is the generation POINTER:
+  ``cells_dir`` names the cells root the centroids belong to, so
+  centroids and assignments always swap together in one
+  ``os.replace`` (the single-file commit point — an object-store
+  deployment makes it a conditional PUT on the same key).
+- ``cells/batch-{id}/``  — generation-0 cells root (retrains write
+  ``cells-g001/``, ``cells-g002/`` …): one deterministically-named
+  directory per micro-batch, each internally partitioned by ``cell``;
+  replays overwrite their own directory (idempotent, the
+  streaming/search.py discipline). Readers glob ``batch-*`` with a
+  ``basePath`` so the ``cell=N`` partition column survives — and cell
+  pruning still prunes, per batch directory.
 - Compaction (``compact_ann_index``) folds batch dirs into one
   consolidated batch, same crash-convergence contract as
   ``streaming/search.compact_index``: a crash between the rename and
   the source removals leaves duplicates visible (serve with
   ``dedup=True`` until the rerun), and re-running converges because
   rows are content-unique per (id, cell).
+- Retraining (``retrain_ann_index``) closes the maintenance loop
+  ``cell_occupancy_report`` is the signal for: refit centroids to the
+  CURRENT corpus, rewrite assignments into a fresh generation root,
+  swap the codebook pointer. Superseded generation roots are left on
+  disk (a racing reader may still be serving from one — never rmtree
+  a served dir); ``gc_ann_generations`` removes them after a quiesce.
 
 Serving (``ivf_search``) reuses the probe computation and scoring of
 the static path, so stream-maintained results equal a fit-inline
@@ -44,6 +56,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mandoline_hbase_spark.lease import maintenance_lease
 from mandoline_hbase_spark.operators.ann_index import _probe_cells
 from mandoline_hbase_spark.operators.similarity import (
     _as_double,
@@ -90,8 +103,28 @@ def _load_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
-def _batch_dir(index_dir: str, batch_id: int) -> str:
-    return os.path.join(index_dir, "cells", f"batch-{int(batch_id):010d}")
+def _cells_root(index_dir: str, meta: dict) -> str:
+    """The cells root of the codebook's CURRENT generation. Pre-retrain
+    indexes carry no ``cells_dir`` key and resolve to ``cells/``."""
+    return os.path.join(index_dir, meta.get("cells_dir", "cells"))
+
+
+def _batch_dir(index_dir: str, batch_id: int, meta: dict) -> str:
+    return os.path.join(_cells_root(index_dir, meta), f"batch-{int(batch_id):010d}")
+
+
+def _assign_cells(df: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
+    """(id, embedding, cell) with the serving path's exact assignment
+    expression: max dot product against the centroid literals, ties to
+    the lower cell index (array_position finds the first maximum)."""
+    return (
+        df.select(F.col(id_col), _as_double(vec_col).alias("embedding"))
+        .withColumn("cells", _cell_scores(F.col("embedding"), cents))
+        .withColumn(
+            "cell", (F.array_position("cells", F.array_max("cells")) - 1).cast("int")
+        )
+        .drop("cells")
+    )
 
 
 def append_ann_batch(
@@ -108,20 +141,12 @@ def append_ann_batch(
 
     meta = _load_meta(index_dir)
     cents = np.asarray(meta["centroids"], dtype=np.float64)
-    id_col = meta["id_col"]
-    assigned = (
-        batch_df.select(F.col(id_col), _as_double(vec_col).alias("embedding"))
-        .withColumn("cells", _cell_scores(F.col("embedding"), cents))
-        .withColumn(
-            "cell", (F.array_position("cells", F.array_max("cells")) - 1).cast("int")
-        )
-        .drop("cells")
-    )
+    assigned = _assign_cells(batch_df, cents, meta["id_col"], vec_col)
     (
         assigned.repartition(int(meta["n_centroids"]), F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(_batch_dir(index_dir, batch_id))
+        .parquet(_batch_dir(index_dir, batch_id, meta))
     )
 
 
@@ -154,7 +179,7 @@ def read_cells(spark: SparkSession, index_dir: str, dedup: bool = False) -> Data
     from functools import reduce
 
     meta = _load_meta(index_dir)
-    root = os.path.join(index_dir, "cells")
+    root = _cells_root(index_dir, meta)
     sources = (
         sorted(
             e.path
@@ -199,12 +224,13 @@ def compact_ann_index(
     removing batch dirs the winner never folded in; pass
     ``steal_stale_after_s`` to break a hard-crashed owner's lease.
     Returns the number of batch dirs afterwards."""
-    from mandoline_hbase_spark.lease import maintenance_lease
-
     with maintenance_lease(
         index_dir, "compaction", owner=owner, steal_stale_after_s=steal_stale_after_s
     ):
-        root = os.path.join(index_dir, "cells")
+        if not os.path.exists(os.path.join(index_dir, "codebook.json")):
+            return 0
+        meta = _load_meta(index_dir)
+        root = _cells_root(index_dir, meta)
         if not os.path.isdir(root):
             return 0
         sources = sorted(
@@ -214,7 +240,6 @@ def compact_ann_index(
         )
         if len(sources) <= 1:
             return len(sources)
-        meta = _load_meta(index_dir)
         df = read_cells(spark, index_dir, dedup=True)
         n = df.count()
         gen = 1 + max(
@@ -283,6 +308,215 @@ def cell_occupancy_report(spark: SparkSession, index_dir: str) -> DataFrame:
         counts.withColumn("share", F.round(F.col("n_vectors") / total, 6))
         .orderBy(F.col("n_vectors").desc(), F.col("cell").asc())
     )
+
+
+def retrain_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_centroids: int | None = None,
+    iters: int = 5,
+    target_rows: int = 1_000_000,
+    owner: str | None = None,
+    steal_stale_after_s: float | None = None,
+) -> dict:
+    """The retrain ACTION ``cell_occupancy_report`` is the signal for:
+    refit the coarse quantizer to the CURRENT corpus and swap the
+    serving generation. Fixed centroids keep appends pure, but corpus
+    drift skews occupancy until the hot cell's partition holds an
+    outsized share and probe pruning degrades toward a full scan — the
+    production answer is an offline retrain + pointer swap, which this
+    implements natively:
+
+    1. FIT: spherical Lloyd iterations over the deduped corpus, using
+       the serving path's exact assignment expression (max dot product,
+       ties to the lower index) so fit-time cells are serve-time cells.
+       Seeded k-means++ style from a bounded DETERMINISTIC corpus
+       sample (ordered by id-hash; seed = trained seed + generation, so
+       a retried retrain re-derives the same centroids) — data-driven
+       seeding is what actually breaks a drift blob apart: warm-starting
+       from the old centroids cannot, because a single hot cell's mean
+       update moves one centroid into the blob and the empty ones never
+       move. Growing/shrinking ``n_centroids`` falls out for free (k is
+       just the seed count). Each Lloyd iteration is one map-only
+       assignment plus one k-row aggregate; the driver only ever holds
+       the sample + k × dim floats.
+    2. REWRITE: one full assignment pass into a FRESH generation root
+       ``cells-g{N}/`` (per-cell file sizing, same salt discipline as
+       compaction). Invisible to readers — the codebook still points at
+       the old generation, so a crash here leaves junk that the
+       deterministic retry simply overwrites, never a torn index.
+    3. SWAP: one atomic ``os.replace`` of ``codebook.json`` commits
+       centroids + ``cells_dir`` together (on an object store: a
+       conditional PUT of the same pointer object). Readers that
+       already loaded the old meta keep serving the old root, which is
+       why superseded generations are LEFT ON DISK — remove them with
+       ``gc_ann_generations`` after a quiesce, never here.
+
+    Runs under the same ``.compaction.lease`` as ``compact_ann_index``
+    (both rewrite cells roots; exactly one maintainer). Quiesce the
+    maintenance stream as for compaction: a checkpoint-rollback replay
+    of a pre-retrain batch lands in the NEW root re-assigned with the
+    NEW centroids — value-identical rows, folded by dedup reads — but a
+    batch written DURING the rewrite would miss the new generation.
+
+    Returns ``{"generation", "n_centroids", "n_vectors",
+    "max_share_before", "max_share_after"}``.
+    """
+    import numpy as np
+
+    with maintenance_lease(
+        index_dir, "compaction", owner=owner, steal_stale_after_s=steal_stale_after_s
+    ):
+        meta = _load_meta(index_dir)
+        id_col = meta["id_col"]
+        k = int(n_centroids or meta["n_centroids"])
+        df = read_cells(spark, index_dir, dedup=True)
+        df = df.localCheckpoint(eager=True)  # one stable corpus snapshot
+        n = df.count()
+        if n == 0:
+            raise ValueError("cannot retrain an empty index")
+        counts = {
+            int(r["cell"]): int(r["n"])
+            for r in df.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        max_share_before = max(counts.values()) / n
+        dim = int(meta["dim"])
+        gen = 1 + int(meta.get("generation", 0))
+
+        # -- init: k-means++ over a bounded deterministic sample ---------
+        # (ordered by id hash: spread across the corpus, stable across
+        # partitionings; the rng seed folds in the generation so a
+        # retried retrain re-derives identical centroids)
+        sample_n = max(64 * k, 1024)
+        sample = [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in df.select(id_col, "embedding")
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(sample_n)
+            .collect()
+        ]
+        unit = np.asarray(
+            [v / nv for v in sample if (nv := float(np.linalg.norm(v))) > 0]
+        )
+        if len(unit) == 0:
+            raise ValueError("cannot retrain: every indexed vector is zero")
+        rng = np.random.default_rng(int(meta["seed"]) + 7919 * gen)
+        cents = [unit[int(rng.integers(len(unit)))]]
+        d2 = np.maximum(1.0 - unit @ cents[0], 0.0)  # angular distance
+        for _ in range(1, k):
+            total = float(d2.sum())
+            if total <= 0.0:  # fewer distinct directions than k
+                j = int(rng.integers(len(unit)))
+            else:
+                j = int(rng.choice(len(unit), p=d2 / total))
+            cents.append(unit[j])
+            d2 = np.minimum(d2, np.maximum(1.0 - unit @ cents[-1], 0.0))
+        cents = np.asarray(cents)
+
+        # -- spherical Lloyd: map-only assign + k-row aggregate ----------
+        for _ in range(int(iters)):
+            assigned = _assign_cells(df, cents, id_col, "embedding")
+            rows = (
+                assigned.groupBy("cell")
+                .agg(*[F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}")
+                       for i in range(dim)])
+                .collect()
+            )
+            nxt = cents.copy()
+            for r in rows:
+                m = np.array([r[f"m{i}"] for i in range(dim)], float)
+                norm = float(np.linalg.norm(m))
+                if norm > 0:
+                    nxt[int(r["cell"])] = m / norm  # empty cells keep theirs
+            cents = nxt
+
+        # -- rewrite into a fresh generation root ------------------------
+        # gen derives from the CODEBOOK (the committed truth), not a
+        # directory scan: a crashed retrain's junk root has this same
+        # number and is simply overwritten by the deterministic retry
+        new_root = os.path.join(index_dir, f"cells-g{gen:03d}")
+        assigned = _assign_cells(df, cents, id_col, "embedding")
+        per_cell = assigned.groupBy("cell").agg(
+            F.greatest(
+                F.lit(1), F.ceil(F.count(F.lit(1)) / F.lit(int(max(1, target_rows))))
+            )
+            .cast("int")
+            .alias("_files")
+        )
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.col("_files"))
+        n_parts = max(k, math.ceil(n / max(1, target_rows)))
+        (
+            assigned.join(F.broadcast(per_cell), "cell")
+            .repartition(n_parts, F.col("cell"), salt)
+            .drop("_files")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(new_root, "batch-0000000000"))
+        )
+        after = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.read.option("basePath", os.path.join(new_root, "batch-0000000000"))
+            .parquet(os.path.join(new_root, "batch-0000000000"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+        # -- the commit point: centroids + cells_dir swap together -------
+        new_meta = dict(
+            meta,
+            n_centroids=k,
+            centroids=[[float(x) for x in row] for row in cents],
+            cells_dir=f"cells-g{gen:03d}",
+            generation=gen,
+        )
+        tmp = os.path.join(index_dir, ".codebook.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(new_meta, f)
+        os.replace(tmp, os.path.join(index_dir, "codebook.json"))
+        return {
+            "generation": gen,
+            "n_centroids": k,
+            "n_vectors": int(n),
+            "max_share_before": round(max_share_before, 6),
+            "max_share_after": round(max(after.values()) / n, 6),
+        }
+
+
+def retrain_if_skewed(
+    spark: SparkSession, index_dir: str, max_share: float = 0.5, **retrain_kw
+) -> dict | None:
+    """The closed maintenance loop: read the occupancy signal, act on
+    it. Retrains (and returns the retrain report) iff the hottest
+    cell's corpus share exceeds ``max_share``; returns None when the
+    occupancy bound holds. Cost when healthy: one cell-grain aggregate."""
+    top = cell_occupancy_report(spark, index_dir).first()
+    if top is None or float(top["share"]) <= max_share:
+        return None
+    return retrain_ann_index(spark, index_dir, **retrain_kw)
+
+
+def gc_ann_generations(index_dir: str) -> list[str]:
+    """Remove cells roots SUPERSEDED by retrains. Only call after a
+    quiesce window long enough that no reader still holds a pre-swap
+    codebook (readers that loaded the old meta serve from the old root;
+    deleting it under them is the rmtree-a-served-dir mistake). Each
+    victim is quarantine-renamed first, then removed — a crash between
+    the two leaves an inert dot-dir, never a half-deleted live root."""
+    meta = _load_meta(index_dir)
+    current = meta.get("cells_dir", "cells")
+    removed = []
+    for e in sorted(os.scandir(index_dir), key=lambda e: e.name):
+        if not e.is_dir() or e.name == current:
+            continue
+        if e.name == "cells" or (
+            e.name.startswith("cells-g") and e.name.rsplit("-g", 1)[1].isdigit()
+        ):
+            quarantined = os.path.join(index_dir, f".gc-{e.name}")
+            os.rename(e.path, quarantined)
+            shutil.rmtree(quarantined, ignore_errors=True)
+            removed.append(e.name)
+    return removed
 
 
 def ivf_search(
