@@ -116,6 +116,12 @@ _REVERIFY_FIRST = {
     # Exchange serving) — integer-identical counts, plan changed
     "bm25_search_topk": 5,
     "search_bm25_rerank_cosine": 5,
+    # round 6: both served queries now build their artifact through the
+    # shared operators/served.py lifecycle (bm25's cache fingerprint
+    # format changed -> fresh slot). Served output and plans identical,
+    # re-swept MATCH locally, but the r5 green predates the change.
+    "sim_ivf_served_topk": 6,
+    "bm25_served_topk": 6,
 }
 
 

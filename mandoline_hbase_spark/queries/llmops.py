@@ -922,6 +922,38 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SERVED_ANN_INDEX: dict[str, str] = {}
 
 
+def _served_ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """ONE materialized ANN index per corpus serves both the IVF and the
+    PQ/ADC queries (the deployed shape: a single train-once artifact,
+    many probe styles). Lifecycle = operators/served.py: a content-
+    fingerprinted slot (stale index can never serve) claimed by atomic
+    rename; codebook.json is the ready marker — materialize_ann_index
+    writes it LAST. ONE params dict feeds both the fingerprint and the
+    build call, so a parameter edit can never serve a stale index."""
+    import os
+
+    from mandoline_hbase_spark.operators import ann_index
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
+
+    index_dir = _SERVED_ANN_INDEX.get(sf_dir)
+    if index_dir is None:
+        build = dict(
+            dim=64, n_centroids=8, seed=7, include_pq=True, pq_m=8, pq_k=16
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        index_dir = served_artifact(
+            "mandoline-ann",
+            content_fingerprint(os.path.join(sf_dir, "embeddings.parquet"), build),
+            lambda work: ann_index.materialize_ann_index(emb, work, **build),
+            marker="codebook.json",
+        )
+        _SERVED_ANN_INDEX[sf_dir] = index_dir
+    return index_dir
+
+
 @register(
     "sim_ivf_served_topk",
     oracle="""
@@ -954,40 +986,64 @@ _SERVED_ANN_INDEX: dict[str, str] = {}
     tags=("llm", "similarity", "ann", "ivf", "served"),
 )
 def sim_ivf_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from mandoline_hbase_spark.operators import ann_index
-    from mandoline_hbase_spark.operators.served import (
-        content_fingerprint,
-        served_artifact,
-    )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
     # train-once/serve-many IS the semantics: the index for a corpus is
     # built on first use and every later call only serves (the bench's
     # warm pass builds, the timed pass measures serving — mirroring the
-    # deployed shape). served_artifact owns the lifecycle: a content-
-    # fingerprinted slot (stale index can never serve) claimed by
-    # atomic rename (losers serve the winner's identical index;
-    # crashed partials are quarantined, never rmtree'd).
-    index_dir = _SERVED_ANN_INDEX.get(sf_dir)
-    if index_dir is None:
-        # ONE params dict feeds both the fingerprint and the build call,
-        # so a parameter edit can never serve a stale index through a
-        # forgotten hand-maintained key string. IVF artifacts only: this
-        # query serves the cell-partitioned layout (PQ codes are
-        # exercised by tests/test_ann_index.py). codebook.json is the
-        # ready marker — materialize_ann_index writes it LAST.
-        build = dict(dim=64, n_centroids=8, seed=7, include_pq=False)
-        index_dir = served_artifact(
-            "mandoline-ann",
-            content_fingerprint(os.path.join(sf_dir, "embeddings.parquet"), build),
-            lambda work: ann_index.materialize_ann_index(emb, work, **build),
-            marker="codebook.json",
-        )
-        _SERVED_ANN_INDEX[sf_dir] = index_dir
+    # deployed shape).
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    index_dir = _served_ann_index_dir(spark, sf_dir)
     return ann_index.ivf_topk_from_index(spark, index_dir, queries, k=5, n_probe=8)
+
+
+@register(
+    "sim_pq_served_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qvec, c.embedding::DOUBLE[]) AS sim
+        FROM q, embeddings c
+        WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC)::INT AS rank
+        FROM sims
+    )
+    WHERE rank <= 5
+    """,
+    description=(
+        "PQ/ADC ANN served from the MATERIALIZED codes (the same "
+        "train-once index as sim_ivf_served_topk — one artifact, many "
+        "probe styles): ADC lookup-table scan over the m-int codes, "
+        "shortlist, exact rerank against the stored full vectors. A "
+        "corpus-wide shortlist degrades the rerank exactly to brute "
+        "force, so the served codes path takes the full value-level "
+        "cosine-top-k oracle — the codes/dtab/rerank plumbing is itself "
+        "driver-verified, the PQ sibling of the full-probe IVF pattern."
+    ),
+    tags=("llm", "similarity", "ann", "pq", "served"),
+)
+def sim_pq_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    index_dir = _served_ann_index_dir(spark, sf_dir)
+    # shortlist >= any corpus here: the ADC ordering admits everything
+    # and the exact rerank IS brute force — the degenerate config that
+    # gives the deployed shape a value-level oracle (production uses
+    # shortlist ~ 4-16x k; recall at that setting is pinned by
+    # tests/test_ann_index.py / test_similarity.py)
+    return ann_index.pq_topk_from_index(
+        spark, index_dir, queries, k=5, shortlist=1_000_000_000
+    )
 
 
 @register(

@@ -25,6 +25,9 @@ BNLJ_ALLOWED = {
     # PQ ADC scan is deliberately broadcast(queries) x corpus-CODES —
     # per-pair work is m int lookups, the whole point of the compression
     "sim_pq_ann_topk",
+    # the served form scans the materialized codes with the same
+    # deliberate broadcast(queries) shape (n_probe=None = plain PQ)
+    "sim_pq_served_topk",
     "q11_important_parts",
     "q22_idle_customers",
     "funnel_signup_to_purchase",
