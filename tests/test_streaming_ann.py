@@ -252,6 +252,95 @@ def test_retrain_swap_appends_and_gc(spark, tmp_path):
     assert sann.read_cells(spark, index_dir).count() == 50  # serving intact
 
 
+def test_retrain_crash_before_pointer_swap_is_invisible_and_retry_converges(
+    spark, tmp_path, monkeypatch
+):
+    """A crash after the generation rewrite but before the codebook
+    swap must leave readers on the OLD generation (the pointer is the
+    commit point), and the deterministic retry must overwrite the junk
+    root and converge to the same post-state."""
+    index_dir = str(tmp_path / "annidx")
+    sann.init_ann_index(index_dir, dim=64, n_centroids=4, seed=7)
+    rows = _skew_rows(40)
+    sann.append_ann_batch(spark.createDataFrame(rows, DDL), 0, index_dir)
+    queries = spark.createDataFrame(rows[:2], DDL)
+    served_before = sorted(
+        tuple(r)
+        for r in sann.ivf_search(spark, index_dir, queries, k=3, n_probe=4).collect()
+    )
+
+    real_replace = os.replace
+
+    def crash_at_swap(src, dst):
+        if dst.endswith("codebook.json"):
+            raise OSError("simulated crash before the pointer swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(sann.os, "replace", crash_at_swap)
+    with pytest.raises(OSError, match="simulated crash"):
+        sann.retrain_ann_index(spark, index_dir, iters=3)
+    monkeypatch.setattr(sann.os, "replace", real_replace)
+
+    # the junk generation root exists, but the pointer never moved:
+    # readers still serve the old generation, bit-identically
+    assert os.path.isdir(os.path.join(index_dir, "cells-g001"))
+    meta = sann._load_meta(index_dir)
+    assert meta.get("cells_dir", "cells") == "cells"
+    assert lease_free(index_dir)
+    still_served = sorted(
+        tuple(r)
+        for r in sann.ivf_search(spark, index_dir, queries, k=3, n_probe=4).collect()
+    )
+    assert still_served == served_before
+
+    # retry: same generation number, junk root overwritten, swap lands
+    report = sann.retrain_ann_index(spark, index_dir, iters=3)
+    assert report["generation"] == 1
+    meta = sann._load_meta(index_dir)
+    assert meta["cells_dir"] == "cells-g001"
+    assert sann.read_cells(spark, index_dir).count() == 40
+    # full probe == brute force still holds post-recovery
+    got = sorted(
+        tuple(r)
+        for r in sann.ivf_search(spark, index_dir, queries, k=3, n_probe=4).collect()
+    )
+    union = spark.createDataFrame(rows, DDL)
+    want = sorted(
+        tuple(r)
+        for r in similarity.cosine_rank_topk(
+            union.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+            ).crossJoin(
+                queries.select(
+                    F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+                )
+            ).filter(F.col("query_id") != F.col("neighbor_id")),
+            3,
+        ).collect()
+    )
+    assert got == want
+
+
+def lease_free(index_dir: str) -> bool:
+    from mandoline_hbase_spark.lease import lease_holder
+
+    return lease_holder(index_dir) is None
+
+
+def test_retrain_blocked_by_held_lease(spark, tmp_path):
+    from mandoline_hbase_spark.errors import LeaseHeldError
+    from mandoline_hbase_spark.lease import maintenance_lease
+
+    index_dir = str(tmp_path / "annidx")
+    sann.init_ann_index(index_dir, dim=64, n_centroids=2, seed=7)
+    sann.append_ann_batch(spark.createDataFrame(_skew_rows(10), DDL), 0, index_dir)
+    with maintenance_lease(index_dir, owner="compactor"):
+        with pytest.raises(LeaseHeldError):
+            sann.retrain_ann_index(spark, index_dir)
+    # nothing was swapped while blocked
+    assert sann._load_meta(index_dir).get("cells_dir", "cells") == "cells"
+
+
 def test_retrain_can_grow_centroids(spark, tmp_path):
     """Splitting: growing n_centroids seeds the extra slots from the
     hottest cells' means; the serving contract (full probe == brute
