@@ -169,6 +169,7 @@ HEADLINE = [
     "domain_quota_sample",
     "dedup_prefix_filter",
     "search_phrase_occurrences",
+    "search_proximity_window",
     "search_boolean_filter",
     "search_bm25_rerank_cosine",
     "cluster_aware_split",

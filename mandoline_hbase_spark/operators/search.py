@@ -173,6 +173,69 @@ def phrase_occurrences(
     )
 
 
+def proximity_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity retrieval: docs where ALL ``terms`` co-occur inside a
+    span of at most ``window`` tokens (any order), with the tightest
+    such span per doc: ``(doc_id, min_span)``. The unordered sibling of
+    :func:`phrase_occurrences` — "dup NEAR/8 hash" in classic IR syntax.
+
+    Same scale discipline as the phrase join: positional postings are
+    filtered to the query terms BEFORE any shuffle (work ∝ those terms'
+    postings, not the corpus). Term 0's positions anchor; each further
+    term joins on the doc key under the band predicate
+    ``|pos_i − pos_0| < window`` (a necessary condition — any
+    qualifying tuple lies within ``window`` of its own term-0 member),
+    so candidate tuples per doc are bounded by the in-band occurrence
+    counts, never the cross product of full position lists. The exact
+    span test ``max−min < window`` then filters the band candidates.
+    Joins are all keyed on (doc) — co-partitioned after the first, and
+    AQE broadcasts rare-term sides.
+    """
+    terms = list(dict.fromkeys(terms))
+    if len(terms) < 2:
+        raise ValueError("proximity_search needs at least two distinct terms")
+    if window < len(terms):
+        raise ValueError(
+            f"window={window} cannot hold {len(terms)} distinct tokens"
+        )
+    tp = positional_postings(df, id_col, text_col).filter(F.col("term").isin(terms))
+    cur = tp.filter(F.col("term") == terms[0]).select(
+        F.col(id_col),
+        F.col("pos").alias("_p0"),
+        F.col("pos").alias("_lo"),
+        F.col("pos").alias("_hi"),
+    )
+    for t in terms[1:]:
+        nxt = tp.filter(F.col("term") == t).select(
+            F.col(id_col), F.col("pos").alias("_pi")
+        )
+        cur = (
+            cur.join(nxt, id_col)
+            .filter(F.abs(F.col("_pi") - F.col("_p0")) < window)
+            .select(
+                F.col(id_col),
+                "_p0",
+                F.least("_lo", "_pi").alias("_lo"),
+                F.greatest("_hi", "_pi").alias("_hi"),
+            )
+        )
+    return (
+        cur.filter(F.col("_hi") - F.col("_lo") < window)
+        .groupBy(id_col)
+        .agg(
+            F.min(F.col("_hi") - F.col("_lo") + F.lit(1))
+            .cast("bigint")
+            .alias("min_span")
+        )
+    )
+
+
 def boolean_search(
     df: DataFrame,
     must: Sequence[str] = (),

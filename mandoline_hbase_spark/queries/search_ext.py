@@ -186,6 +186,45 @@ def search_phrase_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_proximity_window",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    tp AS (
+        SELECT doc_id, unnest(t) AS term,
+               unnest(generate_series(1, len(t))) AS pos
+        FROM toks
+    ),
+    a AS (SELECT doc_id, pos FROM tp WHERE term = 'dup'),
+    b AS (SELECT doc_id, pos FROM tp WHERE term = 'hash'),
+    spans AS (
+        SELECT a.doc_id,
+               greatest(a.pos, b.pos) - least(a.pos, b.pos) + 1 AS span
+        FROM a JOIN b USING (doc_id)
+    )
+    SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
+    FROM spans GROUP BY doc_id
+    HAVING min(span) <= 8
+    ORDER BY doc_id
+    """,
+    description=(
+        "Proximity retrieval ('dup' NEAR/8 'hash', any order) over the "
+        "positional inverted index, with the tightest span per doc: "
+        "postings filtered to the query terms before any shuffle, "
+        "anchor-banded position joins (candidates bounded by in-band "
+        "occurrences, never full position cross products) — the "
+        "unordered sibling of exact-phrase search."
+    ),
+    tags=("search", "text", "proximity"),
+)
+def search_proximity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return search.proximity_search(docs, ["dup", "hash"], window=8).orderBy("doc_id")
+
+
+@register(
     "search_boolean_filter",
     oracle=r"""
     WITH tp AS (

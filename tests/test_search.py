@@ -114,6 +114,70 @@ def test_phrase_occurrences(spark, corpus):
         search.phrase_occurrences(corpus, ["solo"])
 
 
+def _proximity_expected(docs, terms, window):
+    """Brute-force min span over all position tuples (one per term)."""
+    import itertools
+
+    out = {}
+    for d, t in docs:
+        toks = t.lower().split()
+        pos = {q: [i + 1 for i, w in enumerate(toks) if w == q] for q in terms}
+        if any(not p for p in pos.values()):
+            continue
+        best = min(
+            max(tup) - min(tup) + 1
+            for tup in itertools.product(*(pos[q] for q in terms))
+        )
+        if best <= window:
+            out[d] = best
+    return out
+
+
+def test_proximity_search_matches_brute_force(spark, corpus):
+    rows = [(r.doc_id, r.text) for r in corpus.collect()]
+    for terms, window in (
+        (["apple", "cherry"], 4),
+        (["apple", "cherry"], 2),
+        (["apple", "banana"], 2),
+        (["cherry", "durian", "apple"], 4),
+        (["cherry", "durian", "apple"], 3),
+    ):
+        got = {
+            (r.doc_id, r.min_span)
+            for r in search.proximity_search(corpus, terms, window).collect()
+        }
+        want = set(_proximity_expected(rows, terms, window).items())
+        assert got == want, (terms, window, got, want)
+
+
+def test_proximity_search_property_random_corpora(spark):
+    import random
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for terms, window in ((["a", "b"], 3), (["a", "b", "c"], 5), (["d", "e"], 2)):
+        got = {
+            (r.doc_id, r.min_span)
+            for r in search.proximity_search(df, terms, window).collect()
+        }
+        want = set(_proximity_expected(rows, terms, window).items())
+        assert got == want, (terms, window)
+
+
+def test_proximity_search_validation(spark, corpus):
+    with pytest.raises(ValueError, match="two distinct terms"):
+        search.proximity_search(corpus, ["apple"], 4)
+    with pytest.raises(ValueError, match="two distinct terms"):
+        search.proximity_search(corpus, ["apple", "apple"], 4)
+    with pytest.raises(ValueError, match="cannot hold"):
+        search.proximity_search(corpus, ["apple", "cherry", "durian"], 2)
+
+
 def test_boolean_search(spark, corpus):
     ids = lambda df: {r["doc_id"] for r in df.collect()}
     assert ids(search.boolean_search(corpus, must=["apple", "cherry"])) == {1, 3}
