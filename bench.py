@@ -144,6 +144,7 @@ HEADLINE = [
     "sim_pq_ann_topk",
     "sim_ivf_served_topk",
     "sim_pq_served_topk",
+    "sim_ivfpq_served_topk",
     "pack_sequences",
     "decontam_overlap",
     "decontam_span_removal",

@@ -1047,6 +1047,52 @@ def sim_pq_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivfpq_served_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qvec, c.embedding::DOUBLE[]) AS sim
+        FROM q, embeddings c
+        WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC)::INT AS rank
+        FROM sims
+    )
+    WHERE rank <= 5
+    """,
+    description=(
+        "Composed IVF-PQ served from the materialized index (FAISS's "
+        "IVFPQ as a lakehouse layout): per-query ADC scans bounded to "
+        "the probed cells via the (query, cell) probe-pair join, codes "
+        "scan partition-pruned to the probed-cell union, shortlist, "
+        "exact rerank. Probing every cell with a corpus-wide shortlist "
+        "degrades exactly to brute force, so the COMPOSED path — probe "
+        "pairs, pruned codes, ADC, rerank — is itself driver-verified "
+        "with the full value-level oracle."
+    ),
+    tags=("llm", "similarity", "ann", "ivf", "pq", "served"),
+)
+def sim_ivfpq_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    index_dir = _served_ann_index_dir(spark, sf_dir)
+    # n_probe = n_centroids (full probe) + corpus-wide shortlist: the
+    # degenerate config that makes the composed plan exactly brute
+    # force (bounded-probe recall is pinned by tests/test_ann_index.py)
+    return ann_index.pq_topk_from_index(
+        spark, index_dir, queries, k=5, shortlist=1_000_000_000, n_probe=8
+    )
+
+
+@register(
     "vocab_top_terms_per_source",
     oracle=r"""
         WITH tf AS (
