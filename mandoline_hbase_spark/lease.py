@@ -1,30 +1,46 @@
 """Maintenance lease: single-maintainer mutual exclusion over the CAS seam.
 
-The streaming index compactors (``streaming/search.compact_index``,
-``streaming/ann.compact_ann_index``) fold batch directories and then
-REMOVE the superseded sources — two compactors interleaving could each
-delete batch dirs the other's consolidated output never folded in,
-losing rows. The single-maintainer rule used to be by-convention; this
-module enforces it with the primitive the engine already owns:
-``put_if_absent`` through :func:`storage.cas_backend_for` — the same
-check-and-put contract as the reference's ``write-index`` CAS
-(hbase.clj:241-248) and the commit protocol's version claims. Locally
-that is an ``O_CREAT|O_EXCL`` name claim; against a registered
-:class:`objectstore.S3CasBackend` it is a conditional PUT, so "many
-maintainers, one bucket" gets exactly one winner with no coordination
-service.
+The streaming index maintainers (``streaming/search.compact_index``,
+``streaming/ann.compact_ann_index``, ``streaming/ann.retrain_ann_index``,
+``streaming/ann.gc_ann_generations``) fold, rewrite, or remove cells
+roots — two maintainers interleaving could each delete directories the
+other's output never folded in, losing rows. The single-maintainer rule
+used to be by-convention; this module enforces it with the primitive the
+engine already owns: ``put_if_absent`` through
+:func:`storage.cas_backend_for` — the same check-and-put contract as the
+reference's ``write-index`` CAS (hbase.clj:241-248) and the commit
+protocol's version claims. Locally that is an ``O_CREAT|O_EXCL`` name
+claim; against a registered :class:`objectstore.S3CasBackend` it is a
+conditional PUT, so "many maintainers, one bucket" gets exactly one
+winner with no coordination service.
 
-Crash recovery: the lease is released in a ``finally``, so any raised
-failure frees it. A hard process crash leaves the lease object behind;
-``steal_stale_after_s`` lets the next maintainer break a lease older
-than the threshold (choose it ≫ the longest plausible compaction). The
-break is delete-then-reclaim: concurrent breakers race on the
-conditional put and exactly one wins. The threshold must be honest —
-an owner still running past it can be usurped, which is the standard
-lease trade (a fencing token on the downstream writes is the full
-fix; the compactors' staging-then-rename writes make a late loser's
-damage a duplicate-visible window, never row loss, and dedup-reads
-serve correctly through it).
+Crash recovery and its limits:
+
+- The lease is released in a ``finally``, so any raised failure frees
+  it. Release is COMPARE-THEN-DELETE (only if the stored payload is
+  still ours), so an owner that was usurped by a stale-break does not
+  delete the usurper's lease on exit.
+- A hard process crash leaves the lease object behind;
+  ``steal_stale_after_s`` lets the next maintainer break a lease older
+  than the threshold (choose it ≫ the longest plausible maintenance
+  run). The break is compare-then-delete of the exact stale payload
+  observed, then a re-raced conditional claim, then a read-back check
+  that OUR payload is the one stored.
+- An unparseable lease payload (torn write, corrupt object) is treated
+  as STALE when a steal threshold is set — it can never refresh itself,
+  and treating it as forever-fresh would wedge maintenance permanently.
+  With no threshold it is respected (fail safe, raise).
+- HONEST LIMIT: with only put-if-absent/get/delete there remains a
+  narrow time-of-check window in the steal path (a breaker can observe
+  the stale payload, a rival can break-and-claim, and the first
+  breaker's delete then hits the rival's fresh lease before its own
+  claim). The compare-then-delete plus read-back shrink the window from
+  "the whole maintenance run" to microseconds, and the staged
+  rename-then-remove writes of every maintainer bound the damage of a
+  double-hold to a duplicate-visible window (dedup reads stay correct),
+  never row loss of committed state. Closing it entirely needs a
+  fencing token or a conditional DELETE (``If-Match`` — S3 supports it;
+  the seam can grow a ``compare_and_delete`` if a deployment needs it).
 """
 
 from __future__ import annotations
@@ -36,7 +52,7 @@ import time
 from contextlib import contextmanager
 
 from mandoline_hbase_spark import storage
-from mandoline_hbase_spark.errors import LeaseHeldError
+from mandoline_hbase_spark.errors import LeaseHeldError, StorageError
 
 __all__ = ["maintenance_lease", "lease_holder"]
 
@@ -70,8 +86,16 @@ def maintenance_lease(
 
     Raises :class:`LeaseHeldError` if another maintainer holds it (and
     it is not stale past ``steal_stale_after_s``). Yields the owner id.
+    ``dir_path`` must already exist — the lease guards an index, it
+    does not create one (a mistyped path must fail, not fabricate an
+    empty index directory).
     """
-    os.makedirs(dir_path, exist_ok=True)
+    if not os.path.isdir(dir_path):
+        raise StorageError(
+            f"cannot take a {task} lease on {dir_path!r}: directory does "
+            "not exist (the lease guards an existing index, it never "
+            "creates one)"
+        )
     path = _lease_path(dir_path, task)
     backend = storage.cas_backend_for(path)
     owner = owner or f"{socket.gethostname()}:{os.getpid()}"
@@ -80,28 +104,60 @@ def maintenance_lease(
         sort_keys=True,
     ).encode()
     if not backend.put_if_absent(path, data):
-        holder = lease_holder(dir_path, task) or {}
-        acquired = holder.get("acquired_at_unix")
-        stale = (
-            steal_stale_after_s is not None
-            and acquired is not None
-            and time.time() - acquired > steal_stale_after_s
-        )
-        if not stale:
-            raise LeaseHeldError(
-                f"{task} lease on {dir_path} held by "
-                f"{holder.get('owner', '<unknown>')} "
-                f"(acquired_at_unix={acquired}); not proceeding"
+        observed = backend.get(path)
+        if observed is None:
+            # holder released between the failed claim and the read:
+            # the lease is free — re-race the conditional claim once
+            if not backend.put_if_absent(path, data):
+                raise LeaseHeldError(
+                    f"{task} lease on {dir_path}: lost the re-claim race "
+                    "after observing a just-released lease"
+                )
+        else:
+            try:
+                holder = json.loads(observed)
+                acquired = holder.get("acquired_at_unix")
+            except (ValueError, UnicodeDecodeError):
+                # corrupt payload: can never refresh itself — stale by
+                # definition when stealing is enabled, respected (raise)
+                # when it is not
+                holder, acquired = {"owner": "<unparseable>"}, None
+                if steal_stale_after_s is not None:
+                    acquired = float("-inf")
+            stale = (
+                steal_stale_after_s is not None
+                and acquired is not None
+                and time.time() - acquired > steal_stale_after_s
             )
-        # break the stale lease: delete, then RE-RACE the conditional
-        # claim — concurrent breakers get exactly one winner
-        backend.delete(path)
-        if not backend.put_if_absent(path, data):
-            raise LeaseHeldError(
-                f"{task} lease on {dir_path}: lost the reclaim race after "
-                "breaking a stale lease"
-            )
+            if not stale:
+                raise LeaseHeldError(
+                    f"{task} lease on {dir_path} held by "
+                    f"{holder.get('owner', '<unknown>')} "
+                    f"(acquired_at_unix={holder.get('acquired_at_unix')}); "
+                    "not proceeding"
+                )
+            # break the stale lease: delete ONLY if the stored payload
+            # is still the exact stale one observed (a rival's fresh
+            # lease differs in acquired_at/owner and survives), then
+            # RE-RACE the conditional claim
+            if backend.get(path) == observed:
+                backend.delete(path)
+            if not backend.put_if_absent(path, data):
+                raise LeaseHeldError(
+                    f"{task} lease on {dir_path}: lost the reclaim race "
+                    "after breaking a stale lease"
+                )
+            # read-back: confirm OUR payload is the one stored (a rival
+            # interleaving its own break could have displaced us)
+            if backend.get(path) != data:
+                raise LeaseHeldError(
+                    f"{task} lease on {dir_path}: displaced during the "
+                    "stale-break reclaim; a rival maintainer holds it"
+                )
     try:
         yield owner
     finally:
-        backend.delete(path)
+        # compare-then-delete: never remove a lease that is no longer
+        # ours (we may have been usurped via steal_stale_after_s)
+        if backend.get(path) == data:
+            backend.delete(path)

@@ -170,15 +170,22 @@ def start_ann_maintenance(
     )
 
 
-def read_cells(spark: SparkSession, index_dir: str, dedup: bool = False) -> DataFrame:
+def read_cells(
+    spark: SparkSession, index_dir: str, dedup: bool = False, meta: dict | None = None
+) -> DataFrame:
     """The accumulated (id, embedding, cell) table across batch dirs
     (empty frame when nothing is indexed). ``dedup=True`` serves
     correctly through the post-compaction-crash duplicate window (rows
     are value-identical across batches, so dropDuplicates is
-    lossless)."""
+    lossless). Pass ``meta`` when the caller already loaded the
+    codebook and needs centroids and cell assignments from the SAME
+    generation — re-reading the pointer here could observe a retrain's
+    swap that landed in between (a torn read pairing old centroids with
+    new assignments)."""
     from functools import reduce
 
-    meta = _load_meta(index_dir)
+    if meta is None:
+        meta = _load_meta(index_dir)
     root = _cells_root(index_dir, meta)
     sources = (
         sorted(
@@ -224,11 +231,13 @@ def compact_ann_index(
     removing batch dirs the winner never folded in; pass
     ``steal_stale_after_s`` to break a hard-crashed owner's lease.
     Returns the number of batch dirs afterwards."""
+    # nothing-to-do before anything-to-guard: an uninitialized index
+    # no-ops without taking the lease
+    if not os.path.exists(os.path.join(index_dir, "codebook.json")):
+        return 0
     with maintenance_lease(
         index_dir, "compaction", owner=owner, steal_stale_after_s=steal_stale_after_s
     ):
-        if not os.path.exists(os.path.join(index_dir, "codebook.json")):
-            return 0
         meta = _load_meta(index_dir)
         root = _cells_root(index_dir, meta)
         if not os.path.isdir(root):
@@ -240,7 +249,7 @@ def compact_ann_index(
         )
         if len(sources) <= 1:
             return len(sources)
-        df = read_cells(spark, index_dir, dedup=True)
+        df = read_cells(spark, index_dir, dedup=True, meta=meta)
         n = df.count()
         gen = 1 + max(
             (
@@ -370,7 +379,7 @@ def retrain_ann_index(
         meta = _load_meta(index_dir)
         id_col = meta["id_col"]
         k = int(n_centroids or meta["n_centroids"])
-        df = read_cells(spark, index_dir, dedup=True)
+        df = read_cells(spark, index_dir, dedup=True, meta=meta)
         df = df.localCheckpoint(eager=True)  # one stable corpus snapshot
         n = df.count()
         if n == 0:
@@ -496,27 +505,39 @@ def retrain_if_skewed(
     return retrain_ann_index(spark, index_dir, **retrain_kw)
 
 
-def gc_ann_generations(index_dir: str) -> list[str]:
+def gc_ann_generations(
+    index_dir: str,
+    owner: str | None = None,
+    steal_stale_after_s: float | None = None,
+) -> list[str]:
     """Remove cells roots SUPERSEDED by retrains. Only call after a
     quiesce window long enough that no reader still holds a pre-swap
     codebook (readers that loaded the old meta serve from the old root;
-    deleting it under them is the rmtree-a-served-dir mistake). Each
+    deleting it under them is the rmtree-a-served-dir mistake). GC is a
+    MAINTAINER, not just a reader-hazard: it runs under the same
+    ``.compaction.lease`` as compaction/retrain — without it, gc racing
+    an in-flight retrain would quarantine-delete the fresh generation
+    root the retrain is about to commit a pointer to (the codebook
+    would then reference a deleted root and serve zero rows). Each
     victim is quarantine-renamed first, then removed — a crash between
     the two leaves an inert dot-dir, never a half-deleted live root."""
-    meta = _load_meta(index_dir)
-    current = meta.get("cells_dir", "cells")
-    removed = []
-    for e in sorted(os.scandir(index_dir), key=lambda e: e.name):
-        if not e.is_dir() or e.name == current:
-            continue
-        if e.name == "cells" or (
-            e.name.startswith("cells-g") and e.name.rsplit("-g", 1)[1].isdigit()
-        ):
-            quarantined = os.path.join(index_dir, f".gc-{e.name}")
-            os.rename(e.path, quarantined)
-            shutil.rmtree(quarantined, ignore_errors=True)
-            removed.append(e.name)
-    return removed
+    with maintenance_lease(
+        index_dir, "compaction", owner=owner, steal_stale_after_s=steal_stale_after_s
+    ):
+        meta = _load_meta(index_dir)
+        current = meta.get("cells_dir", "cells")
+        removed = []
+        for e in sorted(os.scandir(index_dir), key=lambda e: e.name):
+            if not e.is_dir() or e.name == current:
+                continue
+            if e.name == "cells" or (
+                e.name.startswith("cells-g") and e.name.rsplit("-g", 1)[1].isdigit()
+            ):
+                quarantined = os.path.join(index_dir, f".gc-{e.name}")
+                os.rename(e.path, quarantined)
+                shutil.rmtree(quarantined, ignore_errors=True)
+                removed.append(e.name)
+        return removed
 
 
 def ivf_search(
@@ -531,7 +552,12 @@ def ivf_search(
     """Serve an IVF query from the stream-maintained index — identical
     probe computation and scoring to the static served path, so results
     equal ``similarity.ivf_topk`` over the union corpus. The cell
-    predicate prunes ``cell=N`` partitions inside every batch dir."""
+    predicate prunes ``cell=N`` partitions inside every batch dir.
+
+    The codebook pointer is consumed EXACTLY ONCE (the loaded ``meta``
+    feeds both the probe computation and the cells read), so a retrain
+    swap landing mid-query cannot pair one generation's centroids with
+    another generation's assignments."""
     meta = _load_meta(index_dir)
     id_col = meta["id_col"]
     rows, probed, id_type = _probe_cells(
@@ -543,7 +569,7 @@ def ivf_search(
         rows, f"query_id {id_type}, qvec array<double>, cell int"
     )
     corpus = (
-        read_cells(spark, index_dir, dedup=dedup)
+        read_cells(spark, index_dir, dedup=dedup, meta=meta)
         .filter(F.col("cell").isin(probed))
         .select(F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("cvec"), "cell")
     )

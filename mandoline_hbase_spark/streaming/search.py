@@ -164,6 +164,10 @@ def compact_index(
 
     from mandoline_hbase_spark.lease import maintenance_lease
 
+    # nothing-to-do before anything-to-guard: a missing index dir
+    # no-ops without taking (or fabricating a directory for) the lease
+    if not os.path.isdir(index_dir):
+        return {"tf": 0, "dl": 0}
     with maintenance_lease(
         index_dir, "compaction", owner=owner, steal_stale_after_s=steal_stale_after_s
     ):

@@ -22,6 +22,7 @@ from mandoline_hbase_spark.streaming import search as ssearch
 
 def test_acquire_release_cycle(tmp_path):
     d = str(tmp_path / "idx")
+    os.makedirs(d)
     assert lease_holder(d) is None
     with maintenance_lease(d, owner="me") as who:
         assert who == "me"
@@ -32,8 +33,19 @@ def test_acquire_release_cycle(tmp_path):
         pass
 
 
+def test_lease_never_fabricates_the_index_dir(tmp_path):
+    from mandoline_hbase_spark.errors import StorageError
+
+    d = str(tmp_path / "no-such-idx")
+    with pytest.raises(StorageError, match="does not exist"):
+        with maintenance_lease(d):
+            pass
+    assert not os.path.exists(d)  # no side-effect directory
+
+
 def test_second_acquirer_raises_and_release_on_exception(tmp_path):
     d = str(tmp_path / "idx")
+    os.makedirs(d)
     with maintenance_lease(d, owner="a"):
         with pytest.raises(LeaseHeldError, match="held by a"):
             with maintenance_lease(d, owner="b"):
@@ -67,8 +79,57 @@ def test_stale_lease_break_and_fresh_lease_respected(tmp_path):
                 pass
 
 
+def test_unparseable_lease_is_stale_with_threshold_respected_without(tmp_path):
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, ".compaction.lease")
+    storage.cas_backend_for(d).put(path, b"\x00torn-not-json")
+    # no threshold: fail safe — respected
+    with pytest.raises(LeaseHeldError, match="unparseable"):
+        with maintenance_lease(d, owner="b"):
+            pass
+    # with a threshold: a corrupt payload can never refresh itself, so
+    # it is stale by definition — maintenance must not wedge forever
+    with maintenance_lease(d, owner="b", steal_stale_after_s=3600) as who:
+        assert who == "b" and lease_holder(d)["owner"] == "b"
+    assert lease_holder(d) is None
+
+
+def test_usurped_owner_does_not_delete_usurpers_lease(tmp_path):
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, ".compaction.lease")
+    backend = storage.cas_backend_for(d)
+    lease_cm = maintenance_lease(d, owner="slowpoke")
+    lease_cm.__enter__()
+    # a rival breaks the (simulated-stale) lease while slowpoke runs
+    backend.delete(path)
+    backend.put(
+        path,
+        json.dumps({"owner": "usurper", "acquired_at_unix": time.time()}).encode(),
+    )
+    # slowpoke's release must NOT remove the usurper's lease
+    lease_cm.__exit__(None, None, None)
+    assert lease_holder(d)["owner"] == "usurper"
+    backend.delete(path)
+
+
+def test_stale_break_leaves_exactly_our_payload(tmp_path):
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, ".compaction.lease")
+    storage.cas_backend_for(d).put(
+        path,
+        json.dumps({"owner": "crashed", "acquired_at_unix": time.time() - 9999}).encode(),
+    )
+    with maintenance_lease(d, owner="winner", steal_stale_after_s=60):
+        h = lease_holder(d)
+        assert h["owner"] == "winner"  # read-back held: our payload stored
+
+
 def test_concurrent_acquirers_exactly_one_wins(tmp_path):
     d = str(tmp_path / "idx")
+    os.makedirs(d)
     barrier = threading.Barrier(8)
     wins, losses = [], []
 

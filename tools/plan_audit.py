@@ -30,8 +30,11 @@ def main() -> int:
     )
     from mandoline_hbase_spark.plans.audit import audit_catalog
 
+    import re
+
     plans = audit_catalog(spark, sf_dir)
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    m = re.search(r"sf([\d.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1).rstrip(".")) if m else None
     out = {"n_queries": len(plans), "plans": plans, "sf": sf}
     path = os.path.join(repo, "PLAN_AUDIT.json")
     with open(path, "w") as f:

@@ -26,8 +26,16 @@ TABLES = (
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = sys.argv[1:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    only = set(args[1:] if args and os.path.isdir(args[0]) else args)
+    if args and (os.sep in args[0] or args[0].startswith(".")):
+        # path-shaped first arg MUST be a real directory — silently
+        # reclassifying a typo'd path as a "query name" would produce a
+        # zero-query sweep that exits 0 (a false verification green)
+        if not os.path.isdir(args[0]):
+            print(f"error: sf_dir {args[0]!r} is not a directory", file=sys.stderr)
+            return 2
+        sf_dir, only = args[0], set(args[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(args)
 
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
@@ -52,6 +60,11 @@ def main() -> int:
         )
 
     qs, osql = mod.queries(), mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # an unknown name would silently sweep nothing and exit 0
+        print(f"error: unknown queries: {sorted(unknown)}", file=sys.stderr)
+        return 2
     bad = 0
     for name, fn in qs.items():
         if only and name not in only:
