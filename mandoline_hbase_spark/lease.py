@@ -26,21 +26,28 @@ Crash recovery and its limits:
   run). The break is compare-then-delete of the exact stale payload
   observed, then a re-raced conditional claim, then a read-back check
   that OUR payload is the one stored.
-- An unparseable lease payload (torn write, corrupt object) is treated
-  as STALE when a steal threshold is set — it can never refresh itself,
-  and treating it as forever-fresh would wedge maintenance permanently.
-  With no threshold it is respected (fail safe, raise).
-- HONEST LIMIT: with only put-if-absent/get/delete there remains a
-  narrow time-of-check window in the steal path (a breaker can observe
-  the stale payload, a rival can break-and-claim, and the first
-  breaker's delete then hits the rival's fresh lease before its own
-  claim). The compare-then-delete plus read-back shrink the window from
-  "the whole maintenance run" to microseconds, and the staged
-  rename-then-remove writes of every maintainer bound the damage of a
-  double-hold to a duplicate-visible window (dedup reads stay correct),
-  never row loss of committed state. Closing it entirely needs a
-  fencing token or a conditional DELETE (``If-Match`` — S3 supports it;
-  the seam can grow a ``compare_and_delete`` if a deployment needs it).
+- A lease payload that cannot vouch for its own age — unparseable
+  bytes, JSON that is not an object, or a missing/non-numeric
+  ``acquired_at_unix`` — is treated as STALE when a steal threshold is
+  set (it can never refresh itself, and treating it as forever-fresh
+  would wedge maintenance permanently). With no threshold every such
+  payload is respected (fail safe, raise ``LeaseHeldError``).
+- HONEST LIMIT: with only put-if-absent/get/delete there remain
+  unfenced get-then-delete windows in BOTH the steal path (a breaker
+  can observe the stale payload, a rival can break-and-claim, and the
+  first breaker's delete then hits the rival's fresh lease before its
+  own claim) and the release path (a rival can steal between the
+  release's compare and its delete). And a double-hold — however
+  reached, including an honest owner simply running past
+  ``steal_stale_after_s`` — is NOT harmless: the maintainers' pre-write
+  cleanup (``rmtree`` of an existing target generation/compacted dir)
+  can delete the rival's just-committed output, losing rows. The
+  compare-then-delete and read-back checks shrink the accidental
+  windows to microseconds, but the real protections are (a) a steal
+  threshold chosen ≫ the longest plausible maintenance run, so an
+  honest owner is never usurped, and (b) a fencing token or
+  conditional DELETE (``If-Match`` — S3 supports it; the seam can grow
+  a ``compare_and_delete``) for deployments that cannot guarantee (a).
 """
 
 from __future__ import annotations
@@ -63,16 +70,31 @@ def _lease_path(dir_path: str, task: str) -> str:
     return os.path.join(dir_path, f".{task}.lease")
 
 
+def _holder_age_basis(raw: bytes) -> tuple[dict, float | None]:
+    """(holder payload, numeric acquired_at_unix or None). Every
+    malformed shape — non-JSON bytes, JSON that is not an object, a
+    missing or non-numeric timestamp — maps to ``acquired = None``
+    rather than raising: the staleness decision, not an exception, is
+    the contract for bad payloads."""
+    try:
+        holder = json.loads(raw)
+    except (ValueError, UnicodeDecodeError):
+        return {"owner": "<unparseable>", "acquired_at_unix": None}, None
+    if not isinstance(holder, dict):
+        return {"owner": "<unparseable>", "acquired_at_unix": None}, None
+    acquired = holder.get("acquired_at_unix")
+    if isinstance(acquired, (int, float)) and not isinstance(acquired, bool):
+        return holder, float(acquired)
+    return holder, None
+
+
 def lease_holder(dir_path: str, task: str = "compaction") -> dict | None:
     """The current lease payload (owner, acquired_at_unix), or None."""
     path = _lease_path(dir_path, task)
     raw = storage.cas_backend_for(path).get(path)
     if raw is None:
         return None
-    try:
-        return json.loads(raw)
-    except (ValueError, UnicodeDecodeError):
-        return {"owner": "<unparseable>", "acquired_at_unix": None}
+    return _holder_age_basis(raw)[0]
 
 
 @contextmanager
@@ -88,16 +110,19 @@ def maintenance_lease(
     it is not stale past ``steal_stale_after_s``). Yields the owner id.
     ``dir_path`` must already exist — the lease guards an index, it
     does not create one (a mistyped path must fail, not fabricate an
-    empty index directory).
+    empty index directory). The existence check applies to the default
+    local-filesystem backend only: with a registered object-store
+    backend (pure-bucket mode, no local mirror) the bucket is the only
+    truth and there is no local directory to demand.
     """
-    if not os.path.isdir(dir_path):
+    path = _lease_path(dir_path, task)
+    backend = storage.cas_backend_for(path)
+    if type(backend) is storage.LocalFSCasBackend and not os.path.isdir(dir_path):
         raise StorageError(
             f"cannot take a {task} lease on {dir_path!r}: directory does "
             "not exist (the lease guards an existing index, it never "
             "creates one)"
         )
-    path = _lease_path(dir_path, task)
-    backend = storage.cas_backend_for(path)
     owner = owner or f"{socket.gethostname()}:{os.getpid()}"
     data = json.dumps(
         {"owner": owner, "task": task, "acquired_at_unix": time.time()},
@@ -114,20 +139,13 @@ def maintenance_lease(
                     "after observing a just-released lease"
                 )
         else:
-            try:
-                holder = json.loads(observed)
-                acquired = holder.get("acquired_at_unix")
-            except (ValueError, UnicodeDecodeError):
-                # corrupt payload: can never refresh itself — stale by
-                # definition when stealing is enabled, respected (raise)
-                # when it is not
-                holder, acquired = {"owner": "<unparseable>"}, None
-                if steal_stale_after_s is not None:
-                    acquired = float("-inf")
-            stale = (
-                steal_stale_after_s is not None
-                and acquired is not None
-                and time.time() - acquired > steal_stale_after_s
+            holder, acquired = _holder_age_basis(observed)
+            # a payload that cannot vouch for its age (unparseable, not
+            # an object, missing/non-numeric timestamp) can never
+            # refresh itself — stale by definition when stealing is
+            # enabled, respected (raise) when it is not
+            stale = steal_stale_after_s is not None and (
+                acquired is None or time.time() - acquired > steal_stale_after_s
             )
             if not stale:
                 raise LeaseHeldError(

@@ -95,6 +95,56 @@ def test_unparseable_lease_is_stale_with_threshold_respected_without(tmp_path):
     assert lease_holder(d) is None
 
 
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"null",  # valid JSON, not an object
+        b"42",
+        b'{"owner": "z"}',  # object, no timestamp
+        b'{"owner": "z", "acquired_at_unix": "123"}',  # non-numeric ts
+        b'{"owner": "z", "acquired_at_unix": true}',  # bool is not an age
+    ],
+)
+def test_age_unvouchable_payloads_steal_with_threshold_respect_without(
+    tmp_path, payload
+):
+    """Any payload that cannot vouch for its own age behaves exactly
+    like unparseable bytes: respected without a threshold (raise, never
+    crash), stale with one (maintenance must not wedge forever)."""
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, ".compaction.lease")
+    storage.cas_backend_for(d).put(path, payload)
+    with pytest.raises(LeaseHeldError):  # not AttributeError/TypeError
+        with maintenance_lease(d, owner="b"):
+            pass
+    with maintenance_lease(d, owner="b", steal_stale_after_s=3600) as who:
+        assert who == "b" and lease_holder(d)["owner"] == "b"
+    assert lease_holder(d) is None
+
+
+def test_lease_in_pure_object_store_mode_needs_no_local_dir(tmp_path):
+    """With a registered bucket-only backend (no local mirror) the
+    bucket is the only truth: the local-directory existence guard must
+    not apply, or no maintainer could ever take the lease."""
+    from mandoline_hbase_spark.storage import (
+        InMemoryCasBackend,
+        register_cas_backend,
+        unregister_cas_backend,
+    )
+
+    prefix = str(tmp_path / "bucket-only-idx")  # never created locally
+    register_cas_backend(prefix, InMemoryCasBackend(write_through=False))
+    try:
+        with maintenance_lease(prefix, owner="cloud") as who:
+            assert who == "cloud"
+            assert lease_holder(prefix)["owner"] == "cloud"
+        assert lease_holder(prefix) is None
+        assert not os.path.exists(prefix)  # still no local side effects
+    finally:
+        unregister_cas_backend(prefix)
+
+
 def test_usurped_owner_does_not_delete_usurpers_lease(tmp_path):
     d = str(tmp_path / "idx")
     os.makedirs(d)

@@ -33,8 +33,13 @@ def main() -> int:
     import re
 
     plans = audit_catalog(spark, sf_dir)
+    # best-effort provenance label; NEVER allowed to lose the audit —
+    # any unfloatable match (sf0.0.1, sf.) degrades to None
     m = re.search(r"sf([\d.]+)", os.path.basename(sf_dir.rstrip("/")))
-    sf = float(m.group(1).rstrip(".")) if m else None
+    try:
+        sf = float(m.group(1).rstrip(".")) if m else None
+    except ValueError:
+        sf = None
     out = {"n_queries": len(plans), "plans": plans, "sf": sf}
     path = os.path.join(repo, "PLAN_AUDIT.json")
     with open(path, "w") as f:

@@ -26,14 +26,16 @@ TABLES = (
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = sys.argv[1:]
-    if args and (os.sep in args[0] or args[0].startswith(".")):
-        # path-shaped first arg MUST be a real directory — silently
-        # reclassifying a typo'd path as a "query name" would produce a
-        # zero-query sweep that exits 0 (a false verification green)
-        if not os.path.isdir(args[0]):
-            print(f"error: sf_dir {args[0]!r} is not a directory", file=sys.stderr)
-            return 2
+    if args and os.path.isdir(args[0]):
+        # any first arg that IS a directory is the sf_dir (bare relative
+        # names like `sf0.01` from inside /root/testdata included)
         sf_dir, only = args[0], set(args[1:])
+    elif args and (os.sep in args[0] or args[0].startswith(".")):
+        # path-shaped but NOT a directory: a typo'd sf_dir must fail
+        # loudly — silently reclassifying it as a "query name" would
+        # produce a zero-query sweep that exits 0 (a false green)
+        print(f"error: sf_dir {args[0]!r} is not a directory", file=sys.stderr)
+        return 2
     else:
         sf_dir, only = "/root/testdata/sf0.01", set(args)
 
