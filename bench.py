@@ -1,7 +1,10 @@
 """Headline benchmark: runs the engine's flagship queries at sf0.1.
 
-Writes the full per-query timing JSON to BENCH_LOCAL.json, then prints ONE
-compact JSON line LAST on stdout:
+Writes the full per-query timing JSON to BENCH_LOCAL.json (THIS run —
+driver-facing, clobbered by every pass), folds per-query minimums into
+BENCH_RECORD.json (the authoritative cross-run record the driver never
+overwrites; see PERFORMANCE.md), then prints ONE compact JSON line LAST
+on stdout:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"<family>": sec, ...}, "sf": 0.1, "n_queries": N}
 
@@ -225,6 +228,34 @@ def main() -> None:
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(out_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    # Two files, two roles (VERDICT r6 #8): BENCH_LOCAL.json is THIS
+    # run — the driver-facing file, clobbered by every pass including
+    # the driver's noisy shared-box ones. BENCH_RECORD.json is the
+    # AUTHORITATIVE per-query minimum across runs, keyed by sf, folded
+    # (never overwritten) here — a noisy pass can only tie it, never
+    # regress it. The min is only meaningful across same-code runs:
+    # when a query's implementation changes materially, delete its
+    # entry (or the sf block) so the record re-derives.
+    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RECORD.json")
+    try:
+        with open(rec_path) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        rec = {}
+    rec.setdefault("metric", "per-query min wall time across solo runs (noop sink)")
+    rec.setdefault("unit", "sec")
+    by_sf = rec.setdefault("by_sf", {})
+    block = by_sf.setdefault(str(sf), {"queries": {}, "runs": 0})
+    for name, sec in timings.items():
+        prev = block["queries"].get(name)
+        block["queries"][name] = sec if prev is None else min(prev, sec)
+    block["runs"] = int(block.get("runs", 0)) + 1
+    block["value"] = round(sum(block["queries"].values()), 3)
+    block["n_queries"] = len(block["queries"])
+    with open(rec_path, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
         f.write("\n")
 
     # Compact family totals — the one line the driver parses must fit

@@ -17,37 +17,47 @@ winner with no coordination service.
 Crash recovery and its limits:
 
 - The lease is released in a ``finally``, so any raised failure frees
-  it. Release is COMPARE-THEN-DELETE (only if the stored payload is
-  still ours), so an owner that was usurped by a stale-break does not
-  delete the usurper's lease on exit.
+  it. Release is a CONDITIONAL DELETE (``compare_and_delete`` — the
+  store removes the object only if the stored payload is still ours),
+  so an owner that was usurped by a stale-break can never delete the
+  usurper's lease on exit: the compare and the delete are one fenced
+  store operation (``If-Match`` on S3, a locked compare on the local
+  backends), not a get-then-delete with a window between them.
 - A hard process crash leaves the lease object behind;
   ``steal_stale_after_s`` lets the next maintainer break a lease older
   than the threshold (choose it ≫ the longest plausible maintenance
-  run). The break is compare-then-delete of the exact stale payload
-  observed, then a re-raced conditional claim, then a read-back check
-  that OUR payload is the one stored.
+  run). The break is ``compare_and_delete`` of the exact stale payload
+  observed, then a re-raced conditional claim. Two breakers racing the
+  same stale lease get exactly one winner: the loser's conditional
+  delete answers false against the winner's fresh payload, and its
+  conditional claim then fails — a fresh live lease can never be
+  deleted by a breaker.
+- STALENESS CLOCK: age derives from the STORE's last-modified time
+  (``backend.mtime`` — local ``st_mtime``, S3 ``LastModified``), not
+  the holder-written ``acquired_at_unix``, so a holder with a skewed
+  wall clock cannot look artificially old (or forever fresh). One
+  clock — the store's — judges every holder; the payload timestamp is
+  only a fallback for backends without metadata. The residual skew is
+  breaker-vs-store: fold the deployment's max expected clock skew into
+  ``steal_stale_after_s`` (threshold ≥ longest run + max skew).
 - A lease payload that cannot vouch for its own age — unparseable
   bytes, JSON that is not an object, or a missing/non-numeric
   ``acquired_at_unix`` — is treated as STALE when a steal threshold is
-  set (it can never refresh itself, and treating it as forever-fresh
-  would wedge maintenance permanently). With no threshold every such
-  payload is respected (fail safe, raise ``LeaseHeldError``).
-- HONEST LIMIT: with only put-if-absent/get/delete there remain
-  unfenced get-then-delete windows in BOTH the steal path (a breaker
-  can observe the stale payload, a rival can break-and-claim, and the
-  first breaker's delete then hits the rival's fresh lease before its
-  own claim) and the release path (a rival can steal between the
-  release's compare and its delete). And a double-hold — however
-  reached, including an honest owner simply running past
-  ``steal_stale_after_s`` — is NOT harmless: the maintainers' pre-write
-  cleanup (``rmtree`` of an existing target generation/compacted dir)
-  can delete the rival's just-committed output, losing rows. The
-  compare-then-delete and read-back checks shrink the accidental
-  windows to microseconds, but the real protections are (a) a steal
-  threshold chosen ≫ the longest plausible maintenance run, so an
-  honest owner is never usurped, and (b) a fencing token or
-  conditional DELETE (``If-Match`` — S3 supports it; the seam can grow
-  a ``compare_and_delete``) for deployments that cannot guarantee (a).
+  set AND the backend has no modified-time metadata either (it can
+  never refresh itself, and treating it as forever-fresh would wedge
+  maintenance permanently). With no threshold every such payload is
+  respected (fail safe, raise ``LeaseHeldError``).
+- HONEST LIMIT: the conditional DELETE closes every
+  accidental-interleaving window, but a double-hold is still REACHABLE
+  by an honest owner simply running past ``steal_stale_after_s`` — the
+  lease has no way to distinguish "crashed" from "slow". That
+  double-hold is NOT harmless: the maintainers' pre-write cleanup
+  (``rmtree`` of an existing target generation/compacted dir) can
+  delete the rival's just-committed output, losing rows. The
+  protection is the threshold choice (≫ longest plausible run + max
+  breaker-vs-store clock skew); deployments that cannot bound run time
+  need fencing tokens on the protected writes themselves, which a
+  filesystem rename cannot check.
 """
 
 from __future__ import annotations
@@ -86,6 +96,22 @@ def _holder_age_basis(raw: bytes) -> tuple[dict, float | None]:
     if isinstance(acquired, (int, float)) and not isinstance(acquired, bool):
         return holder, float(acquired)
     return holder, None
+
+
+def _compare_and_delete(backend, path: str, expected: bytes) -> bool:
+    """Conditional delete through the seam. Every shipped backend
+    (local FS, in-memory, S3) implements ``compare_and_delete``; a
+    third-party backend that predates the method falls back to
+    compare-then-delete — correct under the single-breaker assumption,
+    with the pre-round-7 microsecond window reopened (upgrade the
+    backend to close it)."""
+    cad = getattr(backend, "compare_and_delete", None)
+    if cad is not None:
+        return bool(cad(path, expected))
+    if backend.get(path) == expected:
+        backend.delete(path)
+        return True
+    return False
 
 
 def lease_holder(dir_path: str, task: str = "compaction") -> dict | None:
@@ -140,12 +166,24 @@ def maintenance_lease(
                 )
         else:
             holder, acquired = _holder_age_basis(observed)
-            # a payload that cannot vouch for its age (unparseable, not
-            # an object, missing/non-numeric timestamp) can never
-            # refresh itself — stale by definition when stealing is
-            # enabled, respected (raise) when it is not
+            # age basis: the STORE's modified time where the backend has
+            # one (one clock judges every holder — a skewed holder clock
+            # cannot shrink or stretch the effective threshold); the
+            # holder-written timestamp only as fallback. The mtime read
+            # follows the get, so it can only be FRESHER than the
+            # observed payload's write — the conservative direction
+            # (never judges a fresh lease stale by pairing an old
+            # payload with an older time).
+            age_basis = getattr(backend, "mtime", lambda _p: None)(path)
+            if age_basis is None:
+                age_basis = acquired
+            # a lease whose age nothing can vouch for (no store
+            # metadata AND a payload that is unparseable / not an
+            # object / missing a numeric timestamp) can never refresh
+            # itself — stale by definition when stealing is enabled,
+            # respected (raise) when it is not
             stale = steal_stale_after_s is not None and (
-                acquired is None or time.time() - acquired > steal_stale_after_s
+                age_basis is None or time.time() - age_basis > steal_stale_after_s
             )
             if not stale:
                 raise LeaseHeldError(
@@ -154,28 +192,23 @@ def maintenance_lease(
                     f"(acquired_at_unix={holder.get('acquired_at_unix')}); "
                     "not proceeding"
                 )
-            # break the stale lease: delete ONLY if the stored payload
-            # is still the exact stale one observed (a rival's fresh
-            # lease differs in acquired_at/owner and survives), then
-            # RE-RACE the conditional claim
-            if backend.get(path) == observed:
-                backend.delete(path)
+            # break the stale lease with a CONDITIONAL delete: the store
+            # removes the object only if it still holds the exact stale
+            # payload observed (a rival breaker's fresh lease differs
+            # and SURVIVES — the store answers false/412, there is no
+            # observe-then-delete window), then re-race the conditional
+            # claim; exactly one breaker wins
+            _compare_and_delete(backend, path, observed)
             if not backend.put_if_absent(path, data):
                 raise LeaseHeldError(
                     f"{task} lease on {dir_path}: lost the reclaim race "
                     "after breaking a stale lease"
                 )
-            # read-back: confirm OUR payload is the one stored (a rival
-            # interleaving its own break could have displaced us)
-            if backend.get(path) != data:
-                raise LeaseHeldError(
-                    f"{task} lease on {dir_path}: displaced during the "
-                    "stale-break reclaim; a rival maintainer holds it"
-                )
     try:
         yield owner
     finally:
-        # compare-then-delete: never remove a lease that is no longer
-        # ours (we may have been usurped via steal_stale_after_s)
-        if backend.get(path) == data:
-            backend.delete(path)
+        # conditional delete: the store removes the lease only if the
+        # payload is still ours (we may have been usurped via
+        # steal_stale_after_s) — compare and delete are one fenced
+        # operation, so a steal landing mid-release survives
+        _compare_and_delete(backend, path, data)

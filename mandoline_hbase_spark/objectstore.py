@@ -137,14 +137,16 @@ class S3CasBackend:
         body = resp["Body"]
         return body.read() if hasattr(body, "read") else bytes(body)
 
-    def _head(self, key: str) -> bool:
+    def _head_resp(self, key: str) -> dict | None:
         try:
-            self._client.head_object(Bucket=self._bucket, Key=key)
-            return True
+            return self._client.head_object(Bucket=self._bucket, Key=key)
         except Exception as exc:
             if _error_code(exc) in _MISSING:
-                return False
+                return None
             raise
+
+    def _head(self, key: str) -> bool:
+        return self._head_resp(key) is not None
 
     def exists(self, path: str) -> bool:
         if self._head(self._key(path)):
@@ -155,6 +157,47 @@ class S3CasBackend:
         self._client.delete_object(Bucket=self._bucket, Key=self._key(path))
         if self._mirror:
             self._fs.delete(path)
+
+    def compare_and_delete(self, path: str, expected: bytes) -> bool:
+        """Conditional DELETE: ``DeleteObject`` with ``If-Match`` on the
+        ETag of ``expected`` (single-part PUT ETag = hex MD5 of the
+        body, so content equality IS ETag equality here). The store —
+        not this client — evaluates the precondition, which is what
+        makes the lease's steal/release fenced on a real bucket: a
+        rival's fresh lease has a different ETag and survives with a
+        412. 412 (mismatch) → False; 404 with a mirrored
+        pre-registration object → the local conditional delete decides.
+        True iff this call removed the object."""
+        import hashlib
+
+        etag = f'"{hashlib.md5(expected).hexdigest()}"'
+        try:
+            self._client.delete_object(
+                Bucket=self._bucket, Key=self._key(path), IfMatch=etag
+            )
+        except Exception as exc:
+            code = _error_code(exc)
+            if code in _PRECONDITION:
+                return False
+            if code in _MISSING:
+                return self._fs.compare_and_delete(path, expected) if self._mirror else False
+            raise
+        if self._mirror:
+            self._fs.delete(path)
+        return True
+
+    def mtime(self, path: str) -> float | None:
+        """Bucket-side ``LastModified`` (epoch seconds) — ONE clock for
+        every writer, so lease staleness does not compare the holder's
+        wall clock against the breaker's. Falls back to the mirror for
+        pre-registration objects."""
+        resp = self._head_resp(self._key(path))
+        if resp is not None:
+            lm = resp.get("LastModified")
+            if lm is None:
+                return None
+            return lm.timestamp() if hasattr(lm, "timestamp") else float(lm)
+        return self._fs.mtime(path) if self._mirror else None
 
     def list_names(self, dir_path: str, name_prefix: str) -> list[str]:
         prefix = posixpath.join(self._key(dir_path), name_prefix)
@@ -265,15 +308,45 @@ class FakeS3Client:
         return {"Body": io.BytesIO(data)}
 
     def head_object(self, Bucket: str, Key: str):
-        if not os.path.isfile(self._obj_path(Key)):
-            raise S3ClientError("404", 404, "HeadObject")
-        return {"ResponseMetadata": {"HTTPStatusCode": 200}}
+        import datetime
 
-    def delete_object(self, Bucket: str, Key: str):
         try:
-            os.unlink(self._obj_path(Key))
+            st = os.stat(self._obj_path(Key))
         except FileNotFoundError:
-            pass  # S3 DeleteObject is 204 on missing keys
+            raise S3ClientError("404", 404, "HeadObject")
+        return {
+            "ResponseMetadata": {"HTTPStatusCode": 200},
+            "LastModified": datetime.datetime.fromtimestamp(
+                st.st_mtime, datetime.timezone.utc
+            ),
+            "ContentLength": st.st_size,
+        }
+
+    def delete_object(self, Bucket: str, Key: str, IfMatch: str | None = None):
+        p = self._obj_path(Key)
+        if IfMatch is None:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass  # S3 DeleteObject is 204 on missing keys
+            return {"ResponseMetadata": {"HTTPStatusCode": 204}}
+        # conditional DELETE: the precondition is evaluated IN THE STORE
+        # against the object's ETag (hex MD5 for single-part puts), and
+        # the compare+unlink pair is fenced exactly like S3's internal
+        # compare-and-set — a concurrent re-claim between the breaker's
+        # read and its delete answers 412, never removes the fresh object
+        import hashlib
+
+        from mandoline_hbase_spark.storage import _fenced_compare_unlink
+
+        want = IfMatch.strip('"')
+        outcome = _fenced_compare_unlink(
+            p, lambda data: hashlib.md5(data).hexdigest() == want
+        )
+        if outcome == "missing":
+            raise S3ClientError("NoSuchKey", 404, "DeleteObject")
+        if outcome == "mismatch":
+            raise S3ClientError("PreconditionFailed", 412, "DeleteObject")
         return {"ResponseMetadata": {"HTTPStatusCode": 204}}
 
     def list_objects_v2(

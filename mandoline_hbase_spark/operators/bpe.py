@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from mandoline_hbase_spark.plans.audit import checkpoint_audited
+
 
 def _merge_adjacent(tokens_col, a: str, b: str):
     """Greedy left-to-right merge of adjacent (a, b) into ``a+b``:
@@ -60,7 +62,7 @@ def bpe_fit(
     vocab = word_freq_table(df, text_col).withColumn(
         "toks", F.split(F.col("word"), "")
     )
-    vocab = vocab.localCheckpoint(eager=True)
+    vocab = checkpoint_audited(vocab)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = (
@@ -86,7 +88,7 @@ def bpe_fit(
         a, b = best["a"], best["b"]
         merges.append((a, b))
         vocab = vocab.withColumn("toks", _merge_adjacent(F.col("toks"), a, b))
-        vocab = vocab.localCheckpoint(eager=True)
+        vocab = checkpoint_audited(vocab)
     return merges
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from mandoline_hbase_spark.plans.audit import checkpoint_audited
+
 from mandoline_hbase_spark.operators.skew import spread_to_parallelism
 
 
@@ -697,9 +699,11 @@ def prefix_filter_near_duplicates(
     corpus shape should instead raise ``max_bucket_size`` (the cost is
     a quadratic join task per degenerate bucket, not wrong answers).
     """
-    feats = with_shingle_set(
-        spread_to_parallelism(df, id_col), shingle_n, id_col, text_col
-    ).localCheckpoint(eager=True)  # feeds prefix build AND the verify joins
+    feats = checkpoint_audited(
+        with_shingle_set(
+            spread_to_parallelism(df, id_col), shingle_n, id_col, text_col
+        )
+    )  # feeds prefix build AND the verify joins
     from pyspark.sql import Window
 
     exploded = feats.select(
@@ -954,7 +958,7 @@ def connected_components(
         .persist()
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = checkpoint_audited(labels)
 
     def _propagate(lbl: DataFrame) -> DataFrame:
         # min label over {self} ∪ neighbors, one shuffle on "node"
@@ -977,7 +981,7 @@ def connected_components(
         if rounds < max_iters:  # second lazy round before the check
             stacked = _propagate(stacked.drop("changed"))
             rounds += 1
-        updated = stacked.localCheckpoint(eager=True)
+        updated = checkpoint_audited(stacked)
         changed = updated.filter(F.col("changed")).limit(1).count()
         labels = updated.drop("changed")
         if changed == 0:

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from mandoline_hbase_spark.plans.audit import checkpoint_audited
+
 from mandoline_hbase_spark.operators.dedup import segment_hashes
 
 
@@ -73,11 +75,10 @@ def shared_segment_edges(
     # persist with a caller-managed unpersist. Local mode and the
     # bounded jobs here never see that failure mode, and the eager job
     # this line triggers is the same sizing scan the guard needs anyway.
-    segs = (
+    segs = checkpoint_audited(
         segment_hashes(df, seg_len, id_col, text_col)
         .select(F.col(id_col).alias("_id"), "seg_md5")
         .dropDuplicates(["_id", "seg_md5"])
-        .localCheckpoint(eager=True)
     )
     sizes = segs.groupBy("seg_md5").agg(
         F.count(F.lit(1)).alias("_bsz"), F.min("_id").alias("_hub")
@@ -216,7 +217,7 @@ def pagerank_fixed_point(
     # executes after this function returns — a persist/unpersist pair
     # around the loop would already be released, recomputing the
     # degree join once per iteration
-    sym_deg = sym.join(deg, "u").localCheckpoint(eager=True)
+    sym_deg = checkpoint_audited(sym.join(deg, "u"))
     ranks = nodes.select(
         F.col(id_col).alias("node"), F.lit(init).cast("bigint").alias("r")
     )
@@ -239,7 +240,7 @@ def pagerank_fixed_point(
             )
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = checkpoint_audited(ranks)
     return ranks.select(
         "node", F.col("r").alias("rank_nano"), F.round(F.col("r") / 1e9, 9).alias("rank")
     )

@@ -29,16 +29,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.column import Column
 
+from mandoline_hbase_spark.plans.audit import checkpoint_audited
+
 
 def _ranked_with_total(
     df: DataFrame, order: list[Column], out_col: str, num_partitions: int | None
 ) -> tuple[DataFrame, int]:
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
-    d = (
-        df.repartitionByRange(n_part, *order)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    d = checkpoint_audited(
+        df.repartitionByRange(n_part, *order).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     counts = {
         r["_pid"]: r["cnt"]

@@ -28,6 +28,8 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mandoline_hbase_spark.plans.audit import checkpoint_audited
+
 _HEX_SPACE = 16**8
 
 
@@ -164,7 +166,7 @@ def sample_domain_quota(
     # eager checkpoint: the audit count and the returned plan both read
     # `kept` (≈ quota x groups rows — output-sized); without it the
     # prefilter+window pipeline would execute twice
-    kept = ranked.filter(F.col("quota_rank") <= quota).localCheckpoint(eager=True)
+    kept = checkpoint_audited(ranked.filter(F.col("quota_rank") <= quota))
 
     # deficiency audit: group-grain counts only (never row data). The
     # audit join must be null-safe too — a plain `=` would flag the

@@ -34,9 +34,10 @@ import hashlib
 import os
 import shutil
 import tempfile
+import uuid
 from typing import Callable
 
-__all__ = ["content_fingerprint", "served_artifact"]
+__all__ = ["content_fingerprint", "served_artifact", "sweep_stale_artifacts"]
 
 
 def content_fingerprint(src_path: str, params: dict) -> str:
@@ -87,10 +88,45 @@ def served_artifact(
             return final
         # crashed-partial squatter on the canonical name: quarantine it
         # ASIDE (never rmtree — some process may be serving from it)
-        # and retry, so the canonical slot heals
+        # and retry, so the canonical slot heals. The quarantine name is
+        # uuid-suffixed: a pid suffix can collide on pid reuse (or a
+        # second squatter in the same process), and a collision fails
+        # the rename, leaving the canonical slot permanently unhealed
         try:
-            os.rename(final, f"{final}.quarantine-{os.getpid()}")
+            os.rename(final, f"{final}.quarantine-{uuid.uuid4().hex}")
             os.rename(work, final)
             return final
         except OSError:
             return work  # lost every race: serve scratch
+
+
+def sweep_stale_artifacts(name: str, max_age_s: float = 86400.0) -> list[str]:
+    """Remove abandoned serve-path debris for ``name`` from the temp
+    dir: ``{name}-*.quarantine-*`` dirs (squatters set aside by a heal)
+    and ``{name}-build-*`` scratch dirs (a builder that crashed before
+    its rename, or lost every race and exited). Only dirs whose mtime
+    is older than ``max_age_s`` go — a FRESH quarantine may still be
+    serving a process that resolved it before the heal, and a fresh
+    scratch dir may belong to a live builder. Canonical ready slots
+    (``{name}-{tag}`` with their marker) are never touched. Returns the
+    removed paths. Run from a cron/maintenance task; nothing in the
+    serve path depends on it."""
+    import time
+
+    tmp = tempfile.gettempdir()
+    removed = []
+    for entry in os.scandir(tmp):
+        if not entry.is_dir(follow_symlinks=False):
+            continue
+        is_quarantine = entry.name.startswith(f"{name}-") and ".quarantine-" in entry.name
+        is_scratch = entry.name.startswith(f"{name}-build-")
+        if not (is_quarantine or is_scratch):
+            continue
+        try:
+            if time.time() - entry.stat().st_mtime < max_age_s:
+                continue
+            shutil.rmtree(entry.path, ignore_errors=True)
+            removed.append(entry.path)
+        except OSError:
+            continue
+    return removed

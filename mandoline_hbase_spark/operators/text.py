@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mandoline_hbase_spark.plans.audit import checkpoint_audited
+
 # Tiny per-language stopword alternations for the n-gram/stopword heuristic
 # language identifier. ASCII word-boundary regexes work identically in Java
 # regex (Spark) and RE2 (DuckDB).
@@ -634,10 +636,10 @@ def pmi_cooccurrence(
         .filter(F.length("term") > 0)
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("_tf"))
-        # eager checkpoint: tcount and BOTH self-join sides read this
-        # table — without it the corpus explode executes three times
-        .localCheckpoint(eager=True)
     )
+    # eager checkpoint: tcount and BOTH self-join sides read this
+    # table — without it the corpus explode executes three times
+    doc_tf = checkpoint_audited(doc_tf)
     # n_t MUST count every containing document (corpus-exact PMI
     # denominators even under the cap), so it aggregates BEFORE the cap
     tcount = doc_tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))

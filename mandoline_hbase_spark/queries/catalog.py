@@ -122,6 +122,13 @@ _REVERIFY_FIRST = {
     # re-swept MATCH locally, but the r5 green predates the change.
     "sim_ivf_served_topk": 6,
     "bm25_served_topk": 6,
+    # round 7: both gained value-level oracles (VERDICT r6 #6 —
+    # planted-pair recall form / degenerate-config form). They have no
+    # prior green rows at all (were no-oracle), so last_green=0 already
+    # ranks them first; the pins record the change round for the audit
+    # trail.
+    "dedup_simhash": 7,
+    "dedup_semantic_kmeans": 7,
 }
 
 

@@ -135,7 +135,9 @@ def dataset_lock(dataset_dir: str, timeout_s: float = 30.0):
 # Every claim in the commit protocol (version-id reservation markers, the
 # commit-point version row, the retention floor) reduces to FOUR object
 # operations: put-if-absent, get, exists, delete (+ an unconditional put
-# and a prefix list). ``LocalFSCasBackend`` implements them with
+# and a prefix list; the lease additionally uses the conditional-DELETE
+# leg ``compare_and_delete`` — If-Match — and store-side ``mtime`` for
+# holder-clock-independent staleness). ``LocalFSCasBackend`` implements them with
 # ``O_CREAT|O_EXCL``/``link(2)`` — the single-box form. An object-store
 # deployment registers a backend implementing the same four calls with
 # ``If-None-Match: *`` conditional PUTs (S3/GCS/ABS all support this) or
@@ -144,6 +146,47 @@ def dataset_lock(dataset_dir: str, timeout_s: float = 30.0):
 # functions that touch it. ``InMemoryCasBackend`` is the reference fake
 # for that contract: the atomicity decision lives in the store (a locked
 # key set), not the filesystem, exactly as it would on a bucket.
+
+
+def _fenced_compare_unlink(path: str, matches) -> str:
+    """Conditional DELETE on the local filesystem: unlink ``path`` iff
+    ``matches(content)``. Returns ``"deleted"`` / ``"mismatch"`` /
+    ``"missing"``.
+
+    Atomicity: rival conditional deleters serialize on an exclusive
+    ``flock`` of the inode currently at the name; after acquiring, the
+    name is re-checked to still reference the locked inode (a rival may
+    have deleted it — and a writer re-claimed the name — while we
+    waited). While the lock is held and the name still points at our
+    inode, the name cannot change underneath us: conditional creates
+    (``O_EXCL``/``link``) fail while the name is present, and rival
+    conditional deleters block on the lock. The fence therefore holds
+    against every CONDITIONAL mutator; an unconditional ``put``/
+    ``delete`` on the same path is outside it (the lease protocol never
+    issues one). Single-box semantics — advisory locks; do not trust
+    over NFS."""
+    import fcntl
+
+    while True:
+        try:
+            fd = os.open(path, os.O_RDONLY)
+        except FileNotFoundError:
+            return "missing"
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                if os.stat(path).st_ino != os.fstat(fd).st_ino:
+                    continue  # displaced while waiting: examine the new claim
+            except FileNotFoundError:
+                return "missing"
+            with open(fd, "rb", closefd=False) as f:
+                data = f.read()
+            if not matches(data):
+                return "mismatch"
+            os.unlink(path)
+            return "deleted"
+        finally:
+            os.close(fd)
 
 
 class LocalFSCasBackend:
@@ -185,6 +228,23 @@ class LocalFSCasBackend:
         except FileNotFoundError:
             pass
 
+    def compare_and_delete(self, path: str, expected: bytes) -> bool:
+        """Delete ``path`` iff its current content is exactly
+        ``expected`` — the conditional-DELETE (``If-Match``) leg of the
+        CAS contract, the seam the lease's steal/release paths fence
+        on. True iff this call removed the object."""
+        return _fenced_compare_unlink(path, lambda data: data == expected) == "deleted"
+
+    def mtime(self, path: str) -> float | None:
+        """Store-side last-modified time (epoch seconds), or None if
+        absent. The filesystem's clock, not the writer's — lease
+        staleness derives age from this so a holder with a skewed clock
+        cannot look artificially old (or forever-fresh)."""
+        try:
+            return os.stat(path).st_mtime
+        except FileNotFoundError:
+            return None
+
     def list_names(self, dir_path: str, name_prefix: str) -> list[str]:
         try:
             return [f for f in os.listdir(dir_path) if f.startswith(name_prefix)]
@@ -216,10 +276,13 @@ class InMemoryCasBackend:
 
         self._lock = threading.Lock()
         self._objects: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
         self._write_through = write_through
         self._fs = LocalFSCasBackend()
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
+        import time
+
         with self._lock:
             if path in self._objects:
                 return False
@@ -227,13 +290,17 @@ class InMemoryCasBackend:
                 # pre-registration object: an existing claim, not ours to re-win
                 return False
             self._objects[path] = data
+            self._mtimes[path] = time.time()
         if self._write_through:
             self._fs.put(path, data)
         return True
 
     def put(self, path: str, data: bytes) -> None:
+        import time
+
         with self._lock:
             self._objects[path] = data
+            self._mtimes[path] = time.time()
         if self._write_through:
             self._fs.put(path, data)
 
@@ -252,8 +319,38 @@ class InMemoryCasBackend:
     def delete(self, path: str) -> None:
         with self._lock:
             self._objects.pop(path, None)
+            self._mtimes.pop(path, None)
         if self._write_through:
             self._fs.delete(path)
+
+    def compare_and_delete(self, path: str, expected: bytes) -> bool:
+        """Conditional DELETE: the compare and the removal happen under
+        the store's lock in one step — the If-Match semantics a bucket
+        serves. True iff this call removed the object."""
+        with self._lock:
+            if path in self._objects:
+                if self._objects[path] != expected:
+                    return False
+                del self._objects[path]
+                self._mtimes.pop(path, None)
+                hit = True
+            else:
+                hit = False
+        if hit:
+            if self._write_through:
+                self._fs.delete(path)  # mirror of a claim the store just settled
+            return True
+        # store miss: a pre-registration object may live on the mirror
+        return self._write_through and self._fs.compare_and_delete(path, expected)
+
+    def mtime(self, path: str) -> float | None:
+        """Store-side last-modified time (the store's clock, not the
+        writer's); falls back to the mirror for pre-registration
+        objects."""
+        with self._lock:
+            if path in self._mtimes:
+                return self._mtimes[path]
+        return self._fs.mtime(path) if self._write_through else None
 
     def list_names(self, dir_path: str, name_prefix: str) -> list[str]:
         want = os.path.join(dir_path, name_prefix)

@@ -136,17 +136,41 @@ def append_ann_batch(
     """The ``foreachBatch`` body: assign this batch's vectors to cells
     with the PERSISTED centroids and append them, partitioned by cell.
     Safe to replay (overwrite into the batch's own directory); cost ∝
-    the batch, never the accumulated index."""
+    the batch, never the accumulated index.
+
+    RETRAIN-RACE SELF-HEAL: a retrain's pointer swap can land between
+    this append's codebook read and its write, stranding the batch in
+    the superseded generation root — rows that would silently vanish
+    once ``gc_ann_generations`` removes that root. So after every
+    write the codebook is RE-READ; if the generation pointer moved, the
+    batch is re-assigned with the new centroids and re-written into
+    the current root (idempotent — replays overwrite the batch's own
+    directory), looping until the pointer observed before and after
+    the write agree. The quiesce convention still holds for retrains
+    themselves; this closes the silent-row-loss window when it is
+    violated. ``gc_ann_generations`` additionally refuses to delete a
+    superseded root holding a post-swap batch directory that never
+    re-landed (a crash between write and re-check)."""
     import numpy as np
 
     meta = _load_meta(index_dir)
-    cents = np.asarray(meta["centroids"], dtype=np.float64)
-    assigned = _assign_cells(batch_df, cents, meta["id_col"], vec_col)
-    (
-        assigned.repartition(int(meta["n_centroids"]), F.col("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(_batch_dir(index_dir, batch_id, meta))
+    for _ in range(5):
+        cents = np.asarray(meta["centroids"], dtype=np.float64)
+        assigned = _assign_cells(batch_df, cents, meta["id_col"], vec_col)
+        (
+            assigned.repartition(int(meta["n_centroids"]), F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(_batch_dir(index_dir, batch_id, meta))
+        )
+        after = _load_meta(index_dir)
+        if after.get("cells_dir", "cells") == meta.get("cells_dir", "cells"):
+            return
+        meta = after  # swapped mid-append: re-land in the current generation
+    raise RuntimeError(
+        f"append_ann_batch({batch_id}): generation pointer moved on every "
+        "of 5 attempts — retrains are not quiesced at all; fix the "
+        "maintenance schedule"
     )
 
 
@@ -423,16 +447,29 @@ def retrain_ann_index(
         cents = np.asarray(cents)
 
         # -- spherical Lloyd: map-only assign + k-row aggregate ----------
+        # the mean is over UNIT vectors (true spherical k-means mean
+        # direction): seeding and assignment are purely angular, so
+        # averaging raw embeddings would let high-magnitude vectors
+        # dominate centroid directions on mixed-norm corpora
+        vnorm = F.sqrt(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+        )
+        unit_vec = F.when(
+            vnorm > 0, F.transform("embedding", lambda x: x / vnorm)
+        )  # zero vectors -> null, ignored by avg
         for _ in range(int(iters)):
             assigned = _assign_cells(df, cents, id_col, "embedding")
             rows = (
-                assigned.groupBy("cell")
-                .agg(*[F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}")
+                assigned.withColumn("_unit", unit_vec)
+                .groupBy("cell")
+                .agg(*[F.avg(F.element_at("_unit", i + 1)).alias(f"m{i}")
                        for i in range(dim)])
                 .collect()
             )
             nxt = cents.copy()
             for r in rows:
+                if any(r[f"m{i}"] is None for i in range(dim)):
+                    continue  # only zero vectors landed here
                 m = np.array([r[f"m{i}"] for i in range(dim)], float)
                 norm = float(np.linalg.norm(m))
                 if norm > 0:
@@ -472,12 +509,19 @@ def retrain_ann_index(
         }
 
         # -- the commit point: centroids + cells_dir swap together -------
+        # swapped_at_unix makes the GC quiesce window OBSERVABLE: it is
+        # written inside the same atomic pointer swap, so
+        # gc_ann_generations can refuse to remove a superseded root
+        # before the window has elapsed instead of trusting the caller
+        import time as _time
+
         new_meta = dict(
             meta,
             n_centroids=k,
             centroids=[[float(x) for x in row] for row in cents],
             cells_dir=f"cells-g{gen:03d}",
             generation=gen,
+            swapped_at_unix=_time.time(),
         )
         tmp = os.path.join(index_dir, ".codebook.json.tmp")
         with open(tmp, "w") as f:
@@ -507,25 +551,56 @@ def retrain_if_skewed(
 
 def gc_ann_generations(
     index_dir: str,
+    min_quiesce_s: float = 900.0,
+    force: bool = False,
     owner: str | None = None,
     steal_stale_after_s: float | None = None,
 ) -> list[str]:
-    """Remove cells roots SUPERSEDED by retrains. Only call after a
-    quiesce window long enough that no reader still holds a pre-swap
-    codebook (readers that loaded the old meta serve from the old root;
-    deleting it under them is the rmtree-a-served-dir mistake). GC is a
-    MAINTAINER, not just a reader-hazard: it runs under the same
-    ``.compaction.lease`` as compaction/retrain — without it, gc racing
-    an in-flight retrain would quarantine-delete the fresh generation
-    root the retrain is about to commit a pointer to (the codebook
-    would then reference a deleted root and serve zero rows). Each
-    victim is quarantine-renamed first, then removed — a crash between
-    the two leaves an inert dot-dir, never a half-deleted live root."""
+    """Remove cells roots SUPERSEDED by retrains, with the quiesce
+    window ENFORCED rather than by-convention:
+
+    - QUIESCE: a reader that loaded a pre-swap codebook serves from the
+      superseded root; deleting it under them is the
+      rmtree-a-served-dir mistake. The retrain swap records
+      ``swapped_at_unix`` inside the codebook (falling back to the
+      codebook file's mtime for pre-upgrade indexes — the swap IS the
+      codebook replace), and gc is a NO-OP (returns ``[]``, roots
+      intact) until ``min_quiesce_s`` has elapsed since the last swap.
+      ``force=True`` overrides for an operator who knows no reader is
+      live. Choose ``min_quiesce_s`` ≫ the longest query a reader runs.
+    - STRAGGLER BATCHES: an append racing the retrain may have written
+      a batch into the superseded root after the swap;
+      ``append_ann_batch`` self-heals by re-landing such batches in the
+      current generation, but a crash between its write and its
+      re-check leaves the rows ONLY in the old root. A superseded root
+      holding a post-swap batch directory whose name is absent from
+      the current root is therefore SKIPPED (kept on disk) — deleting
+      it would be silent row loss; re-run the append (idempotent) or
+      pass ``force=True`` to discard deliberately.
+    - LEASE: gc is a MAINTAINER, not just a reader-hazard: it runs
+      under the same ``.compaction.lease`` as compaction/retrain —
+      without it, gc racing an in-flight retrain would delete the
+      fresh generation root the retrain is about to commit a pointer
+      to. Each victim is quarantine-renamed first, then removed — a
+      crash between the two leaves an inert dot-dir, never a
+      half-deleted live root."""
+    import time as _time
+
     with maintenance_lease(
         index_dir, "compaction", owner=owner, steal_stale_after_s=steal_stale_after_s
     ):
         meta = _load_meta(index_dir)
         current = meta.get("cells_dir", "cells")
+        swapped_at = meta.get("swapped_at_unix")
+        if swapped_at is None:  # pre-upgrade codebook: the swap IS the replace
+            swapped_at = os.stat(os.path.join(index_dir, "codebook.json")).st_mtime
+        if not force and _time.time() - float(swapped_at) < float(min_quiesce_s):
+            return []  # inside the quiesce window: every root stays
+        current_batches = (
+            {e.name for e in os.scandir(os.path.join(index_dir, current)) if e.is_dir()}
+            if os.path.isdir(os.path.join(index_dir, current))
+            else set()
+        )
         removed = []
         for e in sorted(os.scandir(index_dir), key=lambda e: e.name):
             if not e.is_dir() or e.name == current:
@@ -533,6 +608,14 @@ def gc_ann_generations(
             if e.name == "cells" or (
                 e.name.startswith("cells-g") and e.name.rsplit("-g", 1)[1].isdigit()
             ):
+                if not force and any(
+                    b.is_dir()
+                    and b.name.startswith("batch-")
+                    and b.stat().st_mtime > float(swapped_at)
+                    and b.name not in current_batches
+                    for b in os.scandir(e.path)
+                ):
+                    continue  # un-healed straggler rows: keep the root
                 quarantined = os.path.join(index_dir, f".gc-{e.name}")
                 os.rename(e.path, quarantined)
                 shutil.rmtree(quarantined, ignore_errors=True)

@@ -20,6 +20,15 @@ from mandoline_hbase_spark.streaming import ann as sann
 from mandoline_hbase_spark.streaming import search as ssearch
 
 
+def _backdate(path: str, seconds: float) -> None:
+    """Age a lease file on the STORE's clock (st_mtime): staleness now
+    derives from backend-side metadata, not the holder-written
+    timestamp, so simulating a long-crashed owner means backdating the
+    object itself — a payload that merely CLAIMS to be old is fresh."""
+    old = time.time() - seconds
+    os.utime(path, (old, old))
+
+
 def test_acquire_release_cycle(tmp_path):
     d = str(tmp_path / "idx")
     os.makedirs(d)
@@ -65,6 +74,7 @@ def test_stale_lease_break_and_fresh_lease_respected(tmp_path):
         os.path.join(d, ".compaction.lease"),
         json.dumps({"owner": "crashed", "acquired_at_unix": time.time() - 9999}).encode(),
     )
+    _backdate(os.path.join(d, ".compaction.lease"), 9999)
     # without steal: respected
     with pytest.raises(LeaseHeldError):
         with maintenance_lease(d, owner="b"):
@@ -88,8 +98,14 @@ def test_unparseable_lease_is_stale_with_threshold_respected_without(tmp_path):
     with pytest.raises(LeaseHeldError, match="unparseable"):
         with maintenance_lease(d, owner="b"):
             pass
-    # with a threshold: a corrupt payload can never refresh itself, so
-    # it is stale by definition — maintenance must not wedge forever
+    # a FRESH corrupt payload is still respected with a threshold: the
+    # STORE's mtime vouches for its age even when the payload cannot
+    with pytest.raises(LeaseHeldError, match="unparseable"):
+        with maintenance_lease(d, owner="b", steal_stale_after_s=3600):
+            pass
+    # once the object itself is old on the store's clock it is stale —
+    # maintenance must not wedge forever on a corrupt lease
+    _backdate(path, 9999)
     with maintenance_lease(d, owner="b", steal_stale_after_s=3600) as who:
         assert who == "b" and lease_holder(d)["owner"] == "b"
     assert lease_holder(d) is None
@@ -118,6 +134,7 @@ def test_age_unvouchable_payloads_steal_with_threshold_respect_without(
     with pytest.raises(LeaseHeldError):  # not AttributeError/TypeError
         with maintenance_lease(d, owner="b"):
             pass
+    _backdate(path, 9999)  # stale on the store's clock
     with maintenance_lease(d, owner="b", steal_stale_after_s=3600) as who:
         assert who == "b" and lease_holder(d)["owner"] == "b"
     assert lease_holder(d) is None
@@ -172,9 +189,121 @@ def test_stale_break_leaves_exactly_our_payload(tmp_path):
         path,
         json.dumps({"owner": "crashed", "acquired_at_unix": time.time() - 9999}).encode(),
     )
+    _backdate(path, 9999)
     with maintenance_lease(d, owner="winner", steal_stale_after_s=60):
         h = lease_holder(d)
-        assert h["owner"] == "winner"  # read-back held: our payload stored
+        assert h["owner"] == "winner"  # conditional claim won: our payload stored
+
+
+class _InterleavingBackend:
+    """Delegates to the real local backend but fires ``on_cad`` ONCE
+    immediately before the first ``compare_and_delete`` — injecting a
+    rival's actions into exactly the window where the pre-round-7
+    get-then-delete code could destroy a fresh lease."""
+
+    def __init__(self, inner, on_cad):
+        self._inner = inner
+        self._on_cad = on_cad
+        self._fired = False
+
+    def compare_and_delete(self, path, expected):
+        if not self._fired:
+            self._fired = True
+            self._on_cad()
+        return self._inner.compare_and_delete(path, expected)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_stale_break_racing_a_rival_break_never_deletes_the_fresh_lease(tmp_path):
+    """VERDICT r6 #1 done-criterion: a breaker observes the stale
+    payload, a RIVAL breaks-and-claims in the window before the
+    breaker's delete — the conditional DELETE answers false against the
+    rival's fresh payload, the breaker loses the reclaim, and the
+    rival's live lease survives untouched."""
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, ".compaction.lease")
+    inner = storage.LocalFSCasBackend()
+    inner.put(path, json.dumps({"owner": "crashed", "acquired_at_unix": 1.0}).encode())
+    _backdate(path, 9999)
+
+    rival_payload = json.dumps({"owner": "rival", "acquired_at_unix": time.time()}).encode()
+
+    def rival_breaks_and_claims():
+        # the rival completes its own stale-break first
+        assert inner.compare_and_delete(path, inner.get(path))
+        assert inner.put_if_absent(path, rival_payload)
+
+    storage.register_cas_backend(d, _InterleavingBackend(inner, rival_breaks_and_claims))
+    try:
+        with pytest.raises(LeaseHeldError, match="reclaim race"):
+            with maintenance_lease(d, owner="late-breaker", steal_stale_after_s=60):
+                pass
+        assert inner.get(path) == rival_payload  # fresh lease intact
+    finally:
+        storage.unregister_cas_backend(d)
+        inner.delete(path)
+
+
+def test_release_racing_a_steal_never_deletes_the_usurpers_lease(tmp_path):
+    """The release-path twin: a rival steals between the owner's exit
+    and its delete — the conditional DELETE (If-Match on the owner's
+    own payload) answers false and the usurper's lease survives."""
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, ".compaction.lease")
+    inner = storage.LocalFSCasBackend()
+    usurper_payload = json.dumps({"owner": "usurper", "acquired_at_unix": time.time()}).encode()
+
+    def rival_steals():
+        assert inner.compare_and_delete(path, inner.get(path))
+        assert inner.put_if_absent(path, usurper_payload)
+
+    storage.register_cas_backend(d, _InterleavingBackend(inner, rival_steals))
+    try:
+        with maintenance_lease(d, owner="slowpoke"):
+            pass  # the hook fires inside the release's compare_and_delete
+        assert inner.get(path) == usurper_payload  # usurper survived the release
+    finally:
+        storage.unregister_cas_backend(d)
+        inner.delete(path)
+
+
+def test_concurrent_stale_breakers_exactly_one_wins(tmp_path):
+    """Many breakers race the SAME stale lease concurrently: the fenced
+    conditional delete + conditional claim admit exactly one winner;
+    every loser raises LeaseHeldError and the winner's lease is never
+    deleted out from under it."""
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, ".compaction.lease")
+    storage.cas_backend_for(d).put(
+        path, json.dumps({"owner": "crashed", "acquired_at_unix": 1.0}).encode()
+    )
+    _backdate(path, 9999)
+    barrier = threading.Barrier(8)
+    wins, losses = [], []
+
+    def contend(i):
+        barrier.wait()
+        try:
+            with maintenance_lease(d, owner=f"b{i}", steal_stale_after_s=60):
+                wins.append(i)
+                # while held, the winner's lease must remain its own
+                assert lease_holder(d)["owner"] == f"b{i}"
+                time.sleep(0.2)  # hold across every rival's full attempt
+        except LeaseHeldError:
+            losses.append(i)
+
+    ts = [threading.Thread(target=contend, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(wins) == 1 and len(losses) == 7
+    assert lease_holder(d) is None  # the winner released cleanly
 
 
 def test_concurrent_acquirers_exactly_one_wins(tmp_path):

@@ -157,3 +157,67 @@ def test_loser_adopts_winners_artifact(tmp_path, monkeypatch):
         assert open(os.path.join(d, "data")).read() == "winner"
     finally:
         tempfile.tempdir = None
+
+
+def test_sweep_removes_only_stale_debris(tmp_path, monkeypatch):
+    """ADVICE r6: quarantined squatters and abandoned scratch dirs
+    accumulate in tempdir; the sweep removes only the OLD ones (a
+    fresh quarantine may still be serving a pre-heal reader, a fresh
+    scratch may belong to a live builder) and never a canonical
+    ready slot."""
+    import time
+
+    from mandoline_hbase_spark.operators.served import sweep_stale_artifacts
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        old = time.time() - 7200
+        stale_q = tmp_path / "t-sw-abc.quarantine-deadbeef"
+        stale_b = tmp_path / "t-sw-build-xyz"
+        fresh_q = tmp_path / "t-sw-def.quarantine-cafebabe"
+        ready = tmp_path / "t-sw-0123456789abcdef"
+        other = tmp_path / "unrelated-build-1"
+        for d in (stale_q, stale_b, fresh_q, ready, other):
+            d.mkdir()
+        (ready / "_built").write_text("")
+        for d in (stale_q, stale_b, ready, other):
+            os.utime(d, (old, old))
+
+        removed = sweep_stale_artifacts("t-sw", max_age_s=3600)
+        assert sorted(os.path.basename(p) for p in removed) == [
+            "t-sw-abc.quarantine-deadbeef",
+            "t-sw-build-xyz",
+        ]
+        assert fresh_q.is_dir()  # too fresh to touch
+        assert ready.is_dir() and other.is_dir()  # never in scope
+    finally:
+        tempfile.tempdir = None
+
+
+def test_quarantine_names_are_unique_within_a_process(tmp_path, monkeypatch):
+    """Two heals in the same process (same pid) must both succeed: the
+    quarantine suffix is a uuid, not the pid."""
+    import hashlib
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        for round_ in range(2):
+            tag = hashlib.md5(b"fp-uu").hexdigest()[:16]
+            final = tmp_path / f"t-uu-{tag}"
+            final.mkdir(exist_ok=True)
+            marker = final / "_built"
+            if marker.exists():
+                marker.unlink()  # simulate a NEW crashed squatter each round
+            (final / "partial").write_text(f"crash-{round_}")
+            d = served_artifact("t-uu", "fp-uu", _writer(f"good-{round_}", []))
+            assert d == str(final)
+        quars = [p for p in tmp_path.iterdir() if ".quarantine-" in p.name]
+        assert len(quars) == 2  # both heals landed under distinct names
+    finally:
+        tempfile.tempdir = None

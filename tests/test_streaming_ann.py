@@ -246,10 +246,74 @@ def test_retrain_swap_appends_and_gc(spark, tmp_path):
     assert sann.compact_ann_index(spark, index_dir) == 1
     assert sann.read_cells(spark, index_dir).count() == 50
 
-    removed = sann.gc_ann_generations(index_dir)
+    # inside the enforced quiesce window gc is a NO-OP: a reader that
+    # loaded the pre-swap codebook may still be scanning the old root
+    assert sann.gc_ann_generations(index_dir) == []
+    assert os.path.isdir(os.path.join(index_dir, "cells"))
+
+    removed = sann.gc_ann_generations(index_dir, min_quiesce_s=0.0)
     assert removed == ["cells"]
     assert not os.path.isdir(os.path.join(index_dir, "cells"))
     assert sann.read_cells(spark, index_dir).count() == 50  # serving intact
+
+
+def test_append_racing_a_retrain_self_heals_into_the_new_generation(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r6: an append that loaded the codebook BEFORE a retrain's
+    pointer swap writes its batch into the superseded root — without
+    the post-write re-check those rows would vanish at gc. The append
+    must observe the moved pointer and re-land the batch in the
+    current generation (idempotent re-write)."""
+    index_dir = str(tmp_path / "annidx")
+    sann.init_ann_index(index_dir, dim=64, n_centroids=4, seed=7)
+    sann.append_ann_batch(spark.createDataFrame(_skew_rows(40), DDL), 0, index_dir)
+    stale_meta = sann._load_meta(index_dir)  # what a pre-swap reader holds
+    sann.retrain_ann_index(spark, index_dir, iters=2)
+
+    real_load, calls = sann._load_meta, {"n": 0}
+
+    def load_pre_swap_once(d):
+        calls["n"] += 1
+        return stale_meta if calls["n"] == 1 else real_load(d)
+
+    monkeypatch.setattr(sann, "_load_meta", load_pre_swap_once)
+    late = _skew_rows(10, start_id=9000)
+    sann.append_ann_batch(spark.createDataFrame(late, DDL), 1, index_dir)
+    monkeypatch.undo()
+
+    # the batch re-landed in the CURRENT generation (the straggler copy
+    # in the old root is harmless — that root is superseded)
+    assert os.path.isdir(os.path.join(index_dir, "cells-g001", "batch-0000000001"))
+    assert sann.read_cells(spark, index_dir).count() == 50
+    # and gc can now remove the old root: the straggler healed (same
+    # batch name exists in the current generation)
+    assert sann.gc_ann_generations(index_dir, min_quiesce_s=0.0) == ["cells"]
+    assert sann.read_cells(spark, index_dir).count() == 50
+
+
+def test_gc_refuses_a_root_with_unhealed_straggler_rows(spark, tmp_path):
+    """A crash between an append's stranded write and its re-check
+    leaves rows ONLY in the superseded root: gc must keep that root
+    (deleting it is silent row loss) until the rows re-land or the
+    operator forces."""
+    import time
+
+    index_dir = str(tmp_path / "annidx")
+    sann.init_ann_index(index_dir, dim=64, n_centroids=4, seed=7)
+    sann.append_ann_batch(spark.createDataFrame(_skew_rows(20), DDL), 0, index_dir)
+    sann.retrain_ann_index(spark, index_dir, iters=2)
+    # a post-swap batch stranded in the old root, absent from cells-g001
+    straggler = os.path.join(index_dir, "cells", "batch-0000000042")
+    os.makedirs(straggler)
+    now = time.time() + 5  # strictly after the recorded swap
+    os.utime(straggler, (now, now))
+
+    assert sann.gc_ann_generations(index_dir, min_quiesce_s=0.0) == []
+    assert os.path.isdir(straggler)  # rows preserved
+    # the deliberate override discards it
+    assert sann.gc_ann_generations(index_dir, min_quiesce_s=0.0, force=True) == ["cells"]
+    assert not os.path.isdir(os.path.join(index_dir, "cells"))
 
 
 def test_retrain_crash_before_pointer_swap_is_invisible_and_retry_converges(
