@@ -97,11 +97,23 @@ def _copy_expr(df, table: str, i: int, heaps_vocab: int | None):
             if heaps_vocab is not None:
                 # rewrite every token: Zipf(1) over a Heaps-sized vocab.
                 # Inverse-CDF in log space (rank = V^u for u~U[0,1))
-                # gives P(rank) ∝ 1/rank; u is a pure function of
-                # (doc_id, position, copy) so the build is deterministic
-                n_tok = F.size(F.split(F.trim(c), r"\s+"))
+                # gives P(rank) ∝ 1/rank. u is keyed on the ORIGINAL
+                # (previous token, token, position, copy) — content+
+                # position keying makes identical aligned source text
+                # rewrite identically, so the fixture's within-copy
+                # near-dup pairs survive verbatim (measured: all 256
+                # sf0.1 prefix-filter pairs preserved), the bigram
+                # context lifts the output entropy to Heaps scale, and
+                # folding the copy index makes copies mutually
+                # independent (constant dup RATE at 10×, not 10
+                # mirrors). Deterministic build, no RNG.
+                toks = F.split(F.trim(c), r"\s+")
+                prev = lambda pos: F.element_at(toks, F.greatest(pos - 1, F.lit(1)))
                 u = lambda pos: (
-                    F.pmod(F.xxhash64(F.col("doc_id"), pos, F.lit(i)), 1_000_000)
+                    F.pmod(
+                        F.xxhash64(prev(pos), F.element_at(toks, pos), pos, F.lit(i)),
+                        1_000_000,
+                    )
                     / 1_000_000.0
                 )
                 tok = lambda pos: F.concat(
@@ -109,7 +121,9 @@ def _copy_expr(df, table: str, i: int, heaps_vocab: int | None):
                     F.floor(F.pow(F.lit(float(heaps_vocab)), u(pos))).cast("string"),
                 )
                 c = F.array_join(
-                    F.transform(F.sequence(F.lit(1), F.greatest(n_tok, F.lit(1))), tok),
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))), tok
+                    ),
                     " ",
                 )
             elif i > 0:
