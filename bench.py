@@ -190,6 +190,26 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def timed_min(spark, fn, sf_dir: str) -> float:
+    """THE measurement protocol, shared with tools/scale_check.py so
+    scale-step ratios stay comparable with the headline record: one
+    warm pass (codegen compiled, footers cached), then the min of two
+    timed noop-sink passes (single passes swing ±2x with JVM GC / box
+    noise; the min is the steady-state plan cost that scales with
+    data). Caches cleared after every pass — operators that persist
+    intermediates (LSH feature tables) must not hold executor memory
+    against later queries."""
+    _force(fn(spark, sf_dir))
+    spark.catalog.clearCache()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return best
+
+
 def main() -> None:
     spark = get_spark(app_name="mandoline-bench")
     # warmup: JVM + codegen + parquet footer caches
@@ -197,21 +217,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name].fn
-        _force(fn(spark, SF_DIR))  # warm: codegen compiled, footers cached
-        spark.catalog.clearCache()
-        # min of two timed passes: single-pass numbers swing ±2x with JVM
-        # GC / box noise; the min is the steady-state plan cost that
-        # actually scales with data volume
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-            # operators that persist intermediates (LSH feature tables) must
-            # not hold executor memory against later queries or passes
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(timed_min(spark, QUERIES[name].fn, SF_DIR), 3)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -238,25 +244,36 @@ def main() -> None:
     # regress it. The min is only meaningful across same-code runs:
     # when a query's implementation changes materially, delete its
     # entry (or the sf block) so the record re-derives.
+    # The fold must NEVER lose a completed run: a malformed record file
+    # (hand edit, partial write, wrong shape) degrades to a fresh record
+    # — and any other surprise is reported but does not kill the run
+    # before the stdout line the driver parses.
     rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RECORD.json")
     try:
-        with open(rec_path) as f:
-            rec = json.load(f)
-    except (OSError, ValueError):
-        rec = {}
-    rec.setdefault("metric", "per-query min wall time across solo runs (noop sink)")
-    rec.setdefault("unit", "sec")
-    by_sf = rec.setdefault("by_sf", {})
-    block = by_sf.setdefault(str(sf), {"queries": {}, "runs": 0})
-    for name, sec in timings.items():
-        prev = block["queries"].get(name)
-        block["queries"][name] = sec if prev is None else min(prev, sec)
-    block["runs"] = int(block.get("runs", 0)) + 1
-    block["value"] = round(sum(block["queries"].values()), 3)
-    block["n_queries"] = len(block["queries"])
-    with open(rec_path, "w") as f:
-        json.dump(rec, f, indent=1, sort_keys=True)
-        f.write("\n")
+        try:
+            with open(rec_path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            rec = {}
+        if not isinstance(rec, dict):
+            rec = {}
+        rec.setdefault("metric", "per-query min wall time across solo runs (noop sink)")
+        rec.setdefault("unit", "sec")
+        by_sf = rec.setdefault("by_sf", {})
+        block = by_sf.setdefault(str(sf), {})
+        if not isinstance(block, dict) or not isinstance(block.get("queries"), dict):
+            block = by_sf[str(sf)] = {"queries": {}, "runs": 0}
+        for name, sec in timings.items():
+            prev = block["queries"].get(name)
+            block["queries"][name] = sec if not isinstance(prev, (int, float)) else min(prev, sec)
+        block["runs"] = int(block.get("runs", 0) or 0) + 1
+        block["value"] = round(sum(block["queries"].values()), 3)
+        block["n_queries"] = len(block["queries"])
+        with open(rec_path, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"warning: BENCH_RECORD.json fold skipped: {exc!r}", file=sys.stderr)
 
     # Compact family totals — the one line the driver parses must fit
     # entirely inside its ~2 KB stdout tail capture.

@@ -119,14 +119,45 @@ def root_table_prefix(root: str, db_version: str | None = None) -> str:
 
 
 class Connection:
-    """One dataset's handle (``HBaseConnection``, hbase.clj:254-297)."""
+    """One dataset's handle (``HBaseConnection``, hbase.clj:254-297).
 
-    def __init__(self, dataset_dir: str, dataset_name: str, spark=None):
+    ``cache_versions=True`` memoizes the version-table scan on this
+    connection — the analog of the caching store layer the reference's
+    suite runs every scenario with and without
+    (``hbase_test.clj:107`` ``with-and-without-caches``). The cache is
+    invalidated by THIS connection's commits; a commit from another
+    connection or process is invisible to a warm cache (same trade as
+    the reference's), which is why it is opt-in: enable it on
+    read-mostly handles, not on handles racing other writers.
+    """
+
+    def __init__(
+        self,
+        dataset_dir: str,
+        dataset_name: str,
+        spark=None,
+        cache_versions: bool = False,
+    ):
         self.dataset_dir = dataset_dir
         self.dataset_name = dataset_name
         self.spark = spark
         self._dirs = {t: os.path.join(dataset_dir, t) for t in storage.TABLE_NAMES}
+        self._cache_versions = bool(cache_versions)
         self._version_cache: list[dict] | None = None
+
+    def _version_rows(self) -> list[dict]:
+        """Newest-first full version rows, memoized when caching is on."""
+        if self._cache_versions and self._version_cache is not None:
+            return self._version_cache
+        t = storage.scan(
+            self._dirs["versions"],
+            storage.VERSIONS_SCHEMA,
+            columns=["version_id", "committed_at", "metadata"],
+        )
+        rows = sorted(t.to_pylist(), key=lambda r: r["version_id"], reverse=True)
+        if self._cache_versions:
+            self._version_cache = rows
+        return rows
 
     # -- protocol surface --------------------------------------------------
 
@@ -211,10 +242,13 @@ class Connection:
         The reference relies on HBase key order + ``reverse``; here an
         explicit sort. Column projection mirrors the ``metadata?`` flag.
         """
-        cols = ["version_id", "committed_at"] + (["metadata"] if metadata else [])
-        t = storage.scan(self._dirs["versions"], storage.VERSIONS_SCHEMA, columns=cols)
-        rows = t.to_pylist()
-        rows.sort(key=lambda r: r["version_id"], reverse=True)
+        if self._cache_versions:
+            rows = self._version_rows()
+        else:
+            # uncached: project only the requested columns at the scan
+            cols = ["version_id", "committed_at"] + (["metadata"] if metadata else [])
+            t = storage.scan(self._dirs["versions"], storage.VERSIONS_SCHEMA, columns=cols)
+            rows = sorted(t.to_pylist(), key=lambda r: r["version_id"], reverse=True)
         if limit is not None:
             rows = rows[:limit]
         out = []
@@ -227,6 +261,11 @@ class Connection:
 
     def metadata(self, version: int | str) -> dict:
         """Point get + parse of one version's metadata (hbase.clj:278-281)."""
+        if self._cache_versions:
+            for r in self._version_rows():
+                if r["version_id"] == int(version):
+                    return json.loads(r["metadata"])
+            raise VersionNotFoundError(f"no version {version} in {self.dataset_name}")
         t = storage.scan(
             self._dirs["versions"],
             storage.VERSIONS_SCHEMA,
@@ -1151,10 +1190,14 @@ class Schema:
             d for d in os.listdir(self.root_dir) if os.path.isdir(os.path.join(self.root_dir, d))
         )
 
-    def connect(self, name: str) -> Connection:
-        """Open a dataset, probing existence (hbase.clj:332-344)."""
+    def connect(self, name: str, cache_versions: bool = False) -> Connection:
+        """Open a dataset, probing existence (hbase.clj:332-344).
+
+        ``cache_versions`` opts the handle into the memoized version
+        listing — the reference's caching-store-layer analog
+        (hbase_test.clj:107 runs every scenario with and without it)."""
         ds_dir = self._dataset_dir(name)
-        conn = Connection(ds_dir, name, spark=self.spark)
+        conn = Connection(ds_dir, name, spark=self.spark, cache_versions=cache_versions)
         try:
             conn.get_stats()
         except OSError as e:

@@ -210,5 +210,12 @@ def maintenance_lease(
         # conditional delete: the store removes the lease only if the
         # payload is still ours (we may have been usurped via
         # steal_stale_after_s) — compare and delete are one fenced
-        # operation, so a steal landing mid-release survives
-        _compare_and_delete(backend, path, data)
+        # operation, so a steal landing mid-release survives. A release
+        # FAILURE (transient store error, unsupported conditional
+        # delete) must not mask the body's result: a leftover lease is
+        # recoverable via the staleness threshold, a swallowed body
+        # exception is not.
+        try:
+            _compare_and_delete(backend, path, data)
+        except Exception:
+            pass  # lease left behind; steal_stale_after_s reclaims it

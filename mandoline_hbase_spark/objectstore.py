@@ -160,14 +160,27 @@ class S3CasBackend:
 
     def compare_and_delete(self, path: str, expected: bytes) -> bool:
         """Conditional DELETE: ``DeleteObject`` with ``If-Match`` on the
-        ETag of ``expected`` (single-part PUT ETag = hex MD5 of the
-        body, so content equality IS ETag equality here). The store —
-        not this client — evaluates the precondition, which is what
-        makes the lease's steal/release fenced on a real bucket: a
-        rival's fresh lease has a different ETag and survives with a
-        412. 412 (mismatch) → False; 404 with a mirrored
-        pre-registration object → the local conditional delete decides.
-        True iff this call removed the object."""
+        ETag of ``expected``. The store — not this client — evaluates
+        the precondition, which is what makes the lease's steal/release
+        fenced on a real bucket: a rival's fresh lease has a different
+        ETag and survives with a 412. 412 (mismatch) → False; 404 with
+        a mirrored pre-registration object → the local conditional
+        delete decides. True iff this call removed the object.
+
+        DEPLOYMENT REQUIREMENTS (both verifiable up front, neither
+        silently degradable): (1) the bucket must support ``If-Match``
+        on DeleteObject — S3 directory buckets, GCS
+        (``if-generation-match`` via interop), Azure Blob, MinIO do; a
+        store that REJECTS the header surfaces here as a loud
+        ``StorageError`` naming the gap (never an unconditional
+        delete), and a store that silently IGNORES it would reopen the
+        unfenced window — verify with a two-client probe before
+        trusting steals. (2) the lease object's ETag must equal the MD5
+        of its body: true for the single-part unencrypted PUTs this
+        backend issues, NOT true under bucket-default SSE-KMS — there
+        every compare fails 412, which is the SAFE failure (a lease is
+        never deleted; stale-break wedges until the operator clears the
+        lease key or moves the lease prefix off KMS)."""
         import hashlib
 
         etag = f'"{hashlib.md5(expected).hexdigest()}"'
@@ -181,6 +194,13 @@ class S3CasBackend:
                 return False
             if code in _MISSING:
                 return self._fs.compare_and_delete(path, expected) if self._mirror else False
+            if code in ("NotImplemented", "InvalidRequest", "InvalidArgument", "501", "400"):
+                raise StorageError(
+                    f"bucket {self._bucket!r} rejected DeleteObject+If-Match "
+                    f"({code}): this store cannot serve the lease's "
+                    "conditional-delete leg — see "
+                    "S3CasBackend.compare_and_delete's deployment notes"
+                ) from exc
             raise
         if self._mirror:
             self._fs.delete(path)

@@ -294,15 +294,37 @@ def kmeans_fit(
     """
     dim = len(emb.select(vec_col).first()[0])
     centroids = deterministic_centroids(emb, k, id_col, vec_col)
+    # spherical mean: average UNIT vectors, not raw embeddings —
+    # assignment and the inertia objective are purely angular (cosine),
+    # and for unit data directions the normalized mean direction is the
+    # exact maximizer of the within-cluster cosine sum, which makes
+    # Lloyd's objective provably non-increasing per iteration (the
+    # in-plan lloyd_improves claim of dedup_semantic_kmeans rests on
+    # this, not on fixture luck). A raw mean lets high-magnitude
+    # vectors rotate centroids away from the majority direction on
+    # mixed-norm corpora. Zero vectors map to null and drop out of avg.
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col).cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    unit = F.when(
+        vnorm > 0,
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / vnorm),
+    )
     for _ in range(iters):
         assigned = assign_clusters(emb, centroids, id_col, vec_col)
         means = (
-            assigned.withColumn("_ad", F.col(vec_col).cast("array<double>"))
+            assigned.withColumn("_ad", unit)
             .groupBy("cluster_id")
             .agg(*[F.avg(F.element_at("_ad", i + 1)).alias(f"m{i}") for i in range(dim)])
             .collect()
         )
-        by_id = {int(r["cluster_id"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        by_id = {
+            int(r["cluster_id"]): [float(r[f"m{i}"]) for i in range(dim)]
+            for r in means
+            if all(r[f"m{i}"] is not None for i in range(dim))
+        }
         centroids = [(cid, by_id.get(cid, old)) for cid, old in centroids]
     return centroids
 

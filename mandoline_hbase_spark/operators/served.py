@@ -109,8 +109,15 @@ def sweep_stale_artifacts(name: str, max_age_s: float = 86400.0) -> list[str]:
     serving a process that resolved it before the heal, and a fresh
     scratch dir may belong to a live builder. Canonical ready slots
     (``{name}-{tag}`` with their marker) are never touched. Returns the
-    removed paths. Run from a cron/maintenance task; nothing in the
-    serve path depends on it."""
+    removed paths.
+
+    OPERATOR CONTRACT: age is the directory's BUILD time (mtime), not
+    last use — a long-lived process that lost every rename race serves
+    from its scratch dir indefinitely, and a sweep with ``max_age_s``
+    shorter than that process's lifetime would rmtree a dir it is
+    actively reading. Only run with ``max_age_s`` greater than the
+    longest-lived serving process (or during a maintenance window with
+    no servers up); nothing in the serve path depends on the sweep."""
     import time
 
     tmp = tempfile.gettempdir()

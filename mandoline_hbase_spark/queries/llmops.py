@@ -708,7 +708,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     un = docs.unionByName(
         docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
     )
-    pairs = dedup.simhash_near_duplicates(un, max_hamming=3)
+    # unbounded hot-bucket cap = the oracle's recall guarantee is
+    # UNCONDITIONAL (the dedup_prefix_filter r5 idiom): the guard's
+    # star-degradation may drop non-hub twin pairs inside an oversized
+    # band bucket, which would fail the planted-pair oracle on a
+    # correct implementation; capped behavior stays pinned by the
+    # dedicated guard tests
+    pairs = dedup.simhash_near_duplicates(un, max_hamming=3, max_bucket_size=2**31)
     return pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).select(
         "id_a", "id_b", "hamming"
     )

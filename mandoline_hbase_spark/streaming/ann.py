@@ -515,13 +515,22 @@ def retrain_ann_index(
         # before the window has elapsed instead of trusting the caller
         import time as _time
 
+        now = _time.time()
+        # superseded_at_unix: PER-ROOT supersession times, so gc can
+        # judge a straggler batch against the swap that superseded ITS
+        # root — with only the latest swap time, a straggler stranded
+        # before an intervening retrain would look pre-swap and be
+        # silently deleted
+        superseded = dict(meta.get("superseded_at_unix", {}))
+        superseded[meta.get("cells_dir", "cells")] = now
         new_meta = dict(
             meta,
             n_centroids=k,
             centroids=[[float(x) for x in row] for row in cents],
             cells_dir=f"cells-g{gen:03d}",
             generation=gen,
-            swapped_at_unix=_time.time(),
+            swapped_at_unix=now,
+            superseded_at_unix=superseded,
         )
         tmp = os.path.join(index_dir, ".codebook.json.tmp")
         with open(tmp, "w") as f:
@@ -601,6 +610,16 @@ def gc_ann_generations(
             if os.path.isdir(os.path.join(index_dir, current))
             else set()
         )
+        # per-root supersession times: a straggler is judged against the
+        # swap that superseded ITS root, not the latest swap — a
+        # straggler stranded before an intervening retrain must still be
+        # detected (its mtime predates the latest swap but postdates its
+        # own root's). Roots absent from the map (pre-upgrade histories)
+        # fall back to the earliest known bound, the conservative
+        # direction (more batches look post-swap, gc refuses more).
+        superseded = meta.get("superseded_at_unix", {}) or {}
+        known = [float(v) for v in superseded.values()] + [float(swapped_at)]
+        earliest_bound = min(known)
         removed = []
         for e in sorted(os.scandir(index_dir), key=lambda e: e.name):
             if not e.is_dir() or e.name == current:
@@ -608,10 +627,11 @@ def gc_ann_generations(
             if e.name == "cells" or (
                 e.name.startswith("cells-g") and e.name.rsplit("-g", 1)[1].isdigit()
             ):
+                root_bound = float(superseded.get(e.name, earliest_bound))
                 if not force and any(
                     b.is_dir()
                     and b.name.startswith("batch-")
-                    and b.stat().st_mtime > float(swapped_at)
+                    and b.stat().st_mtime > root_bound
                     and b.name not in current_batches
                     for b in os.scandir(e.path)
                 ):

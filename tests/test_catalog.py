@@ -114,3 +114,26 @@ def test_driver_prefix_leads_with_stalest_verification():
     for n, changed_round in _REVERIFY_FIRST.items():
         if last.get(n, 0) < changed_round:
             assert n in names[:n_rank0], f"{n} (changed oracle) not in the rank-0 prefix"
+
+
+def test_version_cache_serves_warm_and_invalidates_on_commit(tmp_path):
+    """The opt-in memoized version listing (hbase_test.clj:107 caching
+    layer analog): a warm cache serves without rescanning, this
+    connection's own commit invalidates it, and cached results stay
+    value-identical to an uncached handle's."""
+    import numpy as np
+
+    from mandoline_hbase_spark.engine import mk_schema
+
+    schema = mk_schema({"root": "cache.example.com", "base_path": str(tmp_path)})
+    schema.create_dataset("d")
+    cached = schema.connect("d", cache_versions=True)
+    plain = schema.connect("d")
+    v1 = cached.write_variable("x", np.ones((2, 2)), chunk_shape=(2, 2))
+    assert cached.versions() == plain.versions()
+    assert cached._version_cache is not None  # warm after the listing
+    assert cached.metadata(v1) == plain.metadata(v1)
+    # the handle's own commit invalidates: the new version is visible
+    v2 = cached.write_variable("x", np.zeros((2, 2)))
+    assert [e["version"] for e in cached.versions()] == [str(v2), str(v1)]
+    assert cached.versions(metadata=True) == plain.versions(metadata=True)

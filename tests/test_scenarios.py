@@ -14,6 +14,22 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(params=[False, True], ids=["nocache", "version-cache"])
+def store(tmp_path, request):
+    """Every scenario runs WITH AND WITHOUT the memoized version cache
+    (hbase_test.clj:107 ``with-and-without-caches`` parity) — the
+    cached handle must behave identically because its own commits
+    invalidate the cache. Overrides the plain conftest fixture for this
+    module only."""
+    from mandoline_hbase_spark.engine import mk_schema
+
+    schema = mk_schema(
+        {"root": "integration-testing.mandoline.io", "base_path": str(tmp_path)}
+    )
+    schema.create_dataset("test-dataset")
+    yield schema.connect("test-dataset", cache_versions=request.param)
+
+
 def test_entire_flow(store):
     """Full write -> read round trip (hbase_test.clj:106-108)."""
     arr = np.arange(200, dtype=np.float64).reshape(10, 20)

@@ -292,6 +292,34 @@ def test_append_racing_a_retrain_self_heals_into_the_new_generation(
     assert sann.read_cells(spark, index_dir).count() == 50
 
 
+def test_gc_straggler_check_survives_an_intervening_retrain(spark, tmp_path):
+    """Code-review r7: a straggler stranded just after swap1 must still
+    be detected after a SECOND retrain moves the latest swap time past
+    its mtime — each superseded root is judged against the swap that
+    superseded IT (codebook superseded_at_unix map), not the latest."""
+    import time
+
+    index_dir = str(tmp_path / "annidx")
+    sann.init_ann_index(index_dir, dim=64, n_centroids=4, seed=7)
+    sann.append_ann_batch(spark.createDataFrame(_skew_rows(20), DDL), 0, index_dir)
+    sann.retrain_ann_index(spark, index_dir, iters=1)  # swap1: cells -> g001
+    # straggler lands in the OLD root just after swap1
+    straggler = os.path.join(index_dir, "cells", "batch-0000000042")
+    os.makedirs(straggler)
+    t_after_swap1 = time.time() + 0.5
+    os.utime(straggler, (t_after_swap1, t_after_swap1))
+    time.sleep(1.1)  # the second swap lands strictly after the straggler
+    sann.retrain_ann_index(spark, index_dir, iters=1)  # swap2: g001 -> g002
+    meta = sann._load_meta(index_dir)
+    assert set(meta["superseded_at_unix"]) == {"cells", "cells-g001"}
+    # latest swap time is PAST the straggler's mtime — with a
+    # latest-swap-only check the straggler would look pre-swap and die
+    assert meta["swapped_at_unix"] > t_after_swap1
+    removed = sann.gc_ann_generations(index_dir, min_quiesce_s=0.0)
+    assert "cells" not in removed and os.path.isdir(straggler)  # preserved
+    assert removed == ["cells-g001"]  # the clean superseded root still goes
+
+
 def test_gc_refuses_a_root_with_unhealed_straggler_rows(spark, tmp_path):
     """A crash between an append's stranded write and its re-check
     leaves rows ONLY in the superseded root: gc must keep that root

@@ -50,7 +50,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -205,18 +204,11 @@ TOP12 = [
 
 
 def _timed(spark, fn, sf_dir: str) -> float:
-    def force(df):
-        df.write.mode("overwrite").format("noop").save()
+    # bench.py's protocol, shared so ratios stay comparable with the
+    # headline record (warm pass, min of two timed noop-sink passes)
+    from bench import timed_min
 
-    force(fn(spark, sf_dir))  # warm: codegen compiled, footers cached
-    spark.catalog.clearCache()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        best = min(best, time.perf_counter() - t0)
-        spark.catalog.clearCache()
-    return best
+    return timed_min(spark, fn, sf_dir)
 
 
 def cmd_measure(args) -> int:
