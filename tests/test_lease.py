@@ -397,3 +397,40 @@ def test_ann_compactor_respects_lease(spark, tmp_path):
     assert names == ["batch-0000000000", "batch-0000000001"]
     assert sann.compact_ann_index(spark, index_dir) == 1  # uncontended run
     assert lease_holder(index_dir) is None
+
+
+def test_lease_over_s3_backend_stale_break_uses_bucket_clock(tmp_path):
+    """The lease's full cycle through the S3 adapter: conditional
+    claim, respect-fresh, stale break judged by the BUCKET's
+    LastModified (not the holder-written timestamp), and a fenced
+    conditional-delete release."""
+    from mandoline_hbase_spark.objectstore import FakeS3Client, S3CasBackend
+
+    d = str(tmp_path / "bucket-idx")  # never created locally
+    store = str(tmp_path / "_bucket")
+    backend = S3CasBackend(
+        "b", FakeS3Client(store), root=str(tmp_path), mirror_to_fs=False
+    )
+    storage.register_cas_backend(str(tmp_path), backend)
+    try:
+        path = os.path.join(d, ".compaction.lease")
+        # a crashed owner's lease whose PAYLOAD claims to be ancient but
+        # whose OBJECT is fresh on the bucket clock: respected
+        backend.put(
+            path,
+            json.dumps({"owner": "crashed", "acquired_at_unix": 1.0}).encode(),
+        )
+        with pytest.raises(LeaseHeldError):
+            with maintenance_lease(d, owner="b", steal_stale_after_s=60):
+                pass
+        # age the OBJECT in the fake bucket -> now stealable
+        key = os.path.relpath(path, str(tmp_path))
+        obj = os.path.join(store, *key.split(os.sep))
+        old = time.time() - 9999
+        os.utime(obj, (old, old))
+        with maintenance_lease(d, owner="winner", steal_stale_after_s=60) as who:
+            assert who == "winner"
+            assert lease_holder(d)["owner"] == "winner"
+        assert lease_holder(d) is None  # fenced release removed it
+    finally:
+        storage.unregister_cas_backend(str(tmp_path))
