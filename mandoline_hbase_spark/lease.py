@@ -217,5 +217,17 @@ def maintenance_lease(
         # exception is not.
         try:
             _compare_and_delete(backend, path, data)
-        except Exception:
-            pass  # lease left behind; steal_stale_after_s reclaims it
+        except Exception as exc:
+            # the lease is left behind (steal_stale_after_s reclaims
+            # it) — but the operator needs the breadcrumb, or every
+            # later maintainer's LeaseHeldError looks like a live
+            # holder instead of a failed release
+            import warnings
+
+            warnings.warn(
+                f"lease release failed for {path!r} ({exc!r}); the lease "
+                "object remains — later maintainers need "
+                "steal_stale_after_s to reclaim it",
+                RuntimeWarning,
+                stacklevel=2,
+            )

@@ -320,11 +320,18 @@ def kmeans_fit(
             .agg(*[F.avg(F.element_at("_ad", i + 1)).alias(f"m{i}") for i in range(dim)])
             .collect()
         )
-        by_id = {
-            int(r["cluster_id"]): [float(r[f"m{i}"]) for i in range(dim)]
-            for r in means
-            if all(r[f"m{i}"] is not None for i in range(dim))
-        }
+        by_id = {}
+        for r in means:
+            if any(r[f"m{i}"] is None for i in range(dim)):
+                continue  # only zero vectors landed here
+            m = [float(r[f"m{i}"]) for i in range(dim)]
+            # antipodal members can cancel to an exactly-zero mean; a
+            # zero centroid makes every cosine NaN (and Spark orders
+            # NaN above every double, so it would win every argmax) —
+            # keep the previous centroid instead, as the streaming
+            # retrain does
+            if any(x != 0.0 for x in m):
+                by_id[int(r["cluster_id"])] = m
         centroids = [(cid, by_id.get(cid, old)) for cid, old in centroids]
     return centroids
 

@@ -159,7 +159,12 @@ def from_kv(kv: DataFrame, schema, dataset: str) -> Connection:
     # stamps its appends). "_" is the scalar coordinate (codec
     # id_to_coordinate), packed keys are "/"-joined ints.
     seq = storage.next_seq()
-    idx = kv.filter(F.col("table").endswith(".indices")).select(
+    # qualifier filter: a live store's write-index also carries the
+    # reference's ``:k`` rowkey-mirror cells (hbase.clj:237); importing
+    # those as chunk ids would plant one bogus index record per key
+    idx = kv.filter(
+        F.col("table").endswith(".indices") & (F.col("qualifier") == "v")
+    ).select(
         F.split(F.col("rowkey"), r"\|").alias("parts"),
         F.decode(F.col("value_bytes"), "UTF-8").alias("chunk_id"),
     )

@@ -18,17 +18,23 @@ hbase.clj:93)::
     client.tables() -> list[str]
     client.create_table(name) / client.delete_table(name)  # delete idempotent
     t = client.table(name)
-    t.put(row: str, {qualifier: bytes})
-    t.row(row: str) -> dict[qualifier, bytes]     ({} when absent)
+    t.put(row: str, {qualifier: bytes})           # row-atomic
+    t.row(row: str, columns=None) -> dict[qualifier, bytes]  ({} when absent;
+                                                  # columns projects — ref-count
+                                                  # reads must not fetch payloads)
     t.scan(row_start: str|None, row_stop: str|None) -> [(row, {qual: bytes})]
     t.delete(row: str)
-    t.check_and_put(row, qualifier, expected: bytes|None, value: bytes) -> bool
+    t.check_and_put(row, qualifier, expected: bytes|None, value: bytes,
+                    extra: dict|None = None) -> bool
 
 ``check_and_put`` is HBase's checkAndPut(row, family, qualifier,
 expected, put): the store answers True to exactly one concurrent
 writer whose expectation held (``expected=None`` = column must be
 absent) — the CAS the reference's ``write-index`` rides
-(hbase.clj:241-248).
+(hbase.clj:241-248). ``extra`` carries additional cells of the same
+Put, applied atomically with the checked one (a checkAndPut's Put can
+span columns — the reference's write-index puts ``:k`` and ``:v``
+together, hbase.clj:237).
 
 Layout (hbase.clj:21-35, byte-compatible with
 ``sources/hbase_bridge.to_kv``):
@@ -113,7 +119,9 @@ class HBaseChunkStore:
     def chunk_refs(self, hash_: str) -> int:
         """hbase.clj:105-120,135-136 — current ref count, raise when absent."""
         _require_hash(hash_)
-        row = self._chunks.row(hash_)
+        # project to 'r': a full-row fetch would move the chunk PAYLOAD
+        # over the wire just to read an integer (the hot GC/commit path)
+        row = self._chunks.row(hash_, columns=["r"])
         if "r" not in row:
             raise ChunkRefNotFoundError(
                 f"No reference count was found for hash {hash_}"
@@ -141,7 +149,7 @@ class HBaseChunkStore:
         if isinstance(delta, bool) or not isinstance(delta, int):
             raise InvalidArgumentError("delta must be an integer")
         while True:
-            row = self._chunks.row(hash_)
+            row = self._chunks.row(hash_, columns=["r"])  # never the payload
             if "r" not in row:
                 raise ChunkRefNotFoundError(f"No chunk was found for hash {hash_}")
             new = str(int(row["r"]) + delta).encode()
@@ -197,11 +205,14 @@ class HBaseIndex:
             return False  # the reference only writes under a bound version
         key = self._key(coordinate, self.metadata["version-id"])
         expected = old_hash.encode() if old_hash is not None else None
-        won = self._indices.check_and_put(key, "v", expected, new_hash.encode())
-        if won:
-            # the reference mirrors the rowkey into :k in the same put
-            self._indices.put(key, {"k": key.encode()})
-        return bool(won)
+        # ONE checkAndPut whose Put carries both cells, exactly the
+        # reference's shape (hbase.clj:237-246): the :k mirror can never
+        # be separated from the committed :v by a crash in between
+        return bool(
+            self._indices.check_and_put(
+                key, "v", expected, new_hash.encode(), extra={"k": key.encode()}
+            )
+        )
 
     def flush_index(self) -> None:
         """hbase.clj:250-251 — no-op."""
@@ -356,7 +367,7 @@ class _FakeHBaseTable:
 
         return hold()
 
-    def put(self, row: str, data: dict) -> None:
+    def _write_cells(self, row: str, data: dict) -> None:
         import uuid
 
         for qualifier, value in data.items():
@@ -365,21 +376,49 @@ class _FakeHBaseTable:
                 f.write(value)
             os.replace(tmp, self._cell(row, qualifier))
 
-    def row(self, row: str) -> dict:
+    def put(self, row: str, data: dict) -> None:
+        # ROW-ATOMIC, like a real HBase Put: the row lock (flock) covers
+        # every cell of the put, and readers take the same lock — a
+        # multi-cell put can never be observed half-applied (write_chunk's
+        # v without its r)
+        with self._locked():
+            self._write_cells(row, data)
+
+    def row(self, row: str, columns=None) -> dict:
         out = {}
         prefix = f"{row.encode().hex()}__"
         try:
-            names = os.listdir(self._dir)
+            lock = self._locked()
+            lock.__enter__()
         except FileNotFoundError:
-            return out
-        for n in names:
-            if n.startswith(prefix):
+            return out  # missing table dir reads as empty
+        try:
+            names = os.listdir(self._dir)
+            for n in names:
+                if not n.startswith(prefix):
+                    continue
+                qualifier = n[len(prefix):]
+                if columns is not None and qualifier not in columns:
+                    continue  # projection: never move unrequested cells
                 with open(os.path.join(self._dir, n), "rb") as f:
-                    out[n[len(prefix):]] = f.read()
+                    out[qualifier] = f.read()
+        finally:
+            lock.__exit__(None, None, None)
         return out
 
     def scan(self, row_start: str | None, row_stop: str | None) -> list:
         rows: dict[str, dict] = {}
+        try:
+            lock = self._locked()
+            lock.__enter__()
+        except FileNotFoundError:
+            return []  # missing table dir scans as empty
+        try:
+            return self._scan_locked(row_start, row_stop, rows)
+        finally:
+            lock.__exit__(None, None, None)
+
+    def _scan_locked(self, row_start, row_stop, rows) -> list:
         try:
             names = os.listdir(self._dir)
         except FileNotFoundError:
@@ -399,17 +438,19 @@ class _FakeHBaseTable:
 
     def delete(self, row: str) -> None:
         prefix = f"{row.encode().hex()}__"
-        for n in os.listdir(self._dir):
-            if n.startswith(prefix):
-                try:
-                    os.unlink(os.path.join(self._dir, n))
-                except FileNotFoundError:
-                    pass
+        with self._locked():  # row-atomic, like put
+            for n in os.listdir(self._dir):
+                if n.startswith(prefix):
+                    try:
+                        os.unlink(os.path.join(self._dir, n))
+                    except FileNotFoundError:
+                        pass
 
-    def check_and_put(self, row, qualifier, expected, value) -> bool:
-        """checkAndPut semantics: the compare and the put are one
-        atomic store operation (flock-serialized in the fake, exactly
-        the role HBase's row lock plays)."""
+    def check_and_put(self, row, qualifier, expected, value, extra=None) -> bool:
+        """checkAndPut semantics: the compare and the put — including
+        any ``extra`` cells of the same Put — are one atomic store
+        operation (flock-serialized in the fake, exactly the role
+        HBase's row lock plays)."""
         with self._locked():
             path = self._cell(row, qualifier)
             try:
@@ -419,12 +460,7 @@ class _FakeHBaseTable:
                 current = None
             if current != expected:
                 return False
-            import uuid
-
-            tmp = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "wb") as f:
-                f.write(value)
-            os.replace(tmp, path)
+            self._write_cells(row, {qualifier: value, **(extra or {})})
             return True
 
 

@@ -614,12 +614,13 @@ def gc_ann_generations(
         # swap that superseded ITS root, not the latest swap — a
         # straggler stranded before an intervening retrain must still be
         # detected (its mtime predates the latest swap but postdates its
-        # own root's). Roots absent from the map (pre-upgrade histories)
-        # fall back to the earliest known bound, the conservative
-        # direction (more batches look post-swap, gc refuses more).
+        # own root's). Roots ABSENT from the map (superseded by a
+        # pre-upgrade retrain that recorded no time) get bound 0: every
+        # batch looks post-swap, so such a root is never auto-removed —
+        # the genuinely conservative direction; clear it once with
+        # force=True after confirming its rows live in the current
+        # generation.
         superseded = meta.get("superseded_at_unix", {}) or {}
-        known = [float(v) for v in superseded.values()] + [float(swapped_at)]
-        earliest_bound = min(known)
         removed = []
         for e in sorted(os.scandir(index_dir), key=lambda e: e.name):
             if not e.is_dir() or e.name == current:
@@ -627,7 +628,7 @@ def gc_ann_generations(
             if e.name == "cells" or (
                 e.name.startswith("cells-g") and e.name.rsplit("-g", 1)[1].isdigit()
             ):
-                root_bound = float(superseded.get(e.name, earliest_bound))
+                root_bound = float(superseded.get(e.name, 0.0))
                 if not force and any(
                     b.is_dir()
                     and b.name.startswith("batch-")

@@ -137,3 +137,27 @@ def test_version_cache_serves_warm_and_invalidates_on_commit(tmp_path):
     v2 = cached.write_variable("x", np.zeros((2, 2)))
     assert [e["version"] for e in cached.versions()] == [str(v2), str(v1)]
     assert cached.versions(metadata=True) == plain.versions(metadata=True)
+
+
+def test_version_cache_invalidated_by_prune(spark, tmp_path):
+    """Retention is this connection's own mutation: a warm cache must
+    not keep serving pruned versions (maintenance.prune_versions clears
+    it after the rewrite)."""
+    import numpy as np
+
+    from mandoline_hbase_spark.engine import mk_schema
+
+    schema = mk_schema({"root": "cache.example.com", "base_path": str(tmp_path)})
+    schema.create_dataset("d")
+    conn = schema.connect("d", cache_versions=True)
+    vids = [conn.write_variable("x", np.full((2, 2), i)) for i in range(3)]
+    assert len(conn.versions()) == 3  # warm
+    out = conn.prune_versions(keep_last=1, spark=spark)
+    assert out["versions_dropped"] == 2
+    assert [e["version"] for e in conn.versions()] == [str(vids[-1])]
+    import pytest as _pytest
+
+    from mandoline_hbase_spark.errors import VersionNotFoundError
+
+    with _pytest.raises(VersionNotFoundError):
+        conn.metadata(vids[0])

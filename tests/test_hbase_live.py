@@ -264,3 +264,63 @@ def test_bulk_load_round_trips_kv_exactly(spark, tmp_path):
         for r in back.collect()
     }
     assert got == want
+
+
+def test_from_kv_ignores_the_k_mirror_cells(spark, tmp_path):
+    """Code-review r7: a store populated through write_index carries
+    the reference's ':k' rowkey-mirror cells (hbase.clj:237); the
+    scan -> from_kv import must not ingest them as chunk ids (one bogus
+    index record per key would make reads nondeterministic)."""
+    from mandoline_hbase_spark import codec
+    from mandoline_hbase_spark.engine import mk_schema
+    from mandoline_hbase_spark.sources import hbase_bridge
+    from mandoline_hbase_spark.sources.hbase_live import (
+        load_kv_into_hbase,
+        scan_hbase_kv,
+    )
+
+    store_dir = str(tmp_path / "hb")
+    client = FakeHBaseClient(store_dir)
+    live = mk_hbase_schema({"root": "integration-testing.mandoline.io"}, client)
+    live.create_dataset("ds")
+    conn = live.connect("ds")
+
+    arr = np.arange(16, dtype=np.float64).reshape(4, 4)
+    data = codec.encode_chunk(arr)
+    cid = codec.chunk_id_of(data)
+    conn.chunk_store().write_chunk(cid, 1, data)
+    meta = {
+        "version-id": 7,
+        "variables": {"temp": {"dtype": "float64", "shape": [4, 4],
+                               "chunk_shape": [4, 4], "fill": 0.0}},
+    }
+    idx = conn.index("temp", meta)
+    assert idx.write_index((0, 0), None, cid) is True  # plants v AND k
+    conn.write_version(meta)
+    # the k mirror landed atomically with v (same checkAndPut Put)
+    raw = client.table("io.mandoline.integration-testing.ds.indices").row("temp|0/0|7")
+    assert raw["k"] == b"temp|0/0|7" and raw["v"] == cid.encode()
+
+    kv = scan_hbase_kv(spark, lambda: FakeHBaseClient(store_dir), sorted(client.tables()))
+    dst_schema = mk_schema(
+        {"root": "integration-testing.mandoline.io", "base_path": str(tmp_path / "dst")}
+    )
+    dst = hbase_bridge.from_kv(kv, dst_schema, "ds-back")
+    np.testing.assert_array_equal(dst.read_variable("temp"), arr)
+    # exactly ONE index record imported per key (the k row was ignored)
+    idx_rows = dst.spark_table("indices", spark).collect()
+    assert len(idx_rows) == 1 and idx_rows[0]["chunk_id"] == cid
+
+
+def test_fake_row_put_is_row_atomic_and_projected(tmp_path):
+    """A multi-cell put is observed whole or not at all (write_chunk's
+    v never without its r), and row(columns=) projects."""
+    client = FakeHBaseClient(str(tmp_path / "hb"))
+    client.create_table("t")
+    t = client.table("t")
+    t.put("rk", {"v": b"payload", "r": b"3"})
+    assert t.row("rk", columns=["r"]) == {"r": b"3"}  # payload not fetched
+    assert t.row("rk") == {"v": b"payload", "r": b"3"}
+    # reads of a missing table stay empty, never raise
+    missing = client.table("nope")
+    assert missing.row("rk") == {} and missing.scan(None, None) == []
