@@ -147,6 +147,7 @@ HEADLINE = [
     "sim_pq_ann_topk",
     "sim_ivf_served_topk",
     "sim_pq_served_topk",
+    "sim_matryoshka_topk",
     "sim_ivfpq_served_topk",
     "pack_sequences",
     "decontam_overlap",
@@ -174,6 +175,7 @@ HEADLINE = [
     "dedup_prefix_filter",
     "search_phrase_occurrences",
     "search_proximity_window",
+    "search_rrf_fusion",
     "search_boolean_filter",
     "search_bm25_rerank_cosine",
     "cluster_aware_split",

@@ -508,3 +508,52 @@ def bm25_topk_from_postings(
     return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
         "rank", id_col, "score"
     )
+
+
+def rrf_fuse(
+    ranked_lists,
+    k0: int = 60,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): combine k-bounded
+    ranked lists from heterogeneous retrievers without score
+    calibration — ``rrf(d) = Σ_lists 1/(k0 + rank_list(d))``, absent
+    treated as zero contribution.
+
+    ``ranked_lists``: ordered ``[(name, df), ...]`` where each df holds
+    ``(id_col, rank)``; the order FIXES the float fold order of the
+    contributions, keeping summation engine-deterministic (the repo's
+    multi-term score discipline). The fused relation is bounded by the
+    sum of the input list sizes (every input is a top-k), so the joins
+    broadcast and the final rank is a TakeOrdered-then-stamp over ≤k
+    rows — nothing here scales with the corpus; corpus-scale work lives
+    in the retrievers. Output: ``(rank, id_col, rrf_score,
+    <name>_rank …)`` with null ranks where a list did not contain the
+    document."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    sides = [
+        df.select(F.col(id_col), F.col("rank").cast("bigint").alias(f"{name}_rank"))
+        for name, df in ranked_lists
+    ]
+    joined = reduce(lambda a, b: a.join(b, id_col, "full_outer"), sides)
+    score = None
+    for name, _ in ranked_lists:  # fixed fold order for float parity
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(int(k0)) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    fused = joined.withColumn("rrf_score", score)
+    # TakeOrdered first, THEN the rank stamp over the k survivors — the
+    # single-partition window touches ≤k rows, never the fused set
+    top = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(int(k))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank",
+        id_col,
+        F.round("rrf_score", 6).alias("rrf_score"),
+        *[f"{name}_rank" for name, _ in ranked_lists],
+    )

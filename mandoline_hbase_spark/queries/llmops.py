@@ -755,6 +755,57 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_matryoshka_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    pre AS (
+        SELECT q.query_id, c.neighbor_id,
+               list_cosine_similarity(q.qv[1:16], c.cv[1:16]) AS prefix_sim,
+               list_cosine_similarity(q.qv, c.cv) AS full_sim
+        FROM q, c WHERE q.query_id <> c.neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id, prefix_sim, full_sim FROM (
+            SELECT query_id, neighbor_id, prefix_sim, full_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY prefix_sim DESC,
+                                               neighbor_id ASC) AS pr
+            FROM pre
+        ) WHERE pr <= 20
+    )
+    SELECT query_id, rank, neighbor_id,
+           round(full_sim, 6) AS sim, round(prefix_sim, 6) AS prefix_sim
+    FROM (
+        SELECT query_id, neighbor_id, full_sim, prefix_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY full_sim DESC,
+                                  neighbor_id ASC)::INT AS rank
+        FROM short
+    ) WHERE rank <= 5
+    """,
+    description=(
+        "Matryoshka (MRL) two-stage retrieval: shortlist the top-20 per "
+        "query on the FIRST 16 of 64 dimensions (4x less arithmetic per "
+        "candidate — and 4x less IO with a materialized prefix column — "
+        "the cheap pass Matryoshka-trained embeddings are built for), "
+        "then exact full-dimension cosine reranks only the 20 "
+        "shortlisted rows. Value-level oracle over both stages; the "
+        "emitted prefix_sim is the observable shortlist-quality signal."
+    ),
+    tags=("llm", "similarity", "topk", "matryoshka"),
+)
+def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.matryoshka_topk(
+        emb, queries, prefix_dims=16, k_shortlist=20, k=5
+    )
+
+
+@register(
     "sim_embedding_near_dups",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -298,6 +298,77 @@ def search_bm25_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_rrf_fusion",
+    oracle=_DUCK_BM25_CTES
+    + r""",
+    bm AS (
+        SELECT doc_id, bm25_rank FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS BIGINT) AS bm25_rank
+            FROM agg
+        ) WHERE bm25_rank <= 25
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+    cos AS (
+        SELECT doc_id, cos_rank FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC)
+                        AS BIGINT) AS cos_rank
+            FROM (
+                SELECT e.vec_id AS doc_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> 7
+            )
+        ) WHERE cos_rank <= 25
+    ),
+    fused AS (
+        SELECT coalesce(bm.doc_id, cos.doc_id) AS doc_id,
+               bm.bm25_rank, cos.cos_rank,
+               coalesce(1.0 / (60 + bm.bm25_rank), 0.0)
+             + coalesce(1.0 / (60 + cos.cos_rank), 0.0) AS rrf
+        FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+    )
+    SELECT rank, doc_id, round(rrf, 6) AS rrf_score, bm25_rank, cos_rank
+    FROM (
+        SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+                   AS rank,
+               doc_id, rrf, bm25_rank, cos_rank
+        FROM fused
+    ) WHERE rank <= 10
+    """,
+    description=(
+        "Reciprocal-rank fusion of heterogeneous retrievers: the BM25 "
+        "lexical top-25 and the embedding-cosine top-25 fuse by "
+        "rrf = 1/(60+rank_bm25) + 1/(60+rank_cos) — no score "
+        "calibration across retrievers, the standard hybrid-retrieval "
+        "combiner. Both inputs are k-bounded, so the fusion joins "
+        "broadcast and the final rank is TakeOrdered-then-stamp; "
+        "corpus-scale work lives entirely in the retrievers. "
+        "Contributions fold in a FIXED order (bm25 then cosine) for "
+        "engine-deterministic float summation."
+    ),
+    tags=("search", "ann", "bm25", "rrf", "hybrid"),
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = search.bm25_topk(docs, _BM25_TERMS, k=25, k1=_BM25_K1, b=_BM25_B)
+    cos = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 7), k=25)
+    return search.rrf_fuse(
+        [
+            ("bm25", bm.select("doc_id", "rank")),
+            ("cos", cos.select(F.col("neighbor_id").alias("doc_id"), "rank")),
+        ],
+        k0=60,
+        k=10,
+    )
+
+
+@register(
     "search_facets_by_source",
     oracle=r"""
     WITH tp AS (

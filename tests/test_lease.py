@@ -434,3 +434,62 @@ def test_lease_over_s3_backend_stale_break_uses_bucket_clock(tmp_path):
         assert lease_holder(d) is None  # fenced release removed it
     finally:
         storage.unregister_cas_backend(str(tmp_path))
+
+
+_BREAKER = r"""
+import json, os, sys, time
+sys.path.insert(0, sys.argv[4])
+from mandoline_hbase_spark.errors import LeaseHeldError
+from mandoline_hbase_spark.lease import maintenance_lease
+
+d, who, barrier_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+# file barrier: no attempt starts until every interpreter is up, so a
+# fast starter cannot win-and-release before a slow one even tries
+open(os.path.join(barrier_dir, who), "w").close()
+deadline = time.time() + 60
+while len(os.listdir(barrier_dir)) < 6:
+    if time.time() > deadline:
+        raise SystemExit("barrier timeout")
+    time.sleep(0.01)
+try:
+    with maintenance_lease(d, owner=who, steal_stale_after_s=60):
+        time.sleep(1.0)  # hold across every rival's full attempt
+        print(json.dumps({"owner": who, "won": True}))
+except LeaseHeldError:
+    print(json.dumps({"owner": who, "won": False}))
+"""
+
+
+def test_cross_process_stale_breakers_exactly_one_wins(tmp_path):
+    """The conditional-delete fence is flock-based — prove it across OS
+    PROCESSES (threads share the GIL and an interpreter; flock's
+    guarantees are per-fd and must hold between interpreters): six
+    processes race the same backdated stale lease, exactly one wins."""
+    import subprocess
+    import sys as _sys
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, ".compaction.lease")
+    storage.cas_backend_for(d).put(
+        path, json.dumps({"owner": "crashed", "acquired_at_unix": 1.0}).encode()
+    )
+    _backdate(path, 9999)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    barrier_dir = str(tmp_path / "barrier")
+    os.makedirs(barrier_dir)
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _BREAKER, d, f"p{i}", barrier_dir, repo],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(6)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err[-500:]
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    winners = [r["owner"] for r in results if r["won"]]
+    assert len(winners) == 1, results
+    assert lease_holder(d) is None  # the winner released cleanly

@@ -68,6 +68,15 @@ BNLJ_ALLOWED = {
     # spell suggest crossJoins the broadcast probe list (a few rows)
     # against the vocabulary-grain term table — never document data
     "search_spell_suggest",
+    # Matryoshka shortlist is the same designed broadcast(query set) x
+    # corpus exact pass as sim_cosine_topk — on the PREFIX dims only;
+    # the full-dim rerank touches k_shortlist rows per query
+    "sim_matryoshka_topk",
+    # RRF fuses two k-bounded retriever outputs: its BNLJs are the
+    # retrievers' own allowlisted shapes (bm25's two broadcast 1-row
+    # scalars + cosine's broadcast query vector); the fusion join is
+    # over <=50 rows
+    "search_rrf_fusion",
 }
 
 

@@ -357,3 +357,44 @@ def test_spell_suggest_length_band_blocks_before_levenshtein(spark, corpus):
     got = {(r["probe"], r["suggestion"], r["distance"]) for r in
            search.spell_suggest(df, ["aple"], max_distance=2, k=5).collect()}
     assert got == {("aple", "apple", 1)}
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF over hand-built lists: shared docs sum both contributions in
+    the fixed fold order, single-list docs contribute one term with the
+    other rank null, ties break on doc_id."""
+    from mandoline_hbase_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id bigint, rank bigint")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "doc_id bigint, rank bigint")
+    out = {r["doc_id"]: r for r in rrf_fuse([("a", a), ("b", b)], k0=60, k=10).collect()}
+    assert set(out) == {10, 20, 30, 40}
+    assert out[20]["rrf_score"] == round(1 / 62 + 1 / 61, 6)  # both lists
+    assert out[10]["rrf_score"] == round(1 / 61, 6)
+    assert out[10]["b_rank"] is None and out[40]["a_rank"] is None
+    # fused order: 20 (two terms) first, then 40 (b rank 2? 1/62) vs 10 (1/61)
+    ranks = {r["doc_id"]: r["rank"] for r in out.values()}
+    assert ranks[20] == 1 and ranks[10] == 2 and ranks[40] == 3 and ranks[30] == 4
+
+
+def test_matryoshka_matches_exact_when_shortlist_covers_corpus(spark):
+    """With k_shortlist >= corpus size the prefix stage prunes nothing,
+    so the rerank must equal brute-force full-dimension cosine top-k —
+    the degenerate-config equivalence that pins the two-stage plumbing."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    from mandoline_hbase_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(120)
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    mrl = similarity.matryoshka_topk(
+        emb, queries, prefix_dims=16, k_shortlist=1_000_000, k=5
+    )
+    want = sorted(tuple(r) for r in exact.collect())
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"]) for r in mrl.collect()
+    )
+    assert got == want and got
