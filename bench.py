@@ -148,6 +148,7 @@ HEADLINE = [
     "sim_ivf_served_topk",
     "sim_pq_served_topk",
     "sim_matryoshka_topk",
+    "sim_matryoshka_served_topk",
     "sim_ivfpq_served_topk",
     "pack_sequences",
     "decontam_overlap",

@@ -278,3 +278,101 @@ def pq_topk_from_index(
     return similarity.adc_shortlist_rerank(
         cands, vectors, codebook.shape[0], k, shortlist
     )
+
+
+def materialize_mrl_index(
+    emb_df: DataFrame,
+    index_dir: str,
+    prefix_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Matryoshka serving layout: one parquet table ``(id, prefix,
+    embedding)`` where ``prefix`` is the leading ``prefix_dims`` slice
+    MATERIALIZED AS ITS OWN COLUMN. The shortlist stage then projects
+    ``(id, prefix)`` only — the MRL IO saving becomes real columnar
+    pruning at the scan (visible as ``ReadSchema`` without the full
+    vector), not just less arithmetic; at 100 TB the shortlist sweep
+    reads dims/prefix_dims times fewer bytes. ``mrl_meta.json`` is
+    written LAST (the ready marker for the served-artifact lifecycle).
+    Rebuild discipline = materialize_ann_index's (fresh dir + pointer
+    swap, or quiesce)."""
+    import json as _json
+
+    (
+        _spread(emb_df, id_col)
+        .select(
+            F.col(id_col),
+            F.slice(_as_double(vec_col), 1, int(prefix_dims)).alias("prefix"),
+            _as_double(vec_col).alias("embedding"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+    meta = {"prefix_dims": int(prefix_dims), "id_col": id_col}
+    tmp = os.path.join(index_dir, ".mrl_meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "mrl_meta.json"))
+    return meta
+
+
+def matryoshka_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    k_shortlist: int = 20,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve MRL two-stage retrieval from the materialized layout:
+    shortlist per query over the PROJECTED ``(id, prefix)`` scan, then
+    join the ≤``k_shortlist``-per-query survivors back to their full
+    vectors for the exact rerank. Deterministic slicing makes the
+    served results definitionally identical to the fit-inline
+    ``similarity.matryoshka_topk`` — the served path carries the same
+    full value-level oracle (the ivf-served idiom)."""
+    import json as _json
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(index_dir, "mrl_meta.json")) as f:
+        meta = _json.load(f)
+    id_col, prefix_dims = meta["id_col"], int(meta["prefix_dims"])
+    tbl = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qvec"),
+        F.slice(_as_double(vec_col), 1, prefix_dims).alias("qpre"),
+    )
+    # shortlist: the scan projects (id, prefix) — embedding is pruned
+    pre = (
+        tbl.select(F.col(id_col).alias("neighbor_id"), "prefix")
+        .join(F.broadcast(q.select("query_id", "qpre")), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("prefix_sim", similarity.cosine_sim(F.col("qpre"), F.col("prefix")))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("prefix_sim"), F.asc("neighbor_id"))
+    shortlist = (
+        pre.withColumn("_pr", F.row_number().over(w1))
+        .filter(F.col("_pr") <= int(k_shortlist))
+        .select("query_id", "neighbor_id", "prefix_sim")
+    )
+    # rerank: join the k-bounded shortlist back to the FULL vectors
+    full = tbl.select(F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    cands = (
+        shortlist.join(full, "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qvec")), "query_id")
+        .withColumn("sim", similarity.cosine_sim(F.col("qvec"), F.col("cvec")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("sim", 6).alias("sim"),
+            F.round("prefix_sim", 6).alias("prefix_sim"),
+        )
+    )

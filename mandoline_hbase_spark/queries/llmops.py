@@ -754,9 +754,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
-@register(
-    "sim_matryoshka_topk",
-    oracle="""
+# Shared by the fit-inline and served Matryoshka queries (identical
+# outputs by deterministic slicing).
+_MRL_ORACLE = """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 5),
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
@@ -785,7 +785,67 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   neighbor_id ASC)::INT AS rank
         FROM short
     ) WHERE rank <= 5
-    """,
+    """
+
+
+_SERVED_MRL_INDEX: dict[str, str] = {}
+
+
+def _served_mrl_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Train-once MRL layout per corpus (operators/served.py lifecycle;
+    mrl_meta.json = ready marker, written last)."""
+    import os
+
+    from mandoline_hbase_spark.operators import ann_index
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
+
+    index_dir = _SERVED_MRL_INDEX.get(sf_dir)
+    if index_dir is None:
+        build = dict(prefix_dims=16)
+        emb = load_table(spark, sf_dir, "embeddings")
+        index_dir = served_artifact(
+            "mandoline-mrl",
+            content_fingerprint(os.path.join(sf_dir, "embeddings.parquet"), build),
+            lambda work: ann_index.materialize_mrl_index(emb, work, **build),
+            marker="mrl_meta.json",
+        )
+        _SERVED_MRL_INDEX[sf_dir] = index_dir
+    return index_dir
+
+
+@register(
+    "sim_matryoshka_served_topk",
+    oracle=_MRL_ORACLE,
+    description=(
+        "Matryoshka retrieval SERVED from a materialized (id, prefix, "
+        "embedding) table: the 16-dim prefix is its own parquet column, "
+        "so the shortlist sweep's scan projects (id, prefix) only — the "
+        "MRL IO saving is real columnar pruning (ReadSchema without the "
+        "full vector), and the full-dimension rerank joins just the "
+        "k-bounded survivors back. Deterministic slicing makes the "
+        "served results identical to the fit-inline sim_matryoshka_topk, "
+        "so the deployment shape carries the same full value-level "
+        "oracle (the ivf-served/bm25-served idiom)."
+    ),
+    tags=("llm", "similarity", "topk", "matryoshka", "served"),
+)
+def sim_matryoshka_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    index_dir = _served_mrl_index_dir(spark, sf_dir)
+    return ann_index.matryoshka_topk_from_index(
+        spark, index_dir, queries, k_shortlist=20, k=5
+    )
+
+
+@register(
+    "sim_matryoshka_topk",
+    oracle=_MRL_ORACLE,
     description=(
         "Matryoshka (MRL) two-stage retrieval: shortlist the top-20 per "
         "query on the FIRST 16 of 64 dimensions (4x less arithmetic per "

@@ -72,6 +72,10 @@ BNLJ_ALLOWED = {
     # corpus exact pass as sim_cosine_topk — on the PREFIX dims only;
     # the full-dim rerank touches k_shortlist rows per query
     "sim_matryoshka_topk",
+    # the served form scans the materialized (id, prefix) columns with
+    # the same deliberate broadcast(query set) shape; the full-vector
+    # rerank join is k-bounded
+    "sim_matryoshka_served_topk",
     # RRF fuses two k-bounded retriever outputs: its BNLJs are the
     # retrievers' own allowlisted shapes (bm25's two broadcast 1-row
     # scalars + cosine's broadcast query vector); the fusion join is

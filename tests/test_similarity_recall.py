@@ -129,3 +129,30 @@ def test_pq_shortlist_recall(spark):
     p = {(r.query_id, r.neighbor_id) for r in
          similarity.pq_topk(emb, queries, cb, k=10, shortlist=64).collect()}
     assert len(e & p) / len(e) >= 0.6
+
+
+def test_mrl_served_shortlist_scan_prunes_the_full_vector(spark, tmp_path):
+    """The materialized-prefix claim as a plan assertion: the served
+    shortlist stage must read (id, prefix) WITHOUT the full embedding
+    column — that pruning IS the MRL IO saving — and the served results
+    must equal the fit-inline operator exactly."""
+    from pyspark.sql import functions as F
+
+    from mandoline_hbase_spark.operators import ann_index, similarity
+    from mandoline_hbase_spark.plans.audit import plan_stats
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    index_dir = str(tmp_path / "mrl")
+    ann_index.materialize_mrl_index(emb, index_dir, prefix_dims=16)
+    queries = emb.filter(F.col("vec_id") < 3)
+    served = ann_index.matryoshka_topk_from_index(
+        spark, index_dir, queries, k_shortlist=20, k=5
+    )
+    inline = similarity.matryoshka_topk(
+        emb, queries, prefix_dims=16, k_shortlist=20, k=5
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, inline.collect()))
+    # the plan carries a vectors-table scan WITHOUT the embedding column
+    scans = plan_stats(served)["scan_columns"]
+    assert any("prefix" in s and "embedding" not in s for s in scans), scans
