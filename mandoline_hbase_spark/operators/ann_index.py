@@ -297,8 +297,6 @@ def materialize_mrl_index(
     written LAST (the ready marker for the served-artifact lifecycle).
     Rebuild discipline = materialize_ann_index's (fresh dir + pointer
     swap, or quiesce)."""
-    import json as _json
-
     (
         _spread(emb_df, id_col)
         .select(
@@ -312,7 +310,7 @@ def materialize_mrl_index(
     meta = {"prefix_dims": int(prefix_dims), "id_col": id_col}
     tmp = os.path.join(index_dir, ".mrl_meta.json.tmp")
     with open(tmp, "w") as f:
-        _json.dump(meta, f)
+        json.dump(meta, f)
     os.replace(tmp, os.path.join(index_dir, "mrl_meta.json"))
     return meta
 
@@ -332,12 +330,8 @@ def matryoshka_topk_from_index(
     served results definitionally identical to the fit-inline
     ``similarity.matryoshka_topk`` — the served path carries the same
     full value-level oracle (the ivf-served idiom)."""
-    import json as _json
-
-    from pyspark.sql import Window
-
     with open(os.path.join(index_dir, "mrl_meta.json")) as f:
-        meta = _json.load(f)
+        meta = json.load(f)
     id_col, prefix_dims = meta["id_col"], int(meta["prefix_dims"])
     tbl = spark.read.parquet(os.path.join(index_dir, "vectors"))
     q = queries_df.select(
@@ -351,11 +345,8 @@ def matryoshka_topk_from_index(
         .join(F.broadcast(q.select("query_id", "qpre")), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("prefix_sim", similarity.cosine_sim(F.col("qpre"), F.col("prefix")))
     )
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("prefix_sim"), F.asc("neighbor_id"))
-    shortlist = (
-        pre.withColumn("_pr", F.row_number().over(w1))
-        .filter(F.col("_pr") <= int(k_shortlist))
-        .select("query_id", "neighbor_id", "prefix_sim")
+    shortlist = similarity._per_query_topk(pre, "prefix_sim", k_shortlist).select(
+        "query_id", "neighbor_id", "prefix_sim"
     )
     # rerank: join the k-bounded shortlist back to the FULL vectors
     full = tbl.select(F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("cvec"))
@@ -364,15 +355,10 @@ def matryoshka_topk_from_index(
         .join(F.broadcast(q.select("query_id", "qvec")), "query_id")
         .withColumn("sim", similarity.cosine_sim(F.col("qvec"), F.col("cvec")))
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= int(k))
-        .select(
-            "query_id",
-            "rank",
-            "neighbor_id",
-            F.round("sim", 6).alias("sim"),
-            F.round("prefix_sim", 6).alias("prefix_sim"),
-        )
+    return similarity._per_query_topk(cands, "sim", k).select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round("sim", 6).alias("sim"),
+        F.round("prefix_sim", 6).alias("prefix_sim"),
     )

@@ -48,6 +48,19 @@ def cosine_sim(a, b):
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _per_query_topk(df: DataFrame, score_col: str, k: int) -> DataFrame:
+    """The per-query rank window every retrieval tail shares: rank by
+    (score desc, neighbor_id asc) within query_id, keep rank <= k. The
+    rank filter rewrites to WindowGroupLimit (map-side partial top-k
+    per query, never a full per-query sort)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc("neighbor_id")
+    )
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= int(k))
+
+
 def cosine_topk(
     emb_df: DataFrame,
     queries_df: DataFrame,
@@ -60,8 +73,6 @@ def cosine_topk(
     Plan shape: broadcast(queries) x corpus -> cosine -> per-query window
     top-k. The corpus is never collected; the only full pass is the scan.
     """
-    from pyspark.sql import Window
-
     q = queries_df.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
     )
@@ -73,11 +84,8 @@ def cosine_topk(
         .withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
         .select("query_id", "neighbor_id", "sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    return _per_query_topk(sims, "sim", k).select(
+        "query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim")
     )
 
 
@@ -270,14 +278,9 @@ def cosine_rank_topk(cands: DataFrame, k: int) -> DataFrame:
     ``cands``: ``(query_id, qvec, neighbor_id, cvec)`` rows. The
     ``rank <= k`` filter rewrites to WindowGroupLimit (map-side partial
     top-k per query, never a full per-query sort)."""
-    from pyspark.sql import Window
-
     sims = cands.withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    return _per_query_topk(sims, "sim", k).select(
+        "query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim")
     )
 
 
@@ -307,41 +310,27 @@ def matryoshka_topk(
     rerank's full-vector cosine plus the shortlist score that admitted
     the candidate (their disagreement is the observable MRL-quality
     signal)."""
-    from pyspark.sql import Window
-
     q = queries_df.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qvec"),
+        # slice the query prefix ONCE here, not per joined candidate row
+        F.slice(_as_double(vec_col), 1, int(prefix_dims)).alias("qpre"),
     )
     c = _spread(emb_df, id_col).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
     )
     cands = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
         "prefix_sim",
-        cosine_sim(
-            F.slice(F.col("qvec"), 1, int(prefix_dims)),
-            F.slice(F.col("cvec"), 1, int(prefix_dims)),
-        ),
+        cosine_sim(F.col("qpre"), F.slice(F.col("cvec"), 1, int(prefix_dims))),
     )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.desc("prefix_sim"), F.asc("neighbor_id")
-    )
-    shortlist = (
-        cands.withColumn("_pr", F.row_number().over(w1))
-        .filter(F.col("_pr") <= int(k_shortlist))
-        .drop("_pr")
-    )
+    shortlist = _per_query_topk(cands, "prefix_sim", k_shortlist).drop("rank")
     sims = shortlist.withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= int(k))
-        .select(
-            "query_id",
-            "rank",
-            "neighbor_id",
-            F.round("sim", 6).alias("sim"),
-            F.round("prefix_sim", 6).alias("prefix_sim"),
-        )
+    return _per_query_topk(sims, "sim", k).select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round("sim", 6).alias("sim"),
+        F.round("prefix_sim", 6).alias("prefix_sim"),
     )
 
 

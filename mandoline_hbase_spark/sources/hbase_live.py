@@ -68,6 +68,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import uuid
 
 from mandoline_hbase_spark import codec
 from mandoline_hbase_spark.engine import root_table_prefix
@@ -368,8 +369,6 @@ class _FakeHBaseTable:
         return hold()
 
     def _write_cells(self, row: str, data: dict) -> None:
-        import uuid
-
         for qualifier, value in data.items():
             tmp = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "wb") as f:
@@ -508,6 +507,35 @@ class FakeHBaseClient:
 _LONG_QUALIFIERS = {"r", "t"}  # ref count / version millis
 
 
+def _ship_factory(client_factory) -> bytes:
+    """Serialize a client factory BY VALUE — including this module's
+    classes (the hermetic fake) — so executor tasks can unpickle it
+    without an importable ``mandoline_hbase_spark`` on the worker
+    (neutral-cwd harnesses; the same concern datasource.py's
+    ``_ensure_importable`` handles for its runner processes, solved at
+    the serialization layer here because task unpickling happens before
+    any function body runs). On a real cluster the package ships via
+    --py-files/pip and by-reference would also work; a factory closing
+    over OTHER third-party client modules still needs those installed
+    on the workers."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from mandoline_hbase_spark import errors as _errors
+
+    # errors too: the fake's methods raise this package's exception
+    # types, so a by-value class needs by-value exceptions
+    mods = (sys.modules[__name__], _errors)
+    try:
+        for m in mods:
+            cloudpickle.register_pickle_by_value(m)
+        return cloudpickle.dumps(client_factory)
+    finally:
+        for m in mods:
+            cloudpickle.unregister_pickle_by_value(m)
+
+
 def load_kv_into_hbase(kv_df, client_factory) -> None:
     """Bulk-load ``hbase_bridge.to_kv`` rows into a live store: one
     client per partition, puts from the EXECUTORS — no chunk byte ever
@@ -524,8 +552,12 @@ def load_kv_into_hbase(kv_df, client_factory) -> None:
         if r["table"] not in existing:
             admin.create_table(r["table"])
 
+    payload = _ship_factory(client_factory)
+
     def _sink(rows):
-        client = client_factory()
+        from pyspark import cloudpickle
+
+        client = cloudpickle.loads(payload)()
         tables = {}
         for r in rows:
             t = tables.get(r["table"])
@@ -556,8 +588,12 @@ def scan_hbase_kv(spark, client_factory, table_names: list[str]):
             stop = bounds[i + 1] if i + 1 < len(bounds) else None
             tasks.append((table, start, stop))
 
+    payload = _ship_factory(client_factory)
+
     def _scan(part):
-        client = client_factory()
+        from pyspark import cloudpickle
+
+        client = cloudpickle.loads(payload)()
         for table, start, stop in part:
             for rowkey, cols in client.table(table).scan(start, stop):
                 for qualifier, value in cols.items():
