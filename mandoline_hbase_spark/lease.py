@@ -102,9 +102,10 @@ def _compare_and_delete(backend, path: str, expected: bytes) -> bool:
     """Conditional delete through the seam. Every shipped backend
     (local FS, in-memory, S3) implements ``compare_and_delete``; a
     third-party backend that predates the method falls back to
-    compare-then-delete — correct under the single-breaker assumption,
-    with the pre-round-7 microsecond window reopened (upgrade the
-    backend to close it)."""
+    compare-then-delete — unfenced, so the STEAL path pairs it with a
+    post-claim read-back (see ``maintenance_lease``) to keep exactly
+    one winner; the RELEASE path's residual window (deleting a
+    usurper's lease) remains until the backend is upgraded."""
     cad = getattr(backend, "compare_and_delete", None)
     if cad is not None:
         return bool(cad(path, expected))
@@ -198,11 +199,26 @@ def maintenance_lease(
             # and SURVIVES — the store answers false/412, there is no
             # observe-then-delete window), then re-race the conditional
             # claim; exactly one breaker wins
+            fenced = getattr(backend, "compare_and_delete", None) is not None
             _compare_and_delete(backend, path, observed)
             if not backend.put_if_absent(path, data):
                 raise LeaseHeldError(
                     f"{task} lease on {dir_path}: lost the reclaim race "
                     "after breaking a stale lease"
+                )
+            # ADVICE r7: with an UNFENCED fallback (third-party backend
+            # lacking compare_and_delete) the break above is a bare
+            # get-then-delete: a rival breaker's delete can land AFTER
+            # our claim (removing OUR fresh lease before its own claim),
+            # leaving two winners. Read the claim back and cede to
+            # whoever the store actually holds — exactly one breaker
+            # survives the verification. Fenced backends need none of
+            # this: the conditional delete cannot remove a fresh lease.
+            if not fenced and backend.get(path) != data:
+                raise LeaseHeldError(
+                    f"{task} lease on {dir_path}: a rival breaker claimed "
+                    "it during the unfenced stale-break (backend lacks "
+                    "compare_and_delete); ceding"
                 )
     try:
         yield owner

@@ -705,6 +705,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ADVICE r7: the twin offset is pinned to 1e6 by the static oracle
+    # SQL, so a corpus reaching doc_id >= 1e6 (e.g. scale_check replicas
+    # beyond 10 copies, +1e5 per copy) would let twin ids collide with
+    # real ids AND let original pairs exactly 1e6 apart pass the twin
+    # filter — corrupting both recall and precision of the oracle. Fail
+    # loudly instead (one column-pruned max over doc_id).
+    max_id = docs.agg(F.max("doc_id").alias("m")).first()["m"]
+    if max_id is not None and int(max_id) >= 1_000_000:
+        raise ValueError(
+            f"dedup_simhash planted-pair oracle requires max(doc_id) < 1e6 "
+            f"(got {max_id}): twin ids at doc_id+1e6 would collide with "
+            "real ids and corrupt the oracle"
+        )
     un = docs.unionByName(
         docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
     )

@@ -147,10 +147,14 @@ def append_ann_batch(
     the current root (idempotent — replays overwrite the batch's own
     directory), looping until the pointer observed before and after
     the write agree. The quiesce convention still holds for retrains
-    themselves; this closes the silent-row-loss window when it is
-    violated. ``gc_ann_generations`` additionally refuses to delete a
-    superseded root holding a post-swap batch directory that never
-    re-landed (a crash between write and re-check)."""
+    themselves; this NARROWS the silent-row-loss window when it is
+    violated but cannot close it alone: a batch written after the
+    retrain's corpus snapshot whose re-read also precedes the swap sees
+    a stable pointer and never re-lands. That residue is covered by
+    ``gc_ann_generations``, which refuses to delete a superseded root
+    holding a post-SNAPSHOT batch directory absent from the current
+    root (the retrain records its snapshot time as the root's straggler
+    bound) — re-running the append re-lands such rows."""
     import numpy as np
 
     meta = _load_meta(index_dir)
@@ -396,6 +400,7 @@ def retrain_ann_index(
     "max_share_before", "max_share_after"}``.
     """
     import numpy as np
+    import time as _time
 
     with maintenance_lease(
         index_dir, "compaction", owner=owner, steal_stale_after_s=steal_stale_after_s
@@ -403,6 +408,14 @@ def retrain_ann_index(
         meta = _load_meta(index_dir)
         id_col = meta["id_col"]
         k = int(n_centroids or meta["n_centroids"])
+        # snapshot_ts BEFORE the corpus read: this (not the later swap
+        # time) is the straggler bound recorded for the superseded root.
+        # A batch appended after this instant may be missing from the
+        # new generation even though its own post-write pointer re-read
+        # preceded the swap (so it never re-landed); judged against the
+        # swap time its mtime would look pre-swap and gc would delete
+        # its only copy. Judged against the snapshot it is kept.
+        snapshot_ts = _time.time()
         df = read_cells(spark, index_dir, dedup=True, meta=meta)
         df = df.localCheckpoint(eager=True)  # one stable corpus snapshot
         n = df.count()
@@ -513,16 +526,17 @@ def retrain_ann_index(
         # written inside the same atomic pointer swap, so
         # gc_ann_generations can refuse to remove a superseded root
         # before the window has elapsed instead of trusting the caller
-        import time as _time
-
         now = _time.time()
-        # superseded_at_unix: PER-ROOT supersession times, so gc can
-        # judge a straggler batch against the swap that superseded ITS
-        # root — with only the latest swap time, a straggler stranded
-        # before an intervening retrain would look pre-swap and be
-        # silently deleted
+        # superseded_at_unix: PER-ROOT bounds, so gc can judge a
+        # straggler batch against the retrain that superseded ITS root —
+        # with only the latest time, a straggler stranded before an
+        # intervening retrain would look old and be silently deleted.
+        # The recorded bound is the SNAPSHOT time (read_cells above),
+        # not the swap time: any batch written after the snapshot may be
+        # absent from the new generation, including ones whose own
+        # re-land check also ran before the swap.
         superseded = dict(meta.get("superseded_at_unix", {}))
-        superseded[meta.get("cells_dir", "cells")] = now
+        superseded[meta.get("cells_dir", "cells")] = snapshot_ts
         new_meta = dict(
             meta,
             n_centroids=k,
@@ -578,14 +592,17 @@ def gc_ann_generations(
       ``force=True`` overrides for an operator who knows no reader is
       live. Choose ``min_quiesce_s`` ≫ the longest query a reader runs.
     - STRAGGLER BATCHES: an append racing the retrain may have written
-      a batch into the superseded root after the swap;
-      ``append_ann_batch`` self-heals by re-landing such batches in the
-      current generation, but a crash between its write and its
-      re-check leaves the rows ONLY in the old root. A superseded root
-      holding a post-swap batch directory whose name is absent from
-      the current root is therefore SKIPPED (kept on disk) — deleting
-      it would be silent row loss; re-run the append (idempotent) or
-      pass ``force=True`` to discard deliberately.
+      a batch into the superseded root after the retrain SNAPSHOTTED
+      its corpus (``read_cells`` + checkpoint) — such rows are missing
+      from the new generation whether or not the append's own pointer
+      re-check ran before the swap (pre-swap re-checks see a stable
+      pointer and never re-land), or the append crashed between write
+      and re-check. The retrain records its snapshot time as the
+      superseded root's bound, and a superseded root holding a
+      post-snapshot batch directory whose name is absent from the
+      current root is SKIPPED (kept on disk) — deleting it would be
+      silent row loss; re-run the append (idempotent) or pass
+      ``force=True`` to discard deliberately.
     - LEASE: gc is a MAINTAINER, not just a reader-hazard: it runs
       under the same ``.compaction.lease`` as compaction/retrain —
       without it, gc racing an in-flight retrain would delete the
@@ -610,11 +627,14 @@ def gc_ann_generations(
             if os.path.isdir(os.path.join(index_dir, current))
             else set()
         )
-        # per-root supersession times: a straggler is judged against the
-        # swap that superseded ITS root, not the latest swap — a
+        # per-root bounds: a straggler is judged against the SNAPSHOT of
+        # the retrain that superseded ITS root, not the latest swap — a
         # straggler stranded before an intervening retrain must still be
         # detected (its mtime predates the latest swap but postdates its
-        # own root's). Roots ABSENT from the map (superseded by a
+        # own root's bound), and a batch landing between a retrain's
+        # snapshot and its swap is missing from the new generation even
+        # though its mtime precedes the swap. Roots ABSENT from the map
+        # (superseded by a
         # pre-upgrade retrain that recorded no time) get bound 0: every
         # batch looks post-swap, so such a root is never auto-removed —
         # the genuinely conservative direction; clear it once with

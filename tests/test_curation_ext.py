@@ -159,6 +159,40 @@ def test_kmeans_fit_reduces_inertia_and_is_deterministic(spark):
     assert {(r[0], r[1]) for r in a1} == {(r[0], r[1]) for r in a2}
 
 
+def test_kmeans_one_lloyd_step_matches_numpy_spherical_mean(spark):
+    """ADVICE r7: value-level pin of the UPDATE step itself (the r7
+    switch to unit-vector means changed fitted centroids with only an
+    inertia/determinism check covering it). One Lloyd step must equal
+    the numpy reference: assign by max cosine (ties to the lowest
+    centroid id), then per-cluster mean of UNIT vectors, empty or
+    zero-cancelling clusters keeping their previous centroid."""
+    import numpy as np
+
+    from mandoline_hbase_spark.operators import semdedup
+
+    emb = _load_emb(spark, SF_ORACLE)
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    assert (norms > 0).all()  # the fixture has no zero vectors
+
+    cents0 = semdedup.deterministic_centroids(emb, k=8)
+    C = np.array([c for _, c in cents0], dtype=np.float64)
+    sims = (X / norms[:, None]) @ (C / np.linalg.norm(C, axis=1)[:, None]).T
+    lab = sims.argmax(axis=1)  # first max = lowest index = lowest cid
+    unit = X / norms[:, None]
+    expected = []
+    for j, (cid, old) in enumerate(cents0):
+        members = unit[lab == j]
+        m = members.mean(axis=0) if len(members) else np.zeros(X.shape[1])
+        expected.append(old if not m.any() else m.tolist())
+
+    fitted = semdedup.kmeans_fit(emb, k=8, iters=1)
+    assert [cid for cid, _ in fitted] == [cid for cid, _ in cents0]
+    for (cid, got), want in zip(fitted, expected):
+        assert np.allclose(got, want, rtol=1e-9, atol=1e-12), cid
+
+
 def test_countmin_overestimates_within_bound(spark):
     from mandoline_hbase_spark.queries.catalog import QUERIES
 

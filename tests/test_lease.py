@@ -271,6 +271,86 @@ def test_release_racing_a_steal_never_deletes_the_usurpers_lease(tmp_path):
         inner.delete(path)
 
 
+class _UnfencedBackend:
+    """A third-party-style backend WITHOUT ``compare_and_delete`` —
+    only the base ops, explicitly (no ``__getattr__``, which would leak
+    the inner backend's fenced method). ``on_claim`` fires once right
+    after a successful ``put_if_absent``: exactly the window where a
+    rival breaker's unconditional fallback delete can remove our fresh
+    claim before its own."""
+
+    def __init__(self, inner, on_claim=None):
+        self._inner, self._on_claim, self._fired = inner, on_claim, False
+
+    def get(self, path):
+        return self._inner.get(path)
+
+    def put(self, path, data):
+        return self._inner.put(path, data)
+
+    def delete(self, path):
+        return self._inner.delete(path)
+
+    def mtime(self, path):
+        return self._inner.mtime(path)
+
+    def put_if_absent(self, path, data):
+        ok = self._inner.put_if_absent(path, data)
+        if ok and not self._fired and self._on_claim is not None:
+            self._fired = True
+            self._on_claim()
+        return ok
+
+
+def test_unfenced_backend_stale_break_read_back_cedes_to_rival(tmp_path):
+    """ADVICE r7: on a backend lacking compare_and_delete the break is
+    an unfenced get-then-delete — a rival's delete landing AFTER our
+    claim removes our fresh lease before its own claim, so both
+    breakers would believe they won. The post-claim read-back must make
+    us cede: exactly one winner, the rival's lease intact."""
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, ".compaction.lease")
+    inner = storage.LocalFSCasBackend()
+    inner.put(path, json.dumps({"owner": "crashed", "acquired_at_unix": 1.0}).encode())
+    _backdate(path, 9999)
+    rival_payload = json.dumps({"owner": "rival", "acquired_at_unix": time.time()}).encode()
+
+    def rival_delete_then_claim():
+        # the rival breaker's fallback delete (it observed the same
+        # stale payload before we broke it) lands after OUR claim
+        inner.delete(path)
+        assert inner.put_if_absent(path, rival_payload)
+
+    storage.register_cas_backend(d, _UnfencedBackend(inner, rival_delete_then_claim))
+    try:
+        with pytest.raises(LeaseHeldError, match="rival breaker"):
+            with maintenance_lease(d, owner="loser", steal_stale_after_s=60):
+                pass
+        assert inner.get(path) == rival_payload  # the rival's lease survives
+    finally:
+        storage.unregister_cas_backend(d)
+        inner.delete(path)
+
+
+def test_unfenced_backend_stale_break_without_rival_succeeds(tmp_path):
+    """The read-back must not break the solo case: a single breaker on
+    an unfenced backend steals the stale lease and holds it."""
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, ".compaction.lease")
+    inner = storage.LocalFSCasBackend()
+    inner.put(path, json.dumps({"owner": "crashed", "acquired_at_unix": 1.0}).encode())
+    _backdate(path, 9999)
+    storage.register_cas_backend(d, _UnfencedBackend(inner))
+    try:
+        with maintenance_lease(d, owner="solo", steal_stale_after_s=60):
+            assert lease_holder(d)["owner"] == "solo"
+        assert inner.get(path) is None  # released (unfenced fallback)
+    finally:
+        storage.unregister_cas_backend(d)
+
+
 def test_concurrent_stale_breakers_exactly_one_wins(tmp_path):
     """Many breakers race the SAME stale lease concurrently: the fenced
     conditional delete + conditional claim admit exactly one winner;

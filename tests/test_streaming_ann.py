@@ -320,6 +320,33 @@ def test_gc_straggler_check_survives_an_intervening_retrain(spark, tmp_path):
     assert removed == ["cells-g001"]  # the clean superseded root still goes
 
 
+def test_gc_keeps_a_batch_landing_between_snapshot_and_swap(spark, tmp_path):
+    """ADVICE r7 (medium): the straggler bound must be the retrain's
+    corpus SNAPSHOT time, not its swap time. A batch appended after the
+    snapshot but before the swap is missing from the new generation
+    (the snapshot never saw it) even though its own pointer re-check —
+    also pre-swap — observed a stable pointer and never re-landed.
+    Judged against the swap time its mtime looks pre-swap and gc
+    deletes its only copy; judged against the snapshot it is kept."""
+    import time
+
+    index_dir = str(tmp_path / "annidx")
+    sann.init_ann_index(index_dir, dim=64, n_centroids=4, seed=7)
+    sann.append_ann_batch(spark.createDataFrame(_skew_rows(20), DDL), 0, index_dir)
+    sann.retrain_ann_index(spark, index_dir, iters=2)
+    meta = sann._load_meta(index_dir)
+    snap, swap = float(meta["superseded_at_unix"]["cells"]), float(meta["swapped_at_unix"])
+    assert snap < swap  # the snapshot strictly precedes the commit point
+    # a batch stranded in the snapshot->swap gap, absent from cells-g001
+    straggler = os.path.join(index_dir, "cells", "batch-0000000042")
+    os.makedirs(straggler)
+    mid = (snap + swap) / 2.0
+    os.utime(straggler, (mid, mid))
+
+    assert sann.gc_ann_generations(index_dir, min_quiesce_s=0.0) == []
+    assert os.path.isdir(straggler)  # only copy of those rows: preserved
+
+
 def test_gc_refuses_a_root_with_unhealed_straggler_rows(spark, tmp_path):
     """A crash between an append's stranded write and its re-check
     leaves rows ONLY in the superseded root: gc must keep that root
