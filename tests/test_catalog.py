@@ -88,6 +88,27 @@ def test_bench_headline_is_a_catalog_subset():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline names"
 
 
+def test_bench_noise_diagnosis_flags_uniform_slowdown_only():
+    """VERDICT r7 #6: suspected_noise fires on the co-tenancy signature
+    (whole suite >1.25x the record with zero per-query minima improved)
+    and stays quiet when any minimum improved or no record exists."""
+    import bench
+
+    prior = {"a": 1.0, "b": 2.0, "c": 0.5}
+    vs, mins, noise, ratios = bench.diagnose_vs_record(
+        {"a": 1.4, "b": 2.8, "c": 0.7}, prior
+    )
+    assert (vs, mins, noise) == (1.4, 0, True) and ratios["b"] == 1.4
+    vs, mins, noise, _ = bench.diagnose_vs_record(
+        {"a": 0.9, "b": 3.0, "c": 0.9}, prior  # a real change: one new min
+    )
+    assert mins == 1 and noise is False
+    assert bench.diagnose_vs_record({"a": 1.0}, {}) == (None, 0, False, {})
+    # at/below the threshold: never flagged
+    vs, _, noise, _ = bench.diagnose_vs_record({"a": 1.2}, {"a": 1.0})
+    assert vs == 1.2 and noise is False
+
+
 def test_driver_prefix_leads_with_stalest_verification():
     """The driver-facing order is least-recently-verified first: rank 0
     (never green, or oracle changed since last green — _REVERIFY_FIRST)
@@ -114,6 +135,37 @@ def test_driver_prefix_leads_with_stalest_verification():
     for n, changed_round in _REVERIFY_FIRST.items():
         if last.get(n, 0) < changed_round:
             assert n in names[:n_rank0], f"{n} (changed oracle) not in the rank-0 prefix"
+
+
+def test_sweep_driver_prefix_flag_prints_the_queries_head():
+    """VERDICT r7 #8: `tools/sweep.py --driver-prefix N` is the rotation
+    dry-run — its output must be EXACTLY the first N names of
+    __spark_entry__.queries(), one per line, computed in a fresh
+    process from the committed CORRECTNESS files."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "sweep.py"), "--driver-prefix", "50"],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",  # neutral cwd, like the driver
+        check=True,
+    )
+    printed = out.stdout.split()
+    from mandoline_hbase_spark.queries.catalog import driver_queries
+
+    assert printed == list(driver_queries())[:50]
+
+    bad = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "sweep.py"), "--driver-prefix", "zero"],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+    )
+    assert bad.returncode == 2  # loud on a malformed count
 
 
 def test_version_cache_serves_warm_and_invalidates_on_commit(tmp_path):

@@ -9,6 +9,15 @@ would only resolve from the repo cwd are caught, see the verify skill):
 Defaults to /root/testdata/sf0.01 and the full catalog; pass query
 names to sweep a subset. Prints one MATCH/MISMATCH/ERR line per query
 and exits non-zero if anything is not MATCH.
+
+``--driver-prefix N`` is the rotation DRY-RUN (VERDICT r7 #8): print
+exactly the first N names the driver will hash-verify next round (the
+head of ``__spark_entry__.queries()``, i.e. ``driver_queries()`` order
+computed from the committed CORRECTNESS files), one per line, and exit
+— no Spark session. Pre-green the prefix with::
+
+    cd /tmp && python /root/repo/tools/sweep.py \\
+        $(python /root/repo/tools/sweep.py --driver-prefix 50)
 """
 
 from __future__ import annotations
@@ -23,9 +32,25 @@ TABLES = (
 ).split()
 
 
+def _load_entry(repo: str):
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = sys.argv[1:]
+    if args and args[0] == "--driver-prefix":
+        if len(args) != 2 or not args[1].isdigit() or int(args[1]) < 1:
+            print("usage: sweep.py --driver-prefix N", file=sys.stderr)
+            return 2
+        names = list(_load_entry(repo).queries())[: int(args[1])]
+        print("\n".join(names))
+        return 0
     if args and os.path.isdir(args[0]):
         # any first arg that IS a directory is the sf_dir (bare relative
         # names like `sf0.01` from inside /root/testdata included)
@@ -39,11 +64,7 @@ def main() -> int:
     else:
         sf_dir, only = "/root/testdata/sf0.01", set(args)
 
-    spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    mod = _load_entry(repo)
 
     import duckdb
     from pyspark.sql import SparkSession
