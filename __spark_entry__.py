@@ -35,11 +35,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with the 43 that never got one: the sql_surface family, the
     curation stragglers, the re-predicated TPC-H rows, and the former
     rows-only sketch/ANN queries now emitting exact-twin values plus
-    in-plan contract claims. The 1 remaining no-oracle query
-    (dedup_semantic_pairs_blas — float64 BLAS summation order) is
-    excluded; it carries an enforced documented rationale and its
-    semantics are pinned by an equivalence test against the
-    oracle-checked fold path.
+    in-plan contract claims. Since round 8 EVERY catalog query is
+    oracle-backed: the last holdout (dedup_semantic_pairs_blas) now
+    runs the BLAS gram matrix over integer micro-unit embeddings, so
+    its pair set is order-independent and hash-exact against DuckDB.
     """
     return {name: q.fn for name, q in driver_queries().items()}
 

@@ -217,6 +217,91 @@ def _pairs_from_assigned_matmul(
     )
 
 
+def semantic_near_dup_pairs_matmul_micro(
+    emb: DataFrame,
+    k: int = 8,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The BLAS pair stage made HASH-EXACT (VERDICT r7 #2): quantize
+    each embedding element to integer micro-units (``floor(x·scale)``,
+    integer-valued float64), so the per-cluster gram matrix ``Q @ Q.T``
+    is EXACT no matter what order BLAS sums in — every partial sum of an
+    integer-valued dot stays below 2^53 (asserted per batch), where
+    float64 arithmetic is exact and order-independent. The threshold
+    test ``cos ≥ num/den`` becomes the pure-integer predicate
+    ``dot ≥ 0 AND den²·dot² ≥ num²·‖a‖²·‖b‖²`` (arbitrary-precision
+    ints at the boundary; a float prescreen with a 1e-12 relative
+    margin adjudicates the bulk), which DuckDB reproduces verbatim over
+    HUGEINTs — summation order stops mattering, so the scale path
+    carries a full value-level oracle instead of a no-oracle rationale.
+
+    Output: ``(cluster_id, id_a, id_b, dot_micro)`` with ``dot_micro``
+    the exact integer quantized dot product (fits int64: ≤ dim·scale²
+    per the same 2^53 precondition).
+    """
+    if threshold_num < 0 or threshold_den <= 0:
+        raise ValueError("threshold must be a non-negative rational num/den")
+    centroids = deterministic_centroids(emb, k, id_col, vec_col)
+    assigned = assign_clusters(emb, centroids, id_col, vec_col).select(
+        "cluster_id", id_col, vec_col
+    )
+    tn, td, sc, idc, vc = int(threshold_num), int(threshold_den), int(scale), id_col, vec_col
+    id_type = dict(assigned.dtypes)[id_col]
+
+    def cluster_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series([], dtype="int64"),
+                    "id_a": pdf[idc].iloc[0:0],
+                    "id_b": pdf[idc].iloc[0:0],
+                    "dot_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        order = pdf[idc].to_numpy().argsort()
+        ids = pdf[idc].to_numpy()[order]
+        X = np.stack(pdf[vc].to_numpy()[order]).astype(np.float64)
+        Q = np.floor(X * sc)  # integer-valued float64, exact for |x|·sc < 2^53
+        dim = Q.shape[1]
+        maxq = float(np.abs(Q).max()) if Q.size else 0.0
+        if dim * maxq * maxq >= 2.0**53:
+            raise ValueError(
+                f"micro-unit exactness violated: dim({dim})·maxq²({maxq}²) "
+                "reaches 2^53 — lower `scale` so the gram matrix stays exact"
+            )
+        G = Q @ Q.T  # dgemm over integer-valued float64: EXACT (see above)
+        n = np.diag(G)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        d = G[iu, ju]
+        lhs = float(td * td) * d * d  # may round: ~1e28 >> 2^53
+        rhs = float(tn * tn) * n[iu] * n[ju]
+        keep = (d >= 0) & (lhs > rhs * (1.0 + 1e-12))
+        boundary = ~keep & (d >= 0) & (lhs >= rhs * (1.0 - 1e-12))
+        for bi in np.nonzero(boundary)[0]:
+            di, nai, nbi = int(d[bi]), int(n[iu[bi]]), int(n[ju[bi]])
+            keep[bi] = td * td * di * di >= tn * tn * nai * nbi  # exact ints
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(int(keep.sum()), int(pdf["cluster_id"].iloc[0])),
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "dot_micro": d[keep].astype(np.int64),
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        cluster_pairs,
+        f"cluster_id bigint, id_a {id_type}, id_b {id_type}, dot_micro bigint",
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 8,

@@ -106,24 +106,51 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_pairs_blas",
-    oracle=None,
-    no_oracle_reason=(
-        "float64 BLAS matmul and a sequential fold differ in the last "
-        "ulp, so threshold-boundary pairs are not hash-stable against "
-        "any scalar SQL engine; the pair-set equivalence to the "
-        "fold-based (oracle-checked) dedup_semantic_* path is pinned by "
-        "test_curation_ext.py::test_matmul_pairs_match_fold_pairs"
+    oracle=_DUCK_ASSIGN
+    + """,
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qv
+        FROM embeddings
     ),
+    qn AS (
+        SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS HUGEINT) AS nq
+        FROM q
+    ),
+    pr AS (
+        SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(list_dot_product(qa.qv, qb.qv) AS HUGEINT) AS d,
+               qa.nq AS na, qb.nq AS nb
+        FROM assign a
+        JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        JOIN qn qa ON qa.vec_id = a.vec_id
+        JOIN qn qb ON qb.vec_id = b.vec_id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id, id_a, id_b,
+           CAST(d AS BIGINT) AS dot_micro
+    FROM pr
+    WHERE d >= 0 AND 25 * d * d >= 4 * na * nb
+    """,
     description=(
-        "SemDeDup pair stage, matmul scale path: one BLAS gram matrix "
-        "per cluster inside grouped applyInPandas — 3.7x the JVM-fold "
-        "variant at sf0.1, identical pair set"
+        "SemDeDup pair stage, matmul scale path, made HASH-EXACT "
+        "(VERDICT r7 #2): embeddings quantized to integer micro-units "
+        "(floor(x*1e6)) so the per-cluster BLAS gram matrix is "
+        "order-independent (every partial sum of an integer-valued dot "
+        "< 2^53 is exact in float64), and the cos>=2/5 test becomes the "
+        "pure-integer predicate 25*dot^2 >= 4*|a|^2*|b|^2 over "
+        "arbitrary-precision ints — DuckDB reproduces it verbatim over "
+        "HUGEINTs, closing the catalog's last no-oracle rationale. The "
+        "float-sim BLAS form stays available as "
+        "semdedup.semantic_near_dup_pairs_matmul (fold-equivalence "
+        "pinned by test_matmul_pairs_match_fold_pairs)."
     ),
     tags=("llm", "dedup", "semantic", "embeddings", "scale-path"),
 )
 def dedup_semantic_pairs_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup.semantic_near_dup_pairs_matmul(emb, k=8, threshold=0.4)
+    return semdedup.semantic_near_dup_pairs_matmul_micro(
+        emb, k=8, threshold_num=2, threshold_den=5
+    )
 
 
 @register(
