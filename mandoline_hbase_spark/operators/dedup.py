@@ -519,6 +519,8 @@ def banded_candidate_pairs(
     max_bucket_size: int = 512,
     hot_broadcast_max: int = 1_000_000,
     stats: dict | None = None,
+    payload: tuple[str, ...] = (),
+    pair_filter=None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from bucket co-membership,
     with a hot-bucket guard.
@@ -565,10 +567,22 @@ def banded_candidate_pairs(
     (``prefix_filter_near_duplicates``) propagate it so an operator can
     detect at runtime that the EXACT contract narrowed to the
     hub-relative bound instead of discovering it in a docstring.
+
+    ``payload`` / ``pair_filter`` (the PPJoin hook): extra per-row
+    columns carried through the self-join, and a row-level predicate
+    ``pair_filter(A, B)`` over them — ``A("col")``/``B("col")`` resolve
+    the two sides — applied to each CO-OCCURRENCE row BEFORE the
+    distinct, where pruning is cheapest (it shrinks the dedup shuffle
+    itself). A pair survives if ANY of its co-occurrence rows passes,
+    so a filter only needs to be valid on at least one row of every
+    true pair (positional bounds are valid on the pair's first shared
+    key in a global order — see the caller). Star pairs from
+    hot-degraded buckets are NOT filtered (the hub row carries only
+    one side's payload); keeping them is the conservative direction.
     """
     from pyspark.sql import Window
 
-    st = stacked.select(id_col, *keys)
+    st = stacked.select(id_col, *keys, *payload)
     sizes = st.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_hub")
     )
@@ -579,10 +593,15 @@ def banded_candidate_pairs(
 
     def _all_pairs(src: DataFrame) -> DataFrame:
         a, b = src.alias("a"), src.alias("b")
-        return (
-            a.join(b, list(keys))
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        j = a.join(b, list(keys)).filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        if pair_filter is not None:
+            j = j.filter(
+                pair_filter(
+                    lambda c: F.col(f"a.{c}"), lambda c: F.col(f"b.{c}")
+                )
+            )
+        return j.select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
 
     if n_hot == 0:
@@ -684,7 +703,12 @@ def prefix_filter_near_duplicates(
 
     Plan at 100 TB: explode is map-side; the df aggregate is
     vocabulary-grain with map-side partial combine; the rank window is
-    keyed per doc (bounded by doc length); the candidate self-join is
+    keyed per doc (bounded by doc length); candidates then pass
+    PPJoin's POSITIONAL filter — an integer upper bound from the
+    first shared token's positions prunes pairs that can no longer
+    reach the overlap requirement before any shingle array is joined
+    (provably conservative, so exactness is untouched); the candidate
+    self-join is
     bucket-bounded through the same adaptive hot-key guard the LSH path
     uses (``max_bucket_size`` defaults higher here since degradation
     to star pairs would cost exactness — a corpus that trips it gets
@@ -718,10 +742,41 @@ def prefix_filter_near_duplicates(
             F.col("_pos")
             <= F.col("_n") - F.floor(F.lit(float(threshold)) * F.col("_n")) + F.lit(1)
         )
-        .select(F.col(id_col), "shingle")
+        .select(F.col(id_col), "shingle", "_pos", "_n")
     )
+    # POSITION-AWARE pruning (PPJoin's positional filter, VERDICT r7
+    # #4), applied per CO-OCCURRENCE row inside the candidate self-join
+    # where it shrinks the distinct shuffle itself: a shared token s at
+    # positions (pa, pb) in the (df asc, shingle asc) global order
+    # bounds the overlap by
+    #   overlap(A,B) <= (shared tokens ranked before s) + 1
+    #                   + min(|A| - pa, |B| - pb),
+    # and for the pair's FIRST shared token that leading term is 0 —
+    # every earlier-ranked shared token would itself be in both
+    # prefixes (rank is monotone within each doc's ordering), so some
+    # co-occurrence row of every TRUE pair (J >= t needs overlap >=
+    # t/(1+t)*(|A|+|B|)) passes the bound and ANY-pass semantics keep
+    # exactness: the brute-force-equality oracle stays green unchanged,
+    # while false candidates whose shared tokens all sit deep in both
+    # prefixes — the adversarial tiny-vocabulary blowup — die on two
+    # ints before any shingle array moves. The 1e-9 slack absorbs
+    # float rounding on the conservative side.
+    t_over = float(threshold) / (1.0 + float(threshold))
+
+    def positional_ok(A, B):
+        return (
+            1 + F.least(A("_n") - A("_pos"), B("_n") - B("_pos"))
+            >= t_over * (A("_n") + B("_n")) - 1e-9
+        )
+
     cands = banded_candidate_pairs(
-        prefix, id_col, keys=("shingle",), max_bucket_size=max_bucket_size, stats=stats
+        prefix,
+        id_col,
+        keys=("shingle",),
+        max_bucket_size=max_bucket_size,
+        stats=stats,
+        payload=("_pos", "_n"),
+        pair_filter=positional_ok,
     )
     # exact LENGTH filter before the array joins: J >= t forces
     # t*|B| <= |A| (and symmetrically), so mismatched sizes prune on two

@@ -99,10 +99,10 @@ _REVERIFY_FIRST = {
     # round 4: split-boundary literal corrected e6666665 -> e6666666
     "dataset_split_assign": 4,
     "split_leakage_report": 4,
-    # round 5: wrapper now passes an unbounded hot-bucket cap (oracle
-    # equality made unconditional) — same output on the fixtures, but
-    # the executed plan changed
-    "dedup_prefix_filter": 5,
+    # round 5: unbounded hot-bucket cap (oracle equality unconditional);
+    # round 8: PPJoin positional filter inside the candidate self-join
+    # (exact-preserving bound) — same output both times, plan changed
+    "dedup_prefix_filter": 8,
     # round 5: quota joins made null-safe (same output on null-free
     # fixtures; plan changed)
     "domain_quota_sample": 5,
@@ -127,8 +127,14 @@ _REVERIFY_FIRST = {
     # prior green rows at all (were no-oracle), so last_green=0 already
     # ranks them first; the pins record the change round for the audit
     # trail.
-    "dedup_simhash": 7,
+    # round 7: gained the planted-pair recall oracle; round 8: loud
+    # max(doc_id) < 1e6 guard before the planted-pair union (output
+    # unchanged on the fixtures; the plan gained an aggregate)
+    "dedup_simhash": 8,
     "dedup_semantic_kmeans": 7,
+    # round 8: re-expressed over integer micro-units — first-ever
+    # oracle (never green before; the pin records the change round)
+    "dedup_semantic_pairs_blas": 8,
 }
 
 
