@@ -146,6 +146,7 @@ HEADLINE = [
     "sim_ivf_ann_topk",
     "sim_pq_ann_topk",
     "sim_ivf_served_topk",
+    "sim_ivf_filtered_topk",
     "sim_pq_served_topk",
     "sim_matryoshka_topk",
     "sim_matryoshka_served_topk",

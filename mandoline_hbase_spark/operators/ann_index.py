@@ -57,6 +57,7 @@ def materialize_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_pq: bool = True,
+    meta_cols: tuple[str, ...] = (),
 ) -> dict:
     """Build the index: one corpus pass for the cell assignment + full
     vectors, one for the PQ codes; centroids/codebook persist as JSON.
@@ -66,7 +67,19 @@ def materialize_ann_index(
     rebuild can see mixed generations. Deployment discipline: rebuild
     into a FRESH directory and swap the serving pointer (a conditional
     put on the pointer object — the CAS seam again), or quiesce reads,
-    exactly as streaming/search.compact_index documents for postings."""
+    exactly as streaming/search.compact_index documents for postings.
+
+    ``meta_cols`` (VERDICT r7 #5, filtered vector search): low-
+    cardinality metadata columns carried into the cells table AND
+    appended to its partitioning — the table becomes PARTITIONED BY
+    (cell, *meta_cols), so a filtered query's predicate prunes
+    DIRECTORIES alongside the probe cells (PartitionFilters:
+    cell IN (...) AND label IN (...)): the scan is ∝ probed-cell ∩
+    predicate, the shape production filtered-ANN serving needs.
+    Partition-count discipline is the caller's: cells × Π|meta|
+    directories must stay sane (e.g. 1000 cells × 10 labels = fine;
+    a high-cardinality column belongs in the row data where parquet
+    min/max pushdown handles it, not in the partitioning)."""
     cents = _centroids(dim, n_centroids, seed)
     codebook = None
     if include_pq:
@@ -76,7 +89,11 @@ def materialize_ann_index(
 
     assigned = (
         _spread(emb_df, id_col)
-        .select(F.col(id_col), _as_double(vec_col).alias("embedding"))
+        .select(
+            F.col(id_col),
+            _as_double(vec_col).alias("embedding"),
+            *[F.col(c) for c in meta_cols],
+        )
         .withColumn("cells", _cell_scores(F.col("embedding"), cents))
         .withColumn(
             "cell", (F.array_position("cells", F.array_max("cells")) - 1).cast("int")
@@ -84,12 +101,12 @@ def materialize_ann_index(
         .drop("cells")
     )
     (
-        # repartition on the partition column first: ONE file per cell
-        # instead of (tasks x cells) small files — same discipline as
-        # bucketed.materialize_bucketed
-        assigned.repartition(n_centroids, F.col("cell"))
+        # repartition on the partition columns first: ONE file per
+        # (cell, *meta) directory instead of (tasks x dirs) small files
+        # — same discipline as bucketed.materialize_bucketed
+        assigned.repartition(n_centroids, F.col("cell"), *[F.col(c) for c in meta_cols])
         .write.mode("overwrite")
-        .partitionBy("cell")
+        .partitionBy("cell", *meta_cols)
         .parquet(os.path.join(index_dir, "cells"))
     )
     if include_pq:
@@ -114,6 +131,7 @@ def materialize_ann_index(
         "n_centroids": int(n_centroids),
         "seed": int(seed),
         "id_col": id_col,
+        "meta_cols": list(meta_cols),
         "centroids": [[float(x) for x in row] for row in cents],
         "pq_codebook": None
         if codebook is None
@@ -207,6 +225,67 @@ def ivf_topk_from_index(
             F.col("embedding").alias("cvec"),
             "cell",
         )
+    )
+    cands = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return similarity.cosine_rank_topk(cands, k)
+
+
+def ivf_filtered_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    filters: dict,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FILTERED vector search (VERDICT r7 #5): a metadata predicate
+    composed with the served IVF probe — the modern-retrieval staple
+    ("nearest neighbors WHERE label = x"). ``filters`` maps metadata
+    column -> value or list of values (equality/IN — the
+    partition-prunable class); post-filtering a plain top-k instead
+    would under-fill k whenever the filter is selective, which is why
+    the predicate belongs INSIDE the candidate scan.
+
+    When the index was materialized with the filter columns in
+    ``meta_cols``, both the probe set and the predicate are LITERALS
+    over partition columns, so the scan prunes to the cell ∩ predicate
+    directories at planning time (``PartitionFilters: cell IN (...)
+    AND label IN (...)`` — asserted by test). Filter columns not in
+    the partitioning still push down to parquet row groups.
+
+    Probing every cell degrades exactly to FILTERED BRUTE FORCE, which
+    is what gives the served query its full value-level oracle (the
+    established degenerate-config idiom). Scoring is
+    ``similarity.cosine_rank_topk``, identical to the unfiltered path.
+    """
+    if not filters:
+        raise ValueError(
+            "filters must name at least one metadata column; use "
+            "ivf_topk_from_index for unfiltered search"
+        )
+    meta = load_ann_meta(index_dir)
+    rows, probed, id_type = _probe_cells(
+        queries_df, meta["centroids"], n_probe, id_col, vec_col
+    )
+    if not rows:
+        raise ValueError("queries_df is empty")
+    probes = spark.createDataFrame(
+        rows, f"query_id {id_type}, qvec array<double>, cell int"
+    )
+    corpus = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+        F.col("cell").isin(probed)  # literal -> partition pruning
+    )
+    for col, vals in filters.items():
+        vals = list(vals) if isinstance(vals, (list, tuple, set)) else [vals]
+        corpus = corpus.filter(F.col(col).isin(vals))  # literal -> pruning too
+    corpus = corpus.select(
+        F.col(meta["id_col"]).alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        "cell",
     )
     cands = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")

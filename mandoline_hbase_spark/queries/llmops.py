@@ -1104,6 +1104,84 @@ def _served_ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+_SERVED_FILTERED_ANN_INDEX: dict[str, str] = {}
+
+
+def _served_filtered_ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The filtered-search index: same lifecycle as
+    ``_served_ann_index_dir`` but materialized with ``label`` in
+    ``meta_cols``, so the cells table is PARTITIONED BY (cell, label)
+    and a label predicate prunes directories alongside the probe set.
+    A separate artifact (own fingerprint slot): the main index's layout
+    stays byte-identical for the unfiltered ivf/pq/ivfpq queries."""
+    import os
+
+    from mandoline_hbase_spark.operators import ann_index
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
+
+    index_dir = _SERVED_FILTERED_ANN_INDEX.get(sf_dir)
+    if index_dir is None:
+        build = dict(
+            dim=64, n_centroids=8, seed=7, include_pq=False, meta_cols=("label",)
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        index_dir = served_artifact(
+            "mandoline-ann-filtered",
+            content_fingerprint(os.path.join(sf_dir, "embeddings.parquet"), build),
+            lambda work: ann_index.materialize_ann_index(emb, work, **build),
+            marker="codebook.json",
+        )
+        _SERVED_FILTERED_ANN_INDEX[sf_dir] = index_dir
+    return index_dir
+
+
+@register(
+    "sim_ivf_filtered_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qvec, c.embedding::DOUBLE[]) AS sim
+        FROM q, embeddings c
+        WHERE q.query_id <> c.vec_id AND c.label = 2
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC)::INT AS rank
+        FROM sims
+    )
+    WHERE rank <= 5
+    """,
+    description=(
+        "FILTERED vector search (VERDICT r7 #5): metadata predicate "
+        "(label = 2) composed with the served IVF path — the cells "
+        "table is partitioned by (cell, label), so the predicate prunes "
+        "directories alongside the probe set (PartitionFilters: cell "
+        "AND label, plan-asserted in tests/test_ann_index.py) instead "
+        "of post-filtering a top-k that would under-fill k. Full probe "
+        "+ predicate degrades exactly to filtered brute force, so the "
+        "deployment shape carries a full value-level oracle (the "
+        "degenerate-config idiom)."
+    ),
+    tags=("llm", "similarity", "ann", "ivf", "filtered", "served"),
+)
+def sim_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    index_dir = _served_filtered_ann_index_dir(spark, sf_dir)
+    return ann_index.ivf_filtered_topk_from_index(
+        spark, index_dir, queries, filters={"label": 2}, k=5, n_probe=8
+    )
+
+
 @register(
     "sim_ivf_served_topk",
     oracle="""

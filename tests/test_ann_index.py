@@ -54,6 +54,58 @@ def test_served_ivf_scan_is_partition_pruned(spark, built):
     assert any("cell" in ln and " IN " in ln for ln in scan_lines), plan[:4000]
 
 
+@pytest.fixture(scope="module")
+def built_filtered(spark, tmp_path_factory):
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index_dir = str(tmp_path_factory.mktemp("fann") / "index")
+    ann_index.materialize_ann_index(
+        emb, index_dir, dim=64, n_centroids=8, seed=7,
+        include_pq=False, meta_cols=("label",),
+    )
+    return emb, index_dir
+
+
+def test_filtered_ivf_full_probe_equals_filtered_brute_force(spark, built_filtered):
+    """VERDICT r7 #5 done-criterion: full probe + predicate == filtered
+    brute force, value-for-value (the degenerate-config oracle idiom)."""
+    emb, index_dir = built_filtered
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = _rows(
+        similarity.cosine_topk(emb.filter(F.col("label") == 2), queries, k=5)
+    )
+    got = _rows(
+        ann_index.ivf_filtered_topk_from_index(
+            spark, index_dir, queries, filters={"label": 2}, k=5, n_probe=8
+        )
+    )
+    assert got == want and got
+
+
+def test_filtered_ivf_prunes_on_cell_AND_predicate(spark, built_filtered):
+    """The scan must prune partitions on BOTH keys: probe cells and the
+    metadata predicate (cells table partitioned by (cell, label))."""
+    emb, index_dir = built_filtered
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = ann_index.ivf_filtered_topk_from_index(
+        spark, index_dir, queries, filters={"label": [1, 2]}, k=3, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any(
+        "cell" in ln and "label" in ln and " IN " in ln for ln in scan_lines
+    ), plan[:4000]
+
+
+def test_filtered_ivf_rejects_empty_filters(spark, built_filtered):
+    emb, index_dir = built_filtered
+    with pytest.raises(ValueError, match="filters"):
+        ann_index.ivf_filtered_topk_from_index(
+            spark, index_dir, emb.limit(1), filters={}, k=3
+        )
+
+
 def test_served_pq_equals_fit_inline(spark, built):
     emb, index_dir, _ = built
     queries = emb.filter(F.col("vec_id") < 5)
