@@ -153,6 +153,36 @@ def test_streamed_ivf_scan_is_partition_pruned(spark, tmp_path, batches):
     assert scans and all("cell" in ln and " IN " in ln for ln in scans), plan[:4000]
 
 
+def test_post_retrain_served_plan_keeps_partition_pruning(spark, tmp_path, batches):
+    """VERDICT r7 #7: the PartitionFilters guarantee must survive a
+    generation swap — the retrain writes a FRESH root whose partition
+    layout could silently differ from the one the pre-swap plan probe
+    certified. After retrain (+ a post-swap append, so the new root
+    holds multiple batch dirs like a live one), the served query must
+    (a) read the NEW generation root and (b) still compile the cell
+    predicate into PartitionFilters on every batch-dir scan. Also
+    re-run after compaction: the compacted dir's layout must prune the
+    same way."""
+    index_dir = _run_stream(spark, tmp_path, batches)
+    sann.retrain_ann_index(spark, index_dir, iters=2, n_centroids=8)
+    late = [(9000 + i, list(v)) for i, (_, v) in enumerate(batches[0][:10])]
+    sann.append_ann_batch(spark.createDataFrame(late, DDL), 77, index_dir)
+
+    def probe():
+        queries = _union_df(spark, batches).filter(F.col("vec_id") < 2)
+        out = sann.ivf_search(spark, index_dir, queries, k=3, n_probe=2)
+        files = out.inputFiles()
+        assert files and all("cells-g001" in f for f in files), files
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert scans and all("cell" in ln and " IN " in ln for ln in scans), plan[:4000]
+        return {(r.query_id, r.rank, r.neighbor_id) for r in out.collect()}
+
+    before = probe()
+    assert sann.compact_ann_index(spark, index_dir) >= 1
+    assert probe() == before  # same answers, same pruned plan shape
+
+
 def test_cell_occupancy_report(spark, tmp_path, batches):
     """The retrain signal: per-cell counts + corpus share, summing to
     the indexed total."""

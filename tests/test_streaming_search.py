@@ -168,6 +168,37 @@ def test_dedup_read_serves_correctly_through_duplicate_window(spark, tmp_path):
     assert healed == want
 
 
+def test_post_compaction_bucketed_serving_stays_zero_exchange(spark, tmp_path):
+    """VERDICT r7 #7 (BM25 side): the zero-Exchange serving assertion
+    must hold when the bucketed tables are REBUILT from a compacted
+    index — the compaction rewrites the batch-dir layout feeding
+    read_index, and a layout change there must not leak an Exchange
+    back into the served plan."""
+    from mandoline_hbase_spark.operators import bucketed
+
+    index_dir = _run_stream(spark, tmp_path)
+    terms = ["apple", "durian"]
+    want = {(r["rank"], r["doc_id"], r["score"]) for r in
+            ssearch.bm25_search(spark, index_dir, terms, k=10).collect()}
+    assert ssearch.compact_index(spark, index_dir) == {"tf": 1, "dl": 1}
+    tf, dl = ssearch.read_index(spark, index_dir)
+    bucketed.materialize_bucketed(tf, "t_postcomp_tf", ["doc_id"], 4)
+    bucketed.materialize_bucketed(dl, "t_postcomp_dl", ["doc_id"], 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        served = search.bm25_topk_from_postings(
+            spark.table("t_postcomp_tf"), spark.table("t_postcomp_dl"), terms, k=10
+        )
+        assert bucketed.exchange_count(served) == 0
+        got = {(r["rank"], r["doc_id"], r["score"]) for r in served.collect()}
+        assert got == want and want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("t_postcomp_tf", "t_postcomp_dl"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_streamed_index_bucketed_serving_zero_exchange(spark, tmp_path):
     """End-to-end deployment shape: the STREAM-maintained index is
     materialized as doc_id-co-bucketed tables (the small-files
