@@ -153,6 +153,79 @@ def bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SERVED_POSTINGS: dict[str, str] = {}
+
+
+@register(
+    "bm25_stream_served_topk",
+    oracle=_DUCK_BM25,
+    description=(
+        "BM25 served from a STREAM-MAINTAINED postings index (stretch, "
+        "VERDICT r7 #10): the artifact is built by a real Structured "
+        "Streaming run — the corpus staged into multiple files, "
+        "readStream with maxFilesPerTrigger=1, foreachBatch postings "
+        "appends (streaming/search.start_index_maintenance), "
+        "availableNow termination, then one compact_index fold — and "
+        "queries serve from the maintained index alone. Postings rows "
+        "are per-(doc, term) and batch-split-independent, so the "
+        "stream-built index scores equal the corpus-side "
+        "bm25_search_topk bit-for-bit: the streaming upkeep path "
+        "itself sits under the driver's value-level oracle instead of "
+        "only under pytest."
+    ),
+    tags=("search", "text", "bm25", "topk", "served", "streaming"),
+)
+def bm25_stream_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
+    from mandoline_hbase_spark.streaming import search as ssearch
+
+    artifact = _STREAM_SERVED_POSTINGS.get(sf_dir)
+    if artifact is None:
+
+        def _build(work: str) -> None:
+            # stage the corpus as several files so the maintenance run
+            # is genuinely incremental (one micro-batch per file), then
+            # drive the real foreachBatch loop to completion
+            staging = os.path.join(work, "staging")
+            docs = load_table(spark, sf_dir, "documents")
+            docs.repartition(4).write.mode("overwrite").parquet(staging)
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(staging)
+            )
+            q = ssearch.start_index_maintenance(
+                stream, os.path.join(work, "index"), os.path.join(work, "ckpt")
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("postings maintenance stream did not finish")
+            ssearch.compact_index(spark, os.path.join(work, "index"))
+
+        artifact = served_artifact(
+            "mandoline-postings-stream",
+            content_fingerprint(
+                os.path.join(sf_dir, "documents.parquet"),
+                {"layout": "stream-postings-v1", "files": 4},
+            ),
+            _build,
+        )
+        _STREAM_SERVED_POSTINGS[sf_dir] = artifact
+    return ssearch.bm25_search(
+        spark,
+        os.path.join(artifact, "index"),
+        list(_BM25_TERMS),
+        k=25,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 @register(
     "search_phrase_occurrences",
     oracle=r"""

@@ -41,8 +41,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # recursive CTEs: the DEPTH limit (cteRecursionLevelLimit, 100)
+        # is the real runaway guard — every catalog recursion is
+        # depth-bounded by construction. The ROW limit scales with data
+        # (1.5M customers x depth-8 chains legitimately exceeds the 1M
+        # default at sf10) and would false-positive on any large corpus,
+        # so raise it; a genuinely unbounded recursion still dies on
+        # depth long before 100M rows per level matters.
+        .config("spark.sql.cteRecursionRowLimit", "100000000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g default: local mode runs all 32 task threads in ONE JVM,
+        # so execution memory per task is driver-heap/32 — the old 8g
+        # default gave ~150 MB/task and OOM'd legitimate sf10 shuffles
+        # (UNABLE_TO_ACQUIRE_MEMORY in graph_pagerank) on a 128 GiB box
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # the catalog is codegen-heavy (multi-hash sketches, wide aggs); the
         # JVM default 240m code cache fills over a long session and silently
         # drops to interpreted execution
