@@ -135,6 +135,9 @@ _REVERIFY_FIRST = {
     # round 8: re-expressed over integer micro-units — first-ever
     # oracle (never green before; the pin records the change round)
     "dedup_semantic_pairs_blas": 8,
+    # round 8: verify switched to threshold (banded-DP) levenshtein +
+    # exact length prefilter — kept rows identical, plan changed
+    "dedup_fuzzy_segments": 8,
 }
 
 

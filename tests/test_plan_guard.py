@@ -58,6 +58,10 @@ BNLJ_ALLOWED = {
     # (operators/search.py) — the BNLJ pair is the identical designed
     # broadcast 1-row scalar crossJoin (corpus N, total doc length)
     "bm25_served_topk",
+    # the stream-served form serves through the same
+    # bm25_topk_from_postings scoring — the identical designed
+    # broadcast 1-row scalar crossJoin (corpus N, total doc length)
+    "bm25_stream_served_topk",
     # the rerank stage additionally crossJoins the broadcast 1-row
     # query vector into the k-row shortlist
     "search_bm25_rerank_cosine",
