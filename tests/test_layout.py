@@ -217,3 +217,40 @@ def test_zorder_cluster_prunes_both_dimensions(ds_spark, store):
     )
     assert df.count() == 1024
     assert df.filter("x = 5 AND y = 5").count() == 1
+
+
+def test_zorder_quantizes_mismatched_domain_widths(ds_spark, store):
+    """r8 zorder-bench finding: interleaving RAW values whose domains
+    differ in bit width hands the key's top bits entirely to the wider
+    column — the layout silently degenerates to a lexicographic sort on
+    it and the narrow column never prunes. The min/max quantization
+    must keep both dimensions pruning: here a 15-bit id against a
+    3-bit category."""
+    from mandoline_hbase_spark.layout import zorder_cluster_records
+
+    rows = [(i, i % 8, float(i)) for i in range(32768)]
+    (
+        ds_spark.createDataFrame(rows, "id BIGINT, cat BIGINT, v DOUBLE")
+        .repartition(4, "v")  # scrambled ingest
+        .write.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .mode("append")
+        .save()
+    )
+    zorder_cluster_records(
+        ds_spark, store.dataset_dir, "id", "cat", n_chunks=16, bits=16
+    )
+    z_id = _pruned_parts(store, EqualTo(("id",), 12345))
+    z_cat = _pruned_parts(store, EqualTo(("cat",), 3))
+    # un-quantized interleaving gives z_cat == 16 (no pruning at all)
+    assert z_id <= 6 and z_cat <= 10, (z_id, z_cat)
+    df = (
+        ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .load()
+    )
+    assert df.count() == 32768
+    assert df.filter("id = 12345 AND cat = 1").count() == 1
