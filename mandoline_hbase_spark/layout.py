@@ -157,46 +157,29 @@ def zorder_cluster_records(
     the one shuffle is the range partitioning every clustering rewrite
     pays.
 
-    Both columns are QUANTIZED onto a common ``bits``-wide grid
-    (min/max-scaled) before interleaving — found by the r8 zorder
-    benchmark: interleaving raw values with mismatched domain widths
-    (e.g. a 17-bit id against an 11-bit id) leaves the key's top bits
-    owned entirely by the wider column, and the layout silently
-    degenerates to a lexicographic sort on it (zero pruning on the
-    narrow column). Quantization affects ordering only — never output
-    rows — so exactness is untouched."""
-    from pyspark.sql import functions as F
-
-    from mandoline_hbase_spark.sources.lake import zorder_key
+    Both columns are QUANTIZED onto a common ``bits``-wide grid before
+    interleaving (``sources.lake.quantized_zorder_key`` — see its
+    docstring for the mismatched-domain degeneration this prevents);
+    quantization affects ordering only, never output rows. The key
+    bounds and the row count come from ONE pre-scan aggregate. An empty
+    variable (or an all-NULL key column) rewrites unkeyed — nothing to
+    cluster, never a crash."""
+    from mandoline_hbase_spark.sources.lake import quantized_zorder_key
 
     df = _load_records(spark, dataset_path, variable)
     for c in (col_a, col_b):
         if c not in df.columns:
             raise ValueError(f"z-order column {c!r} not in record schema")
-    n = df.count()
+    key, n = quantized_zorder_key(df, col_a, col_b, bits)
     k = n_chunks or max(1, math.ceil(n / max(1, target_rows)))
-    bounds = df.agg(
-        F.min(col_a).alias("a0"), F.max(col_a).alias("a1"),
-        F.min(col_b).alias("b0"), F.max(col_b).alias("b1"),
-    ).first()
-    grid = float((1 << bits) - 1)
-
-    def _q(col, lo, hi):
-        span = float(max(1, int(hi) - int(lo)))
-        return F.floor((col.cast("double") - float(int(lo))) * grid / span).cast("long")
-
-    keyed = df.withColumn(
-        "_zkey",
-        zorder_key(
-            _q(F.col(col_a), bounds["a0"], bounds["a1"]),
-            _q(F.col(col_b), bounds["b0"], bounds["b1"]),
-            bits,
-        ),
-    )
-    _overwrite_records(
-        keyed.repartitionByRange(k, "_zkey").sortWithinPartitions("_zkey").drop("_zkey"),
-        dataset_path,
-        variable,
-        bloom_columns,
-    )
+    if key is None:
+        clustered = df.repartition(k)
+    else:
+        clustered = (
+            df.withColumn("_zkey", key)
+            .repartitionByRange(k, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    _overwrite_records(clustered, dataset_path, variable, bloom_columns)
     return {"rows": int(n), "n_chunks": int(k)}

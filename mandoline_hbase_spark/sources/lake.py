@@ -73,6 +73,56 @@ def zorder_key(col_a, col_b, bits: int = 16):
     return key
 
 
+def quantized_zorder_key(df: DataFrame, col_a: str, col_b: str, bits: int = 16):
+    """Morton key of two columns QUANTIZED onto a common ``bits``-wide
+    grid (min/max-scaled) — the form every z-order writer should use.
+
+    Interleaving RAW values whose domains differ in bit width (a 17-bit
+    id against an 11-bit id) hands every significant key bit to the
+    wider column: the layout silently degenerates to a lexicographic
+    sort on it and the narrow column never prunes (found by the r8
+    zorder benchmark). Quantization affects ordering only, never output
+    rows. Runs ONE driver-side bounds aggregate over ``df`` (the
+    columns' min/max become literals in the returned expression).
+
+    Returns ``(key_column, n_rows)``; the key is ``None`` when the
+    frame is empty or either column is entirely NULL — callers fall
+    back to writing unkeyed (there is nothing to cluster). The row
+    count rides in the SAME aggregate so clustering rewrites that need
+    a chunk count (``layout.zorder_cluster_records``) pay one pre-scan,
+    not two.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= int(bits) <= 31:
+        # the key writes bit 2*bits-1; bit 63 is the long sign bit, and
+        # quantized values ALWAYS reach the top of the grid, so
+        # bits >= 32 would flip signs and break the curve at zero
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    b = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(col_a).alias("a0"), F.max(col_a).alias("a1"),
+        F.min(col_b).alias("b0"), F.max(col_b).alias("b1"),
+    ).first()
+    n = int(b["n"])
+    if b["a0"] is None or b["b0"] is None:
+        return None, n
+    grid = float((1 << bits) - 1)
+
+    def _q(col, lo, hi):
+        span = float(max(1, int(hi) - int(lo)))
+        return F.floor((col.cast("double") - float(int(lo))) * grid / span).cast(
+            "long"
+        )
+
+    key = zorder_key(
+        _q(F.col(col_a), b["a0"], b["a1"]),
+        _q(F.col(col_b), b["b0"], b["b1"]),
+        bits,
+    )
+    return key, n
+
+
 def zorder_key_n(cols, bits: int = 16):
     """Morton key interleaving the low ``bits`` of N non-negative
     integer columns round-robin (column 0 owns the most significant
@@ -109,20 +159,23 @@ def write_zordered(
     row_group_rows: int = 4096,
     mode: str = "overwrite",
 ) -> None:
-    """Write parquet range-sorted by the Morton key of (col_a, col_b).
+    """Write parquet range-sorted by the QUANTIZED Morton key of
+    (col_a, col_b) — :func:`quantized_zorder_key`, so mismatched domain
+    widths cannot silently degenerate the layout to a lexicographic
+    sort (r8 finding). An empty frame / all-NULL key column writes
+    unsorted.
 
     ``orderBy`` is a range shuffle (one exchange — the one-time
     clustering cost); small row groups make the min/max stats fine-
     grained enough that point/box predicates on either column skip most
     groups at read time.
     """
-    from pyspark.sql import functions as F
-
+    key, _ = quantized_zorder_key(df, col_a, col_b, bits)
+    out = df if key is None else (
+        df.withColumn("_zkey", key).orderBy("_zkey").drop("_zkey")
+    )
     (
-        df.withColumn("_zkey", zorder_key(F.col(col_a), F.col(col_b), bits))
-        .orderBy("_zkey")
-        .drop("_zkey")
-        .write.mode(mode)
+        out.write.mode(mode)
         .option("parquet.block.size", 1024 * 1024)
         .option("spark.sql.files.maxRecordsPerFile", 10_000_000)
         .option("parquet.page.row.count.limit", row_group_rows)

@@ -219,6 +219,32 @@ def test_zorder_cluster_prunes_both_dimensions(ds_spark, store):
     assert df.filter("x = 5 AND y = 5").count() == 1
 
 
+def test_zorder_cluster_handles_empty_and_all_null_columns(ds_spark, store):
+    """Code-review r8: the bounds aggregate returns NULLs on an empty
+    variable or an all-NULL z-order column — the rewrite must fall back
+    to unkeyed chunks (nothing to cluster), never crash, and bits
+    outside [1, 31] must fail loudly (bit 63 is the sign bit and
+    quantized values always reach the top of the grid)."""
+    import pytest as _pytest
+
+    from mandoline_hbase_spark.layout import zorder_cluster_records
+
+    (
+        ds_spark.createDataFrame(
+            [(1, None, 2.0), (2, None, 3.0)], "id BIGINT, x BIGINT, v DOUBLE"
+        )
+        .write.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .mode("append")
+        .save()
+    )
+    out = zorder_cluster_records(ds_spark, store.dataset_dir, "id", "x", n_chunks=2)
+    assert out["rows"] == 2  # all-NULL dimension: rewrote unkeyed
+    with _pytest.raises(ValueError, match=r"\[1, 31\]"):
+        zorder_cluster_records(ds_spark, store.dataset_dir, "id", "v", bits=32)
+
+
 def test_zorder_quantizes_mismatched_domain_widths(ds_spark, store):
     """r8 zorder-bench finding: interleaving RAW values whose domains
     differ in bit width hands the key's top bits entirely to the wider

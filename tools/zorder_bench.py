@@ -33,7 +33,6 @@ import json
 import os
 import shutil
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -41,17 +40,12 @@ sys.path.insert(0, REPO)
 TARGET_ROWS = 31_250  # 1M rows -> 32 chunks at sf1
 
 
-def _timed(df) -> float:
-    def run():
-        df.write.mode("overwrite").format("noop").save()
+def _timed(spark, df) -> float:
+    # THE shared measurement protocol (warm + min-of-2 noop-sink with
+    # cache clears), same as scale_check — timings stay comparable
+    from bench import timed_min
 
-    run()  # warm: codegen + footers + sidecar stats
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        run()
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return timed_min(spark, lambda _s, _d: df, "")
 
 
 def main() -> int:
@@ -128,7 +122,7 @@ def main() -> int:
             out[name] = {
                 "chunks": int(df.rdd.getNumPartitions()),
                 "rows": int(df.count()),
-                "sec": round(_timed(df), 3),
+                "sec": round(_timed(spark, df), 3),
             }
         return out
 
