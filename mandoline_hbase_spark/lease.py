@@ -103,9 +103,10 @@ def _compare_and_delete(backend, path: str, expected: bytes) -> bool:
     (local FS, in-memory, S3) implements ``compare_and_delete``; a
     third-party backend that predates the method falls back to
     compare-then-delete — unfenced, so the STEAL path pairs it with a
-    post-claim read-back (see ``maintenance_lease``) to keep exactly
-    one winner; the RELEASE path's residual window (deleting a
-    usurper's lease) remains until the backend is upgraded."""
+    post-claim read-back (see ``maintenance_lease``) that narrows (NOT
+    closes — a rival delete after the read-back still double-holds)
+    the two-winner window; the RELEASE path's residual window (deleting
+    a usurper's lease) also remains until the backend is upgraded."""
     cad = getattr(backend, "compare_and_delete", None)
     if cad is not None:
         return bool(cad(path, expected))
@@ -210,10 +211,13 @@ def maintenance_lease(
             # lacking compare_and_delete) the break above is a bare
             # get-then-delete: a rival breaker's delete can land AFTER
             # our claim (removing OUR fresh lease before its own claim),
-            # leaving two winners. Read the claim back and cede to
-            # whoever the store actually holds — exactly one breaker
-            # survives the verification. Fenced backends need none of
-            # this: the conditional delete cannot remove a fresh lease.
+            # leaving two winners. Read the claim back and cede when the
+            # store holds someone else's payload. HONEST LIMIT: this
+            # NARROWS the window, it does not close it — a rival whose
+            # delete lands after our read-back still double-holds (only
+            # a fenced conditional delete closes that; upgrade the
+            # backend). The shipped backends are all fenced; the
+            # fallback exists for third-party ones.
             if not fenced and backend.get(path) != data:
                 raise LeaseHeldError(
                     f"{task} lease on {dir_path}: a rival breaker claimed "

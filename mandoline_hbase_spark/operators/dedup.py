@@ -593,9 +593,13 @@ def banded_candidate_pairs(
     itself). A pair survives if ANY of its co-occurrence rows passes,
     so a filter only needs to be valid on at least one row of every
     true pair (positional bounds are valid on the pair's first shared
-    key in a global order — see the caller). Star pairs from
-    hot-degraded buckets are NOT filtered (the hub row carries only
-    one side's payload); keeping them is the conservative direction.
+    key in a global order — see the caller). The filter is applied ONLY
+    when ZERO buckets are hot: with hot buckets, a pair's first-shared-
+    key row may have been diverted to star pairing, and filtering its
+    later rows with the first-row bound would drop true pairs beyond
+    the documented hub-relative trade — so a hot corpus degrades to
+    unfiltered candidates (guard contract unchanged), observable via
+    ``stats["n_hot"]`` as ever.
     """
     from pyspark.sql import Window
 
@@ -607,6 +611,15 @@ def banded_candidate_pairs(
     n_hot = hot.limit(hot_broadcast_max + 1).count()
     if stats is not None:
         stats["n_hot"] = int(n_hot)
+    if n_hot and pair_filter is not None:
+        # Code-review r8: a positional bound is only valid on the row of
+        # a pair's FIRST shared key, and with hot buckets in play that
+        # row may have been diverted to star pairing — filtering the
+        # pair's later (cold-bucket) rows with the first-row bound would
+        # drop true pairs BEYOND the documented hub-relative recall
+        # trade. Degrade to unfiltered candidates instead: on a hot
+        # corpus the guard's contract stays exactly what it always was.
+        pair_filter = None
 
     def _all_pairs(src: DataFrame) -> DataFrame:
         a, b = src.alias("a"), src.alias("b")
@@ -773,7 +786,10 @@ def prefix_filter_near_duplicates(
     # prefixes (rank is monotone within each doc's ordering), so some
     # co-occurrence row of every TRUE pair (J >= t needs overlap >=
     # t/(1+t)*(|A|+|B|)) passes the bound and ANY-pass semantics keep
-    # exactness: the brute-force-equality oracle stays green unchanged,
+    # exactness — VALID ONLY when no bucket is hot (star-diverted rows
+    # could hide the first shared token), which is why
+    # banded_candidate_pairs engages the filter solely on all-cold
+    # bucket sets: the brute-force-equality oracle stays green unchanged,
     # while false candidates whose shared tokens all sit deep in both
     # prefixes — the adversarial tiny-vocabulary blowup — die on two
     # ints before any shingle array moves. The 1e-9 slack absorbs

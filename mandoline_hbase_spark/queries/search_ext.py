@@ -206,12 +206,19 @@ def bm25_stream_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
                 raise RuntimeError("postings maintenance stream did not finish")
             ssearch.compact_index(spark, os.path.join(work, "index"))
+            # only the index is served: keep the staged corpus copy and
+            # the stream checkpoint out of the committed artifact (at
+            # sf10 the staging alone is a second full documents table)
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
 
         artifact = served_artifact(
             "mandoline-postings-stream",
             content_fingerprint(
                 os.path.join(sf_dir, "documents.parquet"),
-                {"layout": "stream-postings-v1", "files": 4},
+                {"layout": "stream-postings-v2", "files": 4},
             ),
             _build,
         )

@@ -110,10 +110,19 @@ def quantized_zorder_key(df: DataFrame, col_a: str, col_b: str, bits: int = 16):
     grid = float((1 << bits) - 1)
 
     def _q(col, lo, hi):
-        span = float(max(1, int(hi) - int(lo)))
-        return F.floor((col.cast("double") - float(int(lo))) * grid / span).cast(
-            "long"
-        )
+        # floor/ceil (NOT int(), which truncates toward zero): a float
+        # column with lo=-3.7 would otherwise offset by -3 and quantize
+        # sub-minimum rows NEGATIVE (arithmetic shiftright fills ones —
+        # a scrambled key); hi=2.4 truncated to 2 would push the max row
+        # PAST the grid and wrap modulo 2^bits. Clamp for belt and
+        # braces — quantization is ordering-only, a clamped edge row
+        # just shares the boundary cell.
+        import math as _math
+
+        lo_f = float(_math.floor(float(lo)))
+        span = float(max(1.0, _math.ceil(float(hi)) - lo_f))
+        q = F.floor((col.cast("double") - F.lit(lo_f)) * grid / span)
+        return F.least(F.greatest(q, F.lit(0.0)), F.lit(grid)).cast("long")
 
     key = zorder_key(
         _q(F.col(col_a), b["a0"], b["a1"]),

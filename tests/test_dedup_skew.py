@@ -31,6 +31,44 @@ def test_normal_buckets_pair_set_unchanged(spark):
     assert got == expect
 
 
+def test_pair_filter_engages_only_on_all_cold_bucket_sets(spark):
+    """Code-review r8: positional bounds are only valid on a pair's
+    FIRST-shared-key row, and a hot bucket may have star-diverted that
+    row — so pair_filter must apply on all-cold corpora and be IGNORED
+    the moment any bucket is hot (the guard's documented hub-relative
+    trade must not silently widen)."""
+
+    def reject_all(A, B):
+        return F.lit(False)
+
+    cold = [(i, 0, 100) for i in range(4)]
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.banded_candidate_pairs(
+            _stacked(spark, cold), "doc_id", max_bucket_size=512,
+            payload=(), pair_filter=reject_all,
+        ).collect()
+    }
+    assert got == set()  # all-cold: the filter really ran
+
+    hot = cold + [(i, 1, 200) for i in range(40)]  # bucket 1 goes hot
+    stats = {}
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.banded_candidate_pairs(
+            _stacked(spark, hot), "doc_id", max_bucket_size=10,
+            payload=(), pair_filter=reject_all, stats=stats,
+        ).collect()
+    }
+    assert stats["n_hot"] == 1
+    # the reject-everything filter was ignored: cold bucket emits its
+    # full pair set, the hot one its star rows
+    expect = {(a, b) for a in range(4) for b in range(4) if a < b} | {
+        (0, i) for i in range(1, 40)
+    }
+    assert got == expect
+
+
 def test_hot_bucket_degrades_to_star(spark):
     n = 50
     rows = [(i, 0, 7) for i in range(n)]

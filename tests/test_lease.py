@@ -307,7 +307,9 @@ def test_unfenced_backend_stale_break_read_back_cedes_to_rival(tmp_path):
     an unfenced get-then-delete — a rival's delete landing AFTER our
     claim removes our fresh lease before its own claim, so both
     breakers would believe they won. The post-claim read-back must make
-    us cede: exactly one winner, the rival's lease intact."""
+    us cede in this interleaving (rival's lease intact). The window is
+    NARROWED, not closed — a rival delete landing after the read-back
+    still double-holds; only a fenced backend closes it."""
     d = str(tmp_path / "idx")
     os.makedirs(d)
     path = os.path.join(d, ".compaction.lease")
