@@ -147,6 +147,7 @@ HEADLINE = [
     "sim_pq_ann_topk",
     "sim_ivf_served_topk",
     "sim_ivf_filtered_topk",
+    "sim_pq_filtered_topk",
     "bm25_stream_served_topk",
     "sim_pq_served_topk",
     "sim_matryoshka_topk",

@@ -116,14 +116,18 @@ def materialize_ann_index(
         # the merge manifests
         written_cells = emb_df.sparkSession.read.parquet(
             os.path.join(index_dir, "cells")
-        ).select(id_col, "cell")
+        ).select(id_col, "cell", *meta_cols)
         codes = similarity.pq_encode(emb_df, codebook, id_col, vec_col).join(
             written_cells, id_col
         )
         (
-            codes.repartition(n_centroids, F.col("cell"))
+            # codes mirror the cells partitioning (cell, *meta_cols) so
+            # a filtered ADC scan prunes the same directories
+            codes.repartition(
+                n_centroids, F.col("cell"), *[F.col(c) for c in meta_cols]
+            )
             .write.mode("overwrite")
-            .partitionBy("cell")
+            .partitionBy("cell", *meta_cols)
             .parquet(os.path.join(index_dir, "codes"))
         )
     meta = {
@@ -335,6 +339,80 @@ def pq_topk_from_index(
         )
         # union filter = partition pruning for the SCAN; per-query
         # bound = the (query, cell) probe join below
+        codes = codes.filter(F.col("cell").isin(probed))
+        probe_pairs = spark.createDataFrame(
+            [(r[0], r[2]) for r in rows], f"query_id {id_type}, cell int"
+        )
+        cands = (
+            codes.select(F.col(meta["id_col"]).alias("neighbor_id"), "code", "cell")
+            .join(F.broadcast(probe_pairs), "cell")
+            .join(F.broadcast(queries), "query_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+    else:
+        cands = (
+            codes.select(F.col(meta["id_col"]).alias("neighbor_id"), "code")
+            .crossJoin(F.broadcast(queries))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+    vectors = spark.read.parquet(os.path.join(index_dir, "cells")).select(
+        F.col(meta["id_col"]).alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    return similarity.adc_shortlist_rerank(
+        cands, vectors, codebook.shape[0], k, shortlist
+    )
+
+
+def pq_filtered_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    filters: dict,
+    k: int = 5,
+    shortlist: int = 32,
+    n_probe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered vector search on the COMPRESSED path: the metadata
+    predicate composes with the ADC codes scan exactly as
+    :func:`ivf_filtered_topk_from_index` composes it with the cells
+    scan — when the index was materialized with the filter columns in
+    ``meta_cols``, the codes table is partitioned by (cell, *meta), so
+    the predicate prunes code directories before any lookup-table
+    arithmetic runs, and the exact rerank only ever sees
+    predicate-passing ids (the shortlist is taken over filtered
+    candidates — post-filtering a plain PQ top-k would under-fill k).
+
+    A corpus-wide ``shortlist`` degrades the ADC stage to "exact rerank
+    of every filtered candidate" == filtered brute force, the oracle
+    idiom. ``n_probe`` bounds the scan to probed cells (filtered
+    IVF-PQ)."""
+    import numpy as np
+
+    if not filters:
+        raise ValueError(
+            "filters must name at least one metadata column; use "
+            "pq_topk_from_index for unfiltered search"
+        )
+    meta = load_ann_meta(index_dir)
+    if meta.get("pq_codebook") is None:
+        raise ValueError(
+            f"index at {index_dir} was built without PQ codes "
+            "(materialize_ann_index(include_pq=False)); rebuild with "
+            "include_pq=True to serve PQ queries"
+        )
+    codebook = np.asarray(meta["pq_codebook"], dtype=np.float64)
+    queries = similarity.pq_query_tables(queries_df, codebook, id_col, vec_col)
+
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    for col, vals in filters.items():
+        vals = list(vals) if isinstance(vals, (list, tuple, set)) else [vals]
+        codes = codes.filter(F.col(col).isin(vals))  # literal -> pruning
+    if n_probe is not None:
+        rows, probed, id_type = _probe_cells(
+            queries_df, meta["centroids"], n_probe, id_col, vec_col
+        )
         codes = codes.filter(F.col("cell").isin(probed))
         probe_pairs = spark.createDataFrame(
             [(r[0], r[2]) for r in rows], f"query_id {id_type}, cell int"

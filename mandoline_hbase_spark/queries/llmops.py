@@ -1125,7 +1125,8 @@ def _served_filtered_ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
     index_dir = _SERVED_FILTERED_ANN_INDEX.get(sf_dir)
     if index_dir is None:
         build = dict(
-            dim=64, n_centroids=8, seed=7, include_pq=False, meta_cols=("label",)
+            dim=64, n_centroids=8, seed=7, include_pq=True, pq_m=8, pq_k=16,
+            meta_cols=("label",),
         )
         emb = load_table(spark, sf_dir, "embeddings")
         index_dir = served_artifact(
@@ -1179,6 +1180,52 @@ def sim_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = _served_filtered_ann_index_dir(spark, sf_dir)
     return ann_index.ivf_filtered_topk_from_index(
         spark, index_dir, queries, filters={"label": 2}, k=5, n_probe=8
+    )
+
+
+@register(
+    "sim_pq_filtered_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qvec, c.embedding::DOUBLE[]) AS sim
+        FROM q, embeddings c
+        WHERE q.query_id <> c.vec_id AND c.label = 2
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC)::INT AS rank
+        FROM sims
+    )
+    WHERE rank <= 5
+    """,
+    description=(
+        "Filtered vector search on the COMPRESSED path: the label "
+        "predicate prunes (cell, label)-partitioned PQ code directories "
+        "before any ADC lookup-table arithmetic, and the exact rerank "
+        "only ever sees predicate-passing ids — the shortlist is taken "
+        "over filtered candidates, so k never under-fills. Corpus-wide "
+        "shortlist degrades the ADC stage to exact rerank of every "
+        "filtered candidate == filtered brute force (the "
+        "degenerate-config idiom), giving the compressed deployment "
+        "shape the same full value-level oracle as "
+        "sim_ivf_filtered_topk. One shared filtered artifact serves "
+        "both."
+    ),
+    tags=("llm", "similarity", "ann", "pq", "filtered", "served"),
+)
+def sim_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    index_dir = _served_filtered_ann_index_dir(spark, sf_dir)
+    return ann_index.pq_filtered_topk_from_index(
+        spark, index_dir, queries, filters={"label": 2}, k=5, shortlist=1 << 20
     )
 
 

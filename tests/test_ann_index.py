@@ -62,7 +62,7 @@ def built_filtered(spark, tmp_path_factory):
     index_dir = str(tmp_path_factory.mktemp("fann") / "index")
     ann_index.materialize_ann_index(
         emb, index_dir, dim=64, n_centroids=8, seed=7,
-        include_pq=False, meta_cols=("label",),
+        include_pq=True, pq_m=8, pq_k=16, meta_cols=("label",),
     )
     return emb, index_dir
 
@@ -90,6 +90,40 @@ def test_filtered_ivf_prunes_on_cell_AND_predicate(spark, built_filtered):
     queries = emb.filter(F.col("vec_id") < 2)
     out = ann_index.ivf_filtered_topk_from_index(
         spark, index_dir, queries, filters={"label": [1, 2]}, k=3, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any(
+        "cell" in ln and "label" in ln and " IN " in ln for ln in scan_lines
+    ), plan[:4000]
+
+
+def test_filtered_pq_full_shortlist_equals_filtered_brute_force(spark, built_filtered):
+    """Compressed-path twin of the IVF test: a corpus-wide shortlist
+    degrades ADC to exact rerank of every filtered candidate, so the
+    result must equal filtered brute force value-for-value."""
+    emb, index_dir = built_filtered
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = _rows(
+        similarity.cosine_topk(emb.filter(F.col("label") == 2), queries, k=5)
+    )
+    got = _rows(
+        ann_index.pq_filtered_topk_from_index(
+            spark, index_dir, queries, filters={"label": 2}, k=5, shortlist=1 << 20
+        )
+    )
+    assert got == want and got
+
+
+def test_filtered_pq_codes_scan_prunes_on_predicate(spark, built_filtered):
+    """The codes table mirrors the (cell, label) partitioning, so the
+    predicate (and probed cells, when composed) prune code directories
+    at planning time."""
+    emb, index_dir = built_filtered
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = ann_index.pq_filtered_topk_from_index(
+        spark, index_dir, queries, filters={"label": [1, 2]}, k=3,
+        shortlist=8, n_probe=2,
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]

@@ -28,6 +28,9 @@ BNLJ_ALLOWED = {
     # the served form scans the materialized codes with the same
     # deliberate broadcast(queries) shape (n_probe=None = plain PQ)
     "sim_pq_served_topk",
+    # the filtered form is the same broadcast(queries) x predicate-
+    # pruned codes scan (n_probe=None in the catalog config)
+    "sim_pq_filtered_topk",
     "q11_important_parts",
     "q22_idle_customers",
     "funnel_signup_to_purchase",
