@@ -334,6 +334,73 @@ def matryoshka_topk(
     )
 
 
+def int_dot(a, b):
+    """Integer dot product of two ``array<int>`` columns as a BIGINT —
+    left-fold over ``zip_with`` products. Every term and every partial
+    sum is an exact integer, so the result is bit-identical on any
+    engine regardless of summation order (int8 codes over <=2^15 dims
+    cannot overflow 2^63)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq_topk(
+    emb_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN top-k: shortlist by the INTEGER
+    dot product of per-vector int8 codes (``quantize_int8`` on both the
+    corpus and the query side), then exact cosine rerank of the
+    shortlist only.
+
+    The third standard compression next to IVF (prune) and PQ (ADC):
+    4x smaller than float32 with the cheapest possible decode — the
+    approximate score is one integer multiply-add per dimension, no
+    codebook, no training. Same two-stage plan family as
+    ``matryoshka_topk`` (cheap broadcast(queries) x corpus sweep, exact
+    cosine on ``shortlist`` survivors per query via WindowGroupLimit).
+
+    Unlike the PQ path — whose float ADC sums force the value-level
+    oracle into the full-shortlist degenerate config — the SQ shortlist
+    key is an exact BIGINT (``int_dot``), so the *pruned* path is
+    bit-reproducible on any engine: ordering and shortlist membership
+    cannot drift by a ulp. The PRUNED config therefore carries a full
+    value-level oracle (``sim_sq_ann_topk``).
+
+    Note the int8 ordering ignores the per-vector scale (absmax/127):
+    ranking quality depends on roughly comparable vector norms, which
+    L2-normalized embedding corpora satisfy by construction; recall on
+    the raw synthetic fixture is pinned by ``tests/test_similarity_sq.py``.
+    """
+    codes = quantize_int8(emb_df, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q_vec").alias("ccode")
+    )
+    qcodes = quantize_int8(queries_df, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q_vec").alias("qcode")
+    )
+    qvecs = queries_df.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    q = qcodes.join(qvecs, "query_id")
+    cands = (
+        codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("idot", int_dot(F.col("qcode"), F.col("ccode")))
+        .select("query_id", "qvec", "neighbor_id", "idot")
+    )
+    short = _per_query_topk(cands, "idot", shortlist).drop("rank", "idot")
+    vectors = _spread(emb_df, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    )
+    return cosine_rank_topk(short.join(vectors, "neighbor_id"), k)
+
+
 def near_duplicate_pairs(
     emb_df: DataFrame,
     threshold: float,

@@ -1475,6 +1475,66 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_sq_ann_topk",
+    oracle="""
+    WITH codes AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               CASE WHEN list_aggregate(
+                        list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') = 0
+                    THEN list_transform(embedding::DOUBLE[], x -> 0)
+                    ELSE list_transform(embedding::DOUBLE[], x -> CAST(floor(
+                         x / (list_aggregate(
+                                  list_transform(embedding::DOUBLE[], y -> abs(y)),
+                                  'max') / 127.0)
+                         + 0.5) AS INT))
+               END AS code
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, code AS qcode
+          FROM codes WHERE vec_id < 10),
+    cand AS (
+        SELECT q.query_id, q.qvec, c.vec_id AS neighbor_id, c.vec AS cvec,
+               CAST(list_dot_product(q.qcode, c.code) AS BIGINT) AS idot
+        FROM q, codes c WHERE q.query_id <> c.vec_id
+    ),
+    short AS (
+        SELECT query_id, qvec, neighbor_id, cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY idot DESC, neighbor_id ASC) AS rk
+            FROM cand
+        ) WHERE rk <= 32
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(qvec, cvec) AS sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY list_cosine_similarity(qvec, cvec) DESC,
+                                           neighbor_id ASC)::INT AS rank
+        FROM short
+    )
+    WHERE rank <= 5
+    """,
+    description=(
+        "Scalar-quantization (SQ8) ANN top-5: per-vector int8 codes on "
+        "both sides, INTEGER-dot shortlist (bit-exact on any engine — "
+        "unlike PQ's float ADC, the PRUNED path itself carries the full "
+        "value-level oracle), exact cosine rerank of the 32-candidate "
+        "shortlist only. operators/similarity.py::sq_topk"
+    ),
+    tags=("llm", "similarity", "ann", "sq"),
+)
+def sim_sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shortlist ordering is exact BIGINT math (quantize_int8 codes fold
+    # to integer partial sums), so this is NOT a degenerate config: the
+    # oracle reproduces the pruned shortlist itself, then the same
+    # exact-cosine rerank. 32-of-499 candidates per query.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.sq_topk(emb, queries, k=5, shortlist=32)
+
+
+@register(
     "dedup_cluster_assign",
     oracle=_DUCK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
     + r""",
