@@ -334,6 +334,66 @@ def matryoshka_topk(
     )
 
 
+def maxsim_topk(
+    emb_df: DataFrame,
+    queries_df: DataFrame,
+    n_tokens: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT-style MaxSim):
+    each document and query carries ``n_tokens`` sub-vectors (contiguous
+    ``dim/n_tokens``-dim slices of the stored embedding — the fixture's
+    deterministic stand-in for per-token encoder outputs); the score is
+
+        MaxSim(q, d) = sum_i  max_j  cos(q_i, d_j)
+
+    — every query token matches its best document token, summed over
+    query tokens (Khattab & Zaharia, SIGIR'20).
+
+    Plan shape: NO explode and NO per-pair aggregation — the corpus
+    stays one row per document and the whole score compiles to a single
+    JVM column expression per (query, doc) pair: ``greatest`` of
+    ``n_tokens`` sliced cosines per query token (max of doubles is
+    summation-order-free), token terms added in FIXED left-to-right
+    order (engine-deterministic float parity, the RRF/BM25 idiom). The
+    sweep is the same designed broadcast(queries) x corpus pass as
+    ``cosine_topk`` with ``n_tokens^2`` sliced cosines per pair; the
+    tail is the shared WindowGroupLimit top-k. At scale the sweep
+    composes with the IVF index exactly like ``cosine_topk`` does
+    (shortlist on the pooled full vector, MaxSim-rerank the shortlist).
+
+    Output: ``(query_id, rank, neighbor_id, maxsim)``.
+    """
+    if dim % n_tokens:
+        raise ValueError(f"dim {dim} not divisible by n_tokens {n_tokens}")
+    td = dim // n_tokens
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    c = _spread(emb_df, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    score = None
+    for i in range(n_tokens):
+        qt = F.slice(F.col("qvec"), i * td + 1, td)
+        coss = [
+            cosine_sim(qt, F.slice(F.col("cvec"), j * td + 1, td))
+            for j in range(n_tokens)
+        ]
+        m = coss[0] if len(coss) == 1 else F.greatest(*coss)
+        score = m if score is None else score + m
+    sims = pairs.withColumn("maxsim", score).select(
+        "query_id", "neighbor_id", "maxsim"
+    )
+    return _per_query_topk(sims, "maxsim", k).select(
+        "query_id", "rank", "neighbor_id", F.round("maxsim", 6).alias("maxsim")
+    )
+
+
 def int_dot(a, b):
     """Integer dot product of two ``array<int>`` columns as a BIGINT —
     left-fold over ``zip_with`` products. Every term and every partial

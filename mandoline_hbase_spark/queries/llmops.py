@@ -1534,6 +1534,64 @@ def sim_sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq_topk(emb, queries, k=5, shortlist=32)
 
 
+def _maxsim_oracle(n_tokens: int = 4, dim: int = 64, k: int = 5, nq: int = 8) -> str:
+    """Generate the MaxSim oracle with the SAME fixed-order score text
+    the Spark expression compiles to: per query token, a variadic
+    ``greatest`` of the sliced cosines (max of doubles — order-free);
+    token terms added left-to-right. Generated, not hand-typed, so the
+    slice arithmetic can't drift from ``similarity.maxsim_topk``."""
+    td = dim // n_tokens
+    terms = []
+    for i in range(n_tokens):
+        qs = f"q.qv[{i * td + 1}:{(i + 1) * td}]"
+        coss = ",\n                 ".join(
+            f"list_cosine_similarity({qs}, c.cv[{j * td + 1}:{(j + 1) * td}])"
+            for j in range(n_tokens)
+        )
+        terms.append(f"greatest({coss})")
+    score = "\n             + ".join(terms)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {nq}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               {score} AS maxsim
+        FROM q, c WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, round(maxsim, 6) AS maxsim
+    FROM (
+        SELECT query_id, neighbor_id, maxsim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY maxsim DESC, neighbor_id ASC)::INT AS rank
+        FROM scored
+    )
+    WHERE rank <= {k}
+    """
+
+
+@register(
+    "sim_maxsim_topk",
+    oracle=_maxsim_oracle(),
+    description=(
+        "Multi-vector late-interaction retrieval (ColBERT-style MaxSim): "
+        "each doc/query carries 4 16-dim token sub-vectors (deterministic "
+        "slices of the stored embedding); score = sum over query tokens "
+        "of the best-matching doc-token cosine. NO explode, NO per-pair "
+        "aggregation — the whole score is one JVM column expression per "
+        "pair (greatest of sliced cosines per token, fixed-order sum), "
+        "broadcast(queries) x corpus sweep, WindowGroupLimit top-5. "
+        "operators/similarity.py::maxsim_topk"
+    ),
+    tags=("llm", "similarity", "maxsim", "colbert", "multivector"),
+)
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.maxsim_topk(emb, queries, n_tokens=4, k=5, dim=64)
+
+
 @register(
     "dedup_cluster_assign",
     oracle=_DUCK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)

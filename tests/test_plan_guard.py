@@ -75,6 +75,10 @@ BNLJ_ALLOWED = {
     # spell suggest crossJoins the broadcast probe list (a few rows)
     # against the vocabulary-grain term table — never document data
     "search_spell_suggest",
+    # MaxSim is the same designed broadcast(query set) x corpus exact
+    # pass as sim_cosine_topk — n_tokens^2 sliced cosines per pair,
+    # still one row per (query, doc), no explode
+    "sim_maxsim_topk",
     # SQ8 shortlist is the same designed broadcast(query set) x corpus
     # sweep over int8 CODES (one integer multiply-add per dim); the
     # exact-cosine rerank join is shortlist-bounded per query
