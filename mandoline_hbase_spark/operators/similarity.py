@@ -461,6 +461,131 @@ def sq_topk(
     return cosine_rank_topk(short.join(vectors, "neighbor_id"), k)
 
 
+def mmr_topk(
+    emb_df: DataFrame,
+    queries_df: DataFrame,
+    k_candidates: int = 20,
+    k: int = 5,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MMR (maximal marginal relevance, Carbonell & Goldstein '98)
+    diversity re-ranking: per query, greedily pick ``k`` results from
+    the ``k_candidates``-deep cosine shortlist, each step maximizing
+
+        lam * rel(d)  -  (1 - lam) * max_{s in picked} sim(d, s)
+
+    with ``lam = lam_num / lam_den`` held as a RATIONAL so the selection
+    key stays integer: every cosine is floored to 1e-6 micro-units
+    (``floor(sim * 1e6)`` BIGINT) and the per-step key is
+    ``lam_num*rel_u - (lam_den - lam_num)*pair_u`` — the greedy argmax
+    (ties to the smaller id) is therefore bit-identical on any engine,
+    which is what lets the sequential selection carry a full value-level
+    recursive-CTE oracle (``search_mmr_rerank``).
+
+    Scale shape: everything sequential happens on k-bounded data. The
+    corpus is touched once by the shortlist sweep (``cosine_topk``'s
+    broadcast(queries) x corpus pass); candidate relevance and the
+    candidate-pair matrix are ``k_candidates``/``k_candidates^2`` rows
+    per query; the greedy runs in ``applyInPandas`` per query group
+    (the skyline precedent for genuinely sequential logic) over
+    integers only — no float ever crosses the Python boundary. Step 1
+    is pure relevance (the standard MMR base case).
+
+    Output: ``(query_id, pos, neighbor_id, mmr_units)`` — ``pos`` is the
+    1-based selection order, ``mmr_units`` the integer selection key
+    (``lam_num * rel_u`` at pos 1).
+    """
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    c = _spread(emb_df, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
+        .select("query_id", "neighbor_id", "sim", "cvec")
+    )
+    cand = (
+        _per_query_topk(sims, "sim", k_candidates)
+        .withColumn("rel_u", F.floor(F.col("sim") * F.lit(1_000_000.0)).cast("long"))
+        .select("query_id", "neighbor_id", "rel_u", "cvec")
+    )
+    a = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("a"),
+        "rel_u",
+        F.col("cvec").alias("avec"),
+    )
+    b = cand.select(
+        "query_id", F.col("neighbor_id").alias("b"), F.col("cvec").alias("bvec")
+    )
+    pairs = (
+        a.join(b, ["query_id"])
+        .filter(F.col("a") != F.col("b"))
+        .withColumn(
+            "pair_u",
+            F.floor(
+                cosine_sim(F.col("avec"), F.col("bvec")) * F.lit(1_000_000.0)
+            ).cast("long"),
+        )
+        .select("query_id", "a", "b", "rel_u", "pair_u")
+    )
+    id_type = emb_df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {id_type}, pos int, neighbor_id {id_type}, mmr_units long"
+    )
+    n_pick, ln, ld = int(k), int(lam_num), int(lam_den)
+
+    def greedy(pdf):
+        # self-contained (cloudpickle by value): integer-only greedy
+        import pandas as pd
+
+        qid = pdf["query_id"].iloc[0]
+        rel = {}
+        pair = {}
+        for row in pdf.itertuples(index=False):
+            rel[row.a] = int(row.rel_u)
+            pair[(row.a, row.b)] = int(row.pair_u)
+        remaining = sorted(rel)
+        picked, out = [], []
+        for pos in range(1, min(n_pick, len(remaining)) + 1):
+            best_key, best_id = None, None
+            for d in remaining:
+                if picked:
+                    mp = max(pair[(d, s)] for s in picked)
+                    key = ln * rel[d] - (ld - ln) * mp
+                else:
+                    key = ln * rel[d]
+                if best_key is None or key > best_key or (
+                    key == best_key and d < best_id
+                ):
+                    best_key, best_id = key, d
+            picked.append(best_id)
+            remaining.remove(best_id)
+            out.append((qid, pos, best_id, best_key))
+        return pd.DataFrame(
+            out, columns=["query_id", "pos", "neighbor_id", "mmr_units"]
+        )
+
+    single = cand.groupBy("query_id").count().filter(F.col("count") == 1)
+    # a 1-candidate query has no pairs; route it around the pair join
+    solo = (
+        cand.join(single.select("query_id"), "query_id")
+        .select(
+            "query_id",
+            F.lit(1).alias("pos"),
+            F.col("neighbor_id"),
+            (F.lit(ln) * F.col("rel_u")).alias("mmr_units"),
+        )
+    )
+    multi = pairs.groupBy("query_id").applyInPandas(greedy, out_schema)
+    return multi.unionByName(solo)
+
+
 def near_duplicate_pairs(
     emb_df: DataFrame,
     threshold: float,

@@ -1592,6 +1592,104 @@ def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.maxsim_topk(emb, queries, n_tokens=4, k=5, dim=64)
 
 
+def _mmr_oracle(
+    nq: int = 8,
+    k_candidates: int = 20,
+    k: int = 5,
+    lam_num: int = 1,
+    lam_den: int = 2,
+) -> str:
+    """Recursive-CTE MMR oracle over the SAME integer micro-units as
+    ``similarity.mmr_topk``: each recursion step picks, per query, the
+    candidate maximizing ``lam_num*rel_u - (lam_den-lam_num)*max_pair_u``
+    via ``arg_max`` over a composite BIGINT key (``score*1e9 - id`` —
+    unique, so the tie-to-smaller-id break is exact). Generated so the
+    constants can't drift from the Spark call."""
+    mult = 1_000_000_000
+    ln, ld = int(lam_num), int(lam_den)
+    return f"""
+    WITH RECURSIVE
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < {nq}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id, c.cv,
+               list_cosine_similarity(q.qv, c.cv) AS sim
+        FROM q, c WHERE q.query_id <> c.neighbor_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, cv,
+               CAST(floor(sim * 1000000) AS BIGINT) AS rel_u
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {k_candidates}
+    ),
+    pair AS (
+        SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+               CAST(floor(list_cosine_similarity(a.cv, b.cv) * 1000000) AS BIGINT) AS pair_u
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+    ),
+    sel AS (
+        SELECT query_id, 1 AS pos,
+               [arg_max(neighbor_id, {ln} * rel_u * {mult} - neighbor_id)] AS picked,
+               [max({ln} * rel_u * {mult} - neighbor_id)] AS keys
+        FROM cand GROUP BY query_id
+        UNION ALL
+        SELECT query_id, pos + 1,
+               list_append(picked, arg_max(neighbor_id, key)),
+               list_append(keys, max(key))
+        FROM (
+            SELECT s.query_id, s.pos, s.picked, s.keys, cd.neighbor_id,
+                   ({ln} * cd.rel_u - {ld - ln} * max(p.pair_u)) * {mult}
+                       - cd.neighbor_id AS key
+            FROM sel s
+            JOIN cand cd ON cd.query_id = s.query_id
+                        AND NOT list_contains(s.picked, cd.neighbor_id)
+            JOIN pair p ON p.query_id = s.query_id
+                       AND p.a = cd.neighbor_id
+                       AND list_contains(s.picked, p.b)
+            GROUP BY s.query_id, s.pos, s.picked, s.keys, cd.neighbor_id, cd.rel_u
+        )
+        WHERE pos < {k}
+        GROUP BY query_id, pos, picked, keys
+    )
+    SELECT sel.query_id,
+           t.pos2::INT AS pos,
+           picked[t.pos2] AS neighbor_id,
+           (keys[t.pos2] + picked[t.pos2]) // {mult} AS mmr_units
+    FROM sel CROSS JOIN generate_series(1, {k}) AS t(pos2)
+    WHERE sel.pos = {k} AND t.pos2 <= len(picked)
+    """
+
+
+@register(
+    "sim_mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    description=(
+        "MMR (maximal marginal relevance) diversity re-ranking: per "
+        "query, greedily pick 5 of the 20-deep cosine shortlist, each "
+        "step maximizing lam*rel - (1-lam)*max-sim-to-picked with "
+        "lam=1/2 held RATIONAL over 1e-6 integer micro-units, so the "
+        "sequential greedy is bit-identical on any engine and the whole "
+        "selection carries a recursive-CTE value-level oracle. Spark "
+        "side: corpus touched once (broadcast(queries) x corpus "
+        "shortlist sweep), greedy over integers only in applyInPandas "
+        "per query group. operators/similarity.py::mmr_topk"
+    ),
+    tags=("llm", "similarity", "mmr", "diversity", "rerank"),
+)
+def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.mmr_topk(
+        emb, queries, k_candidates=20, k=5, lam_num=1, lam_den=2
+    )
+
+
 @register(
     "dedup_cluster_assign",
     oracle=_DUCK_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)

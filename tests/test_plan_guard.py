@@ -79,6 +79,10 @@ BNLJ_ALLOWED = {
     # pass as sim_cosine_topk — n_tokens^2 sliced cosines per pair,
     # still one row per (query, doc), no explode
     "sim_maxsim_topk",
+    # MMR's shortlist sweep is sim_cosine_topk's designed
+    # broadcast(query set) x corpus pass; everything after it is
+    # k_candidates-bounded per query
+    "sim_mmr_diverse_topk",
     # SQ8 shortlist is the same designed broadcast(query set) x corpus
     # sweep over int8 CODES (one integer multiply-add per dim); the
     # exact-cosine rerank join is shortlist-bounded per query
