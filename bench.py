@@ -146,6 +146,7 @@ HEADLINE = [
     "sim_ivf_ann_topk",
     "sim_pq_ann_topk",
     "sim_sq_ann_topk",
+    "sim_sq_served_topk",
     "sim_maxsim_topk",
     "sim_mmr_diverse_topk",
     "sim_ivf_served_topk",

@@ -57,6 +57,7 @@ def materialize_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_pq: bool = True,
+    include_sq: bool = False,
     meta_cols: tuple[str, ...] = (),
 ) -> dict:
     """Build the index: one corpus pass for the cell assignment + full
@@ -130,12 +131,31 @@ def materialize_ann_index(
             .partitionBy("cell", *meta_cols)
             .parquet(os.path.join(index_dir, "codes"))
         )
+    if include_sq:
+        # int8 scalar-quantized codes, mirroring the cells partitioning
+        # — the trainless compressed probe style (similarity.sq_topk);
+        # q_scale rides along for scale-aware variants
+        written_cells = emb_df.sparkSession.read.parquet(
+            os.path.join(index_dir, "cells")
+        ).select(id_col, "cell", *meta_cols)
+        sq_codes = similarity.quantize_int8(emb_df, id_col, vec_col).join(
+            written_cells, id_col
+        )
+        (
+            sq_codes.repartition(
+                n_centroids, F.col("cell"), *[F.col(c) for c in meta_cols]
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell", *meta_cols)
+            .parquet(os.path.join(index_dir, "sq"))
+        )
     meta = {
         "dim": int(dim),
         "n_centroids": int(n_centroids),
         "seed": int(seed),
         "id_col": id_col,
         "meta_cols": list(meta_cols),
+        "sq": bool(include_sq),
         "centroids": [[float(x) for x in row] for row in cents],
         "pq_codebook": None
         if codebook is None
@@ -435,6 +455,56 @@ def pq_filtered_topk_from_index(
     return similarity.adc_shortlist_rerank(
         cands, vectors, codebook.shape[0], k, shortlist
     )
+
+
+def sq_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 ANN served from the materialized int8 codes (``sq/``): the
+    third probe style over the one train-once artifact — no codebook at
+    all (the quantizer is per-vector), the scan reads ``dim`` small
+    ints per row, the shortlist key is the exact BIGINT
+    ``similarity.int_dot``, and the exact cosine rerank joins back to
+    ``cells/`` full vectors for ``shortlist`` ids per query.
+
+    Equals ``similarity.sq_topk`` bit-for-bit for the same corpus
+    (same quantizer, same integer ordering, same rerank — asserted by
+    test), so the served query inherits the fit-inline form's
+    value-level oracle ON THE PRUNED PATH — no degenerate full-probe
+    config needed, unlike the served IVF/PQ forms."""
+    meta = load_ann_meta(index_dir)
+    if not meta.get("sq"):
+        raise ValueError(
+            f"index at {index_dir} was built without SQ codes "
+            "(materialize_ann_index(include_sq=False)); rebuild with "
+            "include_sq=True to serve SQ queries"
+        )
+    codes = spark.read.parquet(os.path.join(index_dir, "sq")).select(
+        F.col(meta["id_col"]).alias("neighbor_id"), F.col("q_vec").alias("ccode")
+    )
+    qcodes = similarity.quantize_int8(queries_df, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q_vec").alias("qcode")
+    )
+    qvecs = queries_df.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    q = qcodes.join(qvecs, "query_id")
+    cands = (
+        codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("idot", similarity.int_dot(F.col("qcode"), F.col("ccode")))
+        .select("query_id", "qvec", "neighbor_id", "idot")
+    )
+    short = similarity._per_query_topk(cands, "idot", shortlist).drop("rank", "idot")
+    vectors = spark.read.parquet(os.path.join(index_dir, "cells")).select(
+        F.col(meta["id_col"]).alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    return similarity.cosine_rank_topk(short.join(vectors, "neighbor_id"), k)
 
 
 def materialize_mrl_index(

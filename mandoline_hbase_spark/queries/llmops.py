@@ -1091,7 +1091,8 @@ def _served_ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
     index_dir = _SERVED_ANN_INDEX.get(sf_dir)
     if index_dir is None:
         build = dict(
-            dim=64, n_centroids=8, seed=7, include_pq=True, pq_m=8, pq_k=16
+            dim=64, n_centroids=8, seed=7, include_pq=True, pq_m=8, pq_k=16,
+            include_sq=True,
         )
         emb = load_table(spark, sf_dir, "embeddings")
         index_dir = served_artifact(
@@ -1474,9 +1475,9 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_claim(approx, exact, bound=0.6)
 
 
-@register(
-    "sim_sq_ann_topk",
-    oracle="""
+# Shared by the fit-inline and served SQ queries (identical outputs:
+# same quantizer, same integer shortlist ordering, same exact rerank).
+_SQ_ORACLE = """
     WITH codes AS (
         SELECT vec_id, embedding::DOUBLE[] AS vec,
                CASE WHEN list_aggregate(
@@ -1514,7 +1515,12 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM short
     )
     WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "sim_sq_ann_topk",
+    oracle=_SQ_ORACLE,
     description=(
         "Scalar-quantization (SQ8) ANN top-5: per-vector int8 codes on "
         "both sides, INTEGER-dot shortlist (bit-exact on any engine — "
@@ -1532,6 +1538,29 @@ def sim_sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.sq_topk(emb, queries, k=5, shortlist=32)
+
+
+@register(
+    "sim_sq_served_topk",
+    oracle=_SQ_ORACLE,
+    description=(
+        "SQ8 ANN served from the materialized int8 codes (the same "
+        "train-once artifact as sim_ivf/pq_served_topk — a fourth probe "
+        "style, no codebook): integer-dot shortlist over the persisted "
+        "sq/ codes, exact rerank against cells/ full vectors. The "
+        "integer shortlist key makes the PRUNED served path itself "
+        "value-level-oracle-checkable — no degenerate full-probe config "
+        "needed. operators/ann_index.py::sq_topk_from_index"
+    ),
+    tags=("llm", "similarity", "ann", "sq", "served"),
+)
+def sim_sq_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    index_dir = _served_ann_index_dir(spark, sf_dir)
+    return ann_index.sq_topk_from_index(spark, index_dir, queries, k=5, shortlist=32)
 
 
 def _maxsim_oracle(n_tokens: int = 4, dim: int = 64, k: int = 5, nq: int = 8) -> str:

@@ -20,7 +20,8 @@ def built(spark, tmp_path_factory):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     index_dir = str(tmp_path_factory.mktemp("ann") / "index")
     summary = ann_index.materialize_ann_index(
-        emb, index_dir, dim=64, n_centroids=8, seed=7, pq_m=8, pq_k=16
+        emb, index_dir, dim=64, n_centroids=8, seed=7, pq_m=8, pq_k=16,
+        include_sq=True,
     )
     return emb, index_dir, summary
 
@@ -185,11 +186,40 @@ def test_rebuild_is_deterministic(spark, built, tmp_path):
     emb, index_dir, _ = built
     other = str(tmp_path / "index2")
     ann_index.materialize_ann_index(
-        emb, other, dim=64, n_centroids=8, seed=7, pq_m=8, pq_k=16
+        emb, other, dim=64, n_centroids=8, seed=7, pq_m=8, pq_k=16,
+        include_sq=True,
     )
     a = json.load(open(os.path.join(index_dir, "codebook.json")))
     b = json.load(open(os.path.join(other, "codebook.json")))
     assert a == b
+
+
+def test_served_sq_equals_fit_inline(spark, built):
+    """sq_topk_from_index over the persisted int8 codes must equal
+    similarity.sq_topk bit-for-bit — same quantizer, same integer
+    shortlist ordering, same exact rerank — on the PRUNED config."""
+    emb, index_dir, _ = built
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = _rows(similarity.sq_topk(emb, queries, k=5, shortlist=16))
+    got = _rows(
+        ann_index.sq_topk_from_index(spark, index_dir, queries, k=5, shortlist=16)
+    )
+    assert got == want and got
+
+
+def test_sq_serve_refused_without_codes(spark, tmp_path):
+    """An index built without SQ codes must refuse SQ serving with a
+    clear error, not a missing-parquet crash."""
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "no-sq")
+    ann_index.materialize_ann_index(
+        emb, d, dim=64, n_centroids=8, seed=7, include_pq=False, include_sq=False
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="without SQ codes"):
+        ann_index.sq_topk_from_index(spark, d, queries, k=3)
 
 
 def test_pq_serve_refused_without_codes(spark, tmp_path):

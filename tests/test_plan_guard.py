@@ -87,6 +87,9 @@ BNLJ_ALLOWED = {
     # sweep over int8 CODES (one integer multiply-add per dim); the
     # exact-cosine rerank join is shortlist-bounded per query
     "sim_sq_ann_topk",
+    # the served form scans the materialized sq/ int8 codes with the
+    # same deliberate broadcast(queries) shape
+    "sim_sq_served_topk",
     # Matryoshka shortlist is the same designed broadcast(query set) x
     # corpus exact pass as sim_cosine_topk — on the PREFIX dims only;
     # the full-dim rerank touches k_shortlist rows per query
