@@ -147,6 +147,7 @@ HEADLINE = [
     "sim_pq_ann_topk",
     "sim_sq_ann_topk",
     "sim_sq_served_topk",
+    "sim_sq_filtered_topk",
     "sim_maxsim_topk",
     "sim_mmr_diverse_topk",
     "sim_ivf_served_topk",

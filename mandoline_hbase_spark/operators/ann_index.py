@@ -507,6 +507,69 @@ def sq_topk_from_index(
     return similarity.cosine_rank_topk(short.join(vectors, "neighbor_id"), k)
 
 
+def sq_filtered_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    filters: dict,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered vector search on the SQ8 path: the metadata predicate
+    prunes (cell, *meta)-partitioned ``sq/`` code directories before
+    any integer arithmetic runs (same literal-predicate pruning as the
+    IVF/PQ filtered forms), the shortlist is taken over FILTERED
+    candidates only (post-filtering a plain top-k would under-fill k),
+    and the exact rerank reads ``cells/`` under the same predicate.
+
+    The strongest oracle in the filtered family: the predicate is exact
+    row selection and the shortlist key is an exact BIGINT, so the
+    PRUNED filtered path is value-level-checkable directly — the
+    IVF/PQ filtered forms need their full-probe/full-shortlist
+    degenerate configs, this one doesn't."""
+    if not filters:
+        raise ValueError(
+            "filters must name at least one metadata column; use "
+            "sq_topk_from_index for unfiltered search"
+        )
+    meta = load_ann_meta(index_dir)
+    if not meta.get("sq"):
+        raise ValueError(
+            f"index at {index_dir} was built without SQ codes "
+            "(materialize_ann_index(include_sq=False)); rebuild with "
+            "include_sq=True to serve SQ queries"
+        )
+
+    def filtered(df):
+        for col, vals in filters.items():
+            vs = list(vals) if isinstance(vals, (list, tuple, set)) else [vals]
+            df = df.filter(F.col(col).isin(vs))  # literal -> pruning
+        return df
+
+    codes = filtered(spark.read.parquet(os.path.join(index_dir, "sq"))).select(
+        F.col(meta["id_col"]).alias("neighbor_id"), F.col("q_vec").alias("ccode")
+    )
+    qcodes = similarity.quantize_int8(queries_df, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q_vec").alias("qcode")
+    )
+    qvecs = queries_df.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    q = qcodes.join(qvecs, "query_id")
+    cands = (
+        codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("idot", similarity.int_dot(F.col("qcode"), F.col("ccode")))
+        .select("query_id", "qvec", "neighbor_id", "idot")
+    )
+    short = similarity._per_query_topk(cands, "idot", shortlist).drop("rank", "idot")
+    vectors = filtered(spark.read.parquet(os.path.join(index_dir, "cells"))).select(
+        F.col(meta["id_col"]).alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    return similarity.cosine_rank_topk(short.join(vectors, "neighbor_id"), k)
+
+
 def materialize_mrl_index(
     emb_df: DataFrame,
     index_dir: str,

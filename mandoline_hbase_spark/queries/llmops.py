@@ -1127,7 +1127,7 @@ def _served_filtered_ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
     if index_dir is None:
         build = dict(
             dim=64, n_centroids=8, seed=7, include_pq=True, pq_m=8, pq_k=16,
-            meta_cols=("label",),
+            include_sq=True, meta_cols=("label",),
         )
         emb = load_table(spark, sf_dir, "embeddings")
         index_dir = served_artifact(
@@ -1227,6 +1227,72 @@ def sim_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = _served_filtered_ann_index_dir(spark, sf_dir)
     return ann_index.pq_filtered_topk_from_index(
         spark, index_dir, queries, filters={"label": 2}, k=5, shortlist=1 << 20
+    )
+
+
+@register(
+    "sim_sq_filtered_topk",
+    oracle="""
+    WITH codes AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+               CASE WHEN list_aggregate(
+                        list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') = 0
+                    THEN list_transform(embedding::DOUBLE[], x -> 0)
+                    ELSE list_transform(embedding::DOUBLE[], x -> CAST(floor(
+                         x / (list_aggregate(
+                                  list_transform(embedding::DOUBLE[], y -> abs(y)),
+                                  'max') / 127.0)
+                         + 0.5) AS INT))
+               END AS code
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, code AS qcode
+          FROM codes WHERE vec_id < 10),
+    cand AS (
+        SELECT q.query_id, q.qvec, c.vec_id AS neighbor_id, c.vec AS cvec,
+               CAST(list_dot_product(q.qcode, c.code) AS BIGINT) AS idot
+        FROM q, codes c
+        WHERE q.query_id <> c.vec_id AND c.label = 2
+    ),
+    short AS (
+        SELECT query_id, qvec, neighbor_id, cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY idot DESC, neighbor_id ASC) AS rk
+            FROM cand
+        ) WHERE rk <= 32
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(qvec, cvec) AS sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY list_cosine_similarity(qvec, cvec) DESC,
+                                           neighbor_id ASC)::INT AS rank
+        FROM short
+    )
+    WHERE rank <= 5
+    """,
+    description=(
+        "Filtered vector search on the SQ8 path: the label predicate "
+        "prunes (cell, label)-partitioned sq/ code directories before "
+        "any integer arithmetic, the int8 shortlist is taken over "
+        "FILTERED candidates only, exact rerank under the same "
+        "predicate. The strongest oracle in the filtered family: exact "
+        "predicate + exact BIGINT shortlist key = the PRUNED filtered "
+        "path is value-level-checked directly (IVF/PQ filtered need "
+        "degenerate full-probe/full-shortlist configs; this doesn't). "
+        "operators/ann_index.py::sq_filtered_topk_from_index"
+    ),
+    tags=("llm", "similarity", "ann", "sq", "filtered", "served"),
+)
+def sim_sq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    index_dir = _served_filtered_ann_index_dir(spark, sf_dir)
+    return ann_index.sq_filtered_topk_from_index(
+        spark, index_dir, queries, filters={"label": 2}, k=5, shortlist=32
     )
 
 

@@ -63,7 +63,8 @@ def built_filtered(spark, tmp_path_factory):
     index_dir = str(tmp_path_factory.mktemp("fann") / "index")
     ann_index.materialize_ann_index(
         emb, index_dir, dim=64, n_centroids=8, seed=7,
-        include_pq=True, pq_m=8, pq_k=16, meta_cols=("label",),
+        include_pq=True, pq_m=8, pq_k=16, include_sq=True,
+        meta_cols=("label",),
     )
     return emb, index_dir
 
@@ -131,6 +132,36 @@ def test_filtered_pq_codes_scan_prunes_on_predicate(spark, built_filtered):
     assert any(
         "cell" in ln and "label" in ln and " IN " in ln for ln in scan_lines
     ), plan[:4000]
+
+
+def test_filtered_sq_equals_filtered_fit_inline(spark, built_filtered):
+    """SQ twin: the filtered served path must equal similarity.sq_topk
+    over the pre-filtered corpus on the SAME PRUNED shortlist — no
+    degenerate config needed (integer shortlist keys)."""
+    emb, index_dir = built_filtered
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = _rows(
+        similarity.sq_topk(emb.filter(F.col("label") == 2), queries, k=5, shortlist=16)
+    )
+    got = _rows(
+        ann_index.sq_filtered_topk_from_index(
+            spark, index_dir, queries, filters={"label": 2}, k=5, shortlist=16
+        )
+    )
+    assert got == want and got
+
+
+def test_filtered_sq_codes_scan_prunes_on_predicate(spark, built_filtered):
+    """The sq/ table mirrors the (cell, label) partitioning, so the
+    predicate prunes int8-code directories at planning time."""
+    emb, index_dir = built_filtered
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = ann_index.sq_filtered_topk_from_index(
+        spark, index_dir, queries, filters={"label": [1, 2]}, k=3, shortlist=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("label" in ln and " IN " in ln for ln in scan_lines), plan[:4000]
 
 
 def test_filtered_ivf_rejects_empty_filters(spark, built_filtered):

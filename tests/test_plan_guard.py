@@ -90,6 +90,9 @@ BNLJ_ALLOWED = {
     # the served form scans the materialized sq/ int8 codes with the
     # same deliberate broadcast(queries) shape
     "sim_sq_served_topk",
+    # the filtered form scans the label-pruned sq/ directories with the
+    # same deliberate broadcast(queries) shape
+    "sim_sq_filtered_topk",
     # Matryoshka shortlist is the same designed broadcast(query set) x
     # corpus exact pass as sim_cosine_topk — on the PREFIX dims only;
     # the full-dim rerank touches k_shortlist rows per query
