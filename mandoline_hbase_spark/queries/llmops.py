@@ -1606,6 +1606,118 @@ def sim_sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq_topk(emb, queries, k=5, shortlist=32)
 
 
+def _sq_eval_oracle(k: int = 5, shortlist: int = 32, nq: int = 10) -> str:
+    """Retrieval-eval oracle: replay the SQ8 run AND the exact-cosine
+    truth, then compute hits/MRR/DCG/NDCG with the SAME integer
+    discount tables ``operators/ranking.py`` embeds in the Spark
+    expression (log2 never runs inside either engine). Generated so the
+    constants are imported, not retyped."""
+    from mandoline_hbase_spark.operators.ranking import (
+        MRR_UNITS,
+        NDCG_DISC_UNITS,
+        ndcg_ideal_units,
+    )
+
+    gain_case = " ".join(
+        f"WHEN {r} THEN {(1 << r) - 1}" for r in range(1, k + 1)
+    )
+    disc_case = " ".join(
+        f"WHEN {r} THEN {NDCG_DISC_UNITS[r - 1]}" for r in range(1, k + 1)
+    )
+    mrr_case = " ".join(
+        f"WHEN {r} THEN {MRR_UNITS[r - 1]}" for r in range(1, k + 1)
+    )
+    idcg = ndcg_ideal_units(k)
+    return f"""
+    WITH codes AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               CASE WHEN list_aggregate(
+                        list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') = 0
+                    THEN list_transform(embedding::DOUBLE[], x -> 0)
+                    ELSE list_transform(embedding::DOUBLE[], x -> CAST(floor(
+                         x / (list_aggregate(
+                                  list_transform(embedding::DOUBLE[], y -> abs(y)),
+                                  'max') / 127.0)
+                         + 0.5) AS INT))
+               END AS code
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, code AS qcode
+          FROM codes WHERE vec_id < {nq}),
+    cand AS (
+        SELECT q.query_id, q.qvec, c.vec_id AS neighbor_id, c.vec AS cvec,
+               CAST(list_dot_product(q.qcode, c.code) AS BIGINT) AS idot
+        FROM q, codes c WHERE q.query_id <> c.vec_id
+    ),
+    short AS (
+        SELECT query_id, qvec, neighbor_id, cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY idot DESC, neighbor_id ASC) AS rk
+            FROM cand
+        ) WHERE rk <= {shortlist}
+    ),
+    run AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY list_cosine_similarity(qvec, cvec) DESC,
+                                               neighbor_id ASC)::INT AS rank
+            FROM short
+        ) WHERE rank <= {k}
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY list_cosine_similarity(qvec, cvec) DESC,
+                                               neighbor_id ASC)::INT AS rank
+            FROM cand
+        ) WHERE rank <= {k}
+    ),
+    scored AS (
+        SELECT r.query_id, r.rank,
+               COALESCE({k + 1} - t.rank, 0) AS rel
+        FROM run r LEFT JOIN truth t
+          ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+    )
+    SELECT query_id,
+           SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::INT AS hits,
+           (CASE MIN(CASE WHEN rel > 0 THEN rank END) {mrr_case} ELSE 0 END)::BIGINT
+               AS mrr_units,
+           SUM((CASE rel {gain_case} ELSE 0 END)::BIGINT
+               * (CASE rank {disc_case} ELSE 0 END))::BIGINT AS dcg_units,
+           round(SUM((CASE rel {gain_case} ELSE 0 END)::BIGINT
+                     * (CASE rank {disc_case} ELSE 0 END)) / {idcg}.0, 6) AS ndcg
+    FROM scored GROUP BY query_id
+    """
+
+
+@register(
+    "search_eval_sq_ndcg",
+    oracle=_sq_eval_oracle(),
+    description=(
+        "Retrieval evaluation (graded-relevance IR metrics): hits@5, "
+        "MRR, DCG and NDCG@5 of the SQ8 pruned run against exact-cosine "
+        "ground truth (rel = 6 - truth_rank, burst gains 2^rel - 1). "
+        "NDCG's log2 NEVER runs inside either engine: discounts and "
+        "reciprocals are Python-precomputed INTEGER tables embedded as "
+        "literals on both sides, per-query aggregation sums integers, "
+        "and the only float is the final division of two exact integers "
+        "- so a run-quality report is itself hash-verified. "
+        "operators/ranking.py::retrieval_eval_report"
+    ),
+    tags=("llm", "search", "eval", "ndcg", "metrics"),
+)
+def search_eval_sq_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark.operators import ranking
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = similarity.cosine_topk(emb, queries, k=5)
+    run = similarity.sq_topk(emb, queries, k=5, shortlist=32)
+    return ranking.retrieval_eval_report(run, truth, k=5)
+
+
 @register(
     "sim_sq_served_topk",
     oracle=_SQ_ORACLE,

@@ -93,6 +93,10 @@ BNLJ_ALLOWED = {
     # the filtered form scans the label-pruned sq/ directories with the
     # same deliberate broadcast(queries) shape
     "sim_sq_filtered_topk",
+    # the eval query replays the SQ run + the exact-cosine truth, both
+    # the designed broadcast(queries) x corpus sweeps; the metric join
+    # itself is k-bounded per query
+    "search_eval_sq_ndcg",
     # Matryoshka shortlist is the same designed broadcast(query set) x
     # corpus exact pass as sim_cosine_topk — on the PREFIX dims only;
     # the full-dim rerank touches k_shortlist rows per query
