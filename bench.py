@@ -91,6 +91,7 @@ HEADLINE = [
     "ts_trailing_7d_stats",
     "ts_value_histogram",
     "gov_masked_events",
+    "gov_k_anonymity_events",
     "unpivot_lineitem_measures",
     "pivot_priority_by_status",
     "setops_multiset_partkeys",

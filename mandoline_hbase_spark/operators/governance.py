@@ -52,3 +52,44 @@ def masked_view(
     if drop_cols:
         out = out.drop(*drop_cols)
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_distinct: int = 3,
+) -> DataFrame:
+    """Per-equivalence-class re-identification risk report: group on the
+    quasi-identifier columns and flag classes violating k-anonymity
+    (fewer than ``k`` rows — an attacker joining on the quasi-identifiers
+    narrows a target to <k candidates) and l-diversity (fewer than
+    ``l_distinct`` distinct sensitive values — even a k-sized class
+    leaks when everyone shares the sensitive attribute; Machanavajjhala
+    et al. 2007).
+
+    The release gate a governed lake needs BEFORE a masked view ships:
+    ``masked_view`` enforces column policy, this measures whether the
+    surviving quasi-identifiers still re-identify. One aggregation: the
+    exact distinct is the standard two-level (quasi, sensitive)-grain
+    combine, so the shuffle is bounded by class-count x sensitive
+    cardinality, never raw rows twice.
+
+    Output: one row per equivalence class —
+    ``(*quasi_cols, n_rows, n_sensitive, k_anonymous, l_diverse)``.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            "n_rows",
+            "n_sensitive",
+            (F.col("n_rows") >= int(k)).alias("k_anonymous"),
+            (F.col("n_sensitive") >= int(l_distinct)).alias("l_diverse"),
+        )
+    )

@@ -211,3 +211,38 @@ def gov_masked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.select(
         "event_id", F.col("user_id").alias("user_pseudonym"), "event_type", "value"
     )
+
+
+@register(
+    "gov_k_anonymity_events",
+    oracle=r"""
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               COUNT(*)::BIGINT AS n_rows,
+               COUNT(DISTINCT user_id)::BIGINT AS n_sensitive,
+               COUNT(*) >= 50 AS k_anonymous,
+               COUNT(DISTINCT user_id) >= 20 AS l_diverse
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    """,
+    description=(
+        "Re-identification risk report (k-anonymity + l-diversity, "
+        "Machanavajjhala et al.): per (event_type, day) equivalence "
+        "class, row count and distinct-user count with k=50 / l=20 "
+        "release-gate flags - the audit a governed lake runs BEFORE a "
+        "masked view ships (quasi-identifiers can re-identify even "
+        "after gov_masked_events' column policy). One aggregation; the "
+        "exact distinct is the standard two-level (class, user) "
+        "combine. operators/governance.py::k_anonymity_report"
+    ),
+    tags=("governance", "privacy", "k-anonymity"),
+)
+def gov_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day as ISO string: Spark dates surface as python date objects but
+    # DuckDB DATE as datetime64 - strings compare identically
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    return governance.k_anonymity_report(
+        events, ["event_type", "day"], "user_id", k=50, l_distinct=20
+    )

@@ -40,3 +40,25 @@ def test_masked_view_row_filter_pushes_to_scan(spark):
     assert "PushedFilters: [IsNotNull(event_type), Not(EqualTo(event_type,purchase))" in plan
     # dropped column must not be read at all
     assert "props" not in plan.split("ReadSchema")[1]
+
+
+def test_k_anonymity_report_flags(spark):
+    """Hand-built classes: a 2-row class violates k=3; a 3-row class
+    with one distinct sensitive value violates l=2."""
+    from mandoline_hbase_spark.operators.governance import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10), ("a", 1, 11), ("a", 1, 12),   # k ok, l ok
+            ("b", 2, 20), ("b", 2, 20), ("b", 2, 20),   # k ok, l VIOLATION
+            ("c", 3, 30), ("c", 3, 31),                 # k VIOLATION, l ok
+        ],
+        "qa string, qb int, user bigint",
+    )
+    out = {
+        (r.qa, r.qb): (r.n_rows, r.n_sensitive, r.k_anonymous, r.l_diverse)
+        for r in k_anonymity_report(df, ["qa", "qb"], "user", k=3, l_distinct=2).collect()
+    }
+    assert out[("a", 1)] == (3, 3, True, True)
+    assert out[("b", 2)] == (3, 1, True, False)
+    assert out[("c", 3)] == (2, 2, False, True)
