@@ -119,6 +119,7 @@ HEADLINE = [
     "text_repetition_signals",
     "text_winnowing_stats",
     "text_dup_gram_fraction",
+    "mm_frame_dedup_pairs",
     "dedup_exact_keep_first",
     "dedup_segment_exact",
     "dedup_span_ngrams",

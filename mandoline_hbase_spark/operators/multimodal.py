@@ -339,3 +339,68 @@ def byte_histogram_features_arrow(
             )
 
     return df.select(id_col, media_col).mapInArrow(extract, _HIST_SCHEMA)
+
+
+def frame_fingerprint_pairs(
+    frames_df: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    max_docs_per_frame: int | None = None,
+) -> DataFrame:
+    """Near-duplicate media detection by frame-fingerprint Jaccard: two
+    payloads whose sampled frames share >= t_num/t_den of their distinct
+    frame hashes (the standard video near-dup approach — re-encodes,
+    trims and container changes keep most frame content identical while
+    whole-file hashes diverge).
+
+    Input: a ``frame_sample`` output (``doc_id, frame_no, frame``).
+    Plan: md5 per frame (JVM-side), distinct (doc, fp), then the
+    INVERTED-INDEX pair join — docs pair through shared fingerprints,
+    never all-pairs, so cost is bounded by fingerprint co-occurrence
+    exactly like the LSH band join. The Jaccard threshold is evaluated
+    as pure integer arithmetic (``t_den * shared >= t_num * union``), so
+    output rows are engine-exact.
+
+    ``max_docs_per_frame`` is the hot-fingerprint guard (a frame of all
+    zeros appearing in every file would square the join): fingerprints
+    shared by more than the cap are EXCLUDED from pairing — same
+    observable-guard contract as the LSH hot-bucket cap. ``None`` (the
+    oracle config) pairs through every fingerprint.
+
+    Output: ``(doc_a, doc_b, shared_frames, union_frames)`` for
+    qualifying pairs — integer columns only.
+    """
+    fp = frames_df.select(
+        "doc_id", F.md5(F.col("frame")).alias("fp")
+    ).distinct()
+    if max_docs_per_frame is not None:
+        hot = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > int(max_docs_per_frame))
+            .select("fp")
+        )
+        fp = fp.join(hot, "fp", "left_anti")
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    union = F.col("na") + F.col("nb") - F.col("shared_frames")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.lit(int(t_den)) * F.col("shared_frames") >= F.lit(int(t_num)) * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_frames",
+            union.cast("long").alias("union_frames"),
+        )
+    )

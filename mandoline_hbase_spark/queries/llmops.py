@@ -1001,6 +1001,50 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "mm_frame_dedup_pairs",
+    oracle="""
+    WITH f AS (SELECT doc_id, text, length(text) AS nb FROM documents),
+    idx AS (SELECT generate_series AS i FROM generate_series(0, 63)),
+    frames AS (
+        SELECT DISTINCT doc_id, md5(substring(text, i * 64 + 1, 64)) AS fp
+        FROM f, idx WHERE i < nb // 64
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM frames GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared_frames
+        FROM frames a JOIN frames b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b, s.shared_frames,
+           (sa.n + sb.n - s.shared_frames)::BIGINT AS union_frames
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE 2 * s.shared_frames >= (sa.n + sb.n - s.shared_frames)
+    """,
+    description=(
+        "Near-duplicate MEDIA detection by frame fingerprints (the "
+        "standard video near-dup approach): every full 64-byte frame of "
+        "the payload is md5'd, docs pair through an INVERTED-INDEX join "
+        "on shared fingerprints (never all-pairs - the LSH-band shape), "
+        "and pairs with frame-set Jaccard >= 1/2 survive via pure "
+        "integer threshold arithmetic. Frame slicing is the real "
+        "mapInPandas byte path (frame_sample); only the upstream codec "
+        "is faked. The DuckDB oracle replays the same windows over the "
+        "ASCII payload bytes - the 64-frame oracle bound covers docs to "
+        "4 KiB and fails LOUD (count mismatch) beyond it. "
+        "operators/multimodal.py::frame_fingerprint_pairs"
+    ),
+    tags=("llm", "multimodal", "dedup", "frames"),
+)
+def mm_frame_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs, frame_bytes=64)
+    frames = multimodal.frame_sample(media, every_k=1)
+    return multimodal.frame_fingerprint_pairs(frames, t_num=1, t_den=2)
+
+
 def _ann_recall_claim(approx: DataFrame, exact: DataFrame, bound: float) -> DataFrame:
     """One hashable row: query count, total result count, and the claim
     that corpus-wide recall@k of ``approx`` against the in-plan exact

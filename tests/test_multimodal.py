@@ -338,3 +338,56 @@ def test_decode_media_default_decoder_runs_on_png(spark):
             np.array(r.pixels).reshape(2, 3, 3), v.astype(np.float64) / 255.0
         )
     assert out[3].decode_error is not None and out[3].pixels is None
+
+
+def test_frame_fingerprint_pairs_hand_case(spark):
+    """3 payloads of 2 frames each: A==B (jaccard 1), C shares one frame
+    with A/B (jaccard 1/3 < 1/2 -> excluded at t=1/2, included at t=1/4)."""
+    from mandoline_hbase_spark.operators import multimodal
+
+    fa = b"x" * 64
+    fb = b"y" * 64
+    fc = b"z" * 64
+    rows = [
+        (1, 0, fa), (1, 1, fb),
+        (2, 0, fa), (2, 1, fb),
+        (3, 0, fa), (3, 1, fc),
+    ]
+    frames = spark.createDataFrame(rows, "doc_id bigint, frame_no int, frame binary")
+    strict = {
+        (r.doc_a, r.doc_b): (r.shared_frames, r.union_frames)
+        for r in multimodal.frame_fingerprint_pairs(frames, 1, 2).collect()
+    }
+    assert strict == {(1, 2): (2, 2)}
+    loose = {
+        (r.doc_a, r.doc_b): (r.shared_frames, r.union_frames)
+        for r in multimodal.frame_fingerprint_pairs(frames, 1, 4).collect()
+    }
+    assert loose == {(1, 2): (2, 2), (1, 3): (1, 3), (2, 3): (1, 3)}
+
+
+def test_frame_fingerprint_hot_guard_excludes_ubiquitous_frames(spark):
+    """A fingerprint present in more docs than the cap pairs nobody:
+    docs sharing ONLY the hot frame drop out, pairs sharing cold frames
+    survive."""
+    from mandoline_hbase_spark.operators import multimodal
+
+    hot = b"\x00" * 64
+    cold = b"c" * 64
+    rows = [
+        (1, 0, hot), (1, 1, cold),
+        (2, 0, hot), (2, 1, cold),
+        (3, 0, hot),
+        (4, 0, hot),
+    ]
+    frames = spark.createDataFrame(rows, "doc_id bigint, frame_no int, frame binary")
+    # unguarded at t=1/4: every doc pairs with every other through hot
+    un = multimodal.frame_fingerprint_pairs(frames, 1, 4).collect()
+    assert {(r.doc_a, r.doc_b) for r in un} == {
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)
+    }
+    # cap 3 excludes the 4-doc hot frame: only the cold-frame pair stays
+    g = multimodal.frame_fingerprint_pairs(frames, 1, 4, max_docs_per_frame=3).collect()
+    assert {(r.doc_a, r.doc_b): (r.shared_frames, r.union_frames) for r in g} == {
+        (1, 2): (1, 1)
+    }
