@@ -86,6 +86,8 @@ HEADLINE = [
     "sessionize_events",
     "funnel_signup_to_purchase",
     "retention_cohorts",
+    "events_transition_matrix",
+    "events_outliers_mad",
     "ts_resample_gap_fill",
     "ts_scd2_history",
     "ts_trailing_7d_stats",

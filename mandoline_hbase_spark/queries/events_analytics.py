@@ -605,3 +605,119 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+        WITH pairs AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        cnt AS (
+            SELECT event_type, next_type, COUNT(*)::BIGINT AS n_transitions
+            FROM pairs WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        )
+        SELECT event_type, next_type, n_transitions,
+               SUM(n_transitions) OVER (PARTITION BY event_type)::BIGINT AS total_from,
+               ((n_transitions * 1000000) //
+                   SUM(n_transitions) OVER (PARTITION BY event_type))::BIGINT
+                   AS p_units
+        FROM cnt
+    """,
+    description=(
+        "First-order next-event transition matrix (user-journey Markov "
+        "chain): per user-ordered stream, count (event_type -> "
+        "next_type) transitions and emit P(next|current) as exact "
+        "integer micro-units (floor(1e6 * n / total) via integer "
+        "division - no float probability ever computed, so the matrix "
+        "hash-verifies). One lead() window + one aggregate; the "
+        "per-source normalization is a partition window over the "
+        "TYPE-GRAIN counts (|types|^2 rows), never the raw stream."
+    ),
+    tags=("events", "window", "markov", "sequence"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    cnt = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    wt = Window.partitionBy("event_type")
+    return cnt.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.sum("n_transitions").over(wt).cast("long").alias("total_from"),
+        F.expr(
+            "CAST((n_transitions * 1000000) DIV SUM(n_transitions) "
+            "OVER (PARTITION BY event_type) AS BIGINT)"
+        ).alias("p_units"),
+    )
+
+
+@register(
+    "events_outliers_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, median(adev) AS mad FROM dev
+            GROUP BY event_type
+        )
+        SELECT d.event_type,
+               COUNT(*)::BIGINT AS n,
+               round(any_value(d.med), 6) AS med,
+               round(any_value(m.mad), 6) AS mad,
+               SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)::BIGINT
+                   AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+    """,
+    description=(
+        "Robust outlier detection (median absolute deviation): per "
+        "event_type, exact interpolated median and MAD of value, and "
+        "the count of events beyond 3 MADs - the monitoring gate "
+        "z-scores get wrong on heavy-tailed data (median/MAD have a "
+        "50% breakdown point; mean/stddev break at one bad row). Two "
+        "grouped exact-percentile aggregations + one conditional "
+        "count; group grain is |event types|, so the joins broadcast."
+    ),
+    tags=("events", "quality", "outliers", "robust"),
+)
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum((F.col("adev") > 3 * F.col("mad")).cast("int"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
