@@ -154,6 +154,7 @@ HEADLINE = [
     "sim_sq_filtered_topk",
     "search_eval_sq_ndcg",
     "sim_maxsim_topk",
+    "sim_maxsim_reranked_topk",
     "sim_mmr_diverse_topk",
     "sim_ivf_served_topk",
     "sim_ivf_filtered_topk",

@@ -377,20 +377,77 @@ def maxsim_topk(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
     )
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    score = None
-    for i in range(n_tokens):
-        qt = F.slice(F.col("qvec"), i * td + 1, td)
-        coss = [
-            cosine_sim(qt, F.slice(F.col("cvec"), j * td + 1, td))
-            for j in range(n_tokens)
-        ]
-        m = coss[0] if len(coss) == 1 else F.greatest(*coss)
-        score = m if score is None else score + m
-    sims = pairs.withColumn("maxsim", score).select(
+    sims = pairs.withColumn("maxsim", _maxsim_score(n_tokens, td)).select(
         "query_id", "neighbor_id", "maxsim"
     )
     return _per_query_topk(sims, "maxsim", k).select(
         "query_id", "rank", "neighbor_id", F.round("maxsim", 6).alias("maxsim")
+    )
+
+
+def _maxsim_score(n_tokens: int, td: int, qcol: str = "qvec", ccol: str = "cvec"):
+    """THE MaxSim score expression — variadic ``greatest`` of sliced
+    cosines per query token (max of doubles: summation-order-free),
+    token terms added in fixed left-to-right order. One definition
+    shared by ``maxsim_topk`` and ``maxsim_rerank_topk`` so the flat
+    and two-stage forms cannot drift; the oracle generator mirrors the
+    same arithmetic."""
+    score = None
+    for i in range(n_tokens):
+        qt = F.slice(F.col(qcol), i * td + 1, td)
+        coss = [
+            cosine_sim(qt, F.slice(F.col(ccol), j * td + 1, td))
+            for j in range(n_tokens)
+        ]
+        m = coss[0] if len(coss) == 1 else F.greatest(*coss)
+        score = m if score is None else score + m
+    return score
+
+
+def maxsim_rerank_topk(
+    emb_df: DataFrame,
+    queries_df: DataFrame,
+    n_tokens: int = 4,
+    k_shortlist: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage MaxSim — the scale shape ``maxsim_topk``'s docstring
+    promises, implemented: shortlist ``k_shortlist`` per query on the
+    POOLED full-vector cosine (one cosine per pair — the cheap sweep,
+    and exactly what an IVF/SQ index accelerates further), then score
+    only the survivors with the ``n_tokens^2``-cosine MaxSim expression.
+    Same plan family as ``matryoshka_topk`` (cheap pass prunes, rich
+    pass reranks k-bounded survivors); the rerank reuses the single
+    fixed-order score expression of ``maxsim_topk``, so the two forms
+    cannot drift.
+
+    Output: ``(query_id, rank, neighbor_id, maxsim, pooled_sim)`` — the
+    rerank score plus the shortlist score that admitted the candidate
+    (their rank disagreement is the observable late-interaction lift).
+    """
+    if dim % n_tokens:
+        raise ValueError(f"dim {dim} not divisible by n_tokens {n_tokens}")
+    td = dim // n_tokens
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    c = _spread(emb_df, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    )
+    cands = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "pooled_sim", cosine_sim(F.col("qvec"), F.col("cvec"))
+    )
+    shortlist = _per_query_topk(cands, "pooled_sim", k_shortlist).drop("rank")
+    sims = shortlist.withColumn("maxsim", _maxsim_score(n_tokens, td))
+    return _per_query_topk(sims, "maxsim", k).select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round("maxsim", 6).alias("maxsim"),
+        F.round("pooled_sim", 6).alias("pooled_sim"),
     )
 
 

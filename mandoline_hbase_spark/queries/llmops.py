@@ -1785,22 +1785,73 @@ def sim_sq_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.sq_topk_from_index(spark, index_dir, queries, k=5, shortlist=32)
 
 
+def _maxsim_score_sql(
+    n_tokens: int, dim: int, qref: str = "q.qv", cref: str = "c.cv"
+) -> str:
+    """The MaxSim score as SQL text with the SAME fixed-order arithmetic
+    as ``similarity._maxsim_score``: per query token a variadic
+    ``greatest`` of sliced cosines, token terms added left-to-right."""
+    td = dim // n_tokens
+    terms = []
+    for i in range(n_tokens):
+        qs = f"{qref}[{i * td + 1}:{(i + 1) * td}]"
+        coss = ",\n                 ".join(
+            f"list_cosine_similarity({qs}, {cref}[{j * td + 1}:{(j + 1) * td}])"
+            for j in range(n_tokens)
+        )
+        terms.append(f"greatest({coss})")
+    return "\n             + ".join(terms)
+
+
+def _maxsim_rerank_oracle(
+    n_tokens: int = 4,
+    dim: int = 64,
+    k_shortlist: int = 20,
+    k: int = 5,
+    nq: int = 8,
+) -> str:
+    score = _maxsim_score_sql(n_tokens, dim, qref="qv", cref="cv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {nq}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    pooled AS (
+        SELECT q.query_id, c.neighbor_id, q.qv, c.cv,
+               list_cosine_similarity(q.qv, c.cv) AS pooled_sim
+        FROM q, c WHERE q.query_id <> c.neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id, qv, cv, pooled_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY pooled_sim DESC, neighbor_id ASC) AS rk
+            FROM pooled
+        ) WHERE rk <= {k_shortlist}
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, pooled_sim,
+               {score} AS maxsim
+        FROM short
+    )
+    SELECT query_id, rank, neighbor_id,
+           round(maxsim, 6) AS maxsim, round(pooled_sim, 6) AS pooled_sim
+    FROM (
+        SELECT query_id, neighbor_id, maxsim, pooled_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY maxsim DESC, neighbor_id ASC)::INT AS rank
+        FROM scored
+    )
+    WHERE rank <= {k}
+    """
+
+
 def _maxsim_oracle(n_tokens: int = 4, dim: int = 64, k: int = 5, nq: int = 8) -> str:
     """Generate the MaxSim oracle with the SAME fixed-order score text
     the Spark expression compiles to: per query token, a variadic
     ``greatest`` of the sliced cosines (max of doubles — order-free);
     token terms added left-to-right. Generated, not hand-typed, so the
     slice arithmetic can't drift from ``similarity.maxsim_topk``."""
-    td = dim // n_tokens
-    terms = []
-    for i in range(n_tokens):
-        qs = f"q.qv[{i * td + 1}:{(i + 1) * td}]"
-        coss = ",\n                 ".join(
-            f"list_cosine_similarity({qs}, c.cv[{j * td + 1}:{(j + 1) * td}])"
-            for j in range(n_tokens)
-        )
-        terms.append(f"greatest({coss})")
-    score = "\n             + ".join(terms)
+    score = _maxsim_score_sql(n_tokens, dim)
     return f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < {nq}),
@@ -1841,6 +1892,29 @@ def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.maxsim_topk(emb, queries, n_tokens=4, k=5, dim=64)
+
+
+@register(
+    "sim_maxsim_reranked_topk",
+    oracle=_maxsim_rerank_oracle(),
+    description=(
+        "Two-stage MaxSim (the scale shape): shortlist top-20 per query "
+        "on the POOLED full-vector cosine (one cosine per pair - the "
+        "cheap sweep an IVF/SQ index accelerates further), MaxSim-score "
+        "only the survivors with the SHARED fixed-order token "
+        "expression. Same prune-then-rerank family as matryoshka_topk; "
+        "output carries both scores so the late-interaction lift over "
+        "pooled ranking is observable. "
+        "operators/similarity.py::maxsim_rerank_topk"
+    ),
+    tags=("llm", "similarity", "maxsim", "colbert", "rerank"),
+)
+def sim_maxsim_reranked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.maxsim_rerank_topk(
+        emb, queries, n_tokens=4, k_shortlist=20, k=5, dim=64
+    )
 
 
 def _mmr_oracle(

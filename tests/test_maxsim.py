@@ -92,3 +92,45 @@ def test_maxsim_deterministic(spark):
     a = _rows(maxsim_topk(emb, queries, n_tokens=4, k=5))
     b = _rows(maxsim_topk(emb, queries, n_tokens=4, k=5))
     assert a == b and len(a) == 5 * 5
+
+
+def test_maxsim_rerank_full_shortlist_equals_flat(spark):
+    """A corpus-wide shortlist admits everything, so the two-stage form
+    must equal flat maxsim_topk exactly (shared score expression)."""
+    from mandoline_hbase_spark.operators.similarity import (
+        maxsim_rerank_topk,
+        maxsim_topk,
+    )
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    flat = _rows(maxsim_topk(emb, queries, n_tokens=4, k=5))
+    two = _rows(
+        maxsim_rerank_topk(
+            emb, queries, n_tokens=4, k_shortlist=1_000_000, k=5
+        ).drop("pooled_sim")
+    )
+    assert flat == two
+
+
+def test_maxsim_rerank_shows_lift(spark):
+    """A doc whose tokens are scrambled relative to the query outranks a
+    half-matching doc under MaxSim even though pooled cosine prefers
+    the latter — the observable late-interaction lift."""
+    from mandoline_hbase_spark.operators.similarity import maxsim_rerank_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 1.0]),   # query tokens +x, +y
+            (1, [0.0, 1.0, 1.0, 0.0]),   # scrambled twin: pooled cos 0, maxsim 2
+            (2, [1.0, 0.0, 1.0, 0.0]),   # half match: pooled cos 0.5, maxsim 1
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = maxsim_rerank_topk(
+        emb, emb.filter(F.col("vec_id") == 0), n_tokens=2, k_shortlist=5, k=2, dim=4
+    ).collect()
+    got = {r.neighbor_id: (r.rank, r.maxsim, r.pooled_sim) for r in out}
+    assert got[1][0] == 1 and got[1][1] == 2.0 and got[1][2] == 0.0
+    assert got[2][0] == 2 and got[2][1] == 1.0

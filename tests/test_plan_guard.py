@@ -79,6 +79,9 @@ BNLJ_ALLOWED = {
     # pass as sim_cosine_topk — n_tokens^2 sliced cosines per pair,
     # still one row per (query, doc), no explode
     "sim_maxsim_topk",
+    # the two-stage form's shortlist sweep is the same designed shape;
+    # MaxSim scoring touches k_shortlist rows per query
+    "sim_maxsim_reranked_topk",
     # MMR's shortlist sweep is sim_cosine_topk's designed
     # broadcast(query set) x corpus pass; everything after it is
     # k_candidates-bounded per query
