@@ -160,6 +160,7 @@ HEADLINE = [
     "sim_ivf_filtered_topk",
     "sim_pq_filtered_topk",
     "bm25_stream_served_topk",
+    "sim_ivf_stream_served_topk",
     "sim_pq_served_topk",
     "sim_matryoshka_topk",
     "sim_matryoshka_served_topk",

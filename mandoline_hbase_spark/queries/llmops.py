@@ -1762,6 +1762,96 @@ def search_eval_sq_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.retrieval_eval_report(run, truth, k=5)
 
 
+_STREAM_SERVED_ANN: dict[str, str] = {}
+
+
+@register(
+    "sim_ivf_stream_served_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qvec, c.embedding::DOUBLE[]) AS sim
+        FROM q, embeddings c
+        WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC)::INT AS rank
+        FROM sims
+    )
+    WHERE rank <= 5
+    """,
+    description=(
+        "IVF ANN served from a STREAM-MAINTAINED index (the ANN twin of "
+        "bm25_stream_served_topk): the artifact is built by a real "
+        "Structured Streaming run — corpus staged into multiple files, "
+        "readStream with maxFilesPerTrigger=1, foreachBatch cell-append "
+        "upkeep (streaming/ann.start_ann_maintenance), availableNow "
+        "termination — and queries serve from the maintained batch dirs "
+        "alone (streaming/ann.ivf_search). Cell assignments are pure "
+        "per-row functions of the init-time centroids, so the "
+        "stream-built index serves identically to the static one; full "
+        "probe degrades exactly to brute force, putting the streaming "
+        "ANN upkeep path itself under the driver's value-level oracle "
+        "instead of only under pytest."
+    ),
+    tags=("llm", "similarity", "ann", "ivf", "served", "streaming"),
+)
+def sim_ivf_stream_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
+    from mandoline_hbase_spark.streaming import ann as sann
+
+    build_params = dict(dim=64, n_centroids=8, seed=7)
+    artifact = _STREAM_SERVED_ANN.get(sf_dir)
+    if artifact is None:
+
+        def _build(work: str) -> None:
+            staging = os.path.join(work, "staging")
+            emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+            emb.repartition(4).write.mode("overwrite").parquet(staging)
+            index_dir = os.path.join(work, "index")
+            sann.init_ann_index(index_dir, **build_params)
+            stream = (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(staging)
+            )
+            q = sann.start_ann_maintenance(
+                stream, index_dir, os.path.join(work, "ckpt")
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("ANN maintenance stream did not finish")
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+
+        artifact = served_artifact(
+            "mandoline-ann-stream",
+            content_fingerprint(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                {"layout": "stream-ann-v1", "files": 4, **build_params},
+            ),
+            _build,
+        )
+        _STREAM_SERVED_ANN[sf_dir] = artifact
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sann.ivf_search(
+        spark, os.path.join(artifact, "index"), queries, k=5, n_probe=8
+    )
+
+
 @register(
     "sim_sq_served_topk",
     oracle=_SQ_ORACLE,
