@@ -2076,8 +2076,11 @@ def _mmr_oracle(
            t.pos2::INT AS pos,
            picked[t.pos2] AS neighbor_id,
            (keys[t.pos2] + picked[t.pos2]) // {mult} AS mmr_units
-    FROM sel CROSS JOIN generate_series(1, {k}) AS t(pos2)
-    WHERE sel.pos = {k} AND t.pos2 <= len(picked)
+    FROM sel
+    JOIN (SELECT query_id, max(pos) AS maxpos FROM sel GROUP BY query_id) last
+      ON last.query_id = sel.query_id AND sel.pos = last.maxpos
+    CROSS JOIN generate_series(1, {k}) AS t(pos2)
+    WHERE t.pos2 <= len(picked)
     """
 
 
