@@ -186,6 +186,7 @@ HEADLINE = [
     "text_compression_ratio",
     "split_leakage_report",
     "bm25_search_topk",
+    "search_ql_dirichlet_topk",
     "bm25_served_topk",
     "domain_quota_sample",
     "dedup_prefix_filter",

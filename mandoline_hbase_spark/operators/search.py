@@ -557,3 +557,91 @@ def rrf_fuse(
         F.round("rrf_score", 6).alias("rrf_score"),
         *[f"{name}_rank" for name, _ in ranked_lists],
     )
+
+
+def ql_dirichlet_topk_from_postings(
+    tf: DataFrame,
+    dl: DataFrame,
+    query_terms: Sequence[str],
+    mu: float = 2000.0,
+    k: int = 25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet-prior smoothing (Ponte
+    & Croft '98; Zhai & Lafferty '01) served from the same ``(tf, dl)``
+    index tables as BM25 — the second classic principled scorer:
+
+        score(q, d) = sum_t  ln( (tf_t,d + mu * cf_t / |C|) / (dl_d + mu) )
+
+    with ``cf_t`` the collection frequency and ``|C|`` the total token
+    count. Candidates are docs matching >= 1 query term (the standard
+    inverted-index restriction; the smoothing-only score of a no-match
+    doc is rank-irrelevant below them for any query that matches at
+    all). Determinism discipline: ``cf_t`` and ``|C|`` are EXACT
+    integer aggregates (single-row conditional form — no term-grain
+    shuffle, mirroring BM25's df(t)); the per-term smoothed
+    probabilities divide those integers in one fixed expression shape,
+    and term contributions fold in the fixed order of ``query_terms``.
+    Output: ``(rank, doc_id, score)``, score rounded to 6, top-k via
+    TakeOrderedAndProject then a k-row rank window."""
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    qtf = tf.filter(F.col("term").isin(terms))
+    cf = qtf.agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
+            .cast("bigint")
+            .alias(f"_cf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    c_tot = dl.agg(F.sum("dl").cast("bigint").alias("_c_tokens"))
+    pivot = qtf.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("tf"))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    cand = (
+        pivot.join(dl, id_col)
+        .crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(c_tot))
+    )
+    score = None
+    for i in range(len(terms)):
+        tf_i = F.coalesce(F.col(f"_tf{i}").cast("double"), F.lit(0.0))
+        smooth = (
+            F.lit(float(mu)) * F.col(f"_cf{i}").cast("double")
+            / F.col("_c_tokens").cast("double")
+        )
+        contrib = F.log(
+            (tf_i + smooth) / (F.col("dl").cast("double") + F.lit(float(mu)))
+        )
+        score = contrib if score is None else score + contrib
+    ranked = cand.select(F.col(id_col), F.round(score, 6).alias("score"))
+    from pyspark.sql import Window
+
+    top = ranked.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", id_col, "score"
+    )
+
+
+def ql_dirichlet_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    mu: float = 2000.0,
+    k: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-likelihood (Dirichlet) top-k over raw documents: build the
+    ``postings`` index inline, then score via
+    :func:`ql_dirichlet_topk_from_postings` (one definition of the
+    smoothed score for the inline and served forms)."""
+    tf, dl = postings(df, id_col, text_col)
+    return ql_dirichlet_topk_from_postings(
+        tf, dl, query_terms, mu=mu, k=k, id_col=id_col
+    )

@@ -100,6 +100,75 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(docs, _BM25_TERMS, k=25, k1=_BM25_K1, b=_BM25_B)
 
 
+
+@register(
+    "search_ql_dirichlet_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE length(term) > 0 GROUP BY doc_id, term
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM toks WHERE length(term) > 0 GROUP BY doc_id
+    ),
+    scal AS (
+        SELECT (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS c_tokens,
+               (SELECT CAST(coalesce(sum(CASE WHEN term = 'dup'    THEN tf END), 0) AS BIGINT) FROM tf) AS cf0,
+               (SELECT CAST(coalesce(sum(CASE WHEN term = 'hash'   THEN tf END), 0) AS BIGINT) FROM tf) AS cf1,
+               (SELECT CAST(coalesce(sum(CASE WHEN term = 'vector' THEN tf END), 0) AS BIGINT) FROM tf) AS cf2
+    ),
+    piv AS (
+        SELECT doc_id,
+               max(CASE WHEN term = 'dup'    THEN tf END) AS tf0,
+               max(CASE WHEN term = 'hash'   THEN tf END) AS tf1,
+               max(CASE WHEN term = 'vector' THEN tf END) AS tf2
+        FROM tf WHERE term IN ('dup', 'hash', 'vector') GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               round(
+                 ln((CAST(coalesce(tf0, 0) AS DOUBLE)
+                     + 2000.0 * CAST(cf0 AS DOUBLE) / CAST(c_tokens AS DOUBLE))
+                    / (CAST(dl AS DOUBLE) + 2000.0))
+               + ln((CAST(coalesce(tf1, 0) AS DOUBLE)
+                     + 2000.0 * CAST(cf1 AS DOUBLE) / CAST(c_tokens AS DOUBLE))
+                    / (CAST(dl AS DOUBLE) + 2000.0))
+               + ln((CAST(coalesce(tf2, 0) AS DOUBLE)
+                     + 2000.0 * CAST(cf2 AS DOUBLE) / CAST(c_tokens AS DOUBLE))
+                    / (CAST(dl AS DOUBLE) + 2000.0)),
+               6) AS score
+        FROM piv p JOIN dl USING (doc_id) CROSS JOIN scal
+    )
+    SELECT rank, doc_id, score FROM (
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+                   AS rank,
+               doc_id, score
+        FROM scored
+    ) WHERE rank <= 25
+    """,
+    description=(
+        "Query-likelihood retrieval with Dirichlet-prior smoothing "
+        "(Ponte & Croft / Zhai & Lafferty, mu=2000) - the second "
+        "classic principled scorer, served from the SAME (tf, dl) "
+        "index tables as BM25: candidates are docs matching >= 1 query "
+        "term, cf_t and |C| are exact single-row integer aggregates "
+        "(no term-grain shuffle), smoothed log-probabilities fold in "
+        "fixed query order, top-25 via TakeOrderedAndProject. "
+        "operators/search.py::ql_dirichlet_topk"
+    ),
+    tags=("search", "text", "lm", "dirichlet", "topk"),
+)
+def search_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return search.ql_dirichlet_topk(docs, _BM25_TERMS, mu=2000.0, k=25)
+
+
 _SERVED_POSTINGS: dict[str, str] = {}
 
 

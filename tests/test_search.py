@@ -398,3 +398,48 @@ def test_matryoshka_matches_exact_when_shortlist_covers_corpus(spark):
         (r["query_id"], r["rank"], r["neighbor_id"], r["sim"]) for r in mrl.collect()
     )
     assert got == want and got
+
+
+def test_ql_dirichlet_hand_computed(spark):
+    """2-doc corpus, 1-term query: score = ln((tf + mu*cf/C) / (dl + mu))
+    checked against the python float computation exactly (same op
+    order), and the doc actually containing the term ranks first."""
+    import math
+
+    from mandoline_hbase_spark.operators.search import ql_dirichlet_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird fish")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: (r.rank, r.score) for r in
+           ql_dirichlet_topk(docs, ["cat"], mu=10.0, k=5).collect()}
+    # corpus: C = 6 tokens, cf(cat) = 2
+    smooth = 10.0 * 2.0 / 6.0
+    want1 = round(math.log((2.0 + smooth) / (3.0 + 10.0)), 6)
+    assert out[1] == (1, want1)
+    assert 1 in out and 2 not in out or out[1][0] == 1  # doc 2 has no 'cat'
+    # doc 2 contains no query term -> not a candidate
+    assert list(out) == [1]
+
+
+def test_ql_dirichlet_multi_term_candidates_and_order(spark):
+    """Multi-term query: candidates = docs matching ANY term; a doc
+    containing both terms outranks single-term docs; absent terms
+    contribute their smoothing mass (score stays finite)."""
+    from mandoline_hbase_spark.operators.search import ql_dirichlet_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup hash dup"),
+            (2, "dup filler filler filler"),
+            (3, "hash filler"),
+            (4, "filler filler"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = ql_dirichlet_topk(docs, ["dup", "hash"], mu=100.0, k=10).collect()
+    ranked = [r.doc_id for r in sorted(rows, key=lambda r: r.rank)]
+    assert set(ranked) == {1, 2, 3}  # 4 matches nothing
+    assert ranked[0] == 1  # both terms, shortest doc
+    assert all(r.score == round(r.score, 6) for r in rows)
