@@ -57,6 +57,10 @@ BNLJ_ALLOWED = {
     # doc length) into the postings of the query terms — broadcast
     # scalars, same shape as tfidf's doc count
     "bm25_search_topk",
+    # query-likelihood crossJoins two broadcast 1-row scalar aggregates
+    # (per-term collection frequencies, total token count) into the
+    # candidate docs — the same designed shape as bm25's corpus scalars
+    "search_ql_dirichlet_topk",
     # the served form calls the same bm25_topk_from_postings scoring
     # (operators/search.py) — the BNLJ pair is the identical designed
     # broadcast 1-row scalar crossJoin (corpus N, total doc length)
