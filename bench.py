@@ -190,6 +190,7 @@ HEADLINE = [
     "bm25_served_topk",
     "domain_quota_sample",
     "dedup_prefix_filter",
+    "dedup_containment_prefix",
     "search_phrase_occurrences",
     "search_proximity_window",
     "search_rrf_fusion",

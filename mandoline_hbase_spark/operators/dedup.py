@@ -1256,3 +1256,102 @@ def incremental_minhash_new(
         b_id_col=id_col,
     ).withColumnRenamed("inc_id", id_col)
     return incoming.join(rejected, id_col, "left_anti")
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings_per_shingle: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The SCALE path for asymmetric containment (closes the documented
+    small-data caveat on :func:`containment_pairs`): identical output,
+    no cross join.
+
+    The asymmetric prefix principle — if ``|A ∩ B| >= t*|A|`` then A
+    misses at most ``(1-t)*|A|`` of its own shingles from B, so ANY
+    ``floor((1-t)*|A|) + 1`` of A's shingles must intersect B
+    (pigeonhole). Candidates therefore come from joining each doc's
+    ``floor((1-t)*|A|)+1`` globally-RAREST shingles (the A side, same
+    df-ranked prefix machinery as ``prefix_filter_near_duplicates``)
+    against the full shingle postings (the B side — the asymmetric
+    price: the contained side prunes, the containing side cannot,
+    because a huge B legitimately contains a tiny A). 100% recall by
+    construction — a provable-coverage argument, not an LSH probability
+    — and the exact verify keeps precision, so output equals the
+    brute-force form unconditionally. An integer size filter
+    (``|B| >= ceil(t*|A|)`` since ``|A ∩ B| <= |B|``) prunes candidate
+    rows before any shingle array moves.
+
+    ``max_postings_per_shingle`` is the hot-shingle guard: a shingle
+    present in more docs than the cap keeps only its lowest-id postings
+    (bounded recall trade of the LSH hot-bucket kind, observable via
+    ``stats["n_hot"]`` = number of capped shingles). Rarest-first
+    prefixes make a ubiquitous shingle reach the A side only when ALL
+    of A's shingles are ubiquitous, so healthy corpora never engage the
+    guard; the oracle config runs unguarded (``None``).
+    """
+    from pyspark.sql import Window
+
+    from mandoline_hbase_spark.operators.skew import spread_to_parallelism
+    from mandoline_hbase_spark.plans.audit import checkpoint_audited
+
+    feats = checkpoint_audited(
+        with_shingle_set(
+            spread_to_parallelism(df, id_col), shingle_n, id_col, text_col
+        )
+    )
+    exploded = feats.select(
+        F.col(id_col), F.size("sh").alias("_n"), F.explode("sh").alias("shingle")
+    )
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = exploded.join(dfreq, "shingle")
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    prefix = (
+        ranked.withColumn("_pos", F.row_number().over(w))
+        .filter(
+            F.col("_pos")
+            <= F.floor((F.lit(1.0) - F.lit(float(threshold))) * F.col("_n"))
+            + F.lit(1)
+        )
+        .select(F.col(id_col).alias("id_a"), "shingle", F.col("_n").alias("_na"))
+    )
+    postings = exploded.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("_n").alias("_nb")
+    )
+    if max_postings_per_shingle is not None:
+        wb = Window.partitionBy("shingle").orderBy(F.asc("id_b"))
+        rb = postings.withColumn("_r", F.row_number().over(wb))
+        if stats is not None:
+            stats["n_hot"] = rb.filter(
+                F.col("_r") == int(max_postings_per_shingle) + 1
+            ).count()
+        postings = rb.filter(F.col("_r") <= int(max_postings_per_shingle)).drop("_r")
+    elif stats is not None:
+        stats["n_hot"] = 0
+    cands = (
+        prefix.join(postings, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("_nb") >= F.ceil(F.lit(float(threshold)) * F.col("_na")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = feats.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    fb = feats.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size("sh_a"), F.lit(1)),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= float(threshold))
+        .select("id_a", "id_b", "containment")
+    )

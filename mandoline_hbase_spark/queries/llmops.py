@@ -1535,6 +1535,36 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_prefix",
+    oracle=_DUCK_SHINGLES
+    + r"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / greatest(len(a.sh), 1), 4) AS containment
+    FROM sh a, sh b
+    WHERE a.doc_id <> b.doc_id
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE
+          / greatest(len(a.sh), 1) >= 0.8
+    """,
+    description=(
+        "Asymmetric containment at SCALE (closes containment_pairs' "
+        "documented cross-join caveat): each doc's floor((1-t)|A|)+1 "
+        "globally-rarest shingles provably intersect any doc containing "
+        ">= t of it (pigeonhole - 100% recall by construction, no LSH "
+        "probability), candidates come from that prefix joined against "
+        "the full postings, integer size filter |B| >= ceil(t|A|), "
+        "exact verify. Oracle = the SAME brute-force containment SQL, "
+        "unconditional equality (the PPJoin idiom). "
+        "operators/dedup.py::containment_prefix_pairs"
+    ),
+    tags=("llm", "dedup", "containment", "prefix"),
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_prefix_pairs(docs, threshold=0.8)
+
+
+@register(
     "text_bpe_token_counts",
     oracle=r"""
         SELECT doc_id,

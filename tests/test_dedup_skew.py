@@ -300,3 +300,63 @@ def test_n_hot_propagates_through_prefix_filter(spark):
         df, threshold=0.7, max_bucket_size=2, stats=forced
     ).count()
     assert forced["n_hot"] >= 1
+
+
+def test_containment_prefix_equals_brute_force(spark):
+    """The asymmetric prefix scale path must equal the cross-join form
+    UNCONDITIONALLY (provable coverage, not LSH probability)."""
+    from mandoline_hbase_spark.operators import dedup
+    from mandoline_hbase_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    brute = sorted(map(tuple, dedup.containment_pairs(docs, threshold=0.8).collect()))
+    fast = sorted(
+        map(tuple, dedup.containment_prefix_pairs(docs, threshold=0.8).collect())
+    )
+    assert brute == fast and brute  # non-trivial on the fixture
+
+
+def test_containment_prefix_planted_embedding(spark):
+    """A short doc quoted inside a much longer one: containment ~1 while
+    Jaccard is low - the pair the asymmetric path exists to find."""
+    from mandoline_hbase_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated content here now")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_prefix_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] >= 0.99
+    assert (2, 1) not in out  # the long doc is NOT contained in the short
+
+
+def test_containment_prefix_hot_guard_observable(spark):
+    """Capping postings per shingle degrades recall hub-relatively and
+    reports the number of capped shingles via stats."""
+    from mandoline_hbase_spark.operators import dedup
+
+    base = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(1, 7)], "doc_id bigint, text string"
+    )
+    stats: dict = {}
+    out = dedup.containment_prefix_pairs(
+        docs, threshold=0.8, max_postings_per_shingle=3, stats=stats
+    ).collect()
+    assert stats["n_hot"] > 0  # every shingle appears in 6 > 3 docs
+    got = {(r.id_a, r.id_b) for r in out}
+    # postings keep ids 1..3 per shingle: pairs among {1,2,3} survive in
+    # both directions, and higher ids still reach 1..3 as the A side
+    assert {(1, 2), (2, 1), (4, 1), (5, 1), (6, 1)} <= got
+    unguarded = {
+        (r.id_a, r.id_b)
+        for r in dedup.containment_prefix_pairs(docs, threshold=0.8).collect()
+    }
+    assert len(unguarded) == 30  # all ordered pairs of 6 identical docs
+    assert got < unguarded  # guard is a strict, observable narrowing
