@@ -202,6 +202,11 @@ HEADLINE = [
     "search_facets_by_source",
     "search_spell_suggest",
     "search_snippets",
+    "basket_association_rules",
+    "text_chi2_terms",
+    "text_kneser_ney_bigrams",
+    "er_blocked_matches",
+    "ts_ewma_value",
 ]
 
 

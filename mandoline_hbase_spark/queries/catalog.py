@@ -202,3 +202,4 @@ from mandoline_hbase_spark.queries import curation_ext  # noqa: E402,F401
 from mandoline_hbase_spark.queries import timeseries  # noqa: E402,F401
 from mandoline_hbase_spark.queries import sql_surface  # noqa: E402,F401
 from mandoline_hbase_spark.queries import search_ext  # noqa: E402,F401
+from mandoline_hbase_spark.queries import mining_ext  # noqa: E402,F401

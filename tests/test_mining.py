@@ -1,0 +1,252 @@
+"""Unit tests for operators/mining.py against hand-computed references.
+
+The catalog oracles (tests/test_queries_oracle.py + tools/sweep.py) pin
+the full-table outputs against DuckDB; these tests pin the operator
+SEMANTICS on tiny hand-built frames where the expected values are
+computed independently in Python (numpy-free closed forms).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mandoline_hbase_spark.operators import mining
+
+
+# --------------------------------------------------------------------------
+# association_rules
+# --------------------------------------------------------------------------
+def test_association_rules_hand_computed(spark):
+    # 4 baskets; pair (1,2) in 3 of them, (1,3) in 1
+    rows = [
+        (10, 1), (10, 2), (10, 3),
+        (11, 1), (11, 2),
+        (12, 1), (12, 2),
+        (13, 3),
+    ]
+    df = spark.createDataFrame(rows, ["b", "item"])
+    out = mining.association_rules(
+        df, "b", "item", min_item_count=1, min_pair_count=2
+    ).collect()
+    # only the (1,2) pair reaches count 2 -> two rule directions
+    assert [(r.antecedent, r.consequent, r.pair_count) for r in out] == [
+        (1, 2, 3),
+        (2, 1, 3),
+    ]
+    r12 = out[0]
+    # support = 3/4, confidence(1->2) = 3/|{baskets with 1}| = 3/3
+    assert r12.support == 0.75
+    assert r12.confidence == 1.0
+    # lift = (3 * 4) / (3 * 3)
+    assert r12.lift == round(12 / 9, 4)
+
+
+def test_association_rules_apriori_prune_is_lossless(spark):
+    # with min_item_count <= min_pair_count the prune can never drop a
+    # qualifying pair: compare against the unpruned run
+    rows = [(b, i) for b in range(8) for i in (b % 3, (b + 1) % 3, 5)]
+    df = spark.createDataFrame(rows, ["b", "item"])
+    pruned = mining.association_rules(
+        df, "b", "item", min_item_count=3, min_pair_count=3
+    ).collect()
+    unpruned = mining.association_rules(
+        df, "b", "item", min_item_count=1, min_pair_count=3
+    ).collect()
+    assert pruned == unpruned
+    assert len(pruned) > 0
+
+
+def test_association_rules_dedups_repeat_lines(spark):
+    # the same item twice in one basket counts once (DISTINCT basket-item)
+    df = spark.createDataFrame(
+        [(1, 7), (1, 7), (1, 8), (2, 7), (2, 8)], ["b", "item"]
+    )
+    out = mining.association_rules(
+        df, "b", "item", min_item_count=1, min_pair_count=2
+    ).collect()
+    assert [(r.antecedent, r.consequent, r.pair_count) for r in out] == [
+        (7, 8, 2),
+        (8, 7, 2),
+    ]
+
+
+# --------------------------------------------------------------------------
+# chi2_terms
+# --------------------------------------------------------------------------
+def test_chi2_terms_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", text="cat dog"),
+            Row(doc_id=2, source="a", text="cat"),
+            Row(doc_id=3, source="b", text="dog"),
+            Row(doc_id=4, source="b", text="dog fish"),
+        ]
+    )
+    out = {
+        (r.label, r.term): r
+        for r in mining.chi2_terms(docs, "source", top_k=10).collect()
+    }
+    # 'cat': a=2 in label a, 0 elsewhere; N=4, df_t=2, df_l=2
+    # chi2 = 4*(2*2 - 0*0)^2 / (2*2*2*2) = 64/16 = 4
+    assert out[("a", "cat")].chi2 == 4.0
+    assert out[("a", "cat")].df_in_label == 2
+    assert out[("a", "cat")].df_elsewhere == 0
+    # 'dog' in label a: a=1, b=2, c=1, d=0 -> ad-bc = -2
+    # chi2 = 4*(-2)^2 / (3*1*2*2) = 16/12
+    assert out[("a", "dog")].chi2 == round(16 / 12, 4)
+    # perfectly discriminative terms rank first in both labels
+    assert out[("a", "cat")].rank == 1
+    assert out[("b", "fish")].rank <= 2
+
+
+def test_chi2_presence_is_per_doc_not_per_token(spark):
+    # 'cat cat cat' counts once for doc frequency
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", text="cat cat cat"),
+            Row(doc_id=2, source="b", text="dog"),
+        ]
+    )
+    out = {
+        (r.label, r.term): r
+        for r in mining.chi2_terms(docs, "source", top_k=10).collect()
+    }
+    assert out[("a", "cat")].df_in_label == 1
+
+
+# --------------------------------------------------------------------------
+# kneser_ney_bigrams
+# --------------------------------------------------------------------------
+def test_kneser_ney_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [Row(text="a b a b"), Row(text="a c")]
+    )
+    out = {
+        (r.w1, r.w2): r
+        for r in mining.kneser_ney_bigrams(docs, discount=0.75).collect()
+    }
+    # bigrams: (a,b) x2, (b,a) x1, (a,c) x1 -> types T=3
+    # c1(a)=3, n_cont(a)=2; n_hist(b)=1
+    # P(b|a) = (2-.75)/3 + (.75*2/3)*(1/3)
+    expect = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3)
+    assert out[("a", "b")].p_kn == pytest.approx(round(expect, 6))
+    assert out[("a", "b")].c12 == 2
+    # P(.|a) over the FULL vocabulary sums to 1: seen bigrams from the
+    # output plus the backoff-only mass of the unseen continuation
+    # (w2='a', Pcont = n_hist(a)/T = 1/3)
+    p_from_a = sum(r.p_kn for (w1, _), r in out.items() if w1 == "a")
+    unseen = (0.75 * 2 / 3) * (1 / 3)
+    assert p_from_a + unseen == pytest.approx(1.0, abs=2e-6)
+
+
+def test_kneser_ney_single_token_docs_ignored(spark):
+    docs = spark.createDataFrame([Row(text="solo"), Row(text="x y")])
+    out = mining.kneser_ney_bigrams(docs).collect()
+    assert [(r.w1, r.w2) for r in out] == [("x", "y")]
+
+
+# --------------------------------------------------------------------------
+# blocked_er_matches
+# --------------------------------------------------------------------------
+def test_er_planted_twin_recall_is_total(spark):
+    rows = [
+        Row(
+            c_custkey=i,
+            c_name=f"Customer#{i:09d}",
+            c_nationkey=i % 3,
+            c_mktsegment=["AUTO", "HOUSE"][i % 2],
+            c_acctbal=float(1000 * i),
+        )
+        for i in range(1, 26)
+    ]
+    out = mining.blocked_er_matches(spark.createDataFrame(rows))
+    planted = out.filter(F.col("is_planted") == 1)
+    # every one of the 25 customers pairs with its twin, distance 1, gap 0
+    got = planted.collect()
+    assert len(got) == 25
+    assert all(r.name_dist == 1 and r.bal_diff == 0.0 for r in got)
+    # twin ids sit above the next power of 10 (no collision with real ids)
+    assert all(r.id_b == r.id_a + 100 for r in got)
+
+
+def test_er_blocking_equals_brute_force(spark):
+    # widely-separated balances: only twins match; brute force agrees
+    rows = [
+        Row(
+            c_custkey=i,
+            c_name=f"Customer#{i:09d}",
+            c_nationkey=0,
+            c_mktsegment="AUTO",
+            c_acctbal=float(10_000 * i),
+        )
+        for i in range(1, 8)
+    ]
+    out = mining.blocked_er_matches(spark.createDataFrame(rows)).collect()
+    assert all(r.is_planted == 1 for r in out)
+    assert len(out) == 7
+
+
+# --------------------------------------------------------------------------
+# ewma_per_key
+# --------------------------------------------------------------------------
+def test_ewma_matches_python_fold(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=i), event_id=i, value=v)
+        for i, v in enumerate([10.0, 20.0, 0.0, 5.0])
+    ] + [Row(user_id=2, ts=t0, event_id=99, value=42.0)]
+    out = {
+        r.user_id: r
+        for r in mining.ewma_per_key(
+            spark.createDataFrame(rows), alpha=0.2
+        ).collect()
+    }
+    s = 10.0
+    for x in [20.0, 0.0, 5.0]:
+        s = 0.2 * x + 0.8 * s
+    assert out[1].ewma_value == round(s, 4)
+    assert out[1].n_events == 4
+    # single event: EWMA is the value itself
+    assert out[2].ewma_value == 42.0
+
+
+def test_ewma_order_is_ts_then_tiebreak(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # same timestamp: event_id breaks the tie -> fold order (1.0, 9.0)
+    rows = [
+        Row(user_id=1, ts=t0, event_id=2, value=9.0),
+        Row(user_id=1, ts=t0, event_id=1, value=1.0),
+    ]
+    out = mining.ewma_per_key(spark.createDataFrame(rows), alpha=0.5).collect()
+    assert out[0].ewma_value == round(0.5 * 9.0 + 0.5 * 1.0, 4)
+
+
+def test_ewma_long_series_stays_finite(spark):
+    # the fold form must not blow up where the (1-a)^-i rewrite would
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, ts=t0 + dt.timedelta(seconds=i), event_id=i,
+            value=float(i % 7))
+        for i in range(2000)
+    ]
+    out = mining.ewma_per_key(spark.createDataFrame(rows), alpha=0.2).collect()
+    assert math.isfinite(out[0].ewma_value)
+    s = 0.0
+    for i in range(1, 2000):
+        x = float(i % 7)
+        s = 0.2 * x + 0.8 * s if i else x
+    # recompute exactly
+    s = float(0 % 7)
+    for i in range(1, 2000):
+        s = 0.2 * float(i % 7) + 0.8 * s
+    assert out[0].ewma_value == round(s, 4)

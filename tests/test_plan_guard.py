@@ -117,6 +117,19 @@ BNLJ_ALLOWED = {
     # scalars + cosine's broadcast query vector); the fusion join is
     # over <=50 rows
     "search_rrf_fusion",
+    # association rules crossJoin the broadcast 1-row basket total into
+    # the (already min-support-filtered) rule table — the tfidf
+    # doc-count shape
+    "basket_association_rules",
+    # chi2 crossJoins the broadcast 1-row corpus doc count into the
+    # vocabulary-grain (term, label) table
+    "text_chi2_terms",
+    # KN crossJoins the broadcast 1-row bigram-type total into the
+    # bigram-type-grain table
+    "text_kneser_ney_bigrams",
+    # ER crossJoins the broadcast 1-row id offset into (a) the base
+    # rows to mint twin ids and (b) the verified match pairs
+    "er_blocked_matches",
 }
 
 
