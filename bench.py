@@ -207,6 +207,7 @@ HEADLINE = [
     "text_kneser_ney_bigrams",
     "er_blocked_matches",
     "ts_ewma_value",
+    "dedup_stream_admitted",
 ]
 
 

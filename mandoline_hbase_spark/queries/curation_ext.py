@@ -845,3 +845,103 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.split_by_group(clusters, "cluster_id", (0.8, 0.1, 0.1)).select(
         "doc_id", "cluster_id", "split"
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# dedup_stream_admitted — the STREAMING exact-dedup admission path under
+# the driver's value-level oracle.
+# --------------------------------------------------------------------------
+_STREAM_ADMITTED: dict[str, str] = {}
+
+
+@register(
+    "dedup_stream_admitted",
+    oracle="""
+        WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
+        SELECT min(doc_id) AS doc_id, content_hash,
+               count(*)::BIGINT AS n_copies
+        FROM h GROUP BY content_hash
+        ORDER BY doc_id
+    """,
+    description=(
+        "Streaming exact-dedup admission under the driver's oracle (the "
+        "bm25_stream_served idiom applied to curation): the corpus is "
+        "staged as ascending-id-range files, a REAL Structured Streaming "
+        "run admits them one micro-batch at a time through "
+        "streaming/curation.start_corpus_ingest with the near-dup gate "
+        "disabled (threshold 1.5 can never verify), and the query reports "
+        "the admitted docs joined with source copy counts. Ascending "
+        "batches + min-id-within-batch + earlier-batch-wins make the "
+        "admitted set provably keep-first-by-id per content hash, which "
+        "is exactly the SQL the oracle runs — a lost hash class, a "
+        "double admission, or a wrong survivor all hash-mismatch."
+    ),
+    tags=("llm", "dedup", "streaming", "incremental", "served"),
+)
+def dedup_stream_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
+    from mandoline_hbase_spark.streaming import curation as scuration
+
+    docs = load_table(spark, sf_dir, "documents")
+    artifact = _STREAM_ADMITTED.get(sf_dir)
+    if artifact is None:
+
+        def _build(work: str) -> None:
+            staging = os.path.join(work, "staging")
+            scuration.stage_ordered_batches(docs, staging, n_batches=4)
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(staging)
+            )
+            q = scuration.start_corpus_ingest(
+                stream,
+                os.path.join(work, "corpus"),
+                os.path.join(work, "ckpt"),
+                threshold=1.5,  # exact gate only: jaccard >= 1.5 never holds
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("admission stream did not finish")
+            # serve only the admitted docs; drop the staged corpus copy,
+            # the checkpoint, and the near-dup index roles (unused here)
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+            for role in ("bands", "feats"):
+                shutil.rmtree(
+                    os.path.join(work, "corpus", role), ignore_errors=True
+                )
+
+        artifact = served_artifact(
+            "mandoline-stream-admitted",
+            content_fingerprint(
+                os.path.join(sf_dir, "documents.parquet"),
+                {"layout": "stream-admit-exact-v1", "files": 4},
+            ),
+            _build,
+        )
+        _STREAM_ADMITTED[sf_dir] = artifact
+
+    admitted = scuration.read_corpus(
+        spark, os.path.join(artifact, "corpus"), docs.schema
+    )
+    counts = (
+        docs.select(F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+    )
+    return (
+        admitted.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.md5("text").alias("content_hash"),
+        )
+        .join(counts, "content_hash")
+        .select("doc_id", "content_hash", "n_copies")
+        .orderBy("doc_id")
+    )

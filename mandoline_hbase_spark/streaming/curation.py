@@ -224,6 +224,52 @@ def admit_batch(
             pass  # unbound if the batch failed before those stages
 
 
+def stage_ordered_batches(
+    docs: DataFrame,
+    staging_dir: str,
+    n_batches: int = 4,
+    id_col: str = "doc_id",
+) -> None:
+    """Stage a frame as ``n_batches`` single-file parquets holding
+    ASCENDING id ranges, mtime-ordered so the file stream source
+    processes them in id order (deterministic admission outcomes:
+    keep-first-by-id for the exact gate, regardless of which exact
+    cutpoints the ranges use).
+
+    Range cutpoints come from a percentile aggregate (3 scalars on the
+    driver — aggregate-bounded, never a corpus-wide single-partition
+    ntile window); each range is written by executors and the driver
+    only renames the part file into place.
+    """
+    import glob
+    import shutil
+    import time
+
+    os.makedirs(staging_dir, exist_ok=True)
+    probs = [i / n_batches for i in range(1, n_batches)]
+    cuts = docs.agg(
+        F.percentile_approx(F.col(id_col), probs, 100000).alias("c")
+    ).head()["c"]
+    bounds = [None, *cuts, None]
+    t0 = time.time() - 1000
+    out_i = 0
+    for i in range(n_batches):
+        part = docs
+        if bounds[i] is not None:
+            part = part.filter(F.col(id_col) > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col(id_col) <= bounds[i + 1])
+        work = os.path.join(staging_dir, f"_work-{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(work)
+        files = sorted(glob.glob(os.path.join(work, "part-*.parquet")))
+        if files:  # degenerate cutpoints can leave a range empty
+            dst = os.path.join(staging_dir, f"in-{out_i}.parquet")
+            os.replace(files[0], dst)
+            os.utime(dst, (t0 + out_i, t0 + out_i))
+            out_i += 1
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def start_corpus_ingest(
     stream_df: DataFrame,
     corpus_dir: str,

@@ -139,3 +139,60 @@ def test_rejections_are_justified(spark, tmp_path):
             len(sh[doc_id] & sh[d]) / len(sh[doc_id] | sh[d]) >= 0.7 for d in earlier
         )
         assert exact or near, f"doc {doc_id} rejected without justification"
+
+
+def test_stage_ordered_batches_are_ascending_id_ranges(spark, tmp_path):
+    import glob
+
+    from mandoline_hbase_spark.streaming.curation import stage_ordered_batches
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    staging = str(tmp_path / "staging")
+    stage_ordered_batches(docs, staging, n_batches=4)
+    files = sorted(glob.glob(staging + "/in-*.parquet"))
+    assert len(files) == 4
+    # mtimes strictly ascending (processing order) and id ranges disjoint
+    # + ascending across files, covering every row exactly once
+    import os
+
+    import pandas as pd
+
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    seen, prev_max = [], None
+    for f in files:
+        ids = sorted(pd.read_parquet(f)["doc_id"])
+        assert ids, "empty staged batch"
+        if prev_max is not None:
+            assert ids[0] > prev_max
+        prev_max = ids[-1]
+        seen.extend(ids)
+    assert sorted(seen) == list(range(40))
+
+
+def test_streamed_exact_admission_is_keep_first(spark, tmp_path):
+    from mandoline_hbase_spark.streaming.curation import (
+        read_corpus,
+        stage_ordered_batches,
+        start_corpus_ingest,
+    )
+
+    # duplicate texts scattered across id ranges: keep-first-by-id must win
+    rows = [(i, f"text {i % 5}") for i in range(20)]
+    ddl = "doc_id bigint, text string"
+    docs = spark.createDataFrame(rows, ddl)
+    staging = str(tmp_path / "staging")
+    stage_ordered_batches(docs, staging, n_batches=4)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(staging)
+    )
+    q = start_corpus_ingest(
+        stream, str(tmp_path / "corpus"), str(tmp_path / "ckpt"), threshold=1.5
+    )
+    assert q.awaitTermination(180)
+    got = sorted(
+        r.doc_id for r in read_corpus(spark, str(tmp_path / "corpus"), ddl).collect()
+    )
+    assert got == [0, 1, 2, 3, 4]
