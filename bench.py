@@ -208,6 +208,7 @@ HEADLINE = [
     "er_blocked_matches",
     "ts_ewma_value",
     "dedup_stream_admitted",
+    "gov_dp_event_counts",
 ]
 
 

@@ -93,3 +93,46 @@ def k_anonymity_report(
             (F.col("n_sensitive") >= int(l_distinct)).alias("l_diverse"),
         )
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    epsilon: float = 1.0,
+    salt: str = "dp-release",
+) -> DataFrame:
+    """Seeded-Laplace differentially-private count release.
+
+    Per equivalence class, ``count + Laplace(1/epsilon)`` — the standard
+    eps-DP counting mechanism — with the noise DERANDOMIZED: two
+    uniforms are derived from md5 over the class key + salt, and
+    ``ln(u1/u2)`` (difference of two exponentials) is exactly
+    Laplace(1)-distributed across classes. Derandomization is the
+    reproducible-release trade: the same table + salt always publishes
+    the same numbers (auditable, replayable at 100 TB), at the cost
+    that the salt must be secret and NEVER reused for a second release
+    of the same classes (reuse degrades the privacy guarantee exactly
+    like publishing twice at half the budget).
+
+    Mechanically: u = (hex32(md5(key)) + 0.5) / 2^32 lies strictly in
+    (0,1); noise = ln(u1/u2)/epsilon. Everything is a map-side
+    expression after one count shuffle — class-grain, corpus-linear.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+
+    def _uniform(tag: str) -> Column:
+        h = F.substring(F.md5(F.concat(key, F.lit(f":{salt}:{tag}"))), 1, 8)
+        return (F.conv(h, 16, 10).cast("bigint") + F.lit(0.5)) / F.lit(
+            4294967296.0
+        )
+
+    noise = F.ln(_uniform("u1") / _uniform("u2")) / F.lit(float(epsilon))
+    return counts.select(
+        *group_cols,
+        F.round(F.col("n_true") + noise, 4).alias("noisy_count"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    ).orderBy(*group_cols)

@@ -246,3 +246,41 @@ def gov_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return governance.k_anonymity_report(
         events, ["event_type", "day"], "user_id", k=50, l_distinct=20
     )
+
+
+@register(
+    "gov_dp_event_counts",
+    oracle=r"""
+        WITH c AS (
+            SELECT event_type, count(*)::BIGINT AS n_true
+            FROM events GROUP BY 1
+        )
+        SELECT event_type,
+               round(n_true
+                     + ln(((CAST(concat('0x', substr(md5(event_type
+                               || ':dp-release:u1'), 1, 8)) AS BIGINT)
+                            + 0.5) / 4294967296.0)
+                          / ((CAST(concat('0x', substr(md5(event_type
+                               || ':dp-release:u2'), 1, 8)) AS BIGINT)
+                             + 0.5) / 4294967296.0))
+                       / 1.0, 4) AS noisy_count,
+               1.0 AS epsilon
+        FROM c
+        ORDER BY event_type
+    """,
+    description=(
+        "Differentially-private count release (eps=1 Laplace mechanism) "
+        "with DERANDOMIZED noise: uniforms derived from md5 over the "
+        "class key + salt, ln(u1/u2) is exactly Laplace(1) across "
+        "classes, so the same table + secret salt always publishes the "
+        "same audited numbers — the reproducible-release form a governed "
+        "lake needs (operators/governance.py::dp_noisy_counts documents "
+        "the salt-secrecy / no-reuse caveat)"
+    ),
+    tags=("governance", "privacy", "differential-privacy"),
+)
+def gov_dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return governance.dp_noisy_counts(
+        events, ["event_type"], epsilon=1.0, salt="dp-release"
+    )

@@ -62,3 +62,36 @@ def test_k_anonymity_report_flags(spark):
     assert out[("a", 1)] == (3, 3, True, True)
     assert out[("b", 2)] == (3, 1, True, False)
     assert out[("c", 3)] == (2, 2, False, True)
+
+
+def test_dp_noisy_counts_reproducible_and_eps_scales(spark):
+    from mandoline_hbase_spark.operators.governance import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(f"t{i % 8}", i) for i in range(400)], "event_type string, x int"
+    )
+    a = dp_noisy_counts(df, ["event_type"], epsilon=1.0).collect()
+    b = dp_noisy_counts(df, ["event_type"], epsilon=1.0).collect()
+    assert a == b  # derandomized: same table + salt => same release
+    # noise = noisy - true; eps=2 noise is exactly half of eps=1 noise
+    true = {r.event_type: 50 for r in a}
+    n1 = {r.event_type: r.noisy_count - true[r.event_type] for r in a}
+    h = dp_noisy_counts(df, ["event_type"], epsilon=2.0).collect()
+    n2 = {r.event_type: r.noisy_count - true[r.event_type] for r in h}
+    for k in n1:
+        assert abs(n2[k] - n1[k] / 2) <= 2e-4  # within double+round(4) slop
+    # noise actually perturbs (not all-zero) and stays Laplace-scaled:
+    # P(|noise| > 20) at b=1 is e^-20 — effectively impossible
+    assert any(abs(v) > 1e-3 for v in n1.values())
+    assert all(abs(v) < 20 for v in n1.values())
+
+
+def test_dp_noisy_counts_salt_changes_release(spark):
+    from mandoline_hbase_spark.operators.governance import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(f"t{i % 4}",) for i in range(100)], "event_type string"
+    )
+    a = dp_noisy_counts(df, ["event_type"], salt="s1").collect()
+    b = dp_noisy_counts(df, ["event_type"], salt="s2").collect()
+    assert [r.noisy_count for r in a] != [r.noisy_count for r in b]
