@@ -209,6 +209,7 @@ HEADLINE = [
     "ts_ewma_value",
     "dedup_stream_admitted",
     "gov_dp_event_counts",
+    "search_eval_ivf_recall",
 ]
 
 

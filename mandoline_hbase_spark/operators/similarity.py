@@ -969,3 +969,113 @@ def adc_shortlist_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
     )
+
+
+def ivf_probe_recall_report(
+    emb_df: DataFrame,
+    *,
+    n_centroids: int = 8,
+    n_queries: int = 10,
+    k: int = 5,
+    probe_levels: tuple[int, ...] = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured IVF recall@k per probe budget, fully value-reproducible.
+
+    The eval harness every ANN deployment needs: how much recall does
+    each extra probe buy? Centroids are the ``n_centroids`` LOWEST-ID
+    vectors (the semdedup seed idiom, queries/curation_ext._DUCK_ASSIGN)
+    rather than the hash-seeded ``_centroids``, so cell assignment,
+    probe ranking, and therefore the measured recall are deterministic
+    closed forms a scalar SQL engine reproduces value-for-value — the
+    recall column is a NUMBER under the oracle, not a bound claim.
+
+    The max probe level should equal ``n_centroids``: probing every
+    cell degrades to exact brute force, so that row's recall pins 1.0
+    as an in-report sanity anchor and supplies the truth set for the
+    cheaper levels within the same plan.
+
+    100 TB shape: this is an EVAL harness over a bounded query sample —
+    the pair stage is the IVF bucket join (cells x probed queries), and
+    at the full-probe level it deliberately degenerates to the
+    brute-force sweep of ``cosine_topk`` (broadcast query sample x
+    corpus, linear in the corpus). Ranks/recalls are k- and
+    sample-bounded.
+    """
+    from pyspark.sql import Window
+
+    cents = emb_df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cvec")
+    )
+    corpus = _spread(emb_df, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vvec")
+    )
+    # corpus cell = argmax-cosine centroid, ties to the smallest cid
+    vc = corpus.join(F.broadcast(cents))
+    w_v = Window.partitionBy("neighbor_id").orderBy(
+        F.desc(cosine_sim(F.col("vvec"), F.col("cvec"))), F.asc("cid")
+    )
+    cells = (
+        vc.withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "vvec", F.col("cid").alias("cell"))
+    )
+    # query probe ranking over ALL centroids (same tie-break)
+    queries = emb_df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    qc = queries.join(F.broadcast(cents))
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine_sim(F.col("qvec"), F.col("cvec"))), F.asc("cid")
+    )
+    probes = qc.withColumn("pr", F.row_number().over(w_q)).select(
+        "query_id", "qvec", F.col("cid").alias("cell"), "pr"
+    )
+
+    # the IVF bucket join, annotated with the probe rank of each
+    # candidate's cell; one table serves every probe level
+    pairs = (
+        cells.join(probes, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_sim(F.col("qvec"), F.col("vvec")))
+        .select("query_id", "neighbor_id", "sim", "pr")
+    )
+    levels = F.explode(
+        F.array(*[F.lit(int(l)) for l in probe_levels])
+    ).alias("n_probe")
+    leveled = pairs.select("*", levels).filter(F.col("pr") <= F.col("n_probe"))
+    w_rank = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    topk = (
+        leveled.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= int(k))
+        .select("n_probe", "query_id", "neighbor_id")
+    )
+    truth = topk.filter(F.col("n_probe") == max(probe_levels)).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        topk.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("n_probe", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # integer hit totals, ONE division: no float-summation-order exposure
+    return (
+        hits.groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum("n_hits").cast("bigint").alias("_total_hits"),
+        )
+        .select(
+            F.col("n_probe").cast("int").alias("n_probe"),
+            "n_queries",
+            F.round(
+                F.col("_total_hits")
+                / (F.lit(float(k)) * F.col("n_queries")),
+                4,
+            ).alias(f"recall_at_{k}"),
+        )
+        .orderBy("n_probe")
+    )

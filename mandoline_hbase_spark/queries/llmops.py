@@ -3169,3 +3169,84 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_pmi_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.pmi_cooccurrence(docs, min_pair_docs=5, k=50, max_terms_per_doc=12)
+
+
+@register(
+    "search_eval_ivf_recall",
+    oracle="""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+            FROM embeddings WHERE vec_id < 8
+        ),
+        cells AS (
+            SELECT vec_id AS neighbor_id, vvec, cid AS cell FROM (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS vvec, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.cvec) DESC, c.cid
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, qvec, cid AS cell, pr FROM (
+                SELECT q.vec_id, q.embedding::DOUBLE[] AS qvec, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               q.embedding::DOUBLE[], c.cvec) DESC, c.cid
+                       ) AS pr
+                FROM embeddings q, cents c
+                WHERE q.vec_id < 10
+            )
+        ),
+        pairs AS (
+            SELECT p.query_id, s.neighbor_id,
+                   list_cosine_similarity(p.qvec, s.vvec) AS sim, p.pr
+            FROM cells s JOIN probes p ON s.cell = p.cell
+            WHERE p.query_id <> s.neighbor_id
+        ),
+        topk AS (
+            SELECT n_probe, query_id, neighbor_id FROM (
+                SELECT l.n_probe, pairs.query_id, pairs.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY l.n_probe, pairs.query_id
+                           ORDER BY pairs.sim DESC, pairs.neighbor_id
+                       ) AS rank
+                FROM pairs
+                JOIN (SELECT unnest([1, 2, 4, 8]) AS n_probe) l
+                  ON pairs.pr <= l.n_probe
+            ) WHERE rank <= 5
+        ),
+        truth AS (
+            SELECT query_id, neighbor_id FROM topk WHERE n_probe = 8
+        ),
+        hits AS (
+            SELECT t.n_probe, t.query_id, count(*) AS n_hits
+            FROM topk t JOIN truth u
+              ON t.query_id = u.query_id AND t.neighbor_id = u.neighbor_id
+            GROUP BY 1, 2
+        )
+        SELECT n_probe::INT AS n_probe,
+               count(*)::BIGINT AS n_queries,
+               round(sum(n_hits) / (5.0 * count(*)), 4) AS recall_at_5
+        FROM hits GROUP BY n_probe
+        ORDER BY n_probe
+    """,
+    description=(
+        "IVF probe-budget recall sweep with MEASURED recall under the "
+        "value-level oracle (no bound claims): data-seeded centroids "
+        "(the 8 lowest-id vectors, the semdedup seed idiom) make cell "
+        "assignment and probe ranking closed forms DuckDB reproduces, "
+        "so recall@5 at n_probe in (1,2,4,8) is hash-checked as a "
+        "number; the full-probe row degrades to exact brute force and "
+        "pins recall 1.0 in-report"
+    ),
+    tags=("llm", "similarity", "ann", "ivf", "eval"),
+)
+def search_eval_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_probe_recall_report(
+        emb, n_centroids=8, n_queries=10, k=5, probe_levels=(1, 2, 4, 8)
+    )

@@ -130,6 +130,11 @@ BNLJ_ALLOWED = {
     # ER crossJoins the broadcast 1-row id offset into (a) the base
     # rows to mint twin ids and (b) the verified match pairs
     "er_blocked_matches",
+    # the recall sweep joins the broadcast 8-row centroid set to the
+    # corpus (the assign_clusters shape) and, at the full-probe anchor
+    # level, deliberately degrades to the brute-force eval sweep over
+    # the 10-query sample — the sim_cosine_topk designed shape
+    "search_eval_ivf_recall",
 }
 
 

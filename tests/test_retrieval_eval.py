@@ -72,3 +72,23 @@ def test_sq_run_eval_on_fixture(spark):
     assert len(rows) == 10
     assert all(0.0 < r.ndcg <= 1.0 for r in rows)
     assert sum(r.hits for r in rows) / (5 * len(rows)) >= 0.9
+
+
+def test_ivf_recall_report_full_probe_is_exact(spark):
+    from mandoline_hbase_spark.operators import similarity
+    from mandoline_hbase_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rep = {
+        r.n_probe: r
+        for r in similarity.ivf_probe_recall_report(
+            emb, n_centroids=8, n_queries=10, k=5, probe_levels=(1, 2, 4, 8)
+        ).collect()
+    }
+    # probing every cell IS brute force: the anchor row pins 1.0
+    assert rep[8].recall_at_5 == 1.0
+    assert all(r.n_queries == 10 for r in rep.values())
+    # recall is monotone non-decreasing in the probe budget
+    vals = [rep[p].recall_at_5 for p in (1, 2, 4, 8)]
+    assert vals == sorted(vals)
+    assert 0.0 < vals[0] <= 1.0
