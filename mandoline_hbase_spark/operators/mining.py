@@ -302,11 +302,21 @@ def blocked_er_matches(
     balance gate keeps those rare.
 
     100 TB shape: candidates are a self-join co-partitioned on the
-    block key; block sizes are bounded by the key's cardinality design
-    (at scale: block on stronger keys — zip+name-prefix — exactly the
-    same plan shape), so per-block work is small-quadratic,
-    corpus-linear overall. The id offset is a broadcast 1-row scalar.
+    block key EXTENDED with a balance band — the match predicate
+    requires a balance gap <= ``max_bal_diff``, so a pair's
+    unit-width floor buckets differ by at most 1 (provably: the bucket
+    width exceeds the gap), and probing each row's bucket plus its two
+    neighbours covers every match. The band keeps blocks near-constant
+    size as the corpus grows ((nation, segment) alone grows linearly,
+    which made per-block work quadratic — measured 16 s at sf0.1
+    before the band, sub-second after), so the join is corpus-linear.
+    The id offset is a broadcast 1-row scalar.
     """
+    if max_bal_diff >= 1.0:
+        raise ValueError(
+            "max_bal_diff must stay under the unit bucket width, or the "
+            "+-1 bucket probe is no longer provably complete"
+        )
     base = customers.select(
         F.col("c_custkey").cast("bigint").alias("id"),
         F.col("c_name").alias("name"),
@@ -335,9 +345,13 @@ def blocked_er_matches(
     )
     people = base.unionByName(twins)
 
+    bucket = F.floor(F.col("bal")).cast("bigint")
     l = people.select(
         "nation",
         "segment",
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
         F.col("id").alias("id_a"),
         F.col("name").alias("name_a"),
         F.col("bal").alias("bal_a"),
@@ -345,11 +359,12 @@ def blocked_er_matches(
     r = people.select(
         "nation",
         "segment",
+        bucket.alias("bucket"),
         F.col("id").alias("id_b"),
         F.col("name").alias("name_b"),
         F.col("bal").alias("bal_b"),
     )
-    cand = l.join(r, ["nation", "segment"]).filter(
+    cand = l.join(r, ["nation", "segment", "bucket"]).filter(
         F.col("id_a") < F.col("id_b")
     )
     verified = cand.filter(
