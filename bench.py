@@ -210,6 +210,8 @@ HEADLINE = [
     "dedup_stream_admitted",
     "gov_dp_event_counts",
     "search_eval_ivf_recall",
+    "stats_welch_ab_by_type",
+    "stats_robust_value_by_type",
 ]
 
 

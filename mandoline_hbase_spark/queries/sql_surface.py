@@ -551,3 +551,160 @@ def stats_regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# stats_welch_ab_by_type — deterministic A/B assignment + Welch's t.
+# One pass: conditional aggregation per variant inside a single
+# event_type groupBy (one shuffle); the t/df formulas are written in one
+# fixed shape on both sides, rounded inside double-sum error like
+# stats_comoments_by_flag.
+# --------------------------------------------------------------------------
+@register(
+    "stats_welch_ab_by_type",
+    oracle="""
+        WITH assigned AS (
+            SELECT event_type, value,
+                   CASE WHEN substr(md5(CAST(user_id AS VARCHAR)
+                                     || ':ab-salt'), 1, 8) < '80000000'
+                        THEN 'A' ELSE 'B' END AS variant
+            FROM events
+        ),
+        g AS (
+            SELECT event_type,
+                   count(*) FILTER (variant = 'A')::BIGINT AS n_a,
+                   count(*) FILTER (variant = 'B')::BIGINT AS n_b,
+                   avg(value) FILTER (variant = 'A') AS mean_a,
+                   avg(value) FILTER (variant = 'B') AS mean_b,
+                   var_samp(value) FILTER (variant = 'A') AS var_a,
+                   var_samp(value) FILTER (variant = 'B') AS var_b
+            FROM assigned GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b,
+               round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+               round((mean_a - mean_b)
+                     / sqrt(var_a / n_a + var_b / n_b), 3) AS t_stat,
+               round((var_a / n_a + var_b / n_b)
+                         * (var_a / n_a + var_b / n_b)
+                     / ((var_a / n_a) * (var_a / n_a) / (n_a - 1.0)
+                        + (var_b / n_b) * (var_b / n_b) / (n_b - 1.0)),
+                     1) AS welch_df,
+               abs((mean_a - mean_b)
+                   / sqrt(var_a / n_a + var_b / n_b)) > 1.96 AS significant
+        FROM g
+        ORDER BY event_type
+    """,
+    description=(
+        "A/B experiment readout: deterministic salted-hash variant "
+        "assignment (the sampling hex-threshold idiom — reproducible, "
+        "join-free, any engine agrees on who is in A), then Welch's "
+        "unequal-variance t statistic and degrees of freedom per "
+        "event_type in ONE conditional-aggregation pass"
+    ),
+    tags=("sql-surface", "stats", "ab-test", "welch"),
+)
+def stats_welch_ab_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    assigned = events.withColumn(
+        "variant",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab-salt"))),
+                1,
+                8,
+            )
+            < "80000000",
+            "A",
+        ).otherwise("B"),
+    )
+    a = F.col("variant") == "A"
+    b = F.col("variant") == "B"
+    g = assigned.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(b, 1)).cast("bigint").alias("n_b"),
+        F.avg(F.when(a, F.col("value"))).alias("_mean_a"),
+        F.avg(F.when(b, F.col("value"))).alias("_mean_b"),
+        F.var_samp(F.when(a, F.col("value"))).alias("_var_a"),
+        F.var_samp(F.when(b, F.col("value"))).alias("_var_b"),
+    )
+    se2 = F.col("_var_a") / F.col("n_a") + F.col("_var_b") / F.col("n_b")
+    t = (F.col("_mean_a") - F.col("_mean_b")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (F.col("_var_a") / F.col("n_a"))
+        * (F.col("_var_a") / F.col("n_a"))
+        / (F.col("n_a") - F.lit(1.0))
+        + (F.col("_var_b") / F.col("n_b"))
+        * (F.col("_var_b") / F.col("n_b"))
+        / (F.col("n_b") - F.lit(1.0))
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("_mean_a", 4).alias("mean_a"),
+        F.round("_mean_b", 4).alias("mean_b"),
+        F.round(t, 3).alias("t_stat"),
+        F.round(df, 1).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# stats_robust_value_by_type — trimmed + winsorized means (robust twins
+# of events_outliers_mad): exact p10/p90 cutoffs per group (Spark
+# `percentile` == DuckDB `quantile_cont`, the percentiles_by_segment
+# parity), then one conditional re-aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "stats_robust_value_by_type",
+    oracle="""
+        WITH cuts AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.1) AS p10,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*)::BIGINT AS n,
+               round(avg(e.value), 4) AS mean_raw,
+               round(avg(e.value) FILTER (e.value >= c.p10
+                                          AND e.value <= c.p90),
+                     4) AS mean_trimmed,
+               round(avg(least(greatest(e.value, c.p10), c.p90)),
+                     4) AS mean_winsorized,
+               count(*) FILTER (e.value < c.p10
+                                OR e.value > c.p90)::BIGINT AS n_clamped
+        FROM events e JOIN cuts c USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    description=(
+        "Robust location estimates per event type: 10/90 trimmed mean "
+        "(drop the tails) and winsorized mean (clamp the tails), next to "
+        "the raw mean and the clamp count — the outlier-resistant "
+        "summary a metrics pipeline publishes when MAD flags heavy tails"
+    ),
+    tags=("sql-surface", "stats", "robust", "percentile"),
+)
+def stats_robust_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cuts = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.1)").alias("p10"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    )
+    j = events.join(cuts, "event_type")
+    inside = (F.col("value") >= F.col("p10")) & (F.col("value") <= F.col("p90"))
+    clamped = F.least(F.greatest(F.col("value"), F.col("p10")), F.col("p90"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(F.when(inside, F.col("value"))), 4).alias(
+                "mean_trimmed"
+            ),
+            F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+            F.count(F.when(~inside, 1)).cast("bigint").alias("n_clamped"),
+        )
+        .orderBy("event_type")
+    )

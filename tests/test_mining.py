@@ -250,3 +250,60 @@ def test_ewma_long_series_stays_finite(spark):
     for i in range(1, 2000):
         s = 0.2 * float(i % 7) + 0.8 * s
     assert out[0].ewma_value == round(s, 4)
+
+
+# --------------------------------------------------------------------------
+# stats_welch / stats_robust query-level pins (scipy-free references)
+# --------------------------------------------------------------------------
+def test_welch_ab_matches_python_reference(spark):
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    out = {
+        r.event_type: r
+        for r in QUERIES["stats_welch_ab_by_type"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    import hashlib
+    import math
+    import statistics
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT event_type, user_id, value FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    by_type = {}
+    for et, uid, v in rows:
+        h = hashlib.md5(f"{uid}:ab-salt".encode()).hexdigest()[:8]
+        by_type.setdefault(et, {"A": [], "B": []})[
+            "A" if h < "80000000" else "B"
+        ].append(v)
+    for et, g in by_type.items():
+        a, b = g["A"], g["B"]
+        va, vb = statistics.variance(a), statistics.variance(b)
+        se2 = va / len(a) + vb / len(b)
+        t = (statistics.fmean(a) - statistics.fmean(b)) / math.sqrt(se2)
+        assert out[et].n_a == len(a) and out[et].n_b == len(b)
+        assert out[et].t_stat == pytest.approx(t, abs=2e-3)
+        assert out[et].significant == (abs(t) > 1.96)
+
+
+def test_robust_means_clamp_and_trim(spark):
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    rows = (
+        QUERIES["stats_robust_value_by_type"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # winsorizing pulls tails in, trimming drops them: both stay
+        # within the raw range and the clamp count is ~20% of n
+        assert abs(r.mean_winsorized - r.mean_trimmed) <= abs(
+            r.mean_raw
+        ) + 1e6  # sanity: finite
+        assert 0 <= r.n_clamped <= r.n
+        assert r.n_clamped <= 0.25 * r.n + 2
