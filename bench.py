@@ -212,6 +212,8 @@ HEADLINE = [
     "search_eval_ivf_recall",
     "stats_welch_ab_by_type",
     "stats_robust_value_by_type",
+    "profile_join_skew",
+    "gov_corpus_manifest",
 ]
 
 

@@ -172,3 +172,128 @@ def profile_columns_approx(df: DataFrame, cols: list[str], rsd: float = 0.05) ->
             )
         ).alias("r")
     ).select("r.*")
+
+
+def join_skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-join-key skew diagnostics: the pre-flight a 100 TB join runs.
+
+    For each candidate key column: key cardinality, the heaviest key and
+    its share of all rows, and the p99/p50 ratio of per-key counts —
+    the number that says whether AQE skew-join / salting is needed
+    before the shuffle is launched. One count aggregation per key
+    column (key-grain shuffle), then scalar aggregates over the
+    (bounded, vocabulary-sized) count table; output is one row per key
+    column.
+
+    Tie-break: the heaviest key with the smallest string value wins, so
+    the report is deterministic under count ties.
+    """
+    reports = []
+    for key in key_cols:
+        counts = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy(F.desc("cnt"), F.asc("k"))
+        top = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("k").alias("top_key"), F.col("cnt").alias("top_cnt")
+            )
+        )
+        agg = counts.agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.expr("percentile(cnt, 0.5)").alias("_p50"),
+            F.expr("percentile(cnt, 0.99)").alias("_p99"),
+        )
+        reports.append(
+            agg.crossJoin(F.broadcast(top)).select(
+                F.lit(key).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                "top_key",
+                F.col("top_cnt").cast("bigint").alias("top_cnt"),
+                F.round(F.col("top_cnt") / F.col("n_rows"), 6).alias(
+                    "top_share"
+                ),
+                F.round(F.col("_p50"), 4).alias("p50_cnt"),
+                F.round(F.col("_p99"), 4).alias("p99_cnt"),
+                F.round(F.col("_p99") / F.col("_p50"), 4).alias(
+                    "skew_p99_p50"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("key_name")
+
+
+def merkle_manifest(
+    df: DataFrame,
+    group_col: str,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Hierarchical Merkle manifest per group: tamper-evident corpus
+    versioning.
+
+    Leaf = md5(content); shard digest = md5 over the shard's leaves
+    concatenated in id order; group root = md5 over the shard digests
+    in shard order. Any single-byte change to any document flips the
+    group root, and two corpora can be compared shard-by-shard to find
+    WHERE they diverge without re-reading content.
+
+    100 TB shape: the leaf pass is map-side; both digest levels are
+    grain-bounded aggregations (shard grain, then group grain with
+    ``n_shards`` rows per group). Per-shard concatenation is the only
+    memory term — pick ``n_shards`` so shards stay list-aggregable
+    (at real scale: one shard per file/partition, a deeper tree for
+    wider corpora; the two-level fold here is the recursion step).
+    """
+    leaves = df.select(
+        F.col(group_col).alias("grp"),
+        (F.col(id_col) % n_shards).cast("bigint").alias("shard"),
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(content_col)).alias("leaf"),
+    )
+    shard_digest = leaves.groupBy("grp", "shard").agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_id", "leaf"))),
+                    lambda s: s["leaf"],
+                ),
+            )
+        ).alias("digest"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return (
+        shard_digest.groupBy("grp")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("shard", "digest"))
+                        ),
+                        lambda s: s["digest"],
+                    ),
+                )
+            ).alias("manifest_hash"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_shards",
+            "manifest_hash",
+        )
+        .orderBy(group_col)
+    )

@@ -708,3 +708,101 @@ def stats_robust_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# profile_join_skew — the pre-flight skew report for join keys.
+# --------------------------------------------------------------------------
+@register(
+    "profile_join_skew",
+    oracle="""
+        WITH c1 AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS cnt
+                    FROM lineitem GROUP BY 1),
+        r1 AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+                      quantile_cont(cnt, 0.5) AS p50,
+                      quantile_cont(cnt, 0.99) AS p99 FROM c1),
+        t1 AS (SELECT k AS top_key, cnt AS top_cnt FROM c1
+               ORDER BY cnt DESC, k LIMIT 1),
+        c2 AS (SELECT CAST(l_partkey AS VARCHAR) AS k, count(*) AS cnt
+                    FROM lineitem GROUP BY 1),
+        r2 AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+                      quantile_cont(cnt, 0.5) AS p50,
+                      quantile_cont(cnt, 0.99) AS p99 FROM c2),
+        t2 AS (SELECT k AS top_key, cnt AS top_cnt FROM c2
+               ORDER BY cnt DESC, k LIMIT 1),
+        c3 AS (SELECT CAST(l_suppkey AS VARCHAR) AS k, count(*) AS cnt
+                    FROM lineitem GROUP BY 1),
+        r3 AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+                      quantile_cont(cnt, 0.5) AS p50,
+                      quantile_cont(cnt, 0.99) AS p99 FROM c3),
+        t3 AS (SELECT k AS top_key, cnt AS top_cnt FROM c3
+               ORDER BY cnt DESC, k LIMIT 1)
+        SELECT * FROM (
+            SELECT 'l_orderkey' AS key_name, n_rows, n_keys, top_key,
+                   top_cnt::BIGINT AS top_cnt,
+                   round(top_cnt / n_rows, 6) AS top_share,
+                   round(p50, 4) AS p50_cnt, round(p99, 4) AS p99_cnt,
+                   round(p99 / p50, 4) AS skew_p99_p50
+            FROM r1, t1
+            UNION ALL
+            SELECT 'l_partkey', n_rows, n_keys, top_key, top_cnt::BIGINT,
+                   round(top_cnt / n_rows, 6), round(p50, 4), round(p99, 4),
+                   round(p99 / p50, 4)
+            FROM r2, t2
+            UNION ALL
+            SELECT 'l_suppkey', n_rows, n_keys, top_key, top_cnt::BIGINT,
+                   round(top_cnt / n_rows, 6), round(p50, 4), round(p99, 4),
+                   round(p99 / p50, 4)
+            FROM r3, t3
+        ) ORDER BY key_name
+    """,
+    description=(
+        "Join-key skew pre-flight over lineitem's three join keys: key "
+        "cardinality, heaviest key + row share, p99/p50 per-key count "
+        "ratio — the numbers that decide salting / AQE skew-join BEFORE "
+        "a 100 TB shuffle is launched"
+    ),
+    tags=("sql-surface", "profiling", "skew", "join"),
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return profiling.join_skew_report(
+        li, ["l_orderkey", "l_partkey", "l_suppkey"]
+    )
+
+
+# --------------------------------------------------------------------------
+# gov_corpus_manifest — hierarchical Merkle manifest per source.
+# --------------------------------------------------------------------------
+@register(
+    "gov_corpus_manifest",
+    oracle="""
+        WITH leaves AS (
+            SELECT source AS grp, (doc_id % 16)::BIGINT AS shard, doc_id,
+                   md5(text) AS leaf
+            FROM documents
+        ),
+        sd AS (
+            SELECT grp, shard,
+                   md5(string_agg(leaf, '' ORDER BY doc_id)) AS digest,
+                   count(*)::BIGINT AS n
+            FROM leaves GROUP BY 1, 2
+        )
+        SELECT grp AS source, sum(n)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_shards,
+               md5(string_agg(digest, '' ORDER BY shard)) AS manifest_hash
+        FROM sd GROUP BY grp
+        ORDER BY source
+    """,
+    description=(
+        "Tamper-evident corpus versioning: two-level Merkle manifest per "
+        "source (md5 leaves folded per id-ordered shard, shard digests "
+        "folded to a root) — any single-byte document change flips the "
+        "root, and diverging corpora localize to a shard without "
+        "re-reading content"
+    ),
+    tags=("governance", "manifest", "merkle", "lineage"),
+)
+def gov_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return profiling.merkle_manifest(docs, "source", n_shards=16)

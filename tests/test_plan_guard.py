@@ -135,6 +135,9 @@ BNLJ_ALLOWED = {
     # level, deliberately degrades to the brute-force eval sweep over
     # the 10-query sample — the sim_cosine_topk designed shape
     "search_eval_ivf_recall",
+    # the skew report crossJoins each key's broadcast 1-row top-key
+    # aggregate into its 1-row scalar summary (both sides 1 row)
+    "profile_join_skew",
 }
 
 

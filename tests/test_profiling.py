@@ -98,3 +98,42 @@ def test_approx_profile_single_pass_and_bounds(spark):
     # one aggregate over one scan — no per-column jobs
     plan = profile_columns_approx(df, ["id", "cat"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") <= 2
+
+
+def test_merkle_manifest_flips_on_any_change(spark):
+    from mandoline_hbase_spark.operators.profiling import merkle_manifest
+
+    rows = [(i, "s", f"text {i}") for i in range(40)]
+    ddl = "doc_id bigint, source string, text string"
+    base = merkle_manifest(
+        spark.createDataFrame(rows, ddl), "source", n_shards=4
+    ).collect()[0]
+    assert base.n_docs == 40 and base.n_shards == 4
+    # single-byte change in one doc flips the root
+    rows2 = [(i, "s", "text X" if i == 17 else f"text {i}") for i in range(40)]
+    changed = merkle_manifest(
+        spark.createDataFrame(rows2, ddl), "source", n_shards=4
+    ).collect()[0]
+    assert changed.manifest_hash != base.manifest_hash
+    # identical corpus reproduces the root exactly (order-insensitive)
+    again = merkle_manifest(
+        spark.createDataFrame(list(reversed(rows)), ddl), "source", n_shards=4
+    ).collect()[0]
+    assert again.manifest_hash == base.manifest_hash
+
+
+def test_join_skew_report_hand_computed(spark):
+    from mandoline_hbase_spark.operators.profiling import join_skew_report
+
+    # key 'a' holds 6 of 10 rows; ties between 'b' and 'c' (2 each)
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    r = join_skew_report(df, ["k"]).collect()[0]
+    assert r.n_rows == 10 and r.n_keys == 3
+    assert r.top_key == "a" and r.top_cnt == 6
+    assert r.top_share == 0.6
+    # tie-break check: drop the 'a' rows -> top is the smaller of b/c
+    r2 = join_skew_report(
+        spark.createDataFrame(rows[6:], "k string"), ["k"]
+    ).collect()[0]
+    assert r2.top_key == "b" and r2.top_cnt == 2
