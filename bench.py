@@ -214,6 +214,8 @@ HEADLINE = [
     "stats_robust_value_by_type",
     "profile_join_skew",
     "gov_corpus_manifest",
+    "dq_referential_integrity",
+    "er_entity_clusters",
 ]
 
 

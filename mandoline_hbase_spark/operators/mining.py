@@ -274,6 +274,40 @@ def kneser_ney_bigrams(
 # --------------------------------------------------------------------------
 # Blocked entity resolution with planted twins
 # --------------------------------------------------------------------------
+def _er_universe(customers: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The ER fixture universe: normalized customers UNION a perturbed
+    twin of each (name's 5th char dropped — levenshtein distance exactly
+    1; block columns + balance unchanged), with twin ids offset by the
+    next power of 10 above the max id so they can never collide with
+    real ids. Returns (people, 1-row offset frame)."""
+    base = customers.select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    # next power of 10 above max id: 10^(digit count), with round()
+    # killing any libm pow() off-by-one-ulp before the bigint cast
+    off = base.agg(
+        F.round(
+            F.pow(F.lit(10.0), F.length(F.max("id").cast("string"))), 0
+        )
+        .cast("bigint")
+        .alias("offset")
+    )
+    twins = base.crossJoin(F.broadcast(off)).select(
+        (F.col("id") + F.col("offset")).alias("id"),
+        F.concat(
+            F.substring("name", 1, 4), F.expr("substring(name, 6)")
+        ).alias("name"),
+        "nation",
+        "segment",
+        "bal",
+    )
+    return base.unionByName(twins), off
+
+
 def blocked_er_matches(
     customers: DataFrame,
     *,
@@ -317,33 +351,7 @@ def blocked_er_matches(
             "max_bal_diff must stay under the unit bucket width, or the "
             "+-1 bucket probe is no longer provably complete"
         )
-    base = customers.select(
-        F.col("c_custkey").cast("bigint").alias("id"),
-        F.col("c_name").alias("name"),
-        F.col("c_nationkey").cast("bigint").alias("nation"),
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_acctbal").cast("double").alias("bal"),
-    )
-    # next power of 10 above max id: 10^(digit count), with round()
-    # killing any libm pow() off-by-one-ulp before the bigint cast
-    off = base.agg(
-        F.round(
-            F.pow(F.lit(10.0), F.length(F.max("id").cast("string"))), 0
-        )
-        .cast("bigint")
-        .alias("offset")
-    )
-    twins = base.crossJoin(F.broadcast(off)).select(
-        (F.col("id") + F.col("offset")).alias("id"),
-        # drop the name's 5th char: levenshtein distance exactly 1
-        F.concat(
-            F.substring("name", 1, 4), F.expr("substring(name, 6)")
-        ).alias("name"),
-        "nation",
-        "segment",
-        "bal",
-    )
-    people = base.unionByName(twins)
+    people, off = _er_universe(customers)
 
     bucket = F.floor(F.col("bal")).cast("bigint")
     l = people.select(
@@ -432,3 +440,38 @@ def ewma_per_key(
         F.size("seq").cast("bigint").alias("n_events"),
         F.round(folded, 4).alias("ewma_value"),
     ).orderBy(key_col)
+
+
+def er_entity_clusters(
+    customers: DataFrame,
+    *,
+    max_name_dist: int = 2,
+    max_bal_diff: float = 0.5,
+) -> DataFrame:
+    """Entity ids from the blocked-ER match graph: the golden-record step.
+
+    Matches from :func:`blocked_er_matches` are edges; distributed
+    hash-min connected components (the dedup CC operator — one shuffle
+    per round, rounds = component diameter) assign every person the
+    minimum id of their component as ``entity_id``. Singletons map to
+    themselves; ``is_canonical`` marks the surviving golden record.
+
+    100 TB shape: the match graph is block-bounded (see
+    blocked_er_matches); CC is the audited iterative operator shared
+    with near-dup clustering (checkpoint cadence, edge-grain shuffles).
+    """
+    from mandoline_hbase_spark.operators import dedup as dedup_ops
+
+    people, _ = _er_universe(customers)
+    matches = blocked_er_matches(
+        customers, max_name_dist=max_name_dist, max_bal_diff=max_bal_diff
+    ).select("id_a", "id_b")
+    assigned = dedup_ops.connected_components(
+        people.select("id"), matches, id_col="id",
+        src_col="id_a", dst_col="id_b",
+    )
+    return assigned.select(
+        "id",
+        F.col("cluster_id").cast("bigint").alias("entity_id"),
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    ).orderBy("id")

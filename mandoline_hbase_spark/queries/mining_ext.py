@@ -262,3 +262,64 @@ def er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return mining.ewma_per_key(events, alpha=0.2)
+
+
+# --------------------------------------------------------------------------
+# er_entity_clusters — golden-record entity ids over the match graph
+# --------------------------------------------------------------------------
+@register(
+    "er_entity_clusters",
+    oracle="""
+        WITH RECURSIVE base AS (
+            SELECT c_custkey::BIGINT AS id, c_name AS name,
+                   c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+                   c_acctbal::DOUBLE AS bal
+            FROM customer
+        ),
+        off AS (
+            SELECT CAST(round(power(10, length(CAST(max(id) AS VARCHAR))),
+                              0) AS BIGINT) AS off
+            FROM base
+        ),
+        twins AS (
+            SELECT id + o.off AS id,
+                   substr(name, 1, 4) || substr(name, 6) AS name,
+                   nation, segment, bal
+            FROM base, off o
+        ),
+        people AS (
+            SELECT * FROM base UNION ALL SELECT * FROM twins
+        ),
+        matches AS (
+            SELECT a.id AS src, b.id AS dst
+            FROM people a JOIN people b
+              ON a.nation = b.nation AND a.segment = b.segment
+             AND a.id < b.id
+            WHERE levenshtein(a.name, b.name) <= 2
+              AND abs(a.bal - b.bal) <= 0.5
+        ),
+        edges AS (
+            SELECT src, dst FROM matches UNION SELECT dst, src FROM matches
+        ),
+        reach(node, lab) AS (
+            SELECT id, id FROM people
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS id, min(lab) AS entity_id,
+               node = min(lab) AS is_canonical
+        FROM reach GROUP BY node
+        ORDER BY id
+    """,
+    description=(
+        "Golden-record entity ids: blocked-ER matches as edges, "
+        "distributed hash-min connected components assign every person "
+        "the minimum id of their component (singletons keep their own); "
+        "oracle = recursive-CTE transitive closure over the brute-force "
+        "match graph, the dedup_cluster_assign idiom applied to ER"
+    ),
+    tags=("mining", "er", "record-linkage", "cluster", "iterative"),
+)
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return mining.er_entity_clusters(customer)

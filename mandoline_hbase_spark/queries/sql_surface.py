@@ -806,3 +806,95 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gov_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return profiling.merkle_manifest(docs, "source", n_shards=16)
+
+
+# --------------------------------------------------------------------------
+# dq_referential_integrity — orphan audit over every FK edge of the
+# star schema. Anti-join per edge (broadcast where the parent is a dim);
+# output is one row per edge, so the report is driver-tiny at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "dq_referential_integrity",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+                   (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+                   (SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey)
+                   )::BIGINT AS n_orphans
+            UNION ALL
+            SELECT 'lineitem.l_partkey -> part',
+                   (SELECT count(*) FROM lineitem)::BIGINT,
+                   (SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM part p
+                                       WHERE p.p_partkey = l.l_partkey))::BIGINT
+            UNION ALL
+            SELECT 'lineitem.l_suppkey -> supplier',
+                   (SELECT count(*) FROM lineitem)::BIGINT,
+                   (SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                       WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+            UNION ALL
+            SELECT 'orders.o_custkey -> customer',
+                   (SELECT count(*) FROM orders)::BIGINT,
+                   (SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))::BIGINT
+            UNION ALL
+            SELECT 'customer.c_nationkey -> nation',
+                   (SELECT count(*) FROM customer)::BIGINT,
+                   (SELECT count(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = c.c_nationkey))::BIGINT
+            UNION ALL
+            SELECT 'supplier.s_nationkey -> nation',
+                   (SELECT count(*) FROM supplier)::BIGINT,
+                   (SELECT count(*) FROM supplier s
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = s.s_nationkey))::BIGINT
+            UNION ALL
+            SELECT 'nation.n_regionkey -> region',
+                   (SELECT count(*) FROM nation)::BIGINT,
+                   (SELECT count(*) FROM nation n
+                     WHERE NOT EXISTS (SELECT 1 FROM region r
+                                       WHERE r.r_regionkey = n.n_regionkey))::BIGINT
+        )
+        ORDER BY fk_edge
+    """,
+    description=(
+        "Referential-integrity audit over all seven FK edges of the star "
+        "schema: child row count and orphan count per edge via anti-joins "
+        "(dimension parents broadcast) — the lakehouse constraint check "
+        "that runs after every bulk load, one output row per edge"
+    ),
+    tags=("sql-surface", "dq", "integrity", "anti-join"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for label, child_t, fk, parent_t, pk in edges:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t).select(pk)
+        orphans = child.join(
+            parent, child[fk] == parent[pk], "left_anti"
+        )
+        row = child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child")
+        ).crossJoin(
+            F.broadcast(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+                )
+            )
+        ).select(F.lit(label).alias("fk_edge"), "n_child", "n_orphans")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")

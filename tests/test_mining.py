@@ -307,3 +307,25 @@ def test_robust_means_clamp_and_trim(spark):
         ) + 1e6  # sanity: finite
         assert 0 <= r.n_clamped <= r.n
         assert r.n_clamped <= 0.25 * r.n + 2
+
+
+def test_er_entity_clusters_twins_collapse_to_real_id(spark):
+    rows = [
+        Row(
+            c_custkey=i,
+            c_name=f"Customer#{i:09d}",
+            c_nationkey=i % 3,
+            c_mktsegment="AUTO",
+            c_acctbal=float(10_000 * i),
+        )
+        for i in range(1, 12)
+    ]
+    out = {
+        r.id: r
+        for r in mining.er_entity_clusters(spark.createDataFrame(rows)).collect()
+    }
+    # 11 people + 11 twins, each twin pair one entity rooted at the real id
+    assert len(out) == 22
+    for i in range(1, 12):
+        assert out[i].entity_id == i and out[i].is_canonical
+        assert out[i + 100].entity_id == i and not out[i + 100].is_canonical

@@ -138,6 +138,12 @@ BNLJ_ALLOWED = {
     # the skew report crossJoins each key's broadcast 1-row top-key
     # aggregate into its 1-row scalar summary (both sides 1 row)
     "profile_join_skew",
+    # FK audit: one broadcast 1-row orphan count per edge crossJoined
+    # into that edge's 1-row child total
+    "dq_referential_integrity",
+    # entity clustering reuses blocked_er_matches' broadcast 1-row id
+    # offset (twin minting) before the CC rounds
+    "er_entity_clusters",
 }
 
 
