@@ -216,6 +216,7 @@ HEADLINE = [
     "gov_corpus_manifest",
     "dq_referential_integrity",
     "er_entity_clusters",
+    "ts_seasonal_profile",
 ]
 
 

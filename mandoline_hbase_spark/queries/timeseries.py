@@ -284,3 +284,50 @@ def gov_dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return governance.dp_noisy_counts(
         events, ["event_type"], epsilon=1.0, salt="dp-release"
     )
+
+
+@register(
+    "ts_seasonal_profile",
+    oracle="""
+        WITH g AS (
+            SELECT event_type, dayofweek(ts)::INT AS dow,
+                   count(*)::BIGINT AS n,
+                   round(avg(value), 4) AS mean_value
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (SELECT event_type, sum(n) AS n_type FROM g GROUP BY 1)
+        SELECT g.event_type, g.dow, g.n, g.mean_value,
+               round(g.n / t.n_type, 6) AS share
+        FROM g JOIN t USING (event_type)
+        ORDER BY event_type, dow
+    """,
+    description=(
+        "Day-of-week seasonal profile per event type (0=Sunday): row "
+        "share and mean value per weekday cell — the baseline a "
+        "seasonality-aware anomaly monitor compares against (pairs with "
+        "events_outliers_mad, which is season-blind)"
+    ),
+    tags=("timeseries", "seasonal", "profile"),
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # Spark dayofweek is 1=Sunday..7=Saturday; DuckDB's is 0=Sunday —
+    # shift once here so both engines speak the DuckDB convention
+    g = events.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+    t = g.groupBy("event_type").agg(F.sum("n").alias("n_type"))
+    return (
+        g.join(t, "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            "mean_value",
+            F.round(F.col("n") / F.col("n_type"), 6).alias("share"),
+        )
+        .orderBy("event_type", "dow")
+    )
