@@ -1,7 +1,7 @@
 """Pattern-mining and record-linkage operators.
 
-Five batch analytics a curation pipeline runs over the raw tables
-before (or instead of) training-set assembly:
+Batch analytics a curation pipeline runs over the raw tables before
+(or instead of) training-set assembly:
 
 - :func:`association_rules` — market-basket rules with a-priori
   pruning (pair frequent => both items frequent, so the frequent-item
@@ -14,6 +14,8 @@ before (or instead of) training-set assembly:
 - :func:`blocked_er_matches` — blocked entity resolution: candidate
   pairs only within a block key that is PART of the match predicate,
   so blocking is provably complete (no match can span two blocks);
+- :func:`er_entity_clusters` — golden-record entity ids via connected
+  components over the match graph (the dedup CC operator reused);
 - :func:`ewma_per_key` — recursive exponentially-weighted moving
   average as an ordered fold, bit-identical to any engine that folds
   the same sequence in the same order.
