@@ -217,6 +217,8 @@ HEADLINE = [
     "dq_referential_integrity",
     "er_entity_clusters",
     "ts_seasonal_profile",
+    "sim_hard_negatives_topk",
+    "pack_length_buckets",
 ]
 
 

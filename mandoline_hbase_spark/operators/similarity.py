@@ -1079,3 +1079,46 @@ def ivf_probe_recall_report(
         )
         .orderBy("n_probe")
     )
+
+
+def hard_negatives(
+    emb_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Top-k most-similar DIFFERENT-label neighbors per query: the hard
+    negatives contrastive/retrieval training mines.
+
+    Same plan as :func:`cosine_topk` — broadcast(query sample) x corpus,
+    exact cosine, per-query window top-k — with the label-mismatch
+    predicate fused into the join so mined negatives can never be
+    positives. At scale the served path is the filtered ANN family
+    (`ivf_filtered_topk_from_index` with the label complement as the
+    IN-list): labels are bounded, so "label != q" is partition pruning,
+    not a scan predicate.
+    """
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = _spread(emb_df, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cvec"),
+        F.col(label_col).alias("neg_label"),
+    )
+    sims = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("qlabel") != F.col("neg_label")),
+    ).withColumn("sim", cosine_sim(F.col("qvec"), F.col("cvec")))
+    return _per_query_topk(sims, "sim", k).select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "neg_label",
+        F.round("sim", 6).alias("sim"),
+    )

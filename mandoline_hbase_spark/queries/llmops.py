@@ -3250,3 +3250,100 @@ def search_eval_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_probe_recall_report(
         emb, n_centroids=8, n_queries=10, k=5, probe_levels=(1, 2, 4, 8)
     )
+
+
+@register(
+    "sim_hard_negatives_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+               list_cosine_similarity(q.qvec, c.embedding::DOUBLE[]) AS sim
+        FROM q, embeddings c
+        WHERE q.query_id <> c.vec_id AND q.qlabel <> c.label
+    )
+    SELECT query_id, rank, neighbor_id, neg_label, round(sim, 6) AS sim
+    FROM (
+        SELECT query_id, neighbor_id, neg_label, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC)::INT
+                   AS rank
+        FROM sims
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    description=(
+        "Hard-negative mining for contrastive/retrieval training: top-5 "
+        "most-similar DIFFERENT-label neighbors per query, the label "
+        "mismatch fused into the broadcast(query) x corpus join so mined "
+        "negatives can never be positives; the scale path is the "
+        "filtered-ANN family with the label complement as the IN-list "
+        "(labels are bounded => partition pruning, not a scan predicate)"
+    ),
+    tags=("llm", "similarity", "contrastive", "hard-negatives"),
+)
+def sim_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.hard_negatives(emb, queries, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "pack_length_buckets",
+    oracle=r"""
+    WITH tok AS (
+        SELECT len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok
+        FROM documents
+    ),
+    b AS (SELECT ((n_tok - 1) // 64)::BIGINT AS bucket_id, n_tok FROM tok)
+    SELECT bucket_id,
+           (64 * (bucket_id + 1))::BIGINT AS cap,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS total_tokens,
+           round(1.0 - sum(n_tok)
+                       / (64.0 * (bucket_id + 1) * count(*)), 6) AS pad_waste
+    FROM b GROUP BY bucket_id
+    ORDER BY bucket_id
+    """,
+    description=(
+        "Length-bucket batching report: docs grouped into 64-token "
+        "padding buckets with the padding-waste fraction per bucket — "
+        "the number that says whether bucketed batching (vs "
+        "pack_sequences' dense packing) is good enough for a training "
+        "run; map-side bucket assignment, bucket-grain aggregate"
+    ),
+    tags=("llm", "training", "packing", "buckets"),
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    # integer floor-div via SQL `div` (never float-divide-then-cast:
+    # cast truncates toward zero and risks off-by-one at double
+    # boundaries; `div` is exact integer arithmetic like DuckDB's `//`)
+    b = docs.select(n_tok.alias("n_tok")).selectExpr(
+        "CAST((n_tok - 1) DIV 64 AS BIGINT) AS bucket_id", "n_tok"
+    )
+    return (
+        b.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "bucket_id",
+            (F.lit(64) * (F.col("bucket_id") + 1)).cast("bigint").alias("cap"),
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("total_tokens")
+                / (F.lit(64.0) * (F.col("bucket_id") + 1) * F.col("n_docs")),
+                6,
+            ).alias("pad_waste"),
+        )
+        .orderBy("bucket_id")
+    )

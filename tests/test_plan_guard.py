@@ -144,6 +144,10 @@ BNLJ_ALLOWED = {
     # entity clustering reuses blocked_er_matches' broadcast 1-row id
     # offset (twin minting) before the CC rounds
     "er_entity_clusters",
+    # hard-negative mining is the designed broadcast(query sample) x
+    # corpus exact pass (sim_cosine_topk's shape) with the label
+    # predicate fused into the same join
+    "sim_hard_negatives_topk",
 }
 
 
