@@ -127,6 +127,21 @@ def _copy_expr(df, table: str, i: int, heaps_vocab: int | None):
                 )
             elif i > 0:
                 c = F.concat(c, F.lit(f" rep{i}tok"))
+        elif table == "customer" and name == "c_acctbal" and i > 0:
+            # jitter balances per copy so copies are mutually independent
+            # under the ER balance-gap predicate (same reason text and
+            # embeddings are perturbed: identical copies make the true
+            # near-dup/match answer quadratic in copies — a fixture
+            # artifact, not a plan property). Keyed on the copy's FINAL
+            # unique custkey, so the jitter stays independent at any
+            # CHAIN depth (a constant per-copy shift collides again when
+            # shift sums repeat across chained builds: i1+i2 == j1+j2).
+            uniq = F.col("c_custkey") + F.lit(1_000_000 * i)
+            c = (
+                c
+                + F.pmod(F.xxhash64(uniq, F.lit("bal-jitter")), 1_000_000)
+                / 100.0
+            ).cast(dtype)
         elif table == "embeddings" and name == "embedding" and i > 0:
             # per-element multiplicative jitter up to ±2% per copy step:
             # copies drift progressively apart so ANN cells and near-dup
