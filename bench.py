@@ -219,6 +219,9 @@ HEADLINE = [
     "ts_seasonal_profile",
     "sim_hard_negatives_topk",
     "pack_length_buckets",
+    "funnel_latency_quantiles",
+    "text_langid_confusion",
+    "dq_benford_prices",
 ]
 
 

@@ -721,3 +721,67 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# funnel_latency_quantiles — time-to-convert distribution.
+# --------------------------------------------------------------------------
+@register(
+    "funnel_latency_quantiles",
+    oracle="""
+        WITH first_signup AS (
+            SELECT user_id, min(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id
+        ),
+        conv AS (
+            SELECT f.user_id,
+                   (min(epoch_us(e.ts)) - min(epoch_us(f.signup_ts)))
+                       / 1000000.0 AS delta_s
+            FROM first_signup f
+            JOIN events e ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > f.signup_ts
+            GROUP BY f.user_id
+        )
+        SELECT count(*)::BIGINT AS n_converted,
+               round(quantile_cont(delta_s, 0.5), 2) AS p50_s,
+               round(quantile_cont(delta_s, 0.9), 2) AS p90_s,
+               round(avg(delta_s), 2) AS mean_s
+        FROM conv
+    """,
+    description=(
+        "Funnel latency: seconds from first signup to first subsequent "
+        "purchase per converting user, summarized as exact p50/p90/mean "
+        "— the time-to-convert readout that pairs with the funnel's "
+        "conversion rate (microsecond-exact deltas, one division)"
+    ),
+    tags=("events", "funnel", "latency", "percentile"),
+)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_signup, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            (
+                (
+                    F.min(F.unix_micros(F.col("ts")))
+                    - F.min(F.unix_micros(F.col("signup_ts")))
+                )
+                / F.lit(1000000.0)
+            ).alias("delta_s")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(delta_s, 0.5)"), 2).alias("p50_s"),
+        F.round(F.expr("percentile(delta_s, 0.9)"), 2).alias("p90_s"),
+        F.round(F.avg("delta_s"), 2).alias("mean_s"),
+    )

@@ -3347,3 +3347,61 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_id")
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=rf"""
+    WITH s AS (
+        SELECT doc_id, lang AS lang_true,
+               {_duck_lang_scores()}
+        FROM documents
+    ),
+    p AS (
+        SELECT lang_true,
+               CASE
+                   WHEN greatest(score_en, score_fr, score_es, score_de,
+                                 score_zh) = 0 THEN 'unknown'
+                   WHEN score_en = greatest(score_en, score_fr, score_es,
+                                            score_de, score_zh) THEN 'en'
+                   WHEN score_fr = greatest(score_en, score_fr, score_es,
+                                            score_de, score_zh) THEN 'fr'
+                   WHEN score_es = greatest(score_en, score_fr, score_es,
+                                            score_de, score_zh) THEN 'es'
+                   WHEN score_de = greatest(score_en, score_fr, score_es,
+                                            score_de, score_zh) THEN 'de'
+                   ELSE 'zh'
+               END AS lang_pred
+        FROM s
+    )
+    SELECT lang_true, lang_pred, count(*)::BIGINT AS n,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY lang_true),
+                 4) AS recall_share
+    FROM p GROUP BY lang_true, lang_pred
+    ORDER BY lang_true, lang_pred
+    """,
+    description=(
+        "Classifier evaluation against labels: confusion matrix of the "
+        "n-gram/stopword language-id heuristic vs the labeled lang "
+        "column, with per-true-class recall shares — the eval loop every "
+        "heuristic quality gate needs before it filters a corpus"
+    ),
+    tags=("llm", "text", "langid", "eval"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = text.with_language_id(docs).select(
+        F.col("lang").alias("lang_true"), "lang_pred"
+    )
+    g = p.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang_true")
+    return g.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("recall_share"),
+    ).orderBy("lang_true", "lang_pred")

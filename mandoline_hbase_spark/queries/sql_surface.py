@@ -898,3 +898,62 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(label).alias("fk_edge"), "n_child", "n_orphans")
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fk_edge")
+
+
+# --------------------------------------------------------------------------
+# dq_benford_prices — Benford first-digit test (fraud/DQ analytics).
+# --------------------------------------------------------------------------
+@register(
+    "dq_benford_prices",
+    oracle="""
+        WITH d AS (
+            SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                               AS VARCHAR), 1, 1)::INT AS digit
+            FROM lineitem WHERE l_extendedprice >= 1
+        ),
+        g AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit)
+        SELECT digit, n,
+               round(n / sum(n) OVER (), 6) AS share,
+               round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford,
+               round(n / sum(n) OVER ()
+                     - ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS deviation
+        FROM g
+        ORDER BY digit
+    """,
+    description=(
+        "Benford first-digit audit on extended prices: observed "
+        "first-digit shares vs the Benford expectation log10(1+1/d) and "
+        "the per-digit deviation — the anomaly screen auditors run on "
+        "financial magnitude columns (floor-then-cast on BOTH sides: "
+        "double->int CAST truncates in Spark but rounds in SQL engines)"
+    ),
+    tags=("sql-surface", "dq", "benford", "audit"),
+)
+def dq_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    d = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy()
+    share = F.col("n") / F.sum("n").over(w)
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(
+        F.lit(10.0)
+    )
+    return g.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(benford, 6).alias("benford"),
+        F.round(share - benford, 6).alias("deviation"),
+    ).orderBy("digit")
