@@ -222,6 +222,7 @@ HEADLINE = [
     "funnel_latency_quantiles",
     "text_langid_confusion",
     "dq_benford_prices",
+    "lake_pruned_range_scan",
 ]
 
 

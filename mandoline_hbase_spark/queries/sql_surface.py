@@ -957,3 +957,104 @@ def dq_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford"),
         F.round(share - benford, 6).alias("deviation"),
     ).orderBy("digit")
+
+
+# --------------------------------------------------------------------------
+# lake_pruned_range_scan — the record-table zone-map pruning layer under
+# the driver's oracle (zero row loss value-checked; pruning as a claim).
+# --------------------------------------------------------------------------
+_LAKE_PRUNED: dict[str, str] = {}
+
+
+@register(
+    "lake_pruned_range_scan",
+    oracle="""
+        SELECT count(*)::BIGINT AS n_rows,
+               round(sum(value), 4) AS sum_value,
+               16::BIGINT AS n_chunks_total,
+               true AS pruning_effective
+        FROM events
+        WHERE event_id BETWEEN 100 AND 300
+    """,
+    description=(
+        "Record-table zone-map pruning under the oracle: events ingested "
+        "as a mandoline record variable, range-clustered on event_id "
+        "into 16 chunks (layout.cluster_records), then a pruned range "
+        "scan (option filter_pruning) — row count and value sum must "
+        "equal the unpruned truth (zero row loss through pruning, "
+        "value-level), and the scheduled-chunk probe "
+        "(rdd.getNumPartitions, the tests/test_datasource.py pin) rides "
+        "in-plan as the pruning_effective claim (< half the chunks "
+        "scanned; a pruning regression flips it false and "
+        "hash-mismatches). Chunk boundaries are sampled by "
+        "repartitionByRange, so the exact scanned count is layout "
+        "state, not SQL — the claim is the honest oracle form."
+    ),
+    tags=("sql-surface", "lake", "zonemap", "pruning", "served"),
+)
+def lake_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from mandoline_hbase_spark import layout, mk_schema
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
+    from mandoline_hbase_spark.sources import register_datasource
+
+    register_datasource(spark)
+    ds_root = _LAKE_PRUNED.get(sf_dir)
+    if ds_root is None:
+
+        def _build(work: str) -> None:
+            events = load_table(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            schema = mk_schema(
+                {"root": "lake.pruning.catalog", "base_path": work},
+                spark=spark,
+            )
+            schema.create_dataset("events")
+            ds_dir = schema.connect("events").dataset_dir
+            (
+                events.repartition(4)
+                .write.format("mandoline")
+                .option("path", ds_dir)
+                .option("variable", "records")
+                .mode("append")
+                .save()
+            )
+            layout.cluster_records(spark, ds_dir, ["event_id"], n_chunks=16)
+
+        ds_root = served_artifact(
+            "mandoline-lake-pruning",
+            content_fingerprint(
+                os.path.join(sf_dir, "events.parquet"),
+                {"layout": "lex-event-id", "n_chunks": 16},
+            ),
+            _build,
+        )
+        _LAKE_PRUNED[sf_dir] = ds_root
+
+    schema = mk_schema(
+        {"root": "lake.pruning.catalog", "base_path": ds_root}, spark=spark
+    )
+    ds_dir = schema.connect("events").dataset_dir
+    pruned = (
+        spark.read.format("mandoline")
+        .option("path", ds_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .option("filter_pruning", "true")
+        .load()
+        .filter("event_id BETWEEN 100 AND 300")
+    )
+    n_scanned = int(pruned.rdd.getNumPartitions())
+    return pruned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        "*",
+        F.lit(16).cast("bigint").alias("n_chunks_total"),
+        F.lit(bool(n_scanned < 8)).alias("pruning_effective"),
+    )
