@@ -223,6 +223,7 @@ HEADLINE = [
     "text_langid_confusion",
     "dq_benford_prices",
     "lake_pruned_range_scan",
+    "lake_merge_cdf",
 ]
 
 

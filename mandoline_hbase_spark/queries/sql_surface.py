@@ -1058,3 +1058,131 @@ def lake_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(16).cast("bigint").alias("n_chunks_total"),
         F.lit(bool(n_scanned < 8)).alias("pruning_effective"),
     )
+
+
+# --------------------------------------------------------------------------
+# lake_merge_cdf — MERGE + change-data-feed under the driver's oracle.
+# --------------------------------------------------------------------------
+_LAKE_MERGE: dict[str, str] = {}
+
+
+@register(
+    "lake_merge_cdf",
+    oracle="""
+        SELECT ((SELECT count(*) FROM events)
+                + (SELECT count(*) FROM events WHERE event_id < 50)
+               )::BIGINT AS n_rows_final,
+               round((SELECT sum(value) FROM events)
+                     + 1000.0 * (SELECT count(*) FROM events
+                                 WHERE event_id BETWEEN 100 AND 300)
+                     + (SELECT sum(value) FROM events WHERE event_id < 50),
+                     4) AS sum_value_final,
+               (SELECT count(*) FROM events
+                WHERE event_id < 50)::BIGINT AS n_inserted,
+               (SELECT count(*) FROM events
+                WHERE event_id BETWEEN 100 AND 300)::BIGINT AS n_updated,
+               0::BIGINT AS n_deleted
+    """,
+    description=(
+        "Lakehouse MERGE + change data feed under the oracle: events "
+        "ingested as a record variable, one merge batch updates the "
+        "values of event_id 100..300 (+1000) and inserts key-offset "
+        "copies of event_id < 50, then the query reads BOTH the merged "
+        "final state (row count + value sum must equal the SQL-computed "
+        "expectation) and the CDF between the two versions "
+        "(versioning.record_changes), whose insert/update/delete "
+        "counts must equal the batch's true composition — chunk-level "
+        "copy-on-write, version pinning, and Delta-CDF row typing all "
+        "value-checked end to end"
+    ),
+    tags=("sql-surface", "lake", "merge", "cdf", "served"),
+)
+def lake_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+
+    from mandoline_hbase_spark import mk_schema, versioning
+    from mandoline_hbase_spark.merge import merge_records
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
+    from mandoline_hbase_spark.sources import register_datasource
+
+    register_datasource(spark)
+    ds_root = _LAKE_MERGE.get(sf_dir)
+    if ds_root is None:
+
+        def _build(work: str) -> None:
+            events = load_table(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            schema = mk_schema(
+                {"root": "lake.merge.catalog", "base_path": work}, spark=spark
+            )
+            schema.create_dataset("events")
+            ds_dir = schema.connect("events").dataset_dir
+            (
+                events.repartition(4)
+                .write.format("mandoline")
+                .option("path", ds_dir)
+                .option("variable", "records")
+                .mode("append")
+                .save()
+            )
+            updates = events.filter(
+                (F.col("event_id") >= 100) & (F.col("event_id") <= 300)
+            ).withColumn("value", F.col("value") + F.lit(1000.0))
+            inserts = events.filter(F.col("event_id") < 50).withColumn(
+                "event_id", F.col("event_id") + F.lit(10_000_000)
+            )
+            summary = merge_records(
+                spark, ds_dir, updates.unionByName(inserts), ["event_id"]
+            )
+            with open(os.path.join(work, "merge.json"), "w") as f:
+                _json.dump(summary, f)
+
+        ds_root = served_artifact(
+            "mandoline-lake-merge",
+            content_fingerprint(
+                os.path.join(sf_dir, "events.parquet"),
+                {"merge": "update-100-300+insert-lt-50", "v": 1},
+            ),
+            _build,
+            marker="merge.json",
+        )
+        _LAKE_MERGE[sf_dir] = ds_root
+
+    with open(os.path.join(ds_root, "merge.json")) as f:
+        summary = _json.load(f)
+    schema = mk_schema(
+        {"root": "lake.merge.catalog", "base_path": ds_root}, spark=spark
+    )
+    ds_dir = schema.connect("events").dataset_dir
+    final = (
+        spark.read.format("mandoline")
+        .option("path", ds_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .load()
+    )
+    state = final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_final"),
+        F.round(F.sum("value"), 4).alias("sum_value_final"),
+    )
+    cdf = versioning.record_changes(
+        spark, ds_dir, summary["base_version"], summary["version"],
+        ["event_id"],
+    )
+    counts = cdf.agg(
+        F.count(F.when(F.col("_change_type") == "insert", 1))
+        .cast("bigint")
+        .alias("n_inserted"),
+        F.count(F.when(F.col("_change_type") == "update_postimage", 1))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.count(F.when(F.col("_change_type") == "delete", 1))
+        .cast("bigint")
+        .alias("n_deleted"),
+    )
+    return state.crossJoin(F.broadcast(counts))

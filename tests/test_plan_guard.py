@@ -148,6 +148,9 @@ BNLJ_ALLOWED = {
     # corpus exact pass (sim_cosine_topk's shape) with the label
     # predicate fused into the same join
     "sim_hard_negatives_topk",
+    # merge/CDF readout crossJoins the broadcast 1-row CDF count
+    # aggregate into the 1-row final-state aggregate
+    "lake_merge_cdf",
 }
 
 
