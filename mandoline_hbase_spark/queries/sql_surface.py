@@ -1081,7 +1081,8 @@ _LAKE_MERGE: dict[str, str] = {}
                 WHERE event_id < 50)::BIGINT AS n_inserted,
                (SELECT count(*) FROM events
                 WHERE event_id BETWEEN 100 AND 300)::BIGINT AS n_updated,
-               0::BIGINT AS n_deleted
+               0::BIGINT AS n_deleted,
+               0::BIGINT AS n_compact_cdf_rows
     """,
     description=(
         "Lakehouse MERGE + change data feed under the oracle: events "
@@ -1091,7 +1092,9 @@ _LAKE_MERGE: dict[str, str] = {}
         "final state (row count + value sum must equal the SQL-computed "
         "expectation) and the CDF between the two versions "
         "(versioning.record_changes), whose insert/update/delete "
-        "counts must equal the batch's true composition — chunk-level "
+        "counts must equal the batch's true composition; a compaction "
+        "then rewrites the layout and its CDF must be EMPTY (content "
+        "addressing: layout-only rewrites emit nothing) — chunk-level "
         "copy-on-write, version pinning, and Delta-CDF row typing all "
         "value-checked end to end"
     ),
@@ -1139,6 +1142,13 @@ def lake_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             summary = merge_records(
                 spark, ds_dir, updates.unionByName(inserts), ["event_id"]
             )
+            # compact AFTER the merge: a layout-only rewrite must emit an
+            # EMPTY change feed (content addressing: rows merely moved)
+            from mandoline_hbase_spark import layout as _layout
+
+            _layout.compact_records(spark, ds_dir, target_rows=2000)
+            conn = schema.connect("events")
+            summary["compact_version"] = int(conn.latest_version_id())
             with open(os.path.join(work, "merge.json"), "w") as f:
                 _json.dump(summary, f)
 
@@ -1146,7 +1156,7 @@ def lake_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mandoline-lake-merge",
             content_fingerprint(
                 os.path.join(sf_dir, "events.parquet"),
-                {"merge": "update-100-300+insert-lt-50", "v": 1},
+                {"merge": "update-100-300+insert-lt-50+compact", "v": 2},
             ),
             _build,
             marker="merge.json",
@@ -1185,4 +1195,10 @@ def lake_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_deleted"),
     )
-    return state.crossJoin(F.broadcast(counts))
+    compact_cdf = versioning.record_changes(
+        spark, ds_dir, summary["version"], summary["compact_version"],
+        ["event_id"],
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_compact_cdf_rows"))
+    return state.crossJoin(F.broadcast(counts)).crossJoin(
+        F.broadcast(compact_cdf)
+    )
