@@ -329,3 +329,27 @@ def test_er_entity_clusters_twins_collapse_to_real_id(spark):
     for i in range(1, 12):
         assert out[i].entity_id == i and out[i].is_canonical
         assert out[i + 100].entity_id == i and not out[i + 100].is_canonical
+
+
+def test_ewma_fold_segments_exactly(spark):
+    # the docstring's bounded-memory claim: folding a hot key in two
+    # segments (second fold seeded with the first's result) is
+    # BIT-IDENTICAL to the single fold — same sequence, same order
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [float((i * 37) % 101) for i in range(500)]
+    rows = [
+        Row(user_id=1, ts=t0 + dt.timedelta(seconds=i), event_id=i, value=v)
+        for i, v in enumerate(vals)
+    ]
+    full = mining.ewma_per_key(spark.createDataFrame(rows), alpha=0.2).collect()[0]
+
+    s = vals[0]
+    for x in vals[1:250]:
+        s = 0.2 * x + 0.8 * s
+    # seed the second segment's fold with the first segment's result
+    for x in vals[250:]:
+        s = 0.2 * x + 0.8 * s
+    assert full.ewma_value == round(s, 4)
+    assert full.n_events == 500
