@@ -224,6 +224,7 @@ HEADLINE = [
     "dq_benford_prices",
     "lake_pruned_range_scan",
     "lake_merge_cdf",
+    "lake_cdc_replay",
 ]
 
 

@@ -1202,3 +1202,163 @@ def lake_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.crossJoin(F.broadcast(counts)).crossJoin(
         F.broadcast(compact_cdf)
     )
+
+
+# --------------------------------------------------------------------------
+# lake_cdc_replay — the CDC exactly-once guard under the driver's oracle.
+# --------------------------------------------------------------------------
+_LAKE_CDC: dict[str, str] = {}
+
+
+@register(
+    "lake_cdc_replay",
+    oracle="""
+        SELECT ((SELECT count(*) FROM events)
+                - (SELECT count(*) FROM events WHERE event_id <= 9)
+                + (SELECT count(*) FROM events
+                   WHERE event_id BETWEEN 300 AND 349))::BIGINT AS n_rows_final,
+               round((SELECT sum(value) FROM events)
+                     - (SELECT sum(value) FROM events WHERE event_id <= 9)
+                     + 500.0 * (SELECT count(*) FROM events
+                                WHERE event_id BETWEEN 100 AND 200)
+                     + (SELECT sum(value) FROM events
+                        WHERE event_id BETWEEN 300 AND 349),
+                     4) AS sum_value_final,
+               (SELECT count(*) FROM events
+                WHERE event_id <= 9)::BIGINT AS n_deleted_b1,
+               (SELECT count(*) FROM events
+                WHERE event_id BETWEEN 100 AND 200)::BIGINT AS n_updated_b1,
+               (SELECT count(*) FROM events
+                WHERE event_id BETWEEN 300 AND 349)::BIGINT AS n_inserted_b2,
+               2::BIGINT AS last_batch,
+               true AS replay_skipped
+    """,
+    description=(
+        "CDC apply with the exactly-once guard under the oracle: two "
+        "change batches (deletes + value upserts, then key-offset "
+        "inserts) are applied through streaming/cdc.apply_cdc_batch with "
+        "batch-id stamps committed atomically with the data; the build "
+        "then attempts to REPLAY batch 2 with POISONED values — the "
+        "last_applied_batch marker must skip it, or the poisoned sum "
+        "(and the replay_skipped claim) hash-mismatch. Final state, "
+        "per-batch op counts, and the committed batch marker are all "
+        "value-checked against the SQL-computed expectation."
+    ),
+    tags=("sql-surface", "lake", "cdc", "exactly-once", "served"),
+)
+def lake_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+
+    from mandoline_hbase_spark import mk_schema
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
+    from mandoline_hbase_spark.sources import register_datasource
+    from mandoline_hbase_spark.streaming import cdc
+
+    register_datasource(spark)
+    app_id = "catalog-cdc"
+    ds_root = _LAKE_CDC.get(sf_dir)
+    if ds_root is None:
+
+        def _build(work: str) -> None:
+            events = load_table(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            schema = mk_schema(
+                {"root": "lake.cdc.catalog", "base_path": work}, spark=spark
+            )
+            schema.create_dataset("events")
+            ds_dir = schema.connect("events").dataset_dir
+            (
+                events.repartition(4)
+                .write.format("mandoline")
+                .option("path", ds_dir)
+                .option("variable", "records")
+                .mode("append")
+                .save()
+            )
+            b1 = (
+                events.filter(F.col("event_id") <= 9)
+                .withColumn("op", F.lit("d"))
+                .unionByName(
+                    events.filter(
+                        (F.col("event_id") >= 100) & (F.col("event_id") <= 200)
+                    )
+                    .withColumn("value", F.col("value") + F.lit(500.0))
+                    .withColumn("op", F.lit("u"))
+                )
+            )
+            s1 = cdc.apply_cdc_batch(
+                spark, ds_dir, b1, ["event_id"], batch_id=1, app_id=app_id
+            )
+            b2 = (
+                events.filter(
+                    (F.col("event_id") >= 300) & (F.col("event_id") <= 349)
+                )
+                .withColumn("event_id", F.col("event_id") + F.lit(20_000_000))
+                .withColumn("op", F.lit("i"))
+            )
+            s2 = cdc.apply_cdc_batch(
+                spark, ds_dir, b2, ["event_id"], batch_id=2, app_id=app_id
+            )
+            # the restart path: batch 2 arrives AGAIN with poisoned
+            # values; the committed marker must skip it entirely
+            last = cdc.last_applied_batch(ds_dir, app_id)
+            replay_skipped = last is not None and last >= 2
+            if not replay_skipped:  # guard broken -> poison the table
+                cdc.apply_cdc_batch(
+                    spark,
+                    ds_dir,
+                    b2.withColumn("value", F.col("value") + F.lit(999.0)),
+                    ["event_id"],
+                    batch_id=2,
+                    app_id=app_id,
+                )
+            summary = {
+                "n_deleted_b1": s1["deleted"],
+                "n_updated_b1": s1["updated"],
+                "n_inserted_b2": s2["inserted"],
+                "last_batch": cdc.last_applied_batch(ds_dir, app_id),
+                "replay_skipped": replay_skipped,
+            }
+            with open(os.path.join(work, "cdc.json"), "w") as f:
+                _json.dump(summary, f)
+
+        ds_root = served_artifact(
+            "mandoline-lake-cdc",
+            content_fingerprint(
+                os.path.join(sf_dir, "events.parquet"),
+                {"cdc": "d0-9+u100-200+i300-349@20M+poisoned-replay", "v": 1},
+            ),
+            _build,
+            marker="cdc.json",
+        )
+        _LAKE_CDC[sf_dir] = ds_root
+
+    with open(os.path.join(ds_root, "cdc.json")) as f:
+        summary = _json.load(f)
+    schema = mk_schema(
+        {"root": "lake.cdc.catalog", "base_path": ds_root}, spark=spark
+    )
+    ds_dir = schema.connect("events").dataset_dir
+    final = (
+        spark.read.format("mandoline")
+        .option("path", ds_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .load()
+    )
+    return final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_final"),
+        F.round(F.sum("value"), 4).alias("sum_value_final"),
+    ).select(
+        "*",
+        F.lit(int(summary["n_deleted_b1"])).cast("bigint").alias("n_deleted_b1"),
+        F.lit(int(summary["n_updated_b1"])).cast("bigint").alias("n_updated_b1"),
+        F.lit(int(summary["n_inserted_b2"])).cast("bigint").alias("n_inserted_b2"),
+        F.lit(int(summary["last_batch"])).cast("bigint").alias("last_batch"),
+        F.lit(bool(summary["replay_skipped"])).alias("replay_skipped"),
+    )
