@@ -225,6 +225,7 @@ HEADLINE = [
     "lake_pruned_range_scan",
     "lake_merge_cdf",
     "lake_cdc_replay",
+    "lake_time_travel",
 ]
 
 

@@ -1105,6 +1105,54 @@ def lake_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from mandoline_hbase_spark import mk_schema, versioning
+
+    ds_root, summary = _lake_merge_artifact(spark, sf_dir)
+    schema = mk_schema(
+        {"root": "lake.merge.catalog", "base_path": ds_root}, spark=spark
+    )
+    ds_dir = schema.connect("events").dataset_dir
+    final = (
+        spark.read.format("mandoline")
+        .option("path", ds_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .load()
+    )
+    state = final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_final"),
+        F.round(F.sum("value"), 4).alias("sum_value_final"),
+    )
+    cdf = versioning.record_changes(
+        spark, ds_dir, summary["base_version"], summary["version"],
+        ["event_id"],
+    )
+    counts = cdf.agg(
+        F.count(F.when(F.col("_change_type") == "insert", 1))
+        .cast("bigint")
+        .alias("n_inserted"),
+        F.count(F.when(F.col("_change_type") == "update_postimage", 1))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.count(F.when(F.col("_change_type") == "delete", 1))
+        .cast("bigint")
+        .alias("n_deleted"),
+    )
+    compact_cdf = versioning.record_changes(
+        spark, ds_dir, summary["version"], summary["compact_version"],
+        ["event_id"],
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_compact_cdf_rows"))
+    return state.crossJoin(F.broadcast(counts)).crossJoin(
+        F.broadcast(compact_cdf)
+    )
+
+
+def _lake_merge_artifact(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Build (once per corpus) and return the merged/compacted record
+    table artifact shared by lake_merge_cdf and lake_time_travel."""
+    import json as _json
+    import os
+
+    from mandoline_hbase_spark import mk_schema
     from mandoline_hbase_spark.merge import merge_records
     from mandoline_hbase_spark.operators.served import (
         content_fingerprint,
@@ -1165,42 +1213,57 @@ def lake_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with open(os.path.join(ds_root, "merge.json")) as f:
         summary = _json.load(f)
+    return ds_root, summary
+
+
+@register(
+    "lake_time_travel",
+    oracle="""
+        SELECT count(*)::BIGINT AS n_rows_v0,
+               round(sum(value), 4) AS sum_value_v0,
+               round((SELECT sum(value) FROM events
+                      WHERE event_id BETWEEN 100 AND 300), 4)
+                   AS sum_updated_range_v0
+        FROM events
+    """,
+    description=(
+        "MVCC time travel under the oracle: after the merge (updates + "
+        "inserts) and the compaction rewrite, a snapshot read pinned at "
+        "the PRE-merge version (option(version, v0)) must still equal "
+        "the original corpus exactly — total rows, total value sum, and "
+        "specifically the sum over the later-updated id range, proving "
+        "the old chunks were copy-on-write preserved, not mutated"
+    ),
+    tags=("sql-surface", "lake", "time-travel", "mvcc", "served"),
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mandoline_hbase_spark import mk_schema
+
+    ds_root, summary = _lake_merge_artifact(spark, sf_dir)
     schema = mk_schema(
         {"root": "lake.merge.catalog", "base_path": ds_root}, spark=spark
     )
     ds_dir = schema.connect("events").dataset_dir
-    final = (
+    v0 = (
         spark.read.format("mandoline")
         .option("path", ds_dir)
         .option("variable", "records")
         .option("form", "records")
+        .option("version", summary["base_version"])
         .load()
     )
-    state = final.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows_final"),
-        F.round(F.sum("value"), 4).alias("sum_value_final"),
-    )
-    cdf = versioning.record_changes(
-        spark, ds_dir, summary["base_version"], summary["version"],
-        ["event_id"],
-    )
-    counts = cdf.agg(
-        F.count(F.when(F.col("_change_type") == "insert", 1))
-        .cast("bigint")
-        .alias("n_inserted"),
-        F.count(F.when(F.col("_change_type") == "update_postimage", 1))
-        .cast("bigint")
-        .alias("n_updated"),
-        F.count(F.when(F.col("_change_type") == "delete", 1))
-        .cast("bigint")
-        .alias("n_deleted"),
-    )
-    compact_cdf = versioning.record_changes(
-        spark, ds_dir, summary["version"], summary["compact_version"],
-        ["event_id"],
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_compact_cdf_rows"))
-    return state.crossJoin(F.broadcast(counts)).crossJoin(
-        F.broadcast(compact_cdf)
+    return v0.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_v0"),
+        F.round(F.sum("value"), 4).alias("sum_value_v0"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("event_id") >= 100) & (F.col("event_id") <= 300),
+                    F.col("value"),
+                )
+            ),
+            4,
+        ).alias("sum_updated_range_v0"),
     )
 
 
