@@ -92,6 +92,14 @@ def plan_stats(df: DataFrame) -> dict[str, Any]:
     # without counting them the audit reports the catalog's recursive
     # query as scanless, the checkpoint-blindness signature
     scans += re.findall(r"Relation \[([^\]]*)\] parquet", plan)
+    # the lakehouse catalog queries read through the Python DSv2 reader
+    # (the mandoline record-table datasource): those scans print as
+    # "BatchScan <name>" / "PythonScan", not FileScan — count them too,
+    # or every lake_* query looks scanless to the audit
+    scans += [
+        f"python-dsv2:{m}"
+        for m in re.findall(r"BatchScan (\w+)", plan)
+    ]
     # the tree string truncates long filter lists mid-entry ("...,"),
     # so capture up to the closing bracket OR the truncation marker
     pushed = re.findall(r"PushedFilters: \[(.*?)(?:\]|\.\.\.)", plan)
