@@ -226,6 +226,7 @@ HEADLINE = [
     "lake_merge_cdf",
     "lake_cdc_replay",
     "lake_time_travel",
+    "lake_schema_evolution",
 ]
 
 

@@ -1425,3 +1425,113 @@ def lake_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(summary["last_batch"])).cast("bigint").alias("last_batch"),
         F.lit(bool(summary["replay_skipped"])).alias("replay_skipped"),
     )
+
+
+# --------------------------------------------------------------------------
+# lake_schema_evolution — add-column evolution under the driver's oracle.
+# --------------------------------------------------------------------------
+_LAKE_EVO: dict[str, str] = {}
+
+
+@register(
+    "lake_schema_evolution",
+    oracle="""
+        SELECT ((SELECT count(*) FROM events)
+                + (SELECT count(*) FROM events
+                   WHERE event_id < 100))::BIGINT AS n_rows,
+               (SELECT count(*) FROM events)::BIGINT AS n_score_null,
+               (SELECT count(*) FROM events
+                WHERE event_id < 100)::BIGINT AS n_score_set,
+               round((SELECT sum(value) + 0.25 * count(*)
+                      FROM events WHERE event_id < 100), 4) AS sum_score,
+               true AS schema_has_score
+    """,
+    description=(
+        "Record-table schema evolution under the oracle: a second append "
+        "carries an ADDED score column; the merged read must surface the "
+        "widened schema, pad every pre-evolution row with NULL, and "
+        "preserve the new column's values exactly — null/set counts and "
+        "the score sum are value-checked against the SQL expectation, "
+        "and the widened-schema claim rides in-plan"
+    ),
+    tags=("sql-surface", "lake", "schema-evolution", "served"),
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from mandoline_hbase_spark import mk_schema
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
+    from mandoline_hbase_spark.sources import register_datasource
+
+    register_datasource(spark)
+    ds_root = _LAKE_EVO.get(sf_dir)
+    if ds_root is None:
+
+        def _build(work: str) -> None:
+            events = load_table(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            schema = mk_schema(
+                {"root": "lake.evo.catalog", "base_path": work}, spark=spark
+            )
+            schema.create_dataset("events")
+            ds_dir = schema.connect("events").dataset_dir
+            (
+                events.repartition(4)
+                .write.format("mandoline")
+                .option("path", ds_dir)
+                .option("variable", "records")
+                .mode("append")
+                .save()
+            )
+            widened = (
+                events.filter(F.col("event_id") < 100)
+                .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+                .withColumn("score", F.col("value") + F.lit(0.25))
+            )
+            (
+                widened.write.format("mandoline")
+                .option("path", ds_dir)
+                .option("variable", "records")
+                .mode("append")
+                .save()
+            )
+            # the ready marker: evolution committed
+            open(os.path.join(work, "evolved.marker"), "w").write("ok")
+
+        ds_root = served_artifact(
+            "mandoline-lake-evo",
+            content_fingerprint(
+                os.path.join(sf_dir, "events.parquet"),
+                {"evo": "add-score-lt-100", "v": 1},
+            ),
+            _build,
+            marker="evolved.marker",
+        )
+        _LAKE_EVO[sf_dir] = ds_root
+
+    schema = mk_schema(
+        {"root": "lake.evo.catalog", "base_path": ds_root}, spark=spark
+    )
+    ds_dir = schema.connect("events").dataset_dir
+    df = (
+        spark.read.format("mandoline")
+        .option("path", ds_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .load()
+    )
+    has_score = "score" in df.columns
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("score").isNull(), 1))
+        .cast("bigint")
+        .alias("n_score_null"),
+        F.count(F.when(F.col("score").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_score_set"),
+        F.round(F.sum("score"), 4).alias("sum_score"),
+    ).select("*", F.lit(bool(has_score)).alias("schema_has_score"))
