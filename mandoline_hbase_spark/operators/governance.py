@@ -119,7 +119,19 @@ def dp_noisy_counts(
     (0,1); noise = ln(u1/u2)/epsilon. Everything is a map-side
     expression after one count shuffle — class-grain, corpus-linear.
     """
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    # NULL class keys still get noise: concat_ws would silently SKIP a
+    # NULL column (so `(NULL, 'x')` and `('x',)` could collide, and a
+    # `||`-style oracle would propagate NULL into md5 and emit a NULL
+    # release). Coalesce each key column to an explicit sentinel so the
+    # noise hash is total and collision-free; oracles mirror the same
+    # coalesce.
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+            for c in group_cols
+        ],
+    )
     counts = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true")
     )

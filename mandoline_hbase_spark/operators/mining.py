@@ -183,12 +183,17 @@ def chi2_terms(
         * F.col("df_l").cast("double")
         * (F.col("n_docs") - F.col("df_l")).cast("double")
     )
+    # Degenerate margins (a term in EVERY doc, or a label spanning the
+    # whole corpus) zero the denominator. Spark's non-ANSI double
+    # division returns NULL there while IEEE engines return inf/NaN, so
+    # rank order would diverge; chi2 = 0 is also the right statistic
+    # (a zero margin carries no discriminative information).
     scored = j.select(
         "label",
         "term",
         a.cast("bigint").alias("df_in_label"),
         (F.col("df_t") - a).cast("bigint").alias("df_elsewhere"),
-        (num / den).alias("chi2_raw"),
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias("chi2_raw"),
     )
     w = Window.partitionBy("label").orderBy(
         F.col("chi2_raw").desc(), F.col("term").asc()

@@ -1061,9 +1061,20 @@ def ivf_probe_recall_report(
         .groupBy("n_probe", "query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    # Denominator = the FULL query sample at every probe level, not just
+    # queries that scored >=1 hit: a zero-hit query (low probe budget,
+    # every candidate outside the truth set) must drag recall down, not
+    # silently vanish from both numerator and n_queries. Build the
+    # (query x level) grid and left-join the hit counts, coalescing 0.
+    grid = queries.select("query_id").select("query_id", levels)
+    full = grid.join(hits, ["n_probe", "query_id"], "left").select(
+        "n_probe",
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+    )
     # integer hit totals, ONE division: no float-summation-order exposure
     return (
-        hits.groupBy("n_probe")
+        full.groupBy("n_probe")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_queries"),
             F.sum("n_hits").cast("bigint").alias("_total_hits"),

@@ -3227,11 +3227,24 @@ def text_pmi_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM topk t JOIN truth u
               ON t.query_id = u.query_id AND t.neighbor_id = u.neighbor_id
             GROUP BY 1, 2
+        ),
+        -- full (query x level) grid: zero-hit queries stay in BOTH the
+        -- numerator (as 0) and the n_queries denominator
+        grid AS (
+            SELECT q.vec_id AS query_id, l.n_probe
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+            CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS n_probe) l
+        ),
+        filled AS (
+            SELECT g.n_probe, g.query_id,
+                   coalesce(h.n_hits, 0) AS n_hits
+            FROM grid g LEFT JOIN hits h
+              ON g.n_probe = h.n_probe AND g.query_id = h.query_id
         )
         SELECT n_probe::INT AS n_probe,
                count(*)::BIGINT AS n_queries,
                round(sum(n_hits) / (5.0 * count(*)), 4) AS recall_at_5
-        FROM hits GROUP BY n_probe
+        FROM filled GROUP BY n_probe
         ORDER BY n_probe
     """,
     description=(

@@ -95,9 +95,17 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM documents GROUP BY 1),
         tot AS (SELECT count(*) AS n_docs FROM documents),
         scored AS (
+            -- degenerate-margin guard mirrors operators/mining.py: a
+            -- zero denominator (term in every doc / label = whole
+            -- corpus) scores 0, never inf/NaN
             SELECT tl.label, tl.term,
                    tl.a::BIGINT AS df_in_label,
                    (t.df_t - tl.a)::BIGINT AS df_elsewhere,
+                   CASE WHEN (t.df_t::DOUBLE
+                              * (tot.n_docs - t.df_t)::DOUBLE
+                              * lab.df_l::DOUBLE
+                              * (tot.n_docs - lab.df_l)::DOUBLE) > 0
+                   THEN
                    (tot.n_docs::DOUBLE
                     * (tl.a * (tot.n_docs - t.df_t - (lab.df_l - tl.a))
                        - (t.df_t - tl.a) * (lab.df_l - tl.a))::DOUBLE
@@ -106,7 +114,8 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (t.df_t::DOUBLE
                       * (tot.n_docs - t.df_t)::DOUBLE
                       * lab.df_l::DOUBLE
-                      * (tot.n_docs - lab.df_l)::DOUBLE) AS chi2_raw
+                      * (tot.n_docs - lab.df_l)::DOUBLE)
+                   ELSE 0.0 END AS chi2_raw
             FROM tl JOIN t USING (term) JOIN lab USING (label)
             CROSS JOIN tot
         )

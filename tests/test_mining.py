@@ -241,10 +241,6 @@ def test_ewma_long_series_stays_finite(spark):
     ]
     out = mining.ewma_per_key(spark.createDataFrame(rows), alpha=0.2).collect()
     assert math.isfinite(out[0].ewma_value)
-    s = 0.0
-    for i in range(1, 2000):
-        x = float(i % 7)
-        s = 0.2 * x + 0.8 * s if i else x
     # recompute exactly
     s = float(0 % 7)
     for i in range(1, 2000):
@@ -299,12 +295,28 @@ def test_robust_means_clamp_and_trim(spark):
         .collect()
     )
     assert rows
+    import duckdb
+
+    bounds = {
+        et: (lo, p10, p90, hi)
+        for et, lo, p10, p90, hi in duckdb.sql(
+            "SELECT event_type, min(value), quantile_cont(value, 0.1),"
+            " quantile_cont(value, 0.9), max(value)"
+            " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1"
+        ).fetchall()
+    }
     for r in rows:
-        # winsorizing pulls tails in, trimming drops them: both stay
-        # within the raw range and the clamp count is ~20% of n
-        assert abs(r.mean_winsorized - r.mean_trimmed) <= abs(
-            r.mean_raw
-        ) + 1e6  # sanity: finite
+        lo, p10, p90, hi = bounds[r.event_type]
+        # winsorizing clamps tails to [p10, p90]; trimming drops rows
+        # outside it — both means must land inside the cutoff band,
+        # which itself sits inside the raw range (1e-4 rounding slack)
+        assert lo - 1e-4 <= p10 <= p90 <= hi + 1e-4
+        assert p10 - 1e-4 <= r.mean_trimmed <= p90 + 1e-4
+        assert p10 - 1e-4 <= r.mean_winsorized <= p90 + 1e-4
+        # winsorized keeps clamped tail mass, trimmed drops it: with
+        # both tails present they cannot stray past the raw mean by
+        # more than the band width
+        assert abs(r.mean_winsorized - r.mean_trimmed) <= (p90 - p10)
         assert 0 <= r.n_clamped <= r.n
         assert r.n_clamped <= 0.25 * r.n + 2
 
