@@ -169,6 +169,7 @@ def fuzzy_segment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_block_size: int | None = None,
+    max_pairs_per_segment: int | None = None,
 ) -> DataFrame:
     """Fuzzy segment near-duplicates: distinct segment-text pairs within
     ``max_edit`` Levenshtein distance, candidate-blocked on (first token,
@@ -186,6 +187,31 @@ def fuzzy_segment_pairs(
     around its min segment instead of a quadratic join task — exactly
     the LSH hot-bucket guard, reused. ``None`` keeps the exact all-pairs
     block join (the oracle-checked form).
+
+    ``max_pairs_per_segment`` (VERDICT r8 #3) is the CAPPED mode for
+    corpora where the answer itself is super-linear: the full form
+    materializes every qualifying pair (30.3 M at the sf10h step; the
+    next 10x is ~500 M rows nobody reads), and since verify cost is
+    constant per pair, the answer IS the wall time. The cap is the
+    SORTED-NEIGHBORHOOD method (Hernandez & Stolfo's classic blocked-ER
+    windowing): within each (first,last)-token block, members are
+    ranked once by (length asc, seg asc) — a SEGMENT-grain window,
+    linear, never a pair-grain shuffle — and each member pairs with
+    only its next ``max_pairs_per_segment`` followers in that order.
+    A hot block of b members emits K*b candidates instead of b^2/2
+    (small blocks are unchanged: rank gaps beyond the block simply
+    never join), so both verify work AND output are linear in the
+    corpus with a constant K. Length-adjacent ordering is the
+    exactness-correlated key (edit <= k forces length gap <= k), and
+    every emitted pair carries the identical edit_dist the full form
+    reports; what the cap trades is recall for neighbors more than K
+    positions away in the block's length order — the standard
+    windowing trade, same family as LSH banding. Deterministic rank +
+    tie-break = a scalar SQL engine reproduces the capped answer
+    value-for-value. A first attempt capped per-seg_a with a window
+    OVER THE PAIR SET — that shuffles the quadratic candidate volume
+    the full form kills map-side, and measured 2.3x SLOWER than
+    uncapped at sf10h; the block-member window is the fix.
     """
     segs = segment_texts(df, seg_len, id_col, text_col).select("seg_text").distinct()
     toks = F.split(F.col("seg_text"), " ")
@@ -214,12 +240,38 @@ def fuzzy_segment_pairs(
     # (O(k*L), returns -1 past the bound) instead of the full O(L^2)
     # table. Kept rows carry the identical edit_dist values, so the
     # brute-force oracle is unchanged.
-    return (
-        pairs.filter(
-            (F.length("seg_a") - F.length("seg_b") <= max_edit)
-            & (F.length("seg_b") - F.length("seg_a") <= max_edit)
+    if max_pairs_per_segment is not None:
+        from pyspark.sql import Window
+
+        k = int(max_pairs_per_segment)
+        w = Window.partitionBy("_f", "_l").orderBy(
+            F.length("seg_text").asc(), F.col("seg_text").asc()
         )
-        .select(
+        ranked = blocked.withColumn("_rk", F.row_number().over(w))
+        probes = ranked.select(
+            F.col("seg_text").alias("_sa"),
+            "_f",
+            "_l",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(k)), lambda i: F.col("_rk") + i
+                )
+            ).alias("_rk"),
+        )
+        nbrs = ranked.select(F.col("seg_text").alias("_sb"), "_f", "_l", "_rk")
+        pairs = (
+            probes.join(nbrs, ["_f", "_l", "_rk"])
+            .select(
+                F.least("_sa", "_sb").alias("seg_a"),
+                F.greatest("_sa", "_sb").alias("seg_b"),
+            )
+        )
+    banded = pairs.filter(
+        (F.length("seg_a") - F.length("seg_b") <= max_edit)
+        & (F.length("seg_b") - F.length("seg_a") <= max_edit)
+    )
+    return (
+        banded.select(
             "seg_a",
             "seg_b",
             F.levenshtein("seg_a", "seg_b", int(max_edit))
@@ -689,9 +741,26 @@ def jaccard_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_features: bool = False,
 ) -> DataFrame:
-    """Exact shingle-Jaccard for the given candidate pairs."""
+    """Exact shingle-Jaccard for the given candidate pairs.
+
+    ``broadcast_features=True`` is for the BRUTE-FORCE baselines (pair
+    count quadratic, corpus small by definition): without it Spark
+    sort-merge-joins the shingle table into the pair stream — at sf0.1
+    that shuffles 12.5M pairs each carrying two multi-KB shingle
+    arrays, and the theta-join's single-split stream side ran it all in
+    ONE task (measured: the bench stalled for tens of minutes). With
+    the corpus shingle table broadcast, pairs stream map-side and the
+    arrays exist only transiently inside the stage. Never set it on a
+    scale path — a 100 TB corpus's features don't broadcast; the scale
+    paths pass verified CANDIDATE pairs here, which keep the default
+    shuffled join.
+    """
     sh = with_shingle_set(df, shingle_n, id_col, text_col)
+    if broadcast_features:
+        sh = F.broadcast(sh)
+        pairs = spread_to_parallelism(pairs, "id_a")
     return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -802,6 +871,32 @@ def prefix_filter_near_duplicates(
             >= t_over * (A("_n") + B("_n")) - 1e-9
         )
 
+    # INDEX-PREFIX reduction (PPJoin's index/probe-prefix asymmetry,
+    # VERDICT r8 #7), conjoined with the positional bound: for a true
+    # pair with |x| <= |y| the globally FIRST shared token s1 must sit
+    # within x's INDEX prefix of length |x| - ceil(2t/(1+t)*|x|) + 1 —
+    # were every shared token deeper, overlap <= ceil(2t/(1+t)|x|) - 1
+    # < alpha, and were only later shared tokens that shallow, the
+    # leading-0 argument on s1 gives the same contradiction. So s1's
+    # co-occurrence row satisfies BOTH predicates (it is first — the
+    # positional leading term really is 0 — and it is in the smaller
+    # side's index prefix), and ANY-pass semantics keep exactness while
+    # every co-occurrence row whose smaller side sits past its index
+    # prefix dies on two ints before the distinct shuffle. Ties probe
+    # both directions (each side is "smaller-or-equal", so s1 satisfies
+    # either disjunct). floor() not ceil(): one extra index slot on the
+    # safe side, same slack style as the probe prefix above.
+    two_t = 2.0 * float(threshold) / (1.0 + float(threshold))
+
+    def _ilen(n):
+        return n - F.floor(F.lit(two_t) * n) + F.lit(1)
+
+    def prefix_ok(A, B):
+        idx_ok = (
+            (A("_n") <= B("_n")) & (A("_pos") <= _ilen(A("_n")))
+        ) | ((B("_n") <= A("_n")) & (B("_pos") <= _ilen(B("_n"))))
+        return positional_ok(A, B) & idx_ok
+
     cands = banded_candidate_pairs(
         prefix,
         id_col,
@@ -809,7 +904,7 @@ def prefix_filter_near_duplicates(
         max_bucket_size=max_bucket_size,
         stats=stats,
         payload=("_pos", "_n"),
-        pair_filter=positional_ok,
+        pair_filter=prefix_ok,
     )
     # exact LENGTH filter before the array joins: J >= t forces
     # t*|B| <= |A| (and symmetrically), so mismatched sizes prune on two
@@ -862,8 +957,15 @@ def containment_pairs(
     near-equal sizes, and one-sided probes handle the subset case.
     """
     sh = with_shingle_set(df, shingle_n, id_col, text_col)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # baseline-plan discipline (round 9): spread the stream side (the
+    # fixture parquet is one split — an unspread cross join runs the
+    # whole quadratic verify in ONE task) and broadcast the other side
+    # (bounded by the baseline's small-data contract; scale paths use
+    # banded candidates, not this)
+    a = spread_to_parallelism(sh, id_col).select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = F.broadcast(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") != F.col("id_b"))
@@ -892,33 +994,66 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: candidates -> estimate -> exact verify.
 
-    The per-doc feature table (shingle set + signature) is persisted and
-    reused by the candidate self-join AND the verification joins — without
-    it the whole feature lineage would execute four times. Between the
-    bucket join and the exact-Jaccard verify sits a signature-estimate
-    prefilter (fraction of matching minhashes >= threshold - 0.15, >5 sigma
-    below any true pair at the default 64 hashes): at scale it discards
-    almost all accidental bucket collisions before the expensive
-    set-intersection work. Buckets over ``max_bucket_size`` degrade to
-    star candidates (``banded_candidate_pairs``) so one degenerate band
-    value cannot make a join task quadratic.
+    Memory-footprint discipline (round 9 — found by MEASURING, not
+    guessing): the r8 form persisted the full per-doc feature table
+    (shingle set + signature). Shingle arrays are the corpus re-encoded
+    ~10x wider — at the sf10h step that cache outgrew storage memory,
+    and execution pressure EVICTED blocks mid-query, silently
+    recomputing the whole feature lineage inside the verify join
+    (measured: the same query swung 25s..138s across back-to-back solo
+    passes). A cache whose correctness-of-cost depends on fitting is
+    not a 100 TB plan. So:
+
+    - only the SIGNATURE projection persists (64 ints/doc, ~2% of the
+      feature table — fits at any scale that fits the corpus);
+    - the signature-estimate prefilter (fraction of matching minhashes
+      >= threshold - 0.15, >5 sigma below any true pair at 64 hashes)
+      runs on those persisted sigs straight after the bucket join;
+    - the surviving candidate ID PAIRS — answer-bounded, tiny — are
+      localCheckpointed, decoupling the verify from the band pipeline;
+    - exact-Jaccard verify recomputes shingle sets ONLY for docs that
+      appear in surviving pairs (a semi-join against the corpus, then
+      the same map-only shingle expression): candidates are a
+      vanishing fraction of the corpus, so this re-scan is cheaper
+      than caching shingles for every doc ever was, and its cost can
+      never silently multiply.
+
+    Buckets over ``max_bucket_size`` degrade to star candidates
+    (``banded_candidate_pairs``) so one degenerate band value cannot
+    make a join task quadratic.
     """
-    features = doc_shingle_features(df, num_hashes, shingle_n, id_col, text_col).persist()
-    stacked = _band_stack(features, num_hashes, bands, id_col)
+    sigs = (
+        doc_shingle_features(df, num_hashes, shingle_n, id_col, text_col)
+        .select(id_col, "sig")
+        .persist()
+    )
+    stacked = _band_stack(sigs, num_hashes, bands, id_col)
     cands = banded_candidate_pairs(stacked, id_col, max_bucket_size=max_bucket_size)
-    fa = features.select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
-    )
-    fb = features.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b")
-    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     ) / F.lit(num_hashes)
-    return (
-        cands.join(fa, "id_a")
-        .join(fb, "id_b")
+    survivors = checkpoint_audited(
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(est >= threshold - 0.15)
+        .select("id_a", "id_b")
+    )
+    sigs.unpersist()  # nothing downstream reads the band pipeline now
+    cand_ids = (
+        survivors.select(F.col("id_a").alias(id_col))
+        .union(survivors.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_sh = with_shingle_set(
+        df.join(cand_ids, id_col, "left_semi"), shingle_n, id_col, text_col
+    )
+    fa = cand_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    fb = cand_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        survivors.join(fa, "id_a")
+        .join(fb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -1021,61 +1156,101 @@ def connected_components(
     dst_col: str = "id_b",
     max_iters: int = 50,
 ) -> DataFrame:
-    """Distributed connected components by hash-min label propagation.
+    """Distributed connected components by alternating large-star /
+    small-star edge rewriting (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014 — the Two-Phase algorithm).
 
     ``nodes`` is one row per vertex (``id_col``); ``edges`` is an
     undirected pair list (each pair once, either direction). Returns
     ``(id_col, cluster_id)`` where ``cluster_id`` is the minimum vertex
     id in the component — singletons map to themselves.
 
-    Scale design: each round is one shuffle (edge join + min-agg on the
-    vertex key); rounds = graph diameter. Near-dup graphs are star-like
-    (clusters of near-identical docs), so diameter is tiny and 2–3
-    rounds converge. TWO propagation rounds stack lazily between each
-    eager ``localCheckpoint`` + convergence check: the materialization
-    and the changed-label count are the per-round fixed costs, and a
-    2-round lineage is trivially analyzable, so checking every other
-    round halves the fixed cost while unbounded stacking (exponential
-    Catalyst analysis) stays impossible. Convergence is detected with a
-    single count of changed labels (no driver collect of data rows).
-    """
-    sym = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
-        .distinct()
-        .persist()
-    )
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    labels = checkpoint_audited(labels)
+    Why star-contraction and not hash-min label propagation (the r8
+    form): hash-min needs rounds = graph DIAMETER — fine on star-like
+    near-dup clusters, but chain-shaped components make the round count
+    grow with the data (measured: cluster_aware_split 5.46x /
+    split_leakage_report 5.66x at the sf1h->sf10h step, the worst
+    honest-chain scalers in BENCH_SF10.json). The star operations
+    contract components to stars in O(log n) alternations REGARDLESS of
+    diameter, and each operation is one shuffle-grain groupBy+join on
+    the edge list:
 
-    def _propagate(lbl: DataFrame) -> DataFrame:
-        # min label over {self} ∪ neighbors, one shuffle on "node"
-        neighbor_min = (
-            sym.join(lbl, sym.v == lbl.node)
-            .select(F.col("u").alias("node"), F.col("label"))
-            .groupBy("node")
-            .agg(F.min("label").alias("nmin"))
+    - LARGE-STAR: per node u over the symmetric closure, connect every
+      strictly-larger neighbor to min(N(u) ∪ {u}). Keeps connectivity,
+      strictly reduces large-node degrees.
+    - SMALL-STAR: orient every edge to its larger endpoint; per node u,
+      connect u and all its (smaller) parents to their collective min.
+
+    The fixed point is exactly one star per component centered at the
+    component minimum (the paper's Theorem 1 — same partition, same
+    canonical label as hash-min, so every caller's oracle is
+    unchanged). Both rewrites stack lazily between eager
+    ``localCheckpoint`` barriers; convergence is an edge-set equality
+    check (two anti-join probes + a count on the checkpointed frames),
+    never a driver collect of data rows.
+    """
+    cur = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col(src_col) != F.col(dst_col))
+        .distinct()
+    )
+    cur = checkpoint_audited(cur)
+    n_cur = cur.count()
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
         )
-        return lbl.join(neighbor_min, "node", "left").select(
-            F.col("node"),
-            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            (F.col("nmin") < F.col("label")).alias("changed"),
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        parents = (
+            o.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        centers = mins.select(F.col("u"), F.col("m").alias("v"))
+        return parents.union(centers).distinct()
 
     rounds = 0
-    while rounds < max_iters:
-        stacked = _propagate(labels)
+    while n_cur > 0 and rounds < max_iters:
+        nxt = checkpoint_audited(_small_star(_large_star(cur)))
         rounds += 1
-        if rounds < max_iters:  # second lazy round before the check
-            stacked = _propagate(stacked.drop("changed"))
-            rounds += 1
-        updated = checkpoint_audited(stacked)
-        changed = updated.filter(F.col("changed")).limit(1).count()
-        labels = updated.drop("changed")
-        if changed == 0:
-            break
-    sym.unpersist()
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            same = (
+                nxt.join(cur, ["u", "v"], "left_anti").limit(1).count() == 0
+            )
+            if same:
+                cur, n_cur = nxt, n_nxt
+                break
+        cur, n_cur = nxt, n_nxt
+
+    # At the fixed point every non-center node carries exactly one edge
+    # to its component min; centers and singletons label themselves.
+    sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nmin = sym.groupBy("u").agg(F.min("v").alias("nmin"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(nmin, F.col("node") == F.col("u"), "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.least(
+                F.col("node"), F.coalesce(F.col("nmin"), F.col("node"))
+            ).alias("cluster_id"),
+        )
+    )
 
 
 def near_duplicate_clusters(

@@ -652,10 +652,17 @@ def near_duplicate_pairs(
     """All pairs with cosine >= threshold (embedding near-dedup).
 
     Brute-force pair join here; at scale the LSH bucket join above bounds
-    the candidate set first (see lsh_topk).
+    the candidate set first (see lsh_topk). Baseline-plan discipline
+    (round 9): spread the stream side (a single-split fixture would run
+    the quadratic scoring in one task) and broadcast the build side —
+    bounded by the baseline's small-data contract.
     """
-    a = emb_df.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
-    b = emb_df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    a = _spread(emb_df, id_col).select(
+        F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va")
+    )
+    b = F.broadcast(
+        emb_df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))

@@ -138,6 +138,26 @@ _REVERIFY_FIRST = {
     # round 8: verify switched to threshold (banded-DP) levenshtein +
     # exact length prefilter — kept rows identical, plan changed
     "dedup_fuzzy_segments": 8,
+    # round 9 (ADVICE): recall denominator now spans the full query
+    # sample (zero-hit queries coalesce to 0 instead of vanishing) —
+    # values can change at low probe budgets, plan gained a left join
+    "search_eval_ivf_recall": 9,
+    # round 9 (ADVICE): degenerate-margin chi2 guard (values change only
+    # on degenerate corpora) / NULL-key coalesce in the noise hash
+    # (values unchanged on null-free fixtures)
+    "text_chi2_terms": 9,
+    "gov_dp_event_counts": 9,
+    # round 9: minhash verify restructure (sig-only persist + candidate-
+    # only shingle recompute — cache-thrash fix), star-contraction CC
+    # (Kiveris et al.) replacing hash-min, PPJoin index-prefix filter.
+    # Same outputs on every oracle (re-swept MATCH); plans changed, so
+    # the sf0.1 record entries were invalidated for re-derivation.
+    "dedup_minhash_lsh": 9,
+    "dedup_cluster_assign": 9,
+    "split_leakage_report": 9,
+    "cluster_aware_split": 9,
+    "dedup_prefix_filter": 9,
+    "er_entity_clusters": 9,
 }
 
 

@@ -592,6 +592,65 @@ def dedup_fuzzy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_fuzzy_segments_capped",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        segs AS (
+            SELECT DISTINCT array_to_string(t[(s*3+1):(s*3+3)], ' ') AS seg
+            FROM toks,
+                 LATERAL unnest(range(CAST(ceil(len(t) / 3.0) AS BIGINT))) AS u(s)
+        ),
+        b AS (
+            SELECT seg,
+                   string_split(seg, ' ')[1] AS f,
+                   string_split(seg, ' ')[-1] AS l,
+                   row_number() OVER (
+                       PARTITION BY string_split(seg, ' ')[1],
+                                    string_split(seg, ' ')[-1]
+                       ORDER BY len(seg), seg
+                   ) AS rk
+            FROM segs
+        ),
+        cand AS (
+            SELECT least(a.seg, c.seg) AS seg_a,
+                   greatest(a.seg, c.seg) AS seg_b
+            FROM b a JOIN b c
+              ON a.f = c.f AND a.l = c.l
+             AND c.rk > a.rk AND c.rk <= a.rk + 4
+        )
+        SELECT seg_a, seg_b, levenshtein(seg_a, seg_b)::BIGINT AS edit_dist
+        FROM cand
+        WHERE abs(len(seg_a) - len(seg_b)) <= 2
+          AND levenshtein(seg_a, seg_b) <= 2
+    """,
+    description=(
+        "The CAPPED form of the blocked fuzzy segment join (VERDICT r8 "
+        "#3), via the classic sorted-neighborhood window: block members "
+        "rank once by (length, seg) — a segment-grain window, never a "
+        "pair-grain shuffle — and each member verifies only its next 4 "
+        "followers, so a hot block emits 4b candidates instead of "
+        "b^2/2 and both verify work and output stay linear even where "
+        "the full answer grows super-linearly (30.3M pairs at sf10h, "
+        "~500M at the next 10x). Deterministic rank + tie-break keeps "
+        "the capped answer value-reproducible; reported pairs carry "
+        "the identical edit_dist the full form (dedup_fuzzy_segments, "
+        "the recall baseline) would report; the trade is recall for "
+        "neighbors >4 positions away in length order — the standard "
+        "ER-windowing trade, same family as LSH banding."
+    ),
+    tags=("llm", "dedup", "fuzzy", "capped", "scale-path"),
+)
+def dedup_fuzzy_segments_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fuzzy_segment_pairs(
+        docs, seg_len=3, max_edit=2, max_pairs_per_segment=4
+    )
+
+
+@register(
     "dedup_exact_groups",
     oracle="""
     SELECT md5(text) AS content_hash,
@@ -649,7 +708,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids.withColumnRenamed("doc_id", "id_a")
         .join(ids.withColumnRenamed("doc_id", "id_b"), F.col("id_a") < F.col("id_b"))
     )
-    return dedup.jaccard_pairs(docs, pairs).filter(F.col("jaccard") >= 0.7)
+    # broadcast_features: this IS the brute-force baseline (quadratic by
+    # contract, corpus small by contract) — see jaccard_pairs' docstring
+    return dedup.jaccard_pairs(docs, pairs, broadcast_features=True).filter(
+        F.col("jaccard") >= 0.7
+    )
 
 
 @register(
@@ -1875,6 +1938,94 @@ def sim_ivf_stream_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _build,
         )
         _STREAM_SERVED_ANN[sf_dir] = artifact
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sann.ivf_search(
+        spark, os.path.join(artifact, "index"), queries, k=5, n_probe=8
+    )
+
+
+_SQRTN_SERVED_ANN: dict[str, str] = {}
+
+
+@register(
+    "sim_ivf_sqrtn_served_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qvec, c.embedding::DOUBLE[]) AS sim
+        FROM q, embeddings c
+        WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC)::INT AS rank
+        FROM sims
+    )
+    WHERE rank <= 5
+    """,
+    description=(
+        "IVF serving through the GROWTH-RETRAIN maintenance loop "
+        "(VERDICT r8 #1): the index initializes at 8 cells, then "
+        "streaming/ann.retrain_if_skewed's mean-cell-row bound refits "
+        "the coarse quantizer at n_centroids ~ sqrt(N) when cells "
+        "outgrow 512 rows — the standard IVF sizing that keeps "
+        "probed-cell bytes O(n_probe * sqrt(N)) instead of linear in "
+        "the corpus (sim_ivf_served_topk measured 6.35x at the "
+        "sf1->sf10 step precisely because its cell count is fixed). At "
+        "oracle scale the bound never trips (500 rows / 8 cells), so "
+        "n_probe=8 probes every cell and degrades exactly to brute "
+        "force — the SAME code path the growth retrain serves "
+        "sub-linearly at sf1+ is value-level-checked here."
+    ),
+    tags=("llm", "similarity", "ann", "ivf", "served", "retrain"),
+)
+def sim_ivf_sqrtn_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
+    from mandoline_hbase_spark.streaming import ann as sann
+
+    build_params = dict(dim=64, n_centroids=8, seed=7)
+    artifact = _SQRTN_SERVED_ANN.get(sf_dir)
+    if artifact is None:
+
+        def _build(work: str) -> None:
+            index_dir = os.path.join(work, "index")
+            sann.init_ann_index(index_dir, **build_params)
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            sann.append_ann_batch(emb, 0, index_dir)
+            # the closed maintenance loop: max_share disabled (skew
+            # retrain is sim_ivf_stream/retrain tests' subject), the
+            # mean-cell-row bound alone decides — under 4096 vectors
+            # (oracle/bench scales) this is a no-op and full probe
+            # stays exact; above it the quantizer refits at ~sqrt(N)
+            sann.retrain_if_skewed(
+                spark,
+                index_dir,
+                max_share=1.1,
+                max_mean_cell_rows=512,
+                iters=3,
+            )
+
+        artifact = served_artifact(
+            "mandoline-ann-sqrtn",
+            content_fingerprint(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                {"layout": "sqrtn-ann-v1", "mean_cell_rows": 512, **build_params},
+            ),
+            _build,
+        )
+        _SQRTN_SERVED_ANN[sf_dir] = artifact
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sann.ivf_search(

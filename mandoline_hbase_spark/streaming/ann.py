@@ -560,15 +560,51 @@ def retrain_ann_index(
 
 
 def retrain_if_skewed(
-    spark: SparkSession, index_dir: str, max_share: float = 0.5, **retrain_kw
+    spark: SparkSession,
+    index_dir: str,
+    max_share: float = 0.5,
+    max_mean_cell_rows: int | None = None,
+    **retrain_kw,
 ) -> dict | None:
     """The closed maintenance loop: read the occupancy signal, act on
-    it. Retrains (and returns the retrain report) iff the hottest
-    cell's corpus share exceeds ``max_share``; returns None when the
-    occupancy bound holds. Cost when healthy: one cell-grain aggregate."""
-    top = cell_occupancy_report(spark, index_dir).first()
-    if top is None or float(top["share"]) <= max_share:
+    it. Two independent triggers, both read from the SAME one
+    cell-grain aggregate (cost when healthy: that aggregate, k rows):
+
+    - SKEW: the hottest cell's corpus share exceeds ``max_share`` —
+      corpus drift collapsed the quantizer; retrain at the current (or
+      caller-given) ``n_centroids``.
+    - GROWTH (``max_mean_cell_rows``): the mean cell exceeds a row
+      bound. A FIXED cell count makes every probed-cell scan linear in
+      corpus size — probe cost is ``n_probe * N / k`` rows, so at 10x
+      the data each probe reads 10x the bytes even though occupancy
+      looks perfectly balanced (measured: sim_ivf_served_topk 6.35x at
+      the sf1->sf10 step, BENCH_SF10.json). The standard IVF sizing
+      rule is ``k ~ sqrt(N)`` (probe work ``n_probe * sqrt(N)`` and
+      centroid-ranking work ``sqrt(N)`` balance), so the growth retrain
+      refits at ``max(k, round(sqrt(N)))`` unless the caller pinned
+      ``n_centroids`` explicitly. The existing generation-swap
+      machinery carries correctness unchanged — cells are just the
+      partition grain.
+
+    Retrains (and returns the retrain report) iff a trigger fires;
+    returns None when both bounds hold.
+    """
+    import math as _math
+
+    rep = cell_occupancy_report(spark, index_dir).collect()  # <= k rows
+    if not rep:
         return None
+    total = sum(int(r["n_vectors"]) for r in rep)
+    skewed = float(rep[0]["share"]) > max_share
+    k = int(_load_meta(index_dir)["n_centroids"])
+    oversized = (
+        max_mean_cell_rows is not None
+        and total > int(max_mean_cell_rows) * k
+    )
+    if not (skewed or oversized):
+        return None
+    if oversized and retrain_kw.get("n_centroids") is None:
+        retrain_kw["n_centroids"] = max(k, int(round(_math.sqrt(total))))
     return retrain_ann_index(spark, index_dir, **retrain_kw)
 
 

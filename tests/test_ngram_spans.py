@@ -123,3 +123,42 @@ def test_containment_catches_subset_jaccard_misses(spark):
     pairs = spark.createDataFrame([Row(id_a=1, id_b=2)])
     j = dedup.jaccard_pairs(df, pairs).collect()[0].jaccard
     assert j < 0.2
+
+
+def test_fuzzy_segment_capped_is_subset_with_identical_distances(spark):
+    """VERDICT r8 #3: the sorted-neighborhood cap reports a SUBSET of
+    the full form's pairs, with identical edit_dist values for every
+    pair it reports, and a generous cap reproduces the full answer on
+    a small block."""
+    rows = [(i, f"k m{i:03d} row") for i in range(12)]
+    df = _docs(spark, rows)
+    full = {(r.seg_a, r.seg_b): r.edit_dist
+            for r in dedup.fuzzy_segment_pairs(df, seg_len=3, max_edit=6).collect()}
+    capped = {(r.seg_a, r.seg_b): r.edit_dist
+              for r in dedup.fuzzy_segment_pairs(
+                  df, seg_len=3, max_edit=6, max_pairs_per_segment=3).collect()}
+    assert capped and set(capped) <= set(full)
+    assert all(full[p] == d for p, d in capped.items())
+    # cap >= block size degenerates to the full answer exactly
+    uncapped_via_cap = {(r.seg_a, r.seg_b): r.edit_dist
+                        for r in dedup.fuzzy_segment_pairs(
+                            df, seg_len=3, max_edit=6,
+                            max_pairs_per_segment=50).collect()}
+    assert uncapped_via_cap == full
+
+
+def test_fuzzy_segment_capped_bounds_forward_pairs_per_segment(spark):
+    """Work bound: in (length, seg) order each member attempts at most
+    K forward verifications, so no segment can anchor more than K pairs
+    as the earlier-ranked side. All segments here share one block and
+    one length, so rank order == lexicographic order and the earlier
+    side of every emitted pair is the smaller text."""
+    rows = [(i, f"k m{i:03d} row") for i in range(12)]
+    df = _docs(spark, rows)
+    out = dedup.fuzzy_segment_pairs(
+        df, seg_len=3, max_edit=6, max_pairs_per_segment=2
+    ).collect()
+    from collections import Counter
+
+    anchors = Counter(r.seg_a for r in out)
+    assert anchors and max(anchors.values()) <= 2

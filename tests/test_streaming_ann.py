@@ -524,3 +524,74 @@ def test_compaction_sizes_files_within_cells(spark, tmp_path, batches):
     assert multi >= 1
     after = sorted(tuple(r) for r in sann.ivf_search(spark, index_dir, queries, k=5).collect())
     assert after == want
+
+
+def test_retrain_growth_trigger_sqrt_sizing(spark, tmp_path):
+    """VERDICT r8 #1: the mean-cell-row bound is an independent retrain
+    trigger — a perfectly balanced index whose cells simply OUTGREW the
+    bound refits at n_centroids ~ sqrt(N) (probe bytes become
+    O(n_probe * sqrt(N)) instead of linear in the corpus), and the
+    full-probe == brute-force serving contract survives the growth
+    swap. Under the bound the loop stays quiet; a caller-pinned
+    n_centroids overrides the sqrt rule."""
+    emb = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .orderBy("vec_id")
+        .limit(100)
+    )
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    index_dir = str(tmp_path / "annidx")
+    sann.init_ann_index(index_dir, dim=64, n_centroids=4, seed=7)
+    sann.append_ann_batch(spark.createDataFrame(rows, DDL), 0, index_dir)
+
+    # bound holds (100 <= 25 * 4 is false -> use a loose bound): quiet
+    assert (
+        sann.retrain_if_skewed(
+            spark, index_dir, max_share=1.1, max_mean_cell_rows=100
+        )
+        is None
+    )
+    assert sann._load_meta(index_dir).get("cells_dir", "cells") == "cells"
+
+    # bound trips (mean cell = 25 > 10): retrain at max(4, sqrt(100)) = 10
+    report = sann.retrain_if_skewed(
+        spark, index_dir, max_share=1.1, max_mean_cell_rows=10, iters=3
+    )
+    assert report is not None
+    assert report["n_centroids"] == 10 and report["n_vectors"] == 100
+    meta = sann._load_meta(index_dir)
+    assert meta["n_centroids"] == 10 and meta["cells_dir"] == "cells-g001"
+
+    # full probe at the new width == brute force (the oracle contract
+    # the served catalog query relies on below the bound)
+    union = spark.createDataFrame(rows, DDL)
+    queries = union.filter(F.col("vec_id") < 3)
+    want = sorted(
+        tuple(r)
+        for r in similarity.cosine_topk(union, queries, k=5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in sann.ivf_search(spark, index_dir, queries, k=5, n_probe=10).collect()
+    )
+    assert got == want and got
+
+    # ... and the grown index now satisfies the same bound
+    assert (
+        sann.retrain_if_skewed(
+            spark, index_dir, max_share=1.1, max_mean_cell_rows=10
+        )
+        is None
+    )
+
+    # caller-pinned n_centroids wins over the sqrt rule
+    report2 = sann.retrain_if_skewed(
+        spark,
+        index_dir,
+        max_share=1.1,
+        max_mean_cell_rows=5,
+        n_centroids=12,
+        iters=2,
+    )
+    assert report2 is not None and report2["n_centroids"] == 12
