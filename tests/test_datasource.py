@@ -576,3 +576,90 @@ def test_filter_pruning_option_routes_through_spark_read(ds_spark, store):
     assert df.count() == 10 and df.count() == 10
     # and a fresh default load sees everything regardless
     assert load(False).count() == 400
+
+
+def _write_records(ds_spark, store, df):
+    (
+        df.write.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .mode("append")
+        .save()
+    )
+
+
+def test_native_scan_equals_dsv2_and_backfills(ds_spark, store):
+    """read_records_native (VERDICT r8 #4): the native parquet scan of
+    the live chunk files equals the DSv2 row set; deleting the sidecar
+    directory backfills it from the chunks log (the pre-sidecar /
+    merge-writer migration path)."""
+    import os
+    import shutil
+
+    from mandoline_hbase_spark import layout
+
+    df = ds_spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id * 2 AS DOUBLE) AS v"
+    )
+    _write_records(ds_spark, store, df.repartition(4, "k"))
+    dsv2 = sorted(
+        (r.k, r.v)
+        for r in ds_spark.read.format("mandoline")
+        .option("path", store.dataset_dir)
+        .option("variable", "records")
+        .option("form", "records")
+        .load()
+        .collect()
+    )
+    native_df = layout.read_records_native(ds_spark, store.dataset_dir, "records")
+    assert sorted((r.k, r.v) for r in native_df.collect()) == dsv2
+    # the plan really is Spark's native parquet scan, not a Python source
+    plan = native_df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan, plan[:2000]
+    # sidecar files landed at write time
+    fdir = os.path.join(store.dataset_dir, "chunks_files")
+    assert os.path.isdir(fdir) and os.listdir(fdir)
+    # nuke the sidecar: the reader must backfill from the chunks log
+    shutil.rmtree(fdir)
+    refetched = layout.read_records_native(ds_spark, store.dataset_dir, "records")
+    assert sorted((r.k, r.v) for r in refetched.collect()) == dsv2
+    assert os.listdir(fdir)
+
+
+def test_native_scan_duplicate_content_falls_back_to_dsv2(ds_spark, store):
+    """Two coordinates sharing one content-addressed chunk must NOT be
+    scanned as duplicate native paths — the helper detects the
+    collision and serves through the multiplicity-correct DSv2 read."""
+    from mandoline_hbase_spark import layout
+
+    one = ds_spark.createDataFrame([(1, 1.0)], "k bigint, v double").coalesce(1)
+    _write_records(ds_spark, store, one)
+    _write_records(ds_spark, store, one)  # identical bytes -> same chunk id
+    out = layout.read_records_native(ds_spark, store.dataset_dir, "records")
+    rows = [(r.k, r.v) for r in out.collect()]
+    assert rows == [(1, 1.0), (1, 1.0)]  # both coordinates' rows survive
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan  # served by the DSv2 fallback
+
+
+def test_native_scan_null_fills_added_columns(ds_spark, store):
+    """Add-column evolution: chunks written before the column was added
+    null-fill under the current schema in the native scan, matching the
+    DSv2 reconciler."""
+    from mandoline_hbase_spark import layout
+
+    _write_records(
+        ds_spark,
+        store,
+        ds_spark.createDataFrame([(1, 1.0)], "k bigint, v double").coalesce(1),
+    )
+    _write_records(
+        ds_spark,
+        store,
+        ds_spark.createDataFrame(
+            [(2, 2.0, "x")], "k bigint, v double, tag string"
+        ).coalesce(1),
+    )
+    out = layout.read_records_native(ds_spark, store.dataset_dir, "records")
+    got = {r.k: (r.v, r.tag) for r in out.collect()}
+    assert got == {1: (1.0, None), 2: (2.0, "x")}
