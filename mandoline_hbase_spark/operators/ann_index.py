@@ -59,6 +59,8 @@ def materialize_ann_index(
     include_pq: bool = True,
     include_sq: bool = False,
     meta_cols: tuple[str, ...] = (),
+    train_centroids: bool = False,
+    train_iters: int = 3,
 ) -> dict:
     """Build the index: one corpus pass for the cell assignment + full
     vectors, one for the PQ codes; centroids/codebook persist as JSON.
@@ -82,6 +84,20 @@ def materialize_ann_index(
     a high-cardinality column belongs in the row data where parquet
     min/max pushdown handles it, not in the partitioning)."""
     cents = _centroids(dim, n_centroids, seed)
+    if train_centroids:
+        # OPT-IN sample-k-means refinement (round 9, exact-pruned IVF):
+        # random unit centroids give huge Voronoi radii, so the
+        # triangle-inequality cell bounds ivf_exact_topk_from_index
+        # prunes with are near-vacuous; a few spherical Lloyd rounds
+        # over a bounded DETERMINISTIC sample (id-hash order, numpy,
+        # driver-side — same sampling idiom as streaming/ann's retrain)
+        # tighten cells to the corpus's actual direction clusters.
+        # Default OFF: the untrained form keeps the documented
+        # bit-for-bit parity with similarity.ivf_topk for the same
+        # seed/params.
+        cents = _sample_kmeans(
+            emb_df, cents, iters=train_iters, id_col=id_col, vec_col=vec_col
+        )
     codebook = None
     if include_pq:
         codebook = similarity.pq_fit(
@@ -652,3 +668,204 @@ def matryoshka_topk_from_index(
         F.round("sim", 6).alias("sim"),
         F.round("prefix_sim", 6).alias("prefix_sim"),
     )
+
+
+def _sample_kmeans(
+    emb_df: DataFrame,
+    cents,
+    iters: int = 3,
+    sample_n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical Lloyd refinement over a deterministic corpus sample,
+    entirely in numpy on the driver (the sample is bounded; no extra
+    Spark passes). Sampling is id-hash ordered — stable across
+    partitionings — and empty cells keep their previous centroid, so
+    the result is deterministic for a given corpus + seed centroids."""
+    import numpy as np
+
+    k = len(cents)
+    n = sample_n or max(64 * k, 1024)
+    sample = [
+        np.asarray(r[1], dtype=np.float64)
+        for r in emb_df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(int(n))
+        .collect()
+    ]
+    unit = np.asarray(
+        [v / nv for v in sample if (nv := float(np.linalg.norm(v))) > 0]
+    )
+    if len(unit) == 0:
+        return cents
+    c = np.asarray(cents, dtype=np.float64)
+    for _ in range(int(iters)):
+        assign = np.argmax(unit @ c.T, axis=1)
+        nxt = c.copy()
+        for j in range(k):
+            members = unit[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = float(np.linalg.norm(m))
+                if norm > 0:
+                    nxt[j] = m / norm
+        c = nxt
+    return c
+
+
+def ensure_cell_bounds(spark: SparkSession, index_dir: str) -> dict:
+    """Per-cell angular radius sidecar for EXACT pruned search: for each
+    cell, the minimum cosine between a member and its centroid (i.e.
+    the cosine of the cell's max member angle). Computed ONCE per index
+    with one partition-parallel aggregate over cells/ and persisted as
+    ``bounds.json`` next to the codebook (the static index's cells are
+    immutable — rebuild is overwrite — so the sidecar can never go
+    stale without the codebook changing too, and the fingerprinted
+    artifact lifecycle replaces both together)."""
+    path = os.path.join(index_dir, "bounds.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return {int(c): v for c, v in json.load(f).items()}
+    meta = load_ann_meta(index_dir)
+    cents = meta["centroids"]
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cell int, centvec array<double>",
+    )
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "cells"))
+        .join(F.broadcast(cdf), "cell")
+        .groupBy("cell")
+        .agg(
+            F.min(
+                similarity.cosine_sim(F.col("embedding"), F.col("centvec"))
+            ).alias("min_cos")
+        )
+        .collect()
+    )
+    bounds = {int(r["cell"]): float(r["min_cos"]) for r in rows}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({str(c): v for c, v in bounds.items()}, f)
+    os.replace(tmp, path)
+    return bounds
+
+
+def ivf_exact_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT top-k served from the IVF layout via triangle-inequality
+    cell pruning — the answer provably equals brute force at ANY cell
+    count / probe budget, while the scan touches only cells that could
+    still contain a top-k member.
+
+    The bound: for member x of cell c, the spherical triangle
+    inequality gives angle(q, x) >= angle(q, centroid_c) - radius_c,
+    so cos(q, x) <= cos(max(0, theta_qc - radius_c)) =: UB(q, c), with
+    radius_c the cell's max member angle (``ensure_cell_bounds``).
+
+    Two phases, both partition-pruned literal-IN scans:
+
+    1. probe the ``n_probe`` best cells per query (the ordinary IVF
+       read) and take the running kth-best score s_k per query;
+    2. additionally scan exactly the cells with UB(q, c) >= s_k - 1e-9
+       (driver-side arithmetic over the tiny codebook + radii). Every
+       skipped cell's members satisfy sim <= UB < s_k <= global kth
+       best, so they cannot enter or tie into the top-k: the union
+       rank equals the brute-force answer, tie-breaks included. The
+       epsilon only ever ADDS cells (conservative).
+
+    100 TB shape: driver state is O(queries x cells) scores — the same
+    order as the probe computation every served IVF query already does
+    — and the phase-2 scan volume is what the geometry allows: tight
+    trained cells on clustered corpora prune almost everything; in the
+    worst case (uninformative cells) it degrades to the full scan WITH
+    the exact answer, never past it. This resolves the
+    exactness-vs-probe-budget tension the full-probe oracle anchor has:
+    exact results from a pruned scan, so the value-level oracle holds
+    unconditionally while the read stays sub-corpus.
+    """
+    import math
+
+    meta = load_ann_meta(index_dir)
+    bounds = ensure_cell_bounds(spark, index_dir)
+    cents = meta["centroids"]
+    rows, probed, id_type = _probe_cells(
+        queries_df, cents, n_probe, id_col, vec_col
+    )
+    if not rows:
+        raise ValueError("queries_df is empty")
+    probes = spark.createDataFrame(
+        rows, f"query_id {id_type}, qvec array<double>, cell int"
+    )
+    corpus_path = os.path.join(index_dir, "cells")
+
+    def scan(cell_set, probe_df):
+        corpus = (
+            spark.read.parquet(corpus_path)
+            .filter(F.col("cell").isin(sorted(cell_set)))
+            .select(
+                F.col(meta["id_col"]).alias("neighbor_id"),
+                F.col("embedding").alias("cvec"),
+                "cell",
+            )
+        )
+        return corpus.join(F.broadcast(probe_df), "cell").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+
+    phase1 = scan(set(probed), probes)
+    top1 = similarity.cosine_rank_topk(phase1, k)
+    # s_k per query: the kth best so far (bounded driver state, k x |Q|)
+    kth: dict = {}
+    seen_k: dict = {}
+    for r in top1.collect():
+        seen_k[r["query_id"]] = max(seen_k.get(r["query_id"], 0), r["rank"])
+        if r["rank"] <= k:
+            kth[r["query_id"]] = min(
+                kth.get(r["query_id"], float("inf")), float(r["sim"])
+            )
+    # per-query probed set + query vectors from the probe rows
+    probed_by_q: dict = {}
+    qvec_by_q: dict = {}
+    for qid, qv, c in rows:
+        probed_by_q.setdefault(qid, set()).add(c)
+        qvec_by_q[qid] = qv
+
+    def _unit(v):
+        nv = math.sqrt(sum(x * x for x in v))
+        return [x / nv for x in v] if nv > 0 else None
+
+    extra_rows = []
+    for qid, qv in qvec_by_q.items():
+        uq = _unit(qv)
+        if uq is None:
+            continue
+        # under-filled phase 1 (corpus < k in probed cells): every cell
+        # may still contribute -> s_k lower bound is -1
+        s_k = kth.get(qid, -1.0) if seen_k.get(qid, 0) >= k else -1.0
+        for c, min_cos in bounds.items():
+            if c in probed_by_q.get(qid, ()):
+                continue
+            cu = _unit(cents[c])
+            if cu is None:
+                continue
+            cos_qc = max(-1.0, min(1.0, sum(a * b for a, b in zip(uq, cu))))
+            radius = math.acos(max(-1.0, min(1.0, float(min_cos))))
+            ub = math.cos(max(0.0, math.acos(cos_qc) - radius))
+            if ub >= s_k - 1e-9:
+                extra_rows.append((qid, qv, int(c)))
+    if not extra_rows:
+        return top1
+    probes2 = spark.createDataFrame(
+        extra_rows, f"query_id {id_type}, qvec array<double>, cell int"
+    )
+    phase2 = scan({c for _, _, c in extra_rows}, probes2)
+    return similarity.cosine_rank_topk(phase1.unionByName(phase2), k)

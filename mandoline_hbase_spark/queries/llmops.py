@@ -1945,6 +1945,85 @@ def sim_ivf_stream_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXACT_PRUNED_ANN: dict[str, str] = {}
+
+
+@register(
+    "sim_ivf_exact_pruned_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qvec, c.embedding::DOUBLE[]) AS sim
+        FROM q, embeddings c
+        WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC)::INT AS rank
+        FROM sims
+    )
+    WHERE rank <= 5
+    """,
+    description=(
+        "EXACT vector top-k from a PRUNED scan (round 9): per-cell "
+        "angular radii (bounds.json sidecar) give the triangle-"
+        "inequality upper bound cos(theta_qc - radius_c) for every "
+        "unprobed cell, and phase 2 scans exactly the cells whose bound "
+        "beats the running kth-best — every skipped cell provably "
+        "cannot contain or tie into the top-k, so the brute-force "
+        "oracle holds UNCONDITIONALLY at any probe budget (unlike the "
+        "full-probe anchors, whose exactness REQUIRES scanning "
+        "everything). The scan is as sub-corpus as geometry allows: on "
+        "clustered corpora — where real embedding data lives — trained "
+        "cells are tight and most bounds fall below the kth-best "
+        "(tests/test_ann_index.py pins >=2x cell pruning on clustered "
+        "data); this fixture's embeddings are isotropic, the "
+        "known-hostile regime for exact metric pruning, and the scan "
+        "honestly degrades toward full WITH the exact answer. The "
+        "index trains sqrt(N) centroids by sample-k-means. "
+        "operators/ann_index.py::ivf_exact_topk_from_index"
+    ),
+    tags=("llm", "similarity", "ann", "ivf", "exact", "served"),
+)
+def sim_ivf_exact_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import os
+
+    from mandoline_hbase_spark.operators import ann_index
+    from mandoline_hbase_spark.operators.served import (
+        content_fingerprint,
+        served_artifact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = _EXACT_PRUNED_ANN.get(sf_dir)
+    if index_dir is None:
+        n = emb.count()
+        build = dict(
+            dim=64,
+            n_centroids=max(8, int(round(math.sqrt(n)))),
+            seed=7,
+            include_pq=False,
+            train_centroids=True,
+            train_iters=3,
+        )
+        index_dir = served_artifact(
+            "mandoline-ann-exact",
+            content_fingerprint(os.path.join(sf_dir, "embeddings.parquet"), build),
+            lambda work: ann_index.materialize_ann_index(emb, work, **build),
+            marker="codebook.json",
+        )
+        _EXACT_PRUNED_ANN[sf_dir] = index_dir
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_index.ivf_exact_topk_from_index(
+        spark, index_dir, queries, k=5, n_probe=8
+    )
+
+
 _SQRTN_SERVED_ANN: dict[str, str] = {}
 
 
