@@ -33,14 +33,21 @@ import math
 from pyspark.sql import SparkSession
 
 
-def _load_records(spark: SparkSession, dataset_path: str, variable: str):
-    return (
+def _load_records(
+    spark: SparkSession,
+    dataset_path: str,
+    variable: str,
+    version: int | None = None,
+):
+    r = (
         spark.read.format("mandoline")
         .option("path", dataset_path)
         .option("variable", variable)
         .option("form", "records")
-        .load()
     )
+    if version is not None:
+        r = r.option("version", str(version))
+    return r.load()
 
 
 def _overwrite_records(
@@ -235,6 +242,7 @@ def read_records_native(
     from pyspark.sql.types import StructType
 
     from mandoline_hbase_spark.sources.datasource import (
+        _committed_versions,
         _read_payloads,
         _snapshot,
     )
@@ -242,7 +250,7 @@ def read_records_native(
     bound, var_meta, entries = _snapshot(dataset_path, variable, version)
     sj = var_meta.get("schema_json")
     if sj is None:
-        return _load_records(spark, dataset_path, variable)
+        return _load_records(spark, dataset_path, variable, version)
     schema = StructType.fromJson(_json.loads(sj))
 
     chunk_ids = [cid for _, cid in entries]
@@ -250,7 +258,29 @@ def read_records_native(
         # two coordinates share one content-addressed payload; keep the
         # multiplicity-correct DSv2 path rather than trusting duplicate
         # input paths through the native scan
-        return _load_records(spark, dataset_path, variable)
+        return _load_records(spark, dataset_path, variable, version)
+
+    # Widening schema evolution (int upcast, float->double — the engine
+    # permits it, datasource._check_schema_evolution) means a live chunk
+    # file may physically hold the NARROW type; Spark's vectorized
+    # parquet reader throws rather than casting per file. Detect by
+    # walking the variable's schema_json history over committed versions
+    # <= bound: any shared column whose stored type differs from the
+    # snapshot schema routes the dataset to the DSv2 reconciler
+    # (per-chunk arrow-level cast). Driver cost is O(versions) over the
+    # small versions table the snapshot already read.
+    current_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for vid, meta_json in _committed_versions(dataset_path):
+        if vid > bound:
+            continue
+        vm = _json.loads(meta_json).get("variables", {}).get(variable)
+        old_sj = (vm or {}).get("schema_json")
+        if old_sj is None:
+            continue
+        for f in StructType.fromJson(_json.loads(old_sj)).fields:
+            cur = current_types.get(f.name)
+            if cur is not None and cur != f.dataType.simpleString():
+                return _load_records(spark, dataset_path, variable, version)
 
     files_dir = os.path.join(dataset_path, "chunks_files")
     os.makedirs(files_dir, exist_ok=True)
@@ -273,8 +303,7 @@ def read_records_native(
     if not paths:
         return spark.createDataFrame([], schema)
 
-    # physical type changes can't be cast per-file by the native reader;
-    # detect by probing one backfilled/sidecar file's arrow schema names
-    # is not enough — rely on Spark's scan to fail loudly, but guard the
-    # KNOWN evolution the engine allows (add/drop) which null-fills fine.
+    # add/drop evolution is safe here: files written under an older
+    # add/drop schema null-fill missing columns natively. Physical type
+    # changes were routed to the DSv2 reconciler above.
     return spark.read.schema(schema).parquet(*paths.values())

@@ -775,16 +775,19 @@ def ivf_exact_topk_from_index(
 
     1. probe the ``n_probe`` best cells per query (the ordinary IVF
        read) and take the running kth-best score s_k per query;
-    2. additionally scan exactly the cells with UB(q, c) >= s_k - 1e-9
-       (driver-side arithmetic over the tiny codebook + radii). Every
-       skipped cell's members satisfy sim <= UB < s_k <= global kth
-       best, so they cannot enter or tie into the top-k: the union
-       rank equals the brute-force answer, tie-breaks included. The
-       epsilon only ever ADDS cells (conservative).
+    2. additionally scan exactly the cells with UB(q, c) >= s_k - 1e-6,
+       where s_k is the UNROUNDED phase-1 kth-best and the bound is
+       computed as a broadcast(codebook+radii) join + codegen filter in
+       the JVM. Every skipped cell's members satisfy
+       sim <= UB < s_k <= global kth best, so they cannot enter or tie
+       into the top-k: the union rank equals the brute-force answer,
+       tie-breaks included. The epsilon only ever ADDS cells
+       (conservative).
 
-    100 TB shape: driver state is O(queries x cells) scores — the same
-    order as the probe computation every served IVF query already does
-    — and the phase-2 scan volume is what the geometry allows: tight
+    100 TB shape: driver state is the O(survivor pairs) literal scan
+    list — the pairs phase 2 must read anyway — not the full
+    |Q| x cells bound matrix (that lives executor-side); the phase-2
+    scan volume is what the geometry allows: tight
     trained cells on clustered corpora prune almost everything; in the
     worst case (uninformative cells) it degrades to the full scan WITH
     the exact answer, never past it. This resolves the
@@ -822,16 +825,6 @@ def ivf_exact_topk_from_index(
         )
 
     phase1 = scan(set(probed), probes)
-    top1 = similarity.cosine_rank_topk(phase1, k)
-    # s_k per query: the kth best so far (bounded driver state, k x |Q|)
-    kth: dict = {}
-    seen_k: dict = {}
-    for r in top1.collect():
-        seen_k[r["query_id"]] = max(seen_k.get(r["query_id"], 0), r["rank"])
-        if r["rank"] <= k:
-            kth[r["query_id"]] = min(
-                kth.get(r["query_id"], float("inf")), float(r["sim"])
-            )
     # per-query probed set + query vectors from the probe rows
     probed_by_q: dict = {}
     qvec_by_q: dict = {}
@@ -843,27 +836,85 @@ def ivf_exact_topk_from_index(
         nv = math.sqrt(sum(x * x for x in v))
         return [x / nv for x in v] if nv > 0 else None
 
-    extra_rows = []
-    for qid, qv in qvec_by_q.items():
-        uq = _unit(qv)
-        if uq is None:
+    # s_k per query, UNROUNDED and executor-side: the kth-best phase-1
+    # sim under the final ranking's own (sim desc, neighbor asc) order.
+    # Using the rounded output `sim` here (pre-r10) could overstate the
+    # true kth-best by up to ~5e-7 and wrongly skip a cell whose UB
+    # falls in between (ADVICE r9 #2). A query with < k phase-1
+    # candidates has no rank-k row -> s_k coalesces to -1 (every cell
+    # may still contribute).
+    from pyspark.sql import Window as _W
+
+    sims1 = phase1.withColumn(
+        "sim", similarity.cosine_sim(F.col("qvec"), F.col("cvec"))
+    )
+    _w = _W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    kth_df = (
+        sims1.withColumn("rank", F.row_number().over(_w))
+        .filter(F.col("rank") == k)
+        .select("query_id", F.col("sim").alias("s_k"))
+    )
+
+    # UB(q, c) >= s_k - eps as a broadcast join + filter in the JVM
+    # (VERDICT r9 Next #3): the tiny (cell, unit centroid, radius)
+    # table broadcasts against the query set; the bound arithmetic is
+    # whole-stage-codegen column math, not a driver Python loop over
+    # |Q| x cells. Only the SURVIVING (query, cell) pairs — what the
+    # geometry failed to prune, the pairs phase 2 must scan anyway —
+    # come back to the driver to form the literal-IN pruned scan.
+    cell_rows = []
+    for c, min_cos in bounds.items():
+        cu = _unit(cents[c])
+        if cu is None:
             continue
-        # under-filled phase 1 (corpus < k in probed cells): every cell
-        # may still contribute -> s_k lower bound is -1
-        s_k = kth.get(qid, -1.0) if seen_k.get(qid, 0) >= k else -1.0
-        for c, min_cos in bounds.items():
-            if c in probed_by_q.get(qid, ()):
-                continue
-            cu = _unit(cents[c])
-            if cu is None:
-                continue
-            cos_qc = max(-1.0, min(1.0, sum(a * b for a, b in zip(uq, cu))))
-            radius = math.acos(max(-1.0, min(1.0, float(min_cos))))
-            ub = math.cos(max(0.0, math.acos(cos_qc) - radius))
-            if ub >= s_k - 1e-9:
-                extra_rows.append((qid, qv, int(c)))
+        radius = math.acos(max(-1.0, min(1.0, float(min_cos))))
+        cell_rows.append((int(c), cu, radius))
+    q_rows = [
+        (qid, uq, sorted(probed_by_q.get(qid, set())))
+        for qid, qv in qvec_by_q.items()
+        if (uq := _unit(qv)) is not None
+    ]
+    if not cell_rows or not q_rows:
+        return similarity.cosine_rank_topk(phase1, k)
+    cells_df = spark.createDataFrame(cell_rows, "cell int, cu array<double>, radius double")
+    q_df = spark.createDataFrame(
+        q_rows, f"query_id {id_type}, uq array<double>, probed array<int>"
+    )
+    dot = F.aggregate(
+        F.zip_with("uq", "cu", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # eps=1e-6: the bound arithmetic (acos/cos round trips) carries
+    # ~1e-15 relative error; 1e-6 dominates it with margin and only
+    # ever ADDS cells — exactness is one-sided here.
+    survivors = (
+        q_df.join(kth_df, "query_id", "left")
+        .withColumn("s_k", F.coalesce(F.col("s_k"), F.lit(-1.0)))
+        .join(
+            F.broadcast(cells_df),
+            ~F.array_contains(F.col("probed"), F.col("cell")),
+        )
+        .withColumn(
+            "cos_qc", F.greatest(F.lit(-1.0), F.least(F.lit(1.0), dot))
+        )
+        .withColumn(
+            "ub",
+            F.cos(
+                F.greatest(F.lit(0.0), F.acos(F.col("cos_qc")) - F.col("radius"))
+            ),
+        )
+        .filter(F.col("ub") >= F.col("s_k") - F.lit(1e-6))
+        .select("query_id", "cell")
+    )
+    extra_rows = [
+        (r["query_id"], qvec_by_q[r["query_id"]], int(r["cell"]))
+        for r in survivors.collect()
+    ]
     if not extra_rows:
-        return top1
+        return similarity.cosine_rank_topk(phase1, k)
     probes2 = spark.createDataFrame(
         extra_rows, f"query_id {id_type}, qvec array<double>, cell int"
     )

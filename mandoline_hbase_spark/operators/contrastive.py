@@ -62,7 +62,12 @@ def contrastive_triplets(
     stays bucket-bounded too.
     """
     if positives is None:
-        positives = similarity.near_duplicate_pairs(emb, threshold, id_col, vec_col)
+        # the quadratic baseline path — small-data by contract, so the
+        # broadcast build side is in bounds (scale callers pass candidate
+        # `positives` and never reach this)
+        positives = similarity.near_duplicate_pairs(
+            emb, threshold, id_col, vec_col, broadcast_corpus=True
+        )
     pos = positives.select(
         F.col("id_a").alias("anchor_id"), F.col("id_b").alias("positive_id")
     )

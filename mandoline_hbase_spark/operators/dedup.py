@@ -534,15 +534,22 @@ def doc_shingle_features(
         id_col,
         text_col,
     )
-    # ONE aggregate pass builds all minima: the zip_with accumulator beats
-    # num_hashes separate array_min(transform(...)) trees by ~25% (each of
-    # those re-traverses the shingle array and materializes a hash array)
+    # ONE aggregate pass builds all minima. Hash family (round 10): each
+    # shingle STRING is hashed once, and the per-permutation values are
+    # long-hashes of that base hash — xxhash64(xxhash64(s), i) — instead
+    # of num_hashes string traversals. This is the standard one-hash +
+    # derived-permutations MinHash construction; it MUST stay
+    # value-identical to the hash-aggregate form in
+    # ``minhash_signatures`` (the scale path), which shares it — the
+    # incremental/streaming admission paths compare signatures across
+    # the two producers.
     seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
     max_long = (1 << 63) - 1
+    hs = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
     sig = F.aggregate(
-        F.col("sh"),
+        hs,
         F.array_repeat(F.lit(max_long).cast("bigint"), num_hashes),
-        lambda acc, s: F.zip_with(acc, seeds, lambda m, seed: F.least(m, F.xxhash64(s, seed))),
+        lambda acc, h: F.zip_with(acc, seeds, lambda m, seed: F.least(m, F.xxhash64(h, seed))),
     )
     return sh.withColumn("sig", sig)
 
@@ -554,9 +561,58 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-doc MinHash signature as ``sig ARRAY<BIGINT>`` (shuffle-free)."""
-    return doc_shingle_features(df, num_hashes, shingle_n, id_col, text_col).select(
-        id_col, "sig"
+    """Per-doc MinHash signature as ``sig ARRAY<BIGINT>`` — the SCALE
+    producer (round 10, VERDICT r9 #1).
+
+    The r9 stage profile pinned the signature pass as the one measured
+    super-linearity in the dedup family, and the r9 hash-family
+    experiment showed the cost floor was the fold's PER-ELEMENT ARRAY
+    ACCUMULATION (a fresh 64-long array per shingle per doc — pure GC
+    churn), not hashing. This form has no array accumulation at all:
+
+    - explode the distinct shingle set (a generator — rows stream, no
+      buffering) and hash each shingle string ONCE;
+    - ``num_hashes`` independent ``min(xxhash64(h, i))`` scalar
+      aggregates per doc — Tungsten hash aggregation over primitive
+      bigint accumulators updated IN PLACE, and each permutation hash
+      is a fixed-width long-hash (~2-3x cheaper than re-traversing the
+      shingle string);
+    - map-side partial aggregation means the one exchange carries only
+      ``docs x num_hashes`` longs (~0.5 KB/doc), not shingles.
+
+    Value-identical to ``doc_shingle_features``'s fold (shared hash
+    family xxhash64(xxhash64(s), i) — tested), so the two producers
+    interoperate; empty/short docs keep the all-MAX_LONG signature via
+    ``explode_outer``.
+    """
+    max_long = (1 << 63) - 1
+    ex = (
+        with_shingle_set(
+            spread_to_parallelism(df, id_col), shingle_n, id_col, text_col
+        )
+        .select(id_col, F.explode_outer("sh").alias("_s"))
+        .select(
+            id_col,
+            F.when(F.col("_s").isNull(), F.lit(None).cast("bigint"))
+            .otherwise(F.xxhash64("_s"))
+            .alias("_h"),
+        )
+    )
+    mins = [
+        F.min(
+            F.when(F.col("_h").isNull(), F.lit(max_long).cast("bigint")).otherwise(
+                F.xxhash64(F.col("_h"), F.lit(i))
+            )
+        ).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col,
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
     )
 
 
@@ -728,7 +784,7 @@ def minhash_lsh_candidates(
     id_a < id_b. Oversized buckets degrade to star pairing (see
     ``banded_candidate_pairs``; ``stats["n_hot"]`` reports how many).
     """
-    features = doc_shingle_features(df, num_hashes, shingle_n, id_col, text_col)
+    features = minhash_signatures(df, num_hashes, shingle_n, id_col, text_col)
     stacked = _band_stack(features, num_hashes, bands, id_col)
     return banded_candidate_pairs(
         stacked, id_col, max_bucket_size=max_bucket_size, stats=stats
@@ -939,6 +995,7 @@ def containment_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_features: bool = False,
 ) -> DataFrame:
     """ASYMMETRIC shingle containment: ordered pairs where
     ``|A ∩ B| / |A| >= threshold`` — doc A is (near-)contained in doc B.
@@ -959,13 +1016,17 @@ def containment_pairs(
     sh = with_shingle_set(df, shingle_n, id_col, text_col)
     # baseline-plan discipline (round 9): spread the stream side (the
     # fixture parquet is one split — an unspread cross join runs the
-    # whole quadratic verify in ONE task) and broadcast the other side
-    # (bounded by the baseline's small-data contract; scale paths use
-    # banded candidates, not this)
+    # whole quadratic verify in ONE task). ``broadcast_features=True``
+    # additionally broadcasts the build side — set it ONLY under the
+    # baseline's small-data contract (as the catalog oracle anchors do);
+    # the default keeps the shuffled plan so an over-sized corpus
+    # degrades to slow, never to a broadcast/driver OOM (ADVICE r9 #4).
     a = spread_to_parallelism(sh, id_col).select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
     )
-    b = F.broadcast(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    if broadcast_features:
+        b = F.broadcast(b)
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") != F.col("id_b"))
@@ -1022,11 +1083,7 @@ def minhash_near_duplicates(
     (``banded_candidate_pairs``) so one degenerate band value cannot
     make a join task quadratic.
     """
-    sigs = (
-        doc_shingle_features(df, num_hashes, shingle_n, id_col, text_col)
-        .select(id_col, "sig")
-        .persist()
-    )
+    sigs = minhash_signatures(df, num_hashes, shingle_n, id_col, text_col).persist()
     stacked = _band_stack(sigs, num_hashes, bands, id_col)
     cands = banded_candidate_pairs(stacked, id_col, max_bucket_size=max_bucket_size)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))

@@ -122,16 +122,23 @@ def dp_noisy_counts(
     # NULL class keys still get noise: concat_ws would silently SKIP a
     # NULL column (so `(NULL, 'x')` and `('x',)` could collide, and a
     # `||`-style oracle would propagate NULL into md5 and emit a NULL
-    # release). Coalesce each key column to an explicit sentinel so the
-    # noise hash is total and collision-free; oracles mirror the same
-    # coalesce.
-    key = F.concat_ws(
-        "|",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
-            for c in group_cols
-        ],
-    )
+    # release). A bare sentinel string is NOT enough — a real value
+    # equal to the sentinel would draw the same noise as the NULL class
+    # (correlated noise across releases weakens the DP argument, ADVICE
+    # r9 #5) — so each column is ESCAPED: backslash then the '|'
+    # separator are backslash-escaped inside the value, every non-null
+    # value is prefixed 'v', and the single unprefixed token 'n' is
+    # reserved for NULL. The mapping column-tuple -> key string is then
+    # injective; oracles mirror the same escaping.
+    def _keyed(c: str) -> Column:
+        esc = F.replace(
+            F.replace(F.col(c).cast("string"), F.lit("\\"), F.lit("\\\\")),
+            F.lit("|"),
+            F.lit("\\|"),
+        )
+        return F.coalesce(F.concat(F.lit("v"), esc), F.lit("n"))
+
+    key = F.concat_ws("|", *[_keyed(c) for c in group_cols])
     counts = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true")
     )

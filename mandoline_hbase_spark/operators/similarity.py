@@ -648,21 +648,25 @@ def near_duplicate_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_corpus: bool = False,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dedup).
 
     Brute-force pair join here; at scale the LSH bucket join above bounds
     the candidate set first (see lsh_topk). Baseline-plan discipline
     (round 9): spread the stream side (a single-split fixture would run
-    the quadratic scoring in one task) and broadcast the build side —
-    bounded by the baseline's small-data contract.
+    the quadratic scoring in one task). ``broadcast_corpus=True``
+    additionally broadcasts the build side — set it ONLY under the
+    baseline's small-data contract (as the catalog oracle anchors do);
+    the default keeps the shuffled plan so an over-sized corpus degrades
+    to slow, never to a broadcast/driver OOM (ADVICE r9 #4).
     """
     a = _spread(emb_df, id_col).select(
         F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va")
     )
-    b = F.broadcast(
-        emb_df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
-    )
+    b = emb_df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    if broadcast_corpus:
+        b = F.broadcast(b)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))

@@ -956,7 +956,7 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.near_duplicate_pairs(emb, threshold=0.4)
+    return similarity.near_duplicate_pairs(emb, threshold=0.4, broadcast_corpus=True)
 
 
 # --------------------------------------------------------------------------
@@ -1594,7 +1594,7 @@ def vocab_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.containment_pairs(docs, threshold=0.8)
+    return dedup.containment_pairs(docs, threshold=0.8, broadcast_features=True)
 
 
 @register(

@@ -257,11 +257,13 @@ def gov_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                round(n_true
-                     + ln(((CAST(concat('0x', substr(md5(coalesce(event_type,
-                               '<null>') || ':dp-release:u1'), 1, 8)) AS BIGINT)
+                     + ln(((CAST(concat('0x', substr(md5(coalesce('v' ||
+                               replace(replace(event_type, '\', '\\'), '|', '\|'),
+                               'n') || ':dp-release:u1'), 1, 8)) AS BIGINT)
                             + 0.5) / 4294967296.0)
-                          / ((CAST(concat('0x', substr(md5(coalesce(event_type,
-                               '<null>') || ':dp-release:u2'), 1, 8)) AS BIGINT)
+                          / ((CAST(concat('0x', substr(md5(coalesce('v' ||
+                               replace(replace(event_type, '\', '\\'), '|', '\|'),
+                               'n') || ':dp-release:u2'), 1, 8)) AS BIGINT)
                              + 0.5) / 4294967296.0))
                        / 1.0, 4) AS noisy_count,
                1.0 AS epsilon

@@ -663,3 +663,52 @@ def test_native_scan_null_fills_added_columns(ds_spark, store):
     out = layout.read_records_native(ds_spark, store.dataset_dir, "records")
     got = {r.k: (r.v, r.tag) for r in out.collect()}
     assert got == {1: (1.0, None), 2: (2.0, "x")}
+
+
+def test_native_scan_fallback_honors_requested_version(ds_spark, store):
+    """ADVICE r9 #1: when the duplicate-content fallback routes a
+    native read through the DSv2 path, the requested VERSION must
+    thread through — a time-travel read must never silently serve the
+    latest snapshot."""
+    from mandoline_hbase_spark import layout
+    from mandoline_hbase_spark.sources.datasource import _committed_versions
+
+    one = ds_spark.createDataFrame([(1, 1.0)], "k bigint, v double").coalesce(1)
+    _write_records(ds_spark, store, one)
+    _write_records(ds_spark, store, one)  # same bytes -> shared chunk id
+    v2 = _committed_versions(store.dataset_dir)[-1][0]
+    _write_records(
+        ds_spark,
+        store,
+        ds_spark.createDataFrame([(9, 9.0)], "k bigint, v double").coalesce(1),
+    )
+    out = layout.read_records_native(ds_spark, store.dataset_dir, "records", version=v2)
+    rows = sorted((r.k, r.v) for r in out.collect())
+    assert rows == [(1, 1.0), (1, 1.0)]  # v2 snapshot: no (9, 9.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan  # duplicate-content DSv2 fallback
+
+
+def test_native_scan_widened_type_falls_back_to_dsv2(ds_spark, store):
+    """ADVICE r9 #3: widening evolution (float -> double) leaves old
+    chunk files with the NARROW physical type; the native vectorized
+    reader can't cast per file, so read_records_native must detect the
+    type change in the schema history and serve through the DSv2
+    reconciler — correctly, not crash."""
+    from mandoline_hbase_spark import layout
+
+    _write_records(
+        ds_spark,
+        store,
+        ds_spark.createDataFrame([(1, 1.5)], "k bigint, v float").coalesce(1),
+    )
+    _write_records(
+        ds_spark,
+        store,
+        ds_spark.createDataFrame([(2, 2.5)], "k bigint, v double").coalesce(1),
+    )
+    out = layout.read_records_native(ds_spark, store.dataset_dir, "records")
+    got = sorted((r.k, float(r.v)) for r in out.collect())
+    assert got == [(1, 1.5), (2, 2.5)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan  # widened-type DSv2 fallback

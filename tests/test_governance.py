@@ -95,3 +95,27 @@ def test_dp_noisy_counts_salt_changes_release(spark):
     a = dp_noisy_counts(df, ["event_type"], salt="s1").collect()
     b = dp_noisy_counts(df, ["event_type"], salt="s2").collect()
     assert [r.noisy_count for r in a] != [r.noisy_count for r in b]
+
+
+def test_dp_noise_key_is_injective(spark):
+    """ADVICE r9 #5: the noise-key encoding must be collision-free —
+    a NULL key, a literal sentinel-looking value, and separator-bearing
+    multi-column values must all draw INDEPENDENT noise."""
+    from mandoline_hbase_spark.operators.governance import dp_noisy_counts
+
+    # NULL vs every historical/plausible sentinel spelling
+    df = spark.createDataFrame(
+        [(None,), ("<null>",), ("n",), ("v",), ("",)] * 10,
+        "event_type string",
+    )
+    rel = dp_noisy_counts(df, ["event_type"], epsilon=1.0).collect()
+    noise = [round(r.noisy_count - 10, 4) for r in rel]
+    assert len(rel) == 5 and len(set(noise)) == 5, noise
+
+    # separator ambiguity across columns: ('a|b','c') vs ('a','b|c')
+    df2 = spark.createDataFrame(
+        [("a|b", "c"), ("a", "b|c"), ("a\\", "|c")] * 10, "qa string, qb string"
+    )
+    rel2 = dp_noisy_counts(df2, ["qa", "qb"], epsilon=1.0).collect()
+    noise2 = [round(r.noisy_count - 10, 4) for r in rel2]
+    assert len(rel2) == 3 and len(set(noise2)) == 3, noise2
