@@ -263,6 +263,44 @@ def timed_min(spark, fn, sf_dir: str) -> float:
     return best
 
 
+def query_fingerprint(fn) -> str:
+    """Source fingerprint for record-invalidation (VERDICT r9 #7):
+    sha256 over the query function's source plus the FULL source of
+    every ``mandoline_hbase_spark`` module it references directly
+    (``co_names`` -> module of the resolved global). When a stored
+    fingerprint differs from the current one, the record's minimum was
+    measured on different code — keeping it can mask a regression or
+    flatter a ratio — so the fold re-derives that entry.
+
+    Granularity is deliberately coarse-safe: editing anything in a
+    referenced module (even an unrelated docstring) re-derives the
+    query's record. Over-invalidation costs one solo re-measure;
+    under-invalidation corrupts every later vs_record diagnosis.
+    Indirect dependencies (a referenced module's own imports) are out
+    of scope — same as the old manual rule, now applied mechanically
+    for the direct layer."""
+    import hashlib
+    import inspect
+
+    parts = []
+    try:
+        parts.append(inspect.getsource(fn))
+    except (OSError, TypeError):
+        pass
+    seen: set[str] = set()
+    for name in getattr(getattr(fn, "__code__", None), "co_names", ()):
+        obj = getattr(fn, "__globals__", {}).get(name)
+        mod = obj if inspect.ismodule(obj) else (inspect.getmodule(obj) if callable(obj) else None)
+        mn = getattr(mod, "__name__", "")
+        if mn.startswith("mandoline_hbase_spark") and mn not in seen:
+            seen.add(mn)
+            try:
+                parts.append(inspect.getsource(mod))
+            except (OSError, TypeError):
+                pass
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
 def diagnose_vs_record(
     timings: dict, prior: dict
 ) -> tuple[float | None, int, bool, dict]:
@@ -306,12 +344,24 @@ def main() -> None:
     # suspected_noise flag (whole-suite >1.25x with zero new minima) to
     # the stdout line the driver captures.
     rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RECORD.json")
+    fps = {name: query_fingerprint(QUERIES[name].fn) for name in timings}
+    stale_fp: set[str] = set()
     try:
         with open(rec_path) as f:
-            prior = json.load(f)["by_sf"][str(sf)]["queries"]
+            blk = json.load(f)["by_sf"][str(sf)]
         prior = {
-            k: float(v) for k, v in prior.items() if isinstance(v, (int, float))
+            k: float(v)
+            for k, v in blk["queries"].items()
+            if isinstance(v, (int, float))
         }
+        # a record minimum measured on DIFFERENT code is not a record
+        # for this code: drop it from the comparison and re-derive it
+        # in the fold below (VERDICT r9 #7)
+        rec_fps = blk.get("fingerprints", {})
+        stale_fp = {
+            n for n in prior if n in fps and rec_fps.get(n) not in (None, fps[n])
+        }
+        prior = {k: v for k, v in prior.items() if k not in stale_fp}
     except Exception:
         prior = {}
     vs_record, new_minima, suspected_noise, ratios = diagnose_vs_record(
@@ -361,9 +411,17 @@ def main() -> None:
         block = by_sf.setdefault(str(sf), {})
         if not isinstance(block, dict) or not isinstance(block.get("queries"), dict):
             block = by_sf[str(sf)] = {"queries": {}, "runs": 0}
+        rec_fps = block.setdefault("fingerprints", {})
+        if not isinstance(rec_fps, dict):
+            rec_fps = block["fingerprints"] = {}
         for name, sec in timings.items():
             prev = block["queries"].get(name)
-            block["queries"][name] = sec if not isinstance(prev, (int, float)) else min(prev, sec)
+            if name in stale_fp or not isinstance(prev, (int, float)):
+                # implementation changed (or first sighting): re-derive
+                block["queries"][name] = sec
+            else:
+                block["queries"][name] = min(prev, sec)
+            rec_fps[name] = fps[name]
         block["runs"] = int(block.get("runs", 0) or 0) + 1
         block["value"] = round(sum(block["queries"].values()), 3)
         block["n_queries"] = len(block["queries"])

@@ -213,3 +213,23 @@ def test_version_cache_invalidated_by_prune(spark, tmp_path):
 
     with _pytest.raises(VersionNotFoundError):
         conn.metadata(vids[0])
+
+
+def test_query_fingerprint_tracks_referenced_modules():
+    """VERDICT r9 #7: the record-invalidation fingerprint must be
+    deterministic, must cover the query fn's own source, and must
+    differ between queries whose referenced operator modules differ
+    (so editing dedup.py re-derives dedup records, not tpch ones)."""
+    import bench
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    f1 = bench.query_fingerprint(QUERIES["dedup_minhash_lsh"].fn)
+    assert f1 == bench.query_fingerprint(QUERIES["dedup_minhash_lsh"].fn)
+    assert len(f1) == 16
+    # q1 references no dedup module; identical fingerprints would mean
+    # the fingerprint isn't seeing per-query source at all
+    assert f1 != bench.query_fingerprint(QUERIES["q1_pricing_summary"].fn)
+    # and the stored-vs-current comparison in main() relies on every
+    # headline query fingerprinting without raising
+    for name in bench.HEADLINE[:5]:
+        assert bench.query_fingerprint(QUERIES[name].fn)
