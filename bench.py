@@ -243,23 +243,50 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def teardown_query_state(spark) -> None:
+    """Inter-query teardown (VERDICT r9 #4): in a sequential catalog
+    pass the dominant cross-query interference is DEAD-BUT-UNRELEASED
+    block-manager state — localCheckpoint RDDs and broadcasts whose
+    Python handles died with the previous query but whose JVM blocks
+    wait for a driver GC before ContextCleaner releases them (the exact
+    mechanism the 45s periodic-GC session config addresses for solo
+    chains, too slow for back-to-back queries). Stop any leaked
+    streaming query, drop named caches, then force a Python + JVM GC so
+    the next query starts against empty storage memory. Runs OUTSIDE
+    every timed window — it stabilizes timings, never inflates them."""
+    try:
+        for q in spark.streams.active:
+            q.stop()
+    except Exception:
+        pass
+    spark.catalog.clearCache()
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def timed_min(spark, fn, sf_dir: str) -> float:
     """THE measurement protocol, shared with tools/scale_check.py so
     scale-step ratios stay comparable with the headline record: one
     warm pass (codegen compiled, footers cached), then the min of two
     timed noop-sink passes (single passes swing ±2x with JVM GC / box
     noise; the min is the steady-state plan cost that scales with
-    data). Caches cleared after every pass — operators that persist
-    intermediates (LSH feature tables) must not hold executor memory
-    against later queries."""
+    data). Full teardown (caches + leaked streams + forced GC) after
+    every pass — operators that persist intermediates (LSH feature
+    tables) or localCheckpoint must not hold executor memory against
+    later passes or queries."""
     _force(fn(spark, sf_dir))
-    spark.catalog.clearCache()
+    teardown_query_state(spark)
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         best = min(best, time.perf_counter() - t0)
-        spark.catalog.clearCache()
+        teardown_query_state(spark)
     return best
 
 

@@ -21,6 +21,8 @@ hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from mandoline_hbase_spark.plans.audit import checkpoint_audited
@@ -69,6 +71,64 @@ def with_shingle_set(
         lambda i: F.concat_ws(" ", F.slice(t, i, n)),
     )
     return staged.select(F.col(id_col), F.array_distinct(shingles).alias(out_col))
+
+
+def shingle_hash_col(th, n: int = 3):
+    """Per-position shingle HASHES straight from a STAGED token-hash
+    array column ``th`` — the numeric twin of :func:`with_shingle_set`
+    that never materializes a shingle string.
+
+    Round-10 stage profile (sf10h, 500k docs): the shingle-string pass
+    (per-position ``concat_ws`` + ``array_distinct`` over strings) cost
+    7.0s of the signature pipeline's 8.5s — tokenizing was 0.56s and
+    the 64 MinHash permutations 1.2s. String shingles are only ever
+    needed for the EXACT verify of surviving candidates; everything
+    upstream (signatures, df-ranks, prefix buckets) just needs a stable
+    injective-w.h.p. shingle key. So: hash each token once, then each
+    shingle's key is ``xxhash64`` over its n token-hash slice — all
+    fixed-width long arithmetic, no string concat, no string distinct.
+
+    Exactness stance for candidate machinery built on these keys:
+    hashing can only MERGE set elements, so for any two docs
+    ``J_hash(A,B) >= J_string(A,B)`` and ``C_hash >= C_string``
+    (every shared shingle still collides to a shared key; the union
+    can only shrink) — a prefix/length/positional filter at threshold
+    ``t`` over hashed sets therefore admits EVERY pair the string-exact
+    predicate accepts, unconditionally, and false candidates die at
+    the string-exact verify. Short/empty docs degrade exactly like
+    ``with_shingle_set`` (one whole-text position).
+
+    ``th`` MUST be a staged COLUMN holding the token-hash array
+    (``transform(tokens, xxhash64)``), never the transform expression
+    itself: a lambda-captured expression re-evaluates per element —
+    the quadratic trap ``with_shingle_set`` documents — which here
+    would re-hash every token once per shingle position (measured r10:
+    the inline form was 2-4x SLOWER than the string pipeline it was
+    meant to replace)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.slice(th, i, n)),
+    )
+
+
+def with_shingle_hash_set(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "shh",
+) -> DataFrame:
+    """``(id_col, out_col)`` with the DISTINCT shingle-hash set
+    (``array<bigint>``) — see :func:`shingle_hash_col`. The distinct
+    runs on longs (primitive hash set), not strings; the token-hash
+    array is staged as a column so nothing re-evaluates per position."""
+    staged = df.withColumn(
+        "_shh_th", F.transform(tokens_col(text_col), lambda x: F.xxhash64(x))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_distinct(shingle_hash_col(F.col("_shh_th"), n)).alias(out_col),
+    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -528,30 +588,59 @@ def doc_shingle_features(
     # Repartition the raw input BEFORE shingling: the shingle/signature
     # work then runs post-exchange on every core, and the exchange moves
     # raw text instead of the much wider shingle array.
-    sh = with_shingle_set(
-        spread_to_parallelism(df, id_col),
-        shingle_n,
-        id_col,
-        text_col,
+    spread = spread_to_parallelism(df, id_col)
+    # BOTH the token array and the token-hash array are staged as
+    # columns: a lambda-captured expression re-evaluates per element
+    # (the quadratic trap documented on with_shingle_set), so slicing
+    # an inline transform would re-hash every token per position.
+    staged = spread.withColumn("_sh_toks", tokens_col(text_col)).withColumn(
+        "_sh_th", F.transform(F.col("_sh_toks"), lambda x: F.xxhash64(x))
     )
-    # ONE aggregate pass builds all minima. Hash family (round 10): each
-    # shingle STRING is hashed once, and the per-permutation values are
-    # long-hashes of that base hash — xxhash64(xxhash64(s), i) — instead
-    # of num_hashes string traversals. This is the standard one-hash +
-    # derived-permutations MinHash construction; it MUST stay
-    # value-identical to the hash-aggregate form in
-    # ``minhash_signatures`` (the scale path), which shares it — the
-    # incremental/streaming admission paths compare signatures across
-    # the two producers.
+    t = F.col("_sh_toks")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (shingle_n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, shingle_n)),
+    )
+    # Signature over the TOKEN-HASH shingle keys (round 10, see
+    # shingle_hash_col): hash each token once, key each shingle by the
+    # long-hash of its token-hash slice, and take per-permutation
+    # minima of xxhash64(key, i). min over the position MULTISET equals
+    # min over the distinct set, so this is value-identical to the
+    # hash-aggregate scale producer ``minhash_signatures`` (tested) —
+    # the incremental/streaming admission paths compare signatures
+    # across the two producers. The string shingle set is still
+    # materialized HERE because this one-pass form exists exactly for
+    # consumers that need features + signature together. ``_sh_hs`` is
+    # STAGED (lambda capture re-evaluates expressions per element —
+    # the documented quadratic trap).
+    staged = staged.withColumn("_sh_hs", shingle_hash_col(F.col("_sh_th"), shingle_n))
+    g = max(1, int(math.isqrt(num_hashes)))
+    while num_hashes % g:
+        g -= 1
+    q = num_hashes // g
+    # same seed-pair XOR family as minhash_signatures (i -> xa[i//g] ^
+    # xb[i%g], xb seeds offset by q) — value-identity is tested
     seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
     max_long = (1 << 63) - 1
-    hs = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
     sig = F.aggregate(
-        hs,
+        F.col("_sh_hs"),
         F.array_repeat(F.lit(max_long).cast("bigint"), num_hashes),
-        lambda acc, h: F.zip_with(acc, seeds, lambda m, seed: F.least(m, F.xxhash64(h, seed))),
+        lambda acc, h: F.zip_with(
+            acc,
+            seeds,
+            lambda m, i: F.least(
+                m,
+                F.xxhash64(h, F.floor(i / g).cast("int")).bitwiseXOR(
+                    F.xxhash64(h, (F.lit(q) + F.pmod(i, F.lit(g))).cast("int"))
+                ),
+            ),
+        ),
     )
-    return sh.withColumn("sig", sig)
+    return staged.select(
+        F.col(id_col),
+        F.array_distinct(shingles).alias("sh"),
+        sig.alias("sig"),
+    )
 
 
 def minhash_signatures(
@@ -564,50 +653,68 @@ def minhash_signatures(
     """Per-doc MinHash signature as ``sig ARRAY<BIGINT>`` — the SCALE
     producer (round 10, VERDICT r9 #1).
 
-    The r9 stage profile pinned the signature pass as the one measured
-    super-linearity in the dedup family, and the r9 hash-family
-    experiment showed the cost floor was the fold's PER-ELEMENT ARRAY
-    ACCUMULATION (a fresh 64-long array per shingle per doc — pure GC
-    churn), not hashing. This form has no array accumulation at all:
+    The r10 stage profile (sf10h) pinned the cost floor: the shingle
+    STRING pass (per-position concat + string array_distinct) was 7.0s
+    of the 8.5s signature pipeline — tokenizing was 0.56s and all 64
+    permutations 1.2s. So this form never builds a shingle string:
 
-    - explode the distinct shingle set (a generator — rows stream, no
-      buffering) and hash each shingle string ONCE;
-    - ``num_hashes`` independent ``min(xxhash64(h, i))`` scalar
-      aggregates per doc — Tungsten hash aggregation over primitive
-      bigint accumulators updated IN PLACE, and each permutation hash
-      is a fixed-width long-hash (~2-3x cheaper than re-traversing the
-      shingle string);
+    - hash each token once, key each shingle position by the long-hash
+      of its n token-hash slice (``shingle_hash_col``) — fixed-width
+      long arithmetic at scan speed;
+    - explode the position keys (a generator — rows stream; duplicate
+      positions are harmless, min over the multiset equals min over
+      the set) into ``num_hashes`` independent ``min(xxhash64(h, i))``
+      scalar aggregates per doc — Tungsten hash aggregation over
+      primitive bigint accumulators updated IN PLACE, no per-shingle
+      array allocation;
     - map-side partial aggregation means the one exchange carries only
       ``docs x num_hashes`` longs (~0.5 KB/doc), not shingles.
 
-    Value-identical to ``doc_shingle_features``'s fold (shared hash
-    family xxhash64(xxhash64(s), i) — tested), so the two producers
-    interoperate; empty/short docs keep the all-MAX_LONG signature via
-    ``explode_outer``.
+    MEASURED dead end (r10, keep for the next optimizer): the
+    one-permutation-hashing form (pmod bucket + per-bucket min +
+    rotation densify) was 12x SLOWER end-to-end on the Heaps corpus —
+    collect_list's ObjectHashAggregate degrades to sort-based
+    aggregation past 128 groups per partition, and bucket-min
+    signatures collide far more across unrelated docs sharing common
+    shingles (candidates exploded 25.6k -> 271.6k at sf10h), so both
+    the signature AND the verify stage regressed.
+
+    Value-identical to ``doc_shingle_features``'s one-pass fold (shared
+    token-hash family — tested), so the two producers interoperate.
     """
-    max_long = (1 << 63) - 1
-    ex = (
-        with_shingle_set(
-            spread_to_parallelism(df, id_col), shingle_n, id_col, text_col
-        )
-        .select(id_col, F.explode_outer("sh").alias("_s"))
-        .select(
-            id_col,
-            F.when(F.col("_s").isNull(), F.lit(None).cast("bigint"))
-            .otherwise(F.xxhash64("_s"))
-            .alias("_h"),
-        )
+    staged = spread_to_parallelism(df, id_col).withColumn(
+        "_sig_th", F.transform(tokens_col(text_col), lambda x: F.xxhash64(x))
+    )
+    ex = staged.select(
+        F.col(id_col),
+        F.explode(shingle_hash_col(F.col("_sig_th"), shingle_n)).alias("_h"),
+    )
+    # permutation family: v_i = xxhash64(h, i//g) XOR xxhash64(h, g+i%g)
+    # — the seed-pair XOR construction. sqrt(num_hashes) base hashes are
+    # STAGED as projection columns (aggregate expressions get no common-
+    # subexpression elimination), so per exploded row the work is
+    # 2*sqrt(n) real hashes + n XOR/min updates instead of n full
+    # hashes; each v_i is still a uniform long-hash of the shingle key,
+    # and the mild cross-i correlation moves only estimator variance
+    # (recall/prefilter slacks re-verified by the planted-pair tests
+    # and oracles).
+    g = max(1, int(math.isqrt(num_hashes)))
+    while num_hashes % g:
+        g -= 1
+    q = num_hashes // g
+    proj = ex.select(
+        F.col(id_col),
+        *[F.xxhash64(F.col("_h"), F.lit(j)).alias(f"_xa{j}") for j in range(q)],
+        # xb seeds start at q so the two banks never share a seed — a
+        # shared seed would make one position identically zero
+        *[F.xxhash64(F.col("_h"), F.lit(q + k)).alias(f"_xb{k}") for k in range(g)],
     )
     mins = [
-        F.min(
-            F.when(F.col("_h").isNull(), F.lit(max_long).cast("bigint")).otherwise(
-                F.xxhash64(F.col("_h"), F.lit(i))
-            )
-        ).alias(f"_m{i}")
+        F.min(F.col(f"_xa{i // g}").bitwiseXOR(F.col(f"_xb{i % g}"))).alias(f"_m{i}")
         for i in range(num_hashes)
     ]
     return (
-        ex.groupBy(id_col)
+        proj.groupBy(id_col)
         .agg(*mins)
         .select(
             id_col,
@@ -877,16 +984,27 @@ def prefix_filter_near_duplicates(
     join; callers that require unconditional exactness regardless of
     corpus shape should instead raise ``max_bucket_size`` (the cost is
     a quadratic join task per degenerate bucket, not wrong answers).
+
+    Round 10: the whole candidate pipeline (df-rank, prefixes, bucket
+    join, length filter) runs on SHINGLE HASHES (``shingle_hash_col``)
+    — 8-byte keys through every shuffle instead of ~25-byte shingle
+    strings, and no string-shingle pass over the corpus at all (the r10
+    profile put that pass at 7s of the 8.5s feature cost at sf10h).
+    Exactness is UNCONDITIONALLY preserved: hashing only merges set
+    elements, so J_hash >= J_string — every pair the string predicate
+    accepts passes the hashed prefix/positional/length filters — and
+    the final verify computes string-exact Jaccard over shingle sets
+    built ONLY for docs that appear in surviving candidates (semi-join,
+    answer-bounded).
     """
-    feats = checkpoint_audited(
-        with_shingle_set(
-            spread_to_parallelism(df, id_col), shingle_n, id_col, text_col
-        )
-    )  # feeds prefix build AND the verify joins
     from pyspark.sql import Window
 
-    exploded = feats.select(
-        F.col(id_col), F.size("sh").alias("_n"), F.explode("sh").alias("shingle")
+    spread = spread_to_parallelism(df, id_col)
+    hsets = checkpoint_audited(
+        with_shingle_hash_set(spread, shingle_n, id_col, text_col)
+    )  # feeds prefix build AND the hashed length filter
+    exploded = hsets.select(
+        F.col(id_col), F.size("shh").alias("_n"), F.explode("shh").alias("shingle")
     )
     dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = exploded.join(dfreq, "shingle")
@@ -962,26 +1080,43 @@ def prefix_filter_near_duplicates(
         payload=("_pos", "_n"),
         pair_filter=prefix_ok,
     )
-    # exact LENGTH filter before the array joins: J >= t forces
-    # t*|B| <= |A| (and symmetrically), so mismatched sizes prune on two
-    # ints — integer-exact, never drops a true pair; measured ~2x cut on
-    # the fixture's candidate volume before any shingle array moves
-    sizes = feats.select(F.col(id_col).alias("_sid"), F.size("sh").alias("_sn"))
+    # LENGTH filter on HASHED sizes before the array joins: J_hash >= t
+    # forces t*|B|_h <= |A|_h (and symmetrically), and J_string >= t
+    # implies J_hash >= t, so the hashed filter never drops a true pair
+    # — two ints per candidate, conservative by the merge argument
+    sizes = hsets.select(F.col(id_col).alias("_sid"), F.size("shh").alias("_sn"))
     sized = (
-        cands.join(sizes.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sn", "_na"), "id_a")
-        .join(sizes.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sn", "_nb"), "id_b")
+        cands.join(sizes.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sn", "_ha"), "id_a")
+        .join(sizes.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sn", "_hb"), "id_b")
         .filter(
-            (F.col("_na") >= F.ceil(F.lit(float(threshold)) * F.col("_nb")))
-            & (F.col("_nb") >= F.ceil(F.lit(float(threshold)) * F.col("_na")))
+            (F.col("_ha") >= F.ceil(F.lit(float(threshold)) * F.col("_hb")))
+            & (F.col("_hb") >= F.ceil(F.lit(float(threshold)) * F.col("_ha")))
         )
+        .select("id_a", "id_b")
     )
-    fa = feats.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    fb = feats.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # string-exact verify, features built ONLY for candidate docs
+    # (answer-bounded semi-join — the same discipline as
+    # minhash_near_duplicates' verify stage)
+    survivors = checkpoint_audited(sized)
+    cand_ids = (
+        survivors.select(F.col("id_a").alias(id_col))
+        .union(survivors.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_sh = with_shingle_set(
+        df.join(cand_ids, id_col, "left_semi"), shingle_n, id_col, text_col
+    )
+    fa = cand_sh.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("_na")
+    )
+    fb = cand_sh.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("_nb")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     # |A u B| = |A| + |B| - |A n B| — same double as size(array_union)
     # at half the array work
     return (
-        sized.join(fa, "id_a")
+        survivors.join(fa, "id_a")
         .join(fb, "id_b")
         .withColumn("jaccard", F.round(inter / (F.col("_na") + F.col("_nb") - inter), 4))
         .filter(F.col("jaccard") >= float(threshold))
@@ -1085,14 +1220,27 @@ def minhash_near_duplicates(
     """
     sigs = minhash_signatures(df, num_hashes, shingle_n, id_col, text_col).persist()
     stacked = _band_stack(sigs, num_hashes, bands, id_col)
-    cands = banded_candidate_pairs(stacked, id_col, max_bucket_size=max_bucket_size)
+    cands = checkpoint_audited(
+        banded_candidate_pairs(stacked, id_col, max_bucket_size=max_bucket_size)
+    )
+    # Adaptive join side for the estimate prefilter (round 10): the
+    # candidate pair set is now CHECKPOINTED and counted — a
+    # driver-known size, the same legal adaptive-plan pattern as the
+    # hot-bucket guard — so when it is small (the healthy case: pairs
+    # are answer-bounded after the guard) both estimate joins broadcast
+    # the PAIRS and the 64-long signature table streams map-side out of
+    # its cache with NO exchange. Measured at sf10h: the two sort-merge
+    # joins shuffled the ~256 MB sig table twice for 25.6k pairs. A
+    # pathological corpus (pair count past the gate) keeps the shuffled
+    # join — degrade to slow, never to a broadcast cliff.
+    pairs_src = F.broadcast(cands) if cands.count() <= 2_000_000 else cands
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     ) / F.lit(num_hashes)
     survivors = checkpoint_audited(
-        cands.join(sa, "id_a")
+        pairs_src.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(est >= threshold - 0.15)
         .select("id_a", "id_b")
@@ -1531,13 +1679,19 @@ def containment_prefix_pairs(
     from mandoline_hbase_spark.operators.skew import spread_to_parallelism
     from mandoline_hbase_spark.plans.audit import checkpoint_audited
 
-    feats = checkpoint_audited(
-        with_shingle_set(
+    # Round 10: candidate machinery on SHINGLE HASHES (8-byte keys, no
+    # corpus string-shingle pass — see prefix_filter_near_duplicates).
+    # Conservative by the merge argument: C_hash(A,B) >= C_string(A,B)
+    # (shared shingles still share a key; |h(A)| <= |A|), so the hashed
+    # prefix/size filters admit every true pair and the string-exact
+    # verify — built only for candidate docs — keeps precision.
+    hsets = checkpoint_audited(
+        with_shingle_hash_set(
             spread_to_parallelism(df, id_col), shingle_n, id_col, text_col
         )
     )
-    exploded = feats.select(
-        F.col(id_col), F.size("sh").alias("_n"), F.explode("sh").alias("shingle")
+    exploded = hsets.select(
+        F.col(id_col), F.size("shh").alias("_n"), F.explode("shh").alias("shingle")
     )
     dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = exploded.join(dfreq, "shingle")
@@ -1571,10 +1725,19 @@ def containment_prefix_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    fa = feats.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    fb = feats.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    survivors = checkpoint_audited(cands)
+    cand_ids = (
+        survivors.select(F.col("id_a").alias(id_col))
+        .union(survivors.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_sh = with_shingle_set(
+        df.join(cand_ids, id_col, "left_semi"), shingle_n, id_col, text_col
+    )
+    fa = cand_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    fb = cand_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cands.join(fa, "id_a")
+        survivors.join(fa, "id_a")
         .join(fb, "id_b")
         .withColumn(
             "containment",
