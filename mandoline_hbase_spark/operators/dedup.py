@@ -653,73 +653,98 @@ def minhash_signatures(
     """Per-doc MinHash signature as ``sig ARRAY<BIGINT>`` — the SCALE
     producer (round 10, VERDICT r9 #1).
 
-    The r10 stage profile (sf10h) pinned the cost floor: the shingle
-    STRING pass (per-position concat + string array_distinct) was 7.0s
-    of the 8.5s signature pipeline — tokenizing was 0.56s and all 64
-    permutations 1.2s. So this form never builds a shingle string:
+    The r10 stage profiles (sf10h, 500k docs) walked the JVM expression
+    pipeline down from 12.2s to its floor and then stepped off it:
 
-    - hash each token once, key each shingle position by the long-hash
-      of its n token-hash slice (``shingle_hash_col``) — fixed-width
-      long arithmetic at scan speed;
-    - explode the position keys (a generator — rows stream; duplicate
-      positions are harmless, min over the multiset equals min over
-      the set) into ``num_hashes`` independent ``min(xxhash64(h, i))``
-      scalar aggregates per doc — Tungsten hash aggregation over
-      primitive bigint accumulators updated IN PLACE, no per-shingle
-      array allocation;
-    - map-side partial aggregation means the one exchange carries only
-      ``docs x num_hashes`` longs (~0.5 KB/doc), not shingles.
+    - shingle STRINGS (concat_ws + string array_distinct) were 7.0s of
+      the 8.5s feature cost -> replaced by token-hash shingle keys;
+    - the 64 per-position permutation hashes were then suspected ->
+      a seed-pair XOR family (2*sqrt(n) staged hashes) moved NOTHING,
+      proving the floor was the boxed GenericArrayData churn of the
+      higher-order-function pipeline itself (~5s for 26M positions),
+      not hashing;
+    - a one-permutation-hashing variant was 12x WORSE (collect_list's
+      ObjectHashAggregate degrades to sort-based aggregation past 128
+      groups/partition, and bucket-min signatures band-collide across
+      unrelated docs sharing common shingles: candidates 25.6k ->
+      271.6k).
 
-    MEASURED dead end (r10, keep for the next optimizer): the
-    one-permutation-hashing form (pmod bucket + per-bucket min +
-    rotation densify) was 12x SLOWER end-to-end on the Heaps corpus —
-    collect_list's ObjectHashAggregate degrades to sort-based
-    aggregation past 128 groups per partition, and bucket-min
-    signatures collide far more across unrelated docs sharing common
-    shingles (candidates exploded 25.6k -> 271.6k at sf10h), so both
-    the signature AND the verify stage regressed.
+    So the scale producer is an ARROW-VECTORIZED kernel (mapInArrow —
+    the structure VERDICT r9 #1 suggested): per batch, tokenize in
+    Python, hash every token ONCE with pandas' C-speed siphash
+    (``pd.util.hash_array``, fixed key — deterministic across workers
+    and runs), build each position's shingle key as a rolling mix of
+    its n token hashes, and take the 64 permutation minima as
+    ``min((a_i*h + b_i) mod 2^64)`` with numpy's wrapping uint64
+    arithmetic + ``np.minimum.reduceat`` per doc — zero boxed
+    allocation, zero shuffle (signatures are born doc-grain). Measured
+    sf10h: 2.4s vs 6.0s for the best JVM form.
 
-    Value-identical to ``doc_shingle_features``'s one-pass fold (shared
-    token-hash family — tested), so the two producers interoperate.
+    FAMILY DIVERGENCE — READ BEFORE MIXING PRODUCERS: this producer's
+    signature VALUES differ from ``doc_shingle_features``'s JVM
+    xxhash64 family. Signatures are only ever comparable WITHIN one
+    producer. Current consumers are cleanly split (this one feeds
+    ``minhash_lsh_candidates`` / ``minhash_near_duplicates``; the JVM
+    one-pass form feeds the incremental/streaming admission paths,
+    both sides each) — tests pin each path's self-consistency. Never
+    probe an index persisted by one family with signatures from the
+    other.
+
+    Short docs (< shingle_n tokens) key their single position on the
+    clamped token window; empty/null text degrades to the [""] token
+    exactly like ``tokens_col``.
     """
-    staged = spread_to_parallelism(df, id_col).withColumn(
-        "_sig_th", F.transform(tokens_col(text_col), lambda x: F.xxhash64(x))
-    )
-    ex = staged.select(
-        F.col(id_col),
-        F.explode(shingle_hash_col(F.col("_sig_th"), shingle_n)).alias("_h"),
-    )
-    # permutation family: v_i = xxhash64(h, i//g) XOR xxhash64(h, g+i%g)
-    # — the seed-pair XOR construction. sqrt(num_hashes) base hashes are
-    # STAGED as projection columns (aggregate expressions get no common-
-    # subexpression elimination), so per exploded row the work is
-    # 2*sqrt(n) real hashes + n XOR/min updates instead of n full
-    # hashes; each v_i is still a uniform long-hash of the shingle key,
-    # and the mild cross-i correlation moves only estimator variance
-    # (recall/prefilter slacks re-verified by the planted-pair tests
-    # and oracles).
-    g = max(1, int(math.isqrt(num_hashes)))
-    while num_hashes % g:
-        g -= 1
-    q = num_hashes // g
-    proj = ex.select(
-        F.col(id_col),
-        *[F.xxhash64(F.col("_h"), F.lit(j)).alias(f"_xa{j}") for j in range(q)],
-        # xb seeds start at q so the two banks never share a seed — a
-        # shared seed would make one position identically zero
-        *[F.xxhash64(F.col("_h"), F.lit(q + k)).alias(f"_xb{k}") for k in range(g)],
-    )
-    mins = [
-        F.min(F.col(f"_xa{i // g}").bitwiseXOR(F.col(f"_xb{i % g}"))).alias(f"_m{i}")
-        for i in range(num_hashes)
-    ]
-    return (
-        proj.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            id_col,
-            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
-        )
+    import pandas as _pd  # noqa: F401 — import-probe before shipping the kernel
+
+    num = int(num_hashes)
+    n = int(shingle_n)
+    idc, txc = id_col, text_col
+
+    def _sig_kernel(batches):
+        # self-contained (cloudpickled by value): neutral-cwd drivers
+        # cannot import repo modules inside python workers
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        rng = np.random.default_rng(42)
+        A = (rng.integers(0, 2**63, num, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        B = rng.integers(0, 2**63, num, dtype=np.uint64)
+        C1, C2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+        for batch in batches:
+            ids = batch.column(idc)
+            texts = batch.column(txc).to_pylist()
+            toks = [(t.split() or [""]) if t else [""] for t in texts]
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            flat = np.empty(int(lens.sum()), dtype=object)
+            pos = 0
+            for t in toks:
+                flat[pos : pos + len(t)] = t
+                pos += len(t)
+            th = pd.util.hash_array(flat).astype(np.uint64)
+            npos = np.maximum(lens - (n - 1), 1)
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            kstarts = np.concatenate(([0], np.cumsum(npos)))[:-1]
+            keys = np.zeros(int(npos.sum()), dtype=np.uint64)
+            for o in range(n):
+                idx = np.concatenate(
+                    [
+                        starts[i] + np.minimum(np.arange(npos[i]) + o, lens[i] - 1)
+                        for i in range(len(toks))
+                    ]
+                ) if len(toks) else np.empty(0, dtype=np.int64)
+                keys = (keys * C1) ^ (th[idx] + C2)
+            sigs = np.empty((len(toks), num), dtype=np.uint64)
+            for j in range(num):
+                sigs[:, j] = np.minimum.reduceat(A[j] * keys + B[j], kstarts)
+            sig_col = pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.astype(np.int64).ravel(), type=pa.int64()), num
+            ).cast(pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays([ids, sig_col], names=[idc, "sig"])
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spread_to_parallelism(df.select(id_col, text_col), id_col).mapInArrow(
+        _sig_kernel, f"{id_col} {id_type}, sig array<bigint>"
     )
 
 

