@@ -119,15 +119,67 @@ def with_shingle_hash_set(
     out_col: str = "shh",
 ) -> DataFrame:
     """``(id_col, out_col)`` with the DISTINCT shingle-hash set
-    (``array<bigint>``) — see :func:`shingle_hash_col`. The distinct
-    runs on longs (primitive hash set), not strings; the token-hash
-    array is staged as a column so nothing re-evaluates per position."""
-    staged = df.withColumn(
-        "_shh_th", F.transform(tokens_col(text_col), lambda x: F.xxhash64(x))
-    )
-    return staged.select(
-        F.col(id_col),
-        F.array_distinct(shingle_hash_col(F.col("_shh_th"), n)).alias(out_col),
+    (``array<bigint>``) — Arrow-vectorized like
+    :func:`minhash_signatures` (same r10 profile: the JVM
+    higher-order-function pipeline's boxed-array churn was the floor,
+    not hashing). Tokens are hashed once per batch with pandas'
+    C-speed siphash, each position's key is the rolling mix of its n
+    token hashes, and the per-doc distinct runs in numpy. The key
+    family is internal to each call's candidate machinery (explode ->
+    df-rank -> buckets -> hashed size filters) and never compared
+    across producers, so the merge-argument exactness contract
+    (J_hash >= J_string, C_hash >= C_string) is all that matters —
+    and it holds for ANY hash function. Kernel is self-contained
+    (cloudpickled by value; neutral-cwd sweep safe)."""
+    nn = int(n)
+    idc, txc, outc = id_col, text_col, out_col
+
+    def _shh_kernel(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        C1, C2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+        for batch in batches:
+            ids = batch.column(idc)
+            texts = batch.column(txc).to_pylist()
+            toks = [(t.split() or [""]) if t else [""] for t in texts]
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            flat = np.empty(int(lens.sum()), dtype=object)
+            pos = 0
+            for t in toks:
+                flat[pos : pos + len(t)] = t
+                pos += len(t)
+            th = pd.util.hash_array(flat).astype(np.uint64)
+            npos = np.maximum(lens - (nn - 1), 1)
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            keys = np.zeros(int(npos.sum()), dtype=np.uint64)
+            for o in range(nn):
+                idx = np.concatenate(
+                    [
+                        starts[i] + np.minimum(np.arange(npos[i]) + o, lens[i] - 1)
+                        for i in range(len(toks))
+                    ]
+                ) if len(toks) else np.empty(0, dtype=np.int64)
+                keys = (keys * C1) ^ (th[idx] + C2)
+            kstarts = np.concatenate(([0], np.cumsum(npos)))
+            sets = [
+                np.unique(keys[kstarts[i] : kstarts[i + 1]]).astype(np.int64)
+                for i in range(len(toks))
+            ]
+            offsets = np.concatenate(([0], np.cumsum([len(s) for s in sets])))
+            values = (
+                np.concatenate(sets) if sets else np.empty(0, dtype=np.int64)
+            )
+            shh = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(values, type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays([ids, shh], names=[idc, outc])
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInArrow(
+        _shh_kernel, f"{id_col} {id_type}, {outc} array<bigint>"
     )
 
 
