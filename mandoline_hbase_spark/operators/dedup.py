@@ -135,15 +135,23 @@ def with_shingle_hash_set(
     idc, txc, outc = id_col, text_col, out_col
 
     def _shh_kernel(batches):
+        import re
+
         import numpy as np
         import pandas as pd
         import pyarrow as pa
 
+        # tokenization parity with tokens_col — see minhash_signatures'
+        # kernel: Java trim + ASCII-only \s, NOT python str.split()
+        _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        _trim = "".join(chr(i) for i in range(33))
         C1, C2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
         for batch in batches:
             ids = batch.column(idc)
             texts = batch.column(txc).to_pylist()
-            toks = [(t.split() or [""]) if t else [""] for t in texts]
+            toks = [
+                _ws.split(t.strip(_trim)) if t else [""] for t in texts
+            ]
             lens = np.array([len(t) for t in toks], dtype=np.int64)
             flat = np.empty(int(lens.sum()), dtype=object)
             pos = 0
@@ -755,10 +763,20 @@ def minhash_signatures(
     def _sig_kernel(batches):
         # self-contained (cloudpickled by value): neutral-cwd drivers
         # cannot import repo modules inside python workers
+        import re
+
         import numpy as np
         import pandas as pd
         import pyarrow as pa
 
+        # tokenization parity with tokens_col = split(trim(text), \s+):
+        # Java trim strips chars <= U+0020 and Java \s is ASCII-only —
+        # python str.split() splits Unicode whitespace (U+00A0 etc.)
+        # and would produce a DIFFERENT token stream than the JVM
+        # string-shingle verify, breaking the J_hash >= J_string merge
+        # argument on non-ASCII-space documents
+        _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        _trim = "".join(chr(i) for i in range(33))
         rng = np.random.default_rng(42)
         A = (rng.integers(0, 2**63, num, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
         B = rng.integers(0, 2**63, num, dtype=np.uint64)
@@ -766,7 +784,9 @@ def minhash_signatures(
         for batch in batches:
             ids = batch.column(idc)
             texts = batch.column(txc).to_pylist()
-            toks = [(t.split() or [""]) if t else [""] for t in texts]
+            toks = [
+                _ws.split(t.strip(_trim)) if t else [""] for t in texts
+            ]
             lens = np.array([len(t) for t in toks], dtype=np.int64)
             flat = np.empty(int(lens.sum()), dtype=object)
             pos = 0

@@ -391,3 +391,48 @@ def test_minhash_signature_producers_self_consistent(spark):
         assert all(len(v) == 16 for v in a.values())
         assert a[1] == a[5] and a[1] != a[2]  # same text <-> same sig
         assert a[3] != a[4]  # empty and short docs sign, distinctly
+
+
+def test_arrow_kernel_tokenization_parity_with_jvm(spark):
+    """The Arrow kernels (minhash_signatures, with_shingle_hash_set)
+    must tokenize EXACTLY like tokens_col (Java trim + ASCII-only \\s):
+    the J_hash >= J_string merge argument needs the hashed keys and the
+    string-shingle verify to see the same token stream. Pin parity on
+    adversarial whitespace: unicode NBSP (a Java \\s non-match), tabs,
+    control chars, all-whitespace and empty texts."""
+    df = spark.createDataFrame(
+        [
+            (1, "plain three token doc"),
+            (2, "nbsp stays one token here ok"),
+            (3, "tabs\tand\nnewlines   collapse fine ok"),
+            (4, "   "),
+            (5, ""),
+            (6, " ideographic em-space edges stay tokens"),
+            (7, "ctrl\x01char kept inside token ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    jvm_sizes = {
+        r.doc_id: r.n
+        for r in dedup.with_shingle_set(df, 3)
+        .select("doc_id", F.size("sh").alias("n"))
+        .collect()
+    }
+    arrow_sizes = {
+        r.doc_id: r.n
+        for r in dedup.with_shingle_hash_set(df, 3)
+        .select("doc_id", F.size("shh").alias("n"))
+        .collect()
+    }
+    # distinct string shingles and distinct hashed keys count the same
+    # positions (hash collisions within a 20-shingle doc: ~2^-60)
+    assert arrow_sizes == jvm_sizes, (arrow_sizes, jvm_sizes)
+    # and the signature producer sees the same stream: same-token-stream
+    # docs (modulo whitespace runs) must produce IDENTICAL signatures
+    df2 = spark.createDataFrame(
+        [(1, "a b c d"), (2, "  a\tb\nc   d "), (3, "a b c d")],
+        "doc_id bigint, text string",
+    )
+    sigs = {r.doc_id: list(r.sig) for r in dedup.minhash_signatures(df2, 16).collect()}
+    assert sigs[1] == sigs[2]  # whitespace-run/trim variants: same tokens
+    assert sigs[1] != sigs[3]  # NBSP glues tokens -> different stream
