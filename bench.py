@@ -339,14 +339,29 @@ def diagnose_vs_record(
     their per-query ratios regardless), and those per-query ratios."""
     common = [n for n in timings if n in prior and prior[n] > 0]
     if not common:
-        return None, 0, False, {}
+        return None, 0, False, {}, None
     vs_record = round(
         sum(timings[n] for n in common) / sum(prior[n] for n in common), 3
     )
     new_minima = sum(1 for n in common if timings[n] < prior[n])
-    suspected_noise = bool(vs_record > 1.25 and new_minima == 0)
     ratios = {n: round(timings[n] / prior[n], 2) for n in common}
-    return vs_record, new_minima, suspected_noise, ratios
+    # box factor: the median per-query ratio over the long-stable TPC-H
+    # family (code untouched since round 1, records folded across many
+    # runs). A degraded/co-tenant box raises these uniformly — e.g. the
+    # r10 passes where q1 read 1.6x its record while load-average sat
+    # at 5.9 with nothing local running. The zero-new-minima heuristic
+    # alone goes blind when fingerprint-re-derived entries hand every
+    # pass a few fresh minima, so co-tenancy is ALSO flagged when the
+    # stable family's median is >1.25x.
+    stable = sorted(
+        ratios[n] for n in common if n.startswith("q") and n[1].isdigit()
+    )
+    box_factor = stable[len(stable) // 2] if stable else None
+    suspected_noise = bool(
+        vs_record > 1.25
+        and (new_minima == 0 or (box_factor is not None and box_factor > 1.25))
+    )
+    return vs_record, new_minima, suspected_noise, ratios, box_factor
 
 
 def main() -> None:
@@ -391,7 +406,7 @@ def main() -> None:
         prior = {k: v for k, v in prior.items() if k not in stale_fp}
     except Exception:
         prior = {}
-    vs_record, new_minima, suspected_noise, ratios = diagnose_vs_record(
+    vs_record, new_minima, suspected_noise, ratios, box_factor = diagnose_vs_record(
         timings, prior
     )
 
@@ -406,6 +421,7 @@ def main() -> None:
         "vs_record": vs_record,
         "new_minima": new_minima,
         "suspected_noise": suspected_noise,
+        "box_factor": box_factor,
     }
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(out_path, "w") as f:
@@ -474,6 +490,7 @@ def main() -> None:
                 "metric": "headline-query wall time (noop sink, local)",
                 "vs_record": vs_record,
                 "suspected_noise": suspected_noise,
+                "box_factor": box_factor,
                 "new_minima": new_minima,
                 "value": total,
                 "unit": "sec",

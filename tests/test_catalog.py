@@ -95,18 +95,34 @@ def test_bench_noise_diagnosis_flags_uniform_slowdown_only():
     import bench
 
     prior = {"a": 1.0, "b": 2.0, "c": 0.5}
-    vs, mins, noise, ratios = bench.diagnose_vs_record(
+    vs, mins, noise, ratios, box = bench.diagnose_vs_record(
         {"a": 1.4, "b": 2.8, "c": 0.7}, prior
     )
     assert (vs, mins, noise) == (1.4, 0, True) and ratios["b"] == 1.4
-    vs, mins, noise, _ = bench.diagnose_vs_record(
+    assert box is None  # no stable tpch names in this toy set
+    vs, mins, noise, _, _ = bench.diagnose_vs_record(
         {"a": 0.9, "b": 3.0, "c": 0.9}, prior  # a real change: one new min
     )
     assert mins == 1 and noise is False
-    assert bench.diagnose_vs_record({"a": 1.0}, {}) == (None, 0, False, {})
+    assert bench.diagnose_vs_record({"a": 1.0}, {}) == (None, 0, False, {}, None)
     # at/below the threshold: never flagged
-    vs, _, noise, _ = bench.diagnose_vs_record({"a": 1.2}, {"a": 1.0})
+    vs, _, noise, _, _ = bench.diagnose_vs_record({"a": 1.2}, {"a": 1.0})
     assert vs == 1.2 and noise is False
+    # round 10: fingerprint re-derivation hands every pass fresh minima,
+    # so zero-new-minima alone misses co-tenancy — the stable-tpch box
+    # factor must flag a uniformly slow box even WITH new minima
+    prior2 = {"q1_a": 1.0, "q9_b": 1.0, "q14_c": 1.0, "q5_d": 1.0, "fresh": 5.0}
+    vs, mins, noise, _, box = bench.diagnose_vs_record(
+        {"q1_a": 1.7, "q9_b": 1.8, "q14_c": 1.6, "q5_d": 1.65, "fresh": 4.9},
+        prior2,
+    )
+    assert vs > 1.25 and mins == 1 and box == 1.7 and noise is True
+    # healthy box, genuine mixed movement: not flagged
+    vs, mins, noise, _, box = bench.diagnose_vs_record(
+        {"q1_a": 1.05, "q9_b": 0.95, "q14_c": 1.0, "q5_d": 1.0, "fresh": 9.0},
+        prior2,
+    )
+    assert box == 1.0 and noise is False
 
 
 def test_driver_prefix_leads_with_stalest_verification():
