@@ -23,7 +23,7 @@ similarity operators).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mandoline_hbase_spark.operators import similarity
@@ -104,11 +104,18 @@ def contrastive_triplets(
             F.lit(":" + salt),
         )
     )
-    w = Window.partitionBy("anchor_id", "positive_id").orderBy(
-        pair_key.asc(), F.col("cand_id").asc()
-    )
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("anchor_id", "positive_id", F.col("cand_id").alias("negative_id"))
+    # argmin as a hash aggregate, not a rank window: min_by over the
+    # (pair_key, cand_id) struct selects exactly the row a
+    # row_number()=1 window ordered by (pair_key asc, cand_id asc)
+    # would keep — struct comparison is lexicographic on the same
+    # fields, cand_id is unique within a (anchor, positive) group, and
+    # md5 strings order identically under both operators (binary UTF8
+    # compare). The aggregate form partial-combines map-side, so the
+    # (anchor, positive)-grain exchange carries one candidate per group
+    # per map task instead of the whole |pairs| x bucket-size candidate
+    # explosion that the window had to shuffle AND sort.
+    return joined.groupBy("anchor_id", "positive_id").agg(
+        F.min_by(
+            F.col("cand_id"), F.struct(pair_key.alias("pk"), F.col("cand_id").alias("c"))
+        ).alias("negative_id")
     )

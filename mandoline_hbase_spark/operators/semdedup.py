@@ -363,6 +363,7 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd's k-means over an embedding column.
 
@@ -376,9 +377,19 @@ def kmeans_fit(
     This supplies the real centroids for :func:`assign_clusters` /
     :func:`semantic_dedup` at scale; the oracle-checked queries use the
     deterministic initialization directly so they stay SQL-expressible.
+
+    ``init``: optional starting centroids (e.g. a previous fit, or the
+    ``iters=0`` seed a caller already computed). Skips the two
+    initialization jobs (the dim probe and the k-lowest-id collect) —
+    a fit from ``init=deterministic_centroids(...)`` is value-identical
+    to the default path.
     """
-    dim = len(emb.select(vec_col).first()[0])
-    centroids = deterministic_centroids(emb, k, id_col, vec_col)
+    if init is not None:
+        centroids = list(init)
+        dim = len(centroids[0][1])
+    else:
+        dim = len(emb.select(vec_col).first()[0])
+        centroids = deterministic_centroids(emb, k, id_col, vec_col)
     # spherical mean: average UNIT vectors, not raw embeddings —
     # assignment and the inertia objective are purely angular (cosine),
     # and for unit data directions the normalized mean direction is the

@@ -340,14 +340,23 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     seed = semdedup.kmeans_fit(emb, k=8, iters=0)  # == deterministic seed
-    fitted = semdedup.kmeans_fit(emb, k=8, iters=2)
-    improves = (
-        semdedup.kmeans_inertia(emb, fitted)
-        <= semdedup.kmeans_inertia(emb, seed) + 1e-9
-    )
-    return (
+    # r10 job-count diet (identical values end to end): the 2-iteration
+    # fit starts from the ALREADY-computed seed (skipping its dim-probe
+    # and k-lowest-id init jobs), and the seed assignment — needed by
+    # both the inertia comparison and the output grouping — runs once,
+    # materialized via localCheckpoint instead of two full scans.
+    fitted = semdedup.kmeans_fit(emb, k=8, iters=2, init=seed)
+    seed_assigned = (
         semdedup.assign_clusters(emb, seed)
-        .groupBy("cluster_id")
+        .select("cluster_id", "centroid_sim")  # all either consumer reads
+        .localCheckpoint()
+    )
+    seed_inertia = float(
+        seed_assigned.agg(F.avg(1.0 - F.col("centroid_sim"))).first()[0]
+    )
+    improves = semdedup.kmeans_inertia(emb, fitted) <= seed_inertia + 1e-9
+    return (
+        seed_assigned.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
         .withColumn("lloyd_improves", F.lit(bool(improves)))
     )
@@ -406,20 +415,43 @@ def text_bigram_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     # explode_outer + null filter (see text.top_ngrams): keeps the gram
     # construction out of the scan-side inferred filter.
-    occurrences = (
-        docs.select(F.explode_outer(grams_arr).alias("gram"))
-        .filter(F.col("gram").isNotNull())
-        .withColumn("tf", F.lit(1))
+    occurrences = docs.select(F.explode_outer(grams_arr).alias("gram")).filter(
+        F.col("gram").isNotNull()
     )
-    sketch = text.countmin_sketch(occurrences, "gram", "tf", depth=4, width=1024)
-    top = text.top_ngrams(docs, n=2, k=25)
+    # ONE tokenize+explode pass (r10): the sketch, the exact top-25, and
+    # the in-plan N all derive from the gram-grain totals, materialized
+    # once. Sketching pre-aggregated (gram, total_tf) rows is IDENTICAL
+    # to sketching raw occurrences with tf=1 — CMS counters are sums,
+    # and addition is associative/commutative per bucket — while the
+    # pre-r10 form tokenized the corpus three times (sketch input,
+    # top_ngrams, and the N aggregate). total_tf == top_ngrams's sum of
+    # per-doc tf; rank uses the same (total_tf desc, gram asc) order.
+    totals = (
+        occurrences.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("total_tf"))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("total_tf"), F.asc("gram"))
+    top = (
+        totals.orderBy(F.desc("total_tf"), F.asc("gram"))
+        .limit(25)
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "gram",
+            "total_tf",
+        )
+    )
+    sketch = text.countmin_sketch(totals, "gram", "total_tf", depth=4, width=1024)
     est = text.countmin_estimate(sketch, top.select("gram"), "gram", depth=4, width=1024)
     # The sketch buckets are xxhash64-placed (engine-specific), but the
     # CMS CONTRACT is hashable: est >= exact always (counters only ever
     # overestimate) and the overshoot stays within the expectation-level
-    # bound 2N/width (N = total gram occurrences, computed in-plan;
-    # measured worst overshoot on the fixtures is ~31 vs a ~53 bound).
-    n_total = occurrences.agg(F.count(F.lit(1)).alias("_n"))
+    # bound 2N/width (N = total gram occurrences = sum of the totals,
+    # computed in-plan; measured worst overshoot on the fixtures is ~31
+    # vs a ~53 bound).
+    n_total = totals.agg(F.sum("total_tf").alias("_n"))
     return (
         top.join(est, "gram")
         .crossJoin(F.broadcast(n_total))

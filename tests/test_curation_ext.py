@@ -308,3 +308,56 @@ def test_contrastive_triplets_validity_and_determinism(spark):
     lsh_pairs = semdedup.semantic_near_dup_pairs_matmul(emb, k=8, threshold=0.4)
     out2 = contrastive.contrastive_triplets(emb, positives=lsh_pairs, n_buckets=4)
     assert out2.count() > 0
+
+
+def test_contrastive_min_by_matches_window_reference(spark):
+    """r10: the negative draw became a min_by hash aggregate; it must
+    select exactly the row the pre-r10 row_number()=1 window (ordered
+    by salted pair hash asc, cand_id asc) selected."""
+    import hashlib
+
+    from mandoline_hbase_spark.operators import contrastive
+    from mandoline_hbase_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = contrastive.contrastive_triplets(
+        emb, threshold=0.4, n_buckets=4
+    ).collect()
+    assert out
+    # reference: recompute the draw in plain Python from first principles
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+
+    def bucket(i):
+        return int(hashlib.md5(f"{i}:neg42".encode()).hexdigest()[:8], 16) % 4
+
+    pos = {(r["anchor_id"], r["positive_id"]) for r in out}
+    pos_all = pos | {(b, a) for a, b in pos}
+    for r in out:
+        a, p = r["anchor_id"], r["positive_id"]
+        cands = [
+            c
+            for c in ids
+            if bucket(c) == bucket(a)
+            and c not in (a, p)
+            and (a, c) not in pos_all
+        ]
+        want = min(
+            cands,
+            key=lambda c: (hashlib.md5(f"{a}:{c}:neg42".encode()).hexdigest(), c),
+        )
+        assert r["negative_id"] == want, (a, p, r["negative_id"], want)
+
+
+def test_kmeans_fit_init_matches_default(spark):
+    """r10: kmeans_fit(init=seed) skips the two init jobs; the fitted
+    centroids must be value-identical to the default init path."""
+    from mandoline_hbase_spark.operators import semdedup
+    from mandoline_hbase_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seed = semdedup.kmeans_fit(emb, k=4, iters=0)
+    via_init = semdedup.kmeans_fit(emb, k=4, iters=2, init=seed)
+    default = semdedup.kmeans_fit(emb, k=4, iters=2)
+    assert via_init == default
