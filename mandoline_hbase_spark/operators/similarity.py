@@ -661,15 +661,35 @@ def near_duplicate_pairs(
     the default keeps the shuffled plan so an over-sized corpus degrades
     to slow, never to a broadcast/driver OOM (ADVICE r9 #4).
     """
-    a = _spread(emb_df, id_col).select(
-        F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va")
+    # Norms are staged per ROW before the theta join (n sqrt-folds, not
+    # n^2 per pair — the _pairs_from_assigned idiom): the per-pair work
+    # is then ONE zip_with fold instead of three. Bit-identical to
+    # cosine_sim: same left-fold dots, same sqrt(a)*sqrt(b) product
+    # order, so the rounded sims and the threshold predicate (including
+    # its zero-norm NaN behavior) cannot diverge from the pre-staged
+    # form or the SQL oracles.
+    def _dot_fold(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    a = (
+        _spread(emb_df, id_col)
+        .select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+        .withColumn("_na", F.sqrt(_dot_fold(F.col("va"), F.col("va"))))
     )
-    b = emb_df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    b = (
+        emb_df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+        .withColumn("_nb", F.sqrt(_dot_fold(F.col("vb"), F.col("vb"))))
+    )
     if broadcast_corpus:
         b = F.broadcast(b)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+        .withColumn(
+            "sim",
+            _dot_fold(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )

@@ -93,3 +93,46 @@ def test_bpe_overlapping_merge_is_left_greedy(spark):
 def test_bpe_fit_stops_when_no_repeats(spark):
     df = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
     assert bpe.bpe_fit(df, n_merges=5) == []
+
+
+def test_verified_counts_vocab_grain_edges(spark):
+    """r10: bpe_verified_counts encodes at vocabulary grain; the
+    per-doc values (incl. empty / whitespace-only / NULL text and
+    repeated words) must match a scalar reference of the pre-r10
+    per-occurrence fold."""
+
+    def enc(word, merges):
+        toks = list(word)
+        for a, b in merges:
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks = out
+        return toks
+
+    merges = [("a", "b"), ("ab", "c"), ("d", "d")]
+    rows = [
+        (1, "abc abc dd abc"),   # repeated words
+        (2, "   "),              # whitespace-only -> (0, true, true)
+        (3, ""),                 # empty -> (0, true, true)
+        (4, None),               # NULL text -> (null, true, null)
+        (5, "xyz ddabc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chars"], r["roundtrip_ok"], r["token_count_bounded"])
+        for r in bpe.bpe_verified_counts(df, merges).collect()
+    }
+    for doc_id, text in rows:
+        if text is None:
+            assert got[doc_id] == (None, True, None), got[doc_id]
+            continue
+        words = [w for w in text.split() if w]
+        n_chars = sum(len(w) for w in words)
+        n_tok = sum(len(enc(w, merges)) for w in words)
+        rt = all("".join(enc(w, merges)) == w for w in words)
+        bounded = (n_tok >= len(words)) and (n_tok <= n_chars)
+        assert got[doc_id] == (n_chars, rt, bounded), (doc_id, got[doc_id])
