@@ -307,17 +307,20 @@ def query_fingerprint(fn) -> str:
     of scope — same as the old manual rule, now applied mechanically
     for the direct layer."""
     import hashlib
+    import importlib
     import inspect
+    import re as _re
 
     parts = []
+    src = ""
     try:
-        parts.append(inspect.getsource(fn))
+        src = inspect.getsource(fn)
+        parts.append(src)
     except (OSError, TypeError):
         pass
     seen: set[str] = set()
-    for name in getattr(getattr(fn, "__code__", None), "co_names", ()):
-        obj = getattr(fn, "__globals__", {}).get(name)
-        mod = obj if inspect.ismodule(obj) else (inspect.getmodule(obj) if callable(obj) else None)
+
+    def _add(mod) -> None:
         mn = getattr(mod, "__name__", "")
         if mn.startswith("mandoline_hbase_spark") and mn not in seen:
             seen.add(mn)
@@ -325,6 +328,32 @@ def query_fingerprint(fn) -> str:
                 parts.append(inspect.getsource(mod))
             except (OSError, TypeError):
                 pass
+
+    for name in getattr(getattr(fn, "__code__", None), "co_names", ()):
+        obj = getattr(fn, "__globals__", {}).get(name)
+        mod = obj if inspect.ismodule(obj) else (inspect.getmodule(obj) if callable(obj) else None)
+        _add(mod)
+    # FUNCTION-LOCAL imports compile to LOAD_FAST, not co_names, so a
+    # `from mandoline_hbase_spark.operators import x` inside the query
+    # body would silently escape the fingerprint (observed: the r10
+    # contrastive_triplets record survived a contrastive.py rewrite).
+    # Resolve them from the source text.
+    for m in _re.finditer(
+        r"from\s+(mandoline_hbase_spark[.\w]*)\s+import\s+([^\n(]+)", src
+    ):
+        base, names = m.group(1), m.group(2)
+        for n in names.split(","):
+            n = n.strip()
+            if not n:
+                continue
+            try:
+                _add(importlib.import_module(f"{base}.{n}"))
+            except ImportError:
+                try:
+                    _add(importlib.import_module(base))
+                except ImportError:
+                    pass
+    query_fingerprint.last_modules = sorted(seen)  # test observability
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 

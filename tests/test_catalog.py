@@ -249,3 +249,28 @@ def test_query_fingerprint_tracks_referenced_modules():
     # headline query fingerprinting without raising
     for name in bench.HEADLINE[:5]:
         assert bench.query_fingerprint(QUERIES[name].fn)
+
+
+def test_query_fingerprint_sees_function_local_imports():
+    """r10: a `from mandoline_hbase_spark... import x` INSIDE the query
+    body compiles to LOAD_FAST (not co_names), which let the r10
+    contrastive_triplets record survive a contrastive.py rewrite. The
+    fingerprint must include modules imported function-locally."""
+    import inspect
+
+    import bench
+    from mandoline_hbase_spark.operators import contrastive
+    from mandoline_hbase_spark.queries.catalog import QUERIES
+
+    fn = QUERIES["contrastive_triplets"].fn
+    src = inspect.getsource(fn)
+    assert "from mandoline_hbase_spark.operators import contrastive" in src
+    assert contrastive.__name__ == "mandoline_hbase_spark.operators.contrastive"
+    bench.query_fingerprint(fn)
+    assert "mandoline_hbase_spark.operators.contrastive" in (
+        bench.query_fingerprint.last_modules
+    )
+    bench.query_fingerprint(QUERIES["text_bpe_token_counts"].fn)
+    assert "mandoline_hbase_spark.operators.bpe" in (
+        bench.query_fingerprint.last_modules
+    )
