@@ -346,10 +346,14 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the inertia comparison and the output grouping — runs once,
     # materialized via localCheckpoint instead of two full scans.
     fitted = semdedup.kmeans_fit(emb, k=8, iters=2, init=seed)
-    seed_assigned = (
+    from mandoline_hbase_spark.plans.audit import checkpoint_audited
+
+    # checkpoint_audited, not bare localCheckpoint: the severed scan +
+    # assignment must stay visible to the plan audit (scanless-entry
+    # guard in tests/test_plan_audit.py)
+    seed_assigned = checkpoint_audited(
         semdedup.assign_clusters(emb, seed)
         .select("cluster_id", "centroid_sim")  # all either consumer reads
-        .localCheckpoint()
     )
     seed_inertia = float(
         seed_assigned.agg(F.avg(1.0 - F.col("centroid_sim"))).first()[0]
@@ -426,10 +430,13 @@ def text_bigram_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-r10 form tokenized the corpus three times (sketch input,
     # top_ngrams, and the N aggregate). total_tf == top_ngrams's sum of
     # per-doc tf; rank uses the same (total_tf desc, gram asc) order.
-    totals = (
+    from mandoline_hbase_spark.plans.audit import checkpoint_audited
+
+    # checkpoint_audited keeps the severed tokenize+aggregate subplan
+    # visible to the plan audit (scanless-entry guard)
+    totals = checkpoint_audited(
         occurrences.groupBy("gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("total_tf"))
-        .localCheckpoint()
     )
     from pyspark.sql import Window
 
