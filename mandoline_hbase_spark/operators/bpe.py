@@ -136,6 +136,7 @@ def bpe_verified_counts(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
     """Per-doc tokenizer-contract verification, computed in-plan:
 
@@ -188,8 +189,15 @@ def bpe_verified_counts(
             F.length("word").alias("_nc"),
         )
     )
+    # ``broadcast_vocab`` (ADVICE r10): the vocab is Heaps-bounded but
+    # still grows with the corpus (~70M distinct words at 100 TB — past
+    # the 8 GB broadcast cap), and a forced hint bypasses Spark's size
+    # check. Default lets AQE pick from the vocab's ACTUAL size
+    # (degrades to a shuffle join, never to a broadcast OOM); callers
+    # that know their corpus opt in for the guaranteed shuffle-free plan.
+    joined_vtab = F.broadcast(vtab) if broadcast_vocab else vtab
     per_doc = (
-        occ.join(F.broadcast(vtab), occ["_w"] == vtab["word"], "left")
+        occ.join(joined_vtab, occ["_w"] == vtab["word"], "left")
         .groupBy(id_col)
         .agg(
             F.sum(F.coalesce(F.col("_nt"), F.lit(0))).alias("_ntok"),

@@ -386,7 +386,20 @@ def kmeans_fit(
     """
     if init is not None:
         centroids = list(init)
-        dim = len(centroids[0][1])
+        # ADVICE r10: an empty / wrong-k / ragged init would silently
+        # produce a fit inconsistent with the k argument (or crash at
+        # centroids[0][1]); validate before any Spark work
+        # <= k, not == k: the default path's limit(k) collect returns
+        # fewer centroids on a corpus with under k vectors, and a fit
+        # seeded from such a fit must stay legal
+        if not centroids or len(centroids) > k:
+            raise ValueError(
+                f"init must supply 1..k={k} centroids, got {len(centroids)}"
+            )
+        dims = {len(c[1]) for c in centroids}
+        if len(dims) != 1:
+            raise ValueError(f"init centroids have inconsistent dims: {sorted(dims)}")
+        dim = dims.pop()
     else:
         dim = len(emb.select(vec_col).first()[0])
         centroids = deterministic_centroids(emb, k, id_col, vec_col)

@@ -1654,7 +1654,11 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.bpe_fit(docs, n_merges=10)
-    return bpe.bpe_verified_counts(docs, merges).orderBy("doc_id")
+    # broadcast_vocab: the bench corpus vocab is far under the broadcast
+    # cap; library callers default to the AQE-gated safe join
+    return bpe.bpe_verified_counts(
+        docs, merges, broadcast_vocab=True
+    ).orderBy("doc_id")
 
 
 @register(

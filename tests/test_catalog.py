@@ -274,3 +274,58 @@ def test_query_fingerprint_sees_function_local_imports():
     assert "mandoline_hbase_spark.operators.bpe" in (
         bench.query_fingerprint.last_modules
     )
+
+
+def test_query_fingerprint_parses_parenthesized_and_aliased_imports(tmp_path):
+    """ADVICE r10 (medium): the regex form missed parenthesized
+    multi-line imports (`import (` broke its name group) and `x as y`
+    aliases resolved only to the package __init__. The AST parse must
+    see both, plus plain `import pkg.mod` statements."""
+    import importlib.util
+    import sys
+
+    import bench
+
+    mod_file = tmp_path / "fp_probe_mod.py"
+    mod_file.write_text(
+        "def probe():\n"
+        "    from mandoline_hbase_spark.operators.served import (\n"
+        "        content_fingerprint,\n"
+        "        served_artifact,\n"
+        "    )\n"
+        "    from mandoline_hbase_spark.operators import dedup as d\n"
+        "    import mandoline_hbase_spark.operators.bpe\n"
+        "    return 1\n"
+    )
+    spec = importlib.util.spec_from_file_location("fp_probe_mod", mod_file)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["fp_probe_mod"] = spec.loader.exec_module(mod) or mod
+    try:
+        bench.query_fingerprint(mod.probe)
+        seen = bench.query_fingerprint.last_modules
+        assert "mandoline_hbase_spark.operators.served" in seen
+        assert "mandoline_hbase_spark.operators.dedup" in seen
+        assert "mandoline_hbase_spark.operators.bpe" in seen
+    finally:
+        sys.modules.pop("fp_probe_mod", None)
+
+
+def test_bench_canary_gate_retries_only_on_degraded_reads(monkeypatch):
+    """VERDICT r10 #1: the pre-suite canary gate must (a) pass through
+    immediately on a healthy read or a missing reference, (b) sleep and
+    retry on degraded reads, (c) stay bounded at the retry cap."""
+    import bench
+
+    reads = iter([1.0, 0.9, 0.6, 2.0, 2.0, 2.0, 2.0])
+    slept: list[float] = []
+    monkeypatch.setattr(bench, "timed_min", lambda s, f, d: next(reads))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    # no reference (first run at this core count): single read, no sleep
+    assert bench.canary_gate(None, None) == [1.0]
+    assert slept == []
+    # degraded first read, healthy second: one sleep, two reads
+    assert bench.canary_gate(None, 0.578) == [0.9, 0.6]
+    assert len(slept) == 1
+    # persistently degraded: bounded at 3 attempts, 2 sleeps
+    assert bench.canary_gate(None, 0.578) == [2.0, 2.0, 2.0]
+    assert len(slept) == 3

@@ -361,3 +361,24 @@ def test_kmeans_fit_init_matches_default(spark):
     via_init = semdedup.kmeans_fit(emb, k=4, iters=2, init=seed)
     default = semdedup.kmeans_fit(emb, k=4, iters=2)
     assert via_init == default
+
+
+def test_kmeans_fit_init_is_validated():
+    """ADVICE r10: init=[] used to IndexError at centroids[0][1], and a
+    wrong-k or ragged init silently produced a fit inconsistent with
+    the k argument. All three must fail loudly, before any Spark work
+    (emb=None proves no job is touched)."""
+    import pytest
+
+    from mandoline_hbase_spark.operators import semdedup
+
+    with pytest.raises(ValueError, match="1..k"):
+        semdedup.kmeans_fit(None, k=2, iters=1, init=[])
+    with pytest.raises(ValueError, match="1..k"):
+        semdedup.kmeans_fit(
+            None, k=1, iters=1, init=[(1, [0.1]), (2, [0.2])]
+        )
+    with pytest.raises(ValueError, match="inconsistent dims"):
+        semdedup.kmeans_fit(
+            None, k=2, iters=1, init=[(1, [0.1]), (2, [0.2, 0.3])]
+        )

@@ -3,10 +3,14 @@
     python tools/explain_dump.py OUT_DIR SUFFIX [sf_dir] name [name ...]
 
 Writes OUT_DIR/<name>_<SUFFIX>.txt per query (e.g. plans/r10/, suffix
-"before"/"after"). Planning only — nothing is executed — so it is safe
-to run concurrently with a bench or test pass. The same tool run from a
-historical worktree produces the "before" plans for an optimization
-round's evidence directory.
+"before"/"after"). Mostly planning-only, but NOT guaranteed
+side-effect-free: queries whose construction path runs eager work
+(checkpoint_audited materializations — text_bigram_cms_estimate,
+dedup_semantic_kmeans, the iterative dedup queries — or driver collects
+like kmeans_fit / bpe_fit) execute real Spark jobs during the dump, so
+do not run this concurrently with a timing-sensitive measurement on a
+co-tenant box. The same tool run from a historical worktree produces
+the "before" plans for an optimization round's evidence directory.
 """
 
 from __future__ import annotations
