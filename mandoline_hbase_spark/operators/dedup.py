@@ -367,20 +367,23 @@ def fuzzy_segment_pairs(
         w = Window.partitionBy("_f", "_l").orderBy(
             F.length("seg_text").asc(), F.col("seg_text").asc()
         )
-        ranked = blocked.withColumn("_rk", F.row_number().over(w))
-        probes = ranked.select(
-            F.col("seg_text").alias("_sa"),
-            "_f",
-            "_l",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(k)), lambda i: F.col("_rk") + i
-                )
-            ).alias("_rk"),
-        )
-        nbrs = ranked.select(F.col("seg_text").alias("_sb"), "_f", "_l", "_rk")
+        # r11 (VERDICT r10 #5): the "next K followers in rank order" ARE
+        # lead(1..K) over the SAME window — the old form materialized
+        # row_number, exploded K probe ranks per member and self-joined
+        # back on (_f,_l,_rk), which shuffled the (K+1)n rank rows twice
+        # more and sorted them again for the join. lead() emits the
+        # identical pairs (seg_text is distinct within a block and the
+        # (length, seg) order is total, so rank r+i == lead(i)) in ONE
+        # window pass over the one existing exchange; blocks with fewer
+        # than i followers yield nulls, compacted away before explode.
         pairs = (
-            probes.join(nbrs, ["_f", "_l", "_rk"])
+            blocked.select(
+                F.col("seg_text").alias("_sa"),
+                F.array_compact(
+                    F.array(*[F.lead("seg_text", i).over(w) for i in range(1, k + 1)])
+                ).alias("_nbrs"),
+            )
+            .select("_sa", F.explode("_nbrs").alias("_sb"))
             .select(
                 F.least("_sa", "_sb").alias("seg_a"),
                 F.greatest("_sa", "_sb").alias("seg_b"),
@@ -1200,8 +1203,14 @@ def prefix_filter_near_duplicates(
         .union(survivors.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_sh = with_shingle_set(
-        df.join(cand_ids, id_col, "left_semi"), shingle_n, id_col, text_col
+    # r11: materialized ONCE — fa and fb both consume cand_sh, and the
+    # planner otherwise duplicates the whole scan + semi-join + shingle
+    # build per side (measured: ReuseExchange does not dedup the verify
+    # sides). Answer-bounded, so the checkpoint is tiny.
+    cand_sh = checkpoint_audited(
+        with_shingle_set(
+            df.join(cand_ids, id_col, "left_semi"), shingle_n, id_col, text_col
+        )
     )
     fa = cand_sh.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("_na")
@@ -1348,8 +1357,14 @@ def minhash_near_duplicates(
         .union(survivors.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_sh = with_shingle_set(
-        df.join(cand_ids, id_col, "left_semi"), shingle_n, id_col, text_col
+    # r11: materialized ONCE — fa and fb both consume cand_sh, and the
+    # planner otherwise duplicates the whole scan + semi-join + shingle
+    # build per side (measured: ReuseExchange does not dedup the verify
+    # sides). Answer-bounded, so the checkpoint is tiny.
+    cand_sh = checkpoint_audited(
+        with_shingle_set(
+            df.join(cand_ids, id_col, "left_semi"), shingle_n, id_col, text_col
+        )
     )
     fa = cand_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     fb = cand_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -1790,8 +1805,16 @@ def containment_prefix_pairs(
     exploded = hsets.select(
         F.col(id_col), F.size("shh").alias("_n"), F.explode("shh").alias("shingle")
     )
-    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = exploded.join(dfreq, "shingle")
+    # r11 (VERDICT r10 #9, guide §2.4): document frequency as a COUNT
+    # OVER the shingle partitioning instead of groupBy + join-back. The
+    # join form re-partitioned exploded for the join AND ran a separate
+    # vocabulary-grain aggregate; the window form establishes
+    # hashpartitioning(shingle) ONCE, and the postings side of the
+    # candidate join below inherits that same partitioning (same
+    # Exchange, reused), so the join re-shuffles only the tiny prefix
+    # side. Identical _df values — count(*) per shingle either way.
+    wsh = Window.partitionBy("shingle")
+    ranked = exploded.withColumn("_df", F.count(F.lit(1)).over(wsh))
     w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
     prefix = (
         ranked.withColumn("_pos", F.row_number().over(w))
@@ -1802,7 +1825,7 @@ def containment_prefix_pairs(
         )
         .select(F.col(id_col).alias("id_a"), "shingle", F.col("_n").alias("_na"))
     )
-    postings = exploded.select(
+    postings = ranked.select(
         F.col(id_col).alias("id_b"), "shingle", F.col("_n").alias("_nb")
     )
     if max_postings_per_shingle is not None:
@@ -1828,8 +1851,14 @@ def containment_prefix_pairs(
         .union(survivors.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_sh = with_shingle_set(
-        df.join(cand_ids, id_col, "left_semi"), shingle_n, id_col, text_col
+    # r11: materialized ONCE — fa and fb both consume cand_sh, and the
+    # planner otherwise duplicates the whole scan + semi-join + shingle
+    # build per side (measured: ReuseExchange does not dedup the verify
+    # sides). Answer-bounded, so the checkpoint is tiny.
+    cand_sh = checkpoint_audited(
+        with_shingle_set(
+            df.join(cand_ids, id_col, "left_semi"), shingle_n, id_col, text_col
+        )
     )
     fa = cand_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     fb = cand_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
