@@ -59,10 +59,19 @@ def bpe_fit(
     Returns the ordered rule list ``[(a, b), ...]``; stops early when the
     best remaining pair occurs fewer than 2 times.
     """
-    vocab = word_freq_table(df, text_col).withColumn(
-        "toks", F.split(F.col("word"), "")
+    # The loop needs only (freq, toks): dropping ``word`` narrows every
+    # per-round scan and checkpoint, and single-token words can never
+    # produce a pair or be rewritten again, so they leave the working
+    # set for good — both filters leave the pair counts (hence the
+    # learned rules) untouched. Checkpoints are LAZY: the very next
+    # pair-count action materializes them, one job per round instead of
+    # a dedicated materialization job on top.
+    vocab = (
+        word_freq_table(df, text_col)
+        .select("freq", F.split(F.col("word"), "").alias("toks"))
+        .filter(F.size("toks") >= 2)
     )
-    vocab = checkpoint_audited(vocab)
+    vocab = checkpoint_audited(vocab, eager=False)
     merges: list[tuple[str, str]] = []
     for round_no in range(n_merges):
         pairs = (
@@ -91,11 +100,14 @@ def bpe_fit(
         # checkpoint on a CADENCE, not per round (the iterative-operator
         # rule from round 3): the vocab table is Heaps-bounded, so
         # re-evaluating up to two stacked merge folds inside the next
-        # pair count is cheaper than an eager materialization job every
-        # round. Every 3rd round truncates lineage before Catalyst
-        # analysis depth starts to dominate.
+        # pair count is cheaper than a materialization job every round.
+        # Every 3rd round truncates lineage before Catalyst analysis
+        # depth starts to dominate, shedding fully-merged words as it
+        # goes.
         if round_no % 3 == 2:
-            vocab = checkpoint_audited(vocab)
+            vocab = checkpoint_audited(
+                vocab.filter(F.size("toks") >= 2), eager=False
+            )
     return merges
 
 

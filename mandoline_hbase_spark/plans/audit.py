@@ -45,12 +45,14 @@ def record_iteration_plan(df: DataFrame) -> None:
         c.append(stats)
 
 
-def checkpoint_audited(df: DataFrame) -> DataFrame:
-    """Eager ``localCheckpoint`` that first records the pre-checkpoint
-    plan for the audit — the drop-in form iterative operators use so
-    their per-round shuffles stay visible to ``audit_catalog``."""
+def checkpoint_audited(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` that first records the pre-checkpoint plan for
+    the audit — the drop-in form iterative operators use so their
+    per-round shuffles stay visible to ``audit_catalog``. ``eager=False``
+    defers materialization to the next action, so a loop that checkpoints
+    and immediately aggregates pays one job instead of two."""
     record_iteration_plan(df)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
 
 
 @contextmanager
