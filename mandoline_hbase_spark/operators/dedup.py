@@ -1005,6 +1005,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_features: bool = False,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for the given candidate pairs.
 
@@ -1019,7 +1020,72 @@ def jaccard_pairs(
     scale path — a 100 TB corpus's features don't broadcast; the scale
     paths pass verified CANDIDATE pairs here, which keep the default
     shuffled join.
+
+    ``threshold`` (r11): when the caller only keeps pairs with
+    ``round(jaccard, 4) >= threshold``, pass it here instead of
+    filtering afterwards — the quadratic per-pair work then runs on the
+    8-byte shingle-HASH sets (``J_hash >= J_string``, so filtering the
+    hashed estimate at ``threshold - 1e-4`` admits every pair the
+    rounded string predicate accepts — the margin covers the round-up
+    of values in [t - 0.00005, t)), and only the surviving candidates
+    pay the string-exact verify that produces the returned value.
+    Output is identical to ``.filter(round_jaccard >= threshold)`` on
+    the default path; per-pair cost drops from two string-array set ops
+    to one long-array intersect (union size is derived from the staged
+    per-doc set sizes: ``|A| + |B| - |A∩B|``, exact on distinct sets).
     """
+    if threshold is not None:
+        from mandoline_hbase_spark.plans.audit import checkpoint_audited
+
+        hs = checkpoint_audited(
+            with_shingle_hash_set(df, shingle_n, id_col, text_col).select(
+                F.col(id_col), F.col("shh"), F.size("shh").alias("_hn")
+            )
+        )
+        ha = hs.select(
+            F.col(id_col).alias("id_a"),
+            F.col("shh").alias("shh_a"),
+            F.col("_hn").alias("_hn_a"),
+        )
+        hb = hs.select(
+            F.col(id_col).alias("id_b"),
+            F.col("shh").alias("shh_b"),
+            F.col("_hn").alias("_hn_b"),
+        )
+        if broadcast_features:
+            ha, hb = F.broadcast(ha), F.broadcast(hb)
+            pairs = spread_to_parallelism(pairs, "id_a")
+        ih = F.size(F.array_intersect("shh_a", "shh_b"))
+        cand = (
+            pairs.join(ha, "id_a")
+            .join(hb, "id_b")
+            .withColumn("_ih", ih)
+            .filter(
+                F.col("_ih").cast("double")
+                / (F.col("_hn_a") + F.col("_hn_b") - F.col("_ih")).cast("double")
+                >= F.lit(float(threshold) - 1e-4)
+            )
+            .select("id_a", "id_b")
+        )
+        sh = with_shingle_set(df, shingle_n, id_col, text_col)
+        sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        i_s = F.size(F.array_intersect("sh_a", "sh_b"))
+        return (
+            cand.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .withColumn("_i", i_s)
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("_i") / (F.size("sh_a") + F.size("sh_b") - F.col("_i")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= float(threshold))
+            .select("id_a", "id_b", "jaccard")
+        )
+
     sh = with_shingle_set(df, shingle_n, id_col, text_col)
     if broadcast_features:
         sh = F.broadcast(sh)
@@ -1254,7 +1320,6 @@ def containment_pairs(
     bounded size ratios, so the band recall argument carries over for
     near-equal sizes, and one-sided probes handle the subset case.
     """
-    sh = with_shingle_set(df, shingle_n, id_col, text_col)
     # baseline-plan discipline (round 9): spread the stream side (the
     # fixture parquet is one split — an unspread cross join runs the
     # whole quadratic verify in ONE task). ``broadcast_features=True``
@@ -1262,15 +1327,45 @@ def containment_pairs(
     # baseline's small-data contract (as the catalog oracle anchors do);
     # the default keeps the shuffled plan so an over-sized corpus
     # degrades to slow, never to a broadcast/driver OOM (ADVICE r9 #4).
-    a = spread_to_parallelism(sh, id_col).select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    #
+    # r11: the quadratic pass runs on 8-byte shingle-HASH sets —
+    # ``C_hash >= C_string`` (hashing merges elements: the intersection
+    # can only grow, |A| can only shrink), so filtering the hashed
+    # estimate at ``threshold - 1e-4`` admits every ordered pair the
+    # rounded string predicate accepts (margin covers the round-up of
+    # values in [t - 0.00005, t)); only the answer-bounded survivors
+    # pay the string-exact verify that produces the returned value.
+    from mandoline_hbase_spark.plans.audit import checkpoint_audited
+
+    hs = checkpoint_audited(
+        with_shingle_hash_set(df, shingle_n, id_col, text_col).select(
+            F.col(id_col), F.col("shh"), F.size("shh").alias("_hn")
+        )
     )
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    a = spread_to_parallelism(hs, id_col).select(
+        F.col(id_col).alias("id_a"),
+        F.col("shh").alias("shh_a"),
+        F.col("_hn").alias("_hn_a"),
+    )
+    b = hs.select(F.col(id_col).alias("id_b"), F.col("shh").alias("shh_b"))
     if broadcast_features:
         b = F.broadcast(b)
-    return (
+    cand = (
         a.crossJoin(b)
         .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            F.size(F.array_intersect("shh_a", "shh_b")).cast("double")
+            / F.greatest(F.col("_hn_a"), F.lit(1)).cast("double")
+            >= F.lit(float(threshold) - 1e-4)
+        )
+        .select("id_a", "id_b")
+    )
+    sh = with_shingle_set(df, shingle_n, id_col, text_col)
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn(
             "containment",
             F.round(

@@ -709,10 +709,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ids.withColumnRenamed("doc_id", "id_b"), F.col("id_a") < F.col("id_b"))
     )
     # broadcast_features: this IS the brute-force baseline (quadratic by
-    # contract, corpus small by contract) — see jaccard_pairs' docstring
-    return dedup.jaccard_pairs(docs, pairs, broadcast_features=True).filter(
-        F.col("jaccard") >= 0.7
-    )
+    # contract, corpus small by contract) — see jaccard_pairs' docstring.
+    # threshold pushes the >=0.7 cut into the operator so the quadratic
+    # pass runs on hashed sets (r11); the outer filter is then a no-op
+    # kept as the declared predicate.
+    return dedup.jaccard_pairs(
+        docs, pairs, broadcast_features=True, threshold=0.7
+    ).filter(F.col("jaccard") >= 0.7)
 
 
 @register(
