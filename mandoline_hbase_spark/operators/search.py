@@ -407,9 +407,100 @@ def bm25_topk(
     per-term contributions are added in the fixed order of
     ``query_terms``. Output: ``(rank, doc_id, score)``, score rounded
     to 6 decimals, rank dense in (rounded score desc, doc_id asc).
+
+    The from-text form never builds the full inverted index: a query
+    carries a handful of terms, so per-doc ``tf`` of each query term
+    and ``dl`` come straight off the token array (``size(filter(…))``)
+    in ONE map-only pass — no explode, no (doc, term) or doc-grain
+    shuffle at all. The integers are the exact ones ``postings`` would
+    produce and the scoring expressions are shared shapes, so scores
+    stay bit-identical to the served/postings form.
     """
-    tf, dl = postings(df, id_col, text_col)
-    return bm25_topk_from_postings(tf, dl, query_terms, k=k, k1=k1, b=b, id_col=id_col)
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    staged = _query_term_counts(df, terms, id_col, text_col)
+    # one single-row aggregate for every scalar: N, Σdl (avgdl's exact
+    # integer parts) and df(t) per query term — broadcast back
+    scalars = staged.agg(
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    cand = staged.filter(
+        reduce(lambda a, b: a | b, [F.col(f"_tf{i}") > 0 for i in range(len(terms))])
+    ).crossJoin(F.broadcast(scalars))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (
+                F.col("n_docs").cast("double")
+                - F.col(f"_df{i}").cast("double")
+                + F.lit(0.5)
+            )
+            / (F.col(f"_df{i}").cast("double") + F.lit(0.5))
+        )
+        tf_d = F.col(f"_tf{i}").cast("double")
+        sat = (tf_d * F.lit(k1 + 1.0)) / (
+            tf_d
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+        )
+        # a non-matching term contributes exactly +0.0, the same value
+        # the postings form's coalesce supplies for its missing row
+        c_i = F.when(F.col(f"_tf{i}") > 0, idf * sat).otherwise(F.lit(0.0))
+        score = c_i if score is None else score + c_i
+    ranked = cand.select(F.col(id_col), F.round(score, 6).alias("score"))
+    from pyspark.sql import Window
+
+    top = ranked.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", id_col, "score"
+    )
+
+
+def _query_term_counts(
+    df: DataFrame, terms: Sequence[str], id_col: str, text_col: str
+) -> DataFrame:
+    """Per-doc ``(dl, tf(term_0), …)`` computed map-side off the token
+    array — the exact integers ``postings`` produces for these terms
+    (same tokenizer: split/trim/lower, empty tokens dropped, NULL and
+    empty text -> ``dl = 0``), without the explode or a token-grain
+    shuffle. The text is spread once for tokenize parallelism (the
+    small-file fixture coalesces to a handful of scan partitions
+    otherwise) and the resulting NARROW int table is locally
+    checkpointed: both consumers (the scalar aggregate and the
+    candidate filter) reuse one tokenize pass instead of re-running
+    it per subtree."""
+    from mandoline_hbase_spark.plans.audit import checkpoint_audited
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    # stage the token array once so the per-term filters share it
+    staged = _spread(df, id_col).select(F.col(id_col), toks.alias("_toks"))
+    counts = staged.select(
+        F.col(id_col),
+        F.coalesce(F.size(F.col("_toks")), F.lit(0)).alias("dl"),
+        *[
+            F.coalesce(
+                F.size(F.filter(F.col("_toks"), lambda w: w == F.lit(t))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    return checkpoint_audited(counts)
 
 
 def bm25_topk_from_postings(
@@ -637,11 +728,47 @@ def ql_dirichlet_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Query-likelihood (Dirichlet) top-k over raw documents: build the
-    ``postings`` index inline, then score via
-    :func:`ql_dirichlet_topk_from_postings` (one definition of the
-    smoothed score for the inline and served forms)."""
-    tf, dl = postings(df, id_col, text_col)
-    return ql_dirichlet_topk_from_postings(
-        tf, dl, query_terms, mu=mu, k=k, id_col=id_col
+    """Query-likelihood (Dirichlet) top-k over raw documents.
+
+    Like :func:`bm25_topk`, the from-text form never builds the full
+    inverted index: per-doc query-term ``tf`` and ``dl`` come off the
+    token array in one map-only pass (no explode, no shuffle), the
+    ``cf_t``/``|C|`` scalars are one single-row integer aggregate, and
+    the smoothed log-probabilities use the same expression shapes as
+    :func:`ql_dirichlet_topk_from_postings`, so scores stay
+    bit-identical to the served form."""
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    staged = _query_term_counts(df, terms, id_col, text_col)
+    scalars = staged.agg(
+        F.sum("dl").cast("bigint").alias("_c_tokens"),
+        *[
+            F.sum(F.col(f"_tf{i}")).cast("bigint").alias(f"_cf{i}")
+            for i in range(len(terms))
+        ],
+    )
+    cand = staged.filter(
+        reduce(lambda a, b: a | b, [F.col(f"_tf{i}") > 0 for i in range(len(terms))])
+    ).crossJoin(F.broadcast(scalars))
+    score = None
+    for i in range(len(terms)):
+        # same value the postings form's coalesce supplies: tf -> 0.0
+        # for a non-matching term (here the integer itself is 0)
+        tf_i = F.col(f"_tf{i}").cast("double")
+        smooth = (
+            F.lit(float(mu)) * F.col(f"_cf{i}").cast("double")
+            / F.col("_c_tokens").cast("double")
+        )
+        contrib = F.log(
+            (tf_i + smooth) / (F.col("dl").cast("double") + F.lit(float(mu)))
+        )
+        score = contrib if score is None else score + contrib
+    ranked = cand.select(F.col(id_col), F.round(score, 6).alias("score"))
+    from pyspark.sql import Window
+
+    top = ranked.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", id_col, "score"
     )
