@@ -87,11 +87,12 @@ _DUCK_BM25 = _DUCK_BM25_CTES + r"""
     oracle=_DUCK_BM25,
     description=(
         "Okapi BM25 top-25 retrieval (Lucene positive-idf variant) for a "
-        "3-term query over the inverted index: query-term filter applied "
-        "before the tf shuffle, doc-frequency and corpus scalars joined "
-        "back as broadcasts, per-term contributions folded in a fixed "
-        "order so float summation is engine-deterministic, top-k via "
-        "TakeOrderedAndProject (no global sort, no global window)."
+        "3-term query, scored map-side: per-doc tf of each query term and "
+        "dl come straight off the token array (no explode, no token-grain "
+        "shuffle), corpus scalars and df(t) are one single-row integer "
+        "aggregate broadcast back, per-term contributions folded in a "
+        "fixed order so float summation is engine-deterministic, top-k "
+        "via TakeOrderedAndProject (no global sort, no global window)."
     ),
     tags=("search", "text", "bm25", "topk"),
 )
@@ -155,11 +156,12 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "Query-likelihood retrieval with Dirichlet-prior smoothing "
         "(Ponte & Croft / Zhai & Lafferty, mu=2000) - the second "
-        "classic principled scorer, served from the SAME (tf, dl) "
-        "index tables as BM25: candidates are docs matching >= 1 query "
-        "term, cf_t and |C| are exact single-row integer aggregates "
-        "(no term-grain shuffle), smoothed log-probabilities fold in "
-        "fixed query order, top-25 via TakeOrderedAndProject. "
+        "classic principled scorer, scored map-side like bm25_search_"
+        "topk (per-doc query-term tf and dl off the token array, no "
+        "explode): candidates are docs matching >= 1 query term, cf_t "
+        "and |C| are exact single-row integer aggregates (no term-grain "
+        "shuffle), smoothed log-probabilities fold in fixed query "
+        "order, top-25 via TakeOrderedAndProject. "
         "operators/search.py::ql_dirichlet_topk"
     ),
     tags=("search", "text", "lm", "dirichlet", "topk"),
