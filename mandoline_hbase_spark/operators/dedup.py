@@ -376,11 +376,25 @@ def fuzzy_segment_pairs(
         # (length, seg) order is total, so rank r+i == lead(i)) in ONE
         # window pass over the one existing exchange; blocks with fewer
         # than i followers yield nulls, compacted away before explode.
+        # length-bucketed neighborhood (VERDICT r10 #5): the window is
+        # length-ASC, so a follower's length gap only grows with lead
+        # offset, and any follower with gap > max_edit is provably dead
+        # (edit <= k forces |len gap| <= k — the same band the verify
+        # applies). Pruning them INSIDE the array keeps the dead pairs
+        # out of the explode and the downstream projection entirely;
+        # output is identical because the banded filter would drop
+        # exactly these rows.
         pairs = (
             blocked.select(
                 F.col("seg_text").alias("_sa"),
-                F.array_compact(
-                    F.array(*[F.lead("seg_text", i).over(w) for i in range(1, k + 1)])
+                F.filter(
+                    F.array_compact(
+                        F.array(
+                            *[F.lead("seg_text", i).over(w) for i in range(1, k + 1)]
+                        )
+                    ),
+                    lambda x: F.length(x) - F.length("seg_text")
+                    <= F.lit(int(max_edit)),
                 ).alias("_nbrs"),
             )
             .select("_sa", F.explode("_nbrs").alias("_sb"))
