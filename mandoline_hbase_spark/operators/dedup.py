@@ -933,6 +933,33 @@ def banded_candidate_pairs(
     from pyspark.sql import Window
 
     st = stacked.select(id_col, *keys, *payload)
+
+    def _all_pairs(src: DataFrame) -> DataFrame:
+        a, b = src.alias("a"), src.alias("b")
+        j = a.join(b, list(keys)).filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        if pair_filter is not None:
+            j = j.filter(
+                pair_filter(
+                    lambda c: F.col(f"a.{c}"), lambda c: F.col(f"b.{c}")
+                )
+            )
+        return j.select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+
+    # r11 (session 2): a caller passing max_bucket_size >= 2^31-1 has
+    # declared the guard OFF (the oracle-anchor exactness configs do
+    # this) — no bucket can trip a cap that exceeds any count a
+    # feasible self-join could survive, so n_hot is 0 by construction
+    # and the sizing aggregation would be a pure extra pass over the
+    # full candidate pipeline. Skip the job entirely (guide §5 job
+    # diet: measured ~7.5 s of dedup_prefix_filter's 25.6 s sf10h wall
+    # was this sizing pass re-executing the explode+df+rank chain).
+    # Guarded callers (finite caps) keep the sizing job unchanged.
+    if max_bucket_size >= 2**31 - 1:
+        if stats is not None:
+            stats["n_hot"] = 0
+        return _all_pairs(st).distinct()
     sizes = st.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_hub")
     )
@@ -949,19 +976,6 @@ def banded_candidate_pairs(
         # trade. Degrade to unfiltered candidates instead: on a hot
         # corpus the guard's contract stays exactly what it always was.
         pair_filter = None
-
-    def _all_pairs(src: DataFrame) -> DataFrame:
-        a, b = src.alias("a"), src.alias("b")
-        j = a.join(b, list(keys)).filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        if pair_filter is not None:
-            j = j.filter(
-                pair_filter(
-                    lambda c: F.col(f"a.{c}"), lambda c: F.col(f"b.{c}")
-                )
-            )
-        return j.select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
 
     if n_hot == 0:
         return _all_pairs(st).distinct()
@@ -1189,13 +1203,23 @@ def prefix_filter_near_duplicates(
     dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = exploded.join(dfreq, "shingle")
     w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
-    prefix = (
+    # r11 (session 2): LAZY-checkpoint the prefix table. Measured at
+    # sf10h: ReusedExchange does NOT dedup the candidate self-join's
+    # two identical subtrees (plan shows 0 ReusedExchange, the window
+    # chain twice), so without the barrier the explode -> df join ->
+    # doc-grain rank window chain (~6-7 s of the 25 s wall) executes
+    # once PER JOIN SIDE. With the unbounded-cap sizing job skipped
+    # (see banded_candidate_pairs), the checkpoint is materialized by
+    # the one survivors job and both join sides read its blocks —
+    # chain once, no extra job (guide §5).
+    prefix = checkpoint_audited(
         ranked.withColumn("_pos", F.row_number().over(w))
         .filter(
             F.col("_pos")
             <= F.col("_n") - F.floor(F.lit(float(threshold)) * F.col("_n")) + F.lit(1)
         )
-        .select(F.col(id_col), "shingle", "_pos", "_n")
+        .select(F.col(id_col), "shingle", "_pos", "_n"),
+        eager=False,
     )
     # POSITION-AWARE pruning (PPJoin's positional filter, VERDICT r7
     # #4), applied per CO-OCCURRENCE row inside the candidate self-join

@@ -436,3 +436,38 @@ def test_arrow_kernel_tokenization_parity_with_jvm(spark):
     sigs = {r.doc_id: list(r.sig) for r in dedup.minhash_signatures(df2, 16).collect()}
     assert sigs[1] == sigs[2]  # whitespace-run/trim variants: same tokens
     assert sigs[1] != sigs[3]  # NBSP glues tokens -> different stream
+
+
+def test_unbounded_cap_short_circuit_matches_guarded_path(spark):
+    """r11 session 2: max_bucket_size >= 2^31-1 declares the guard OFF
+    (the oracle-anchor configs), so the hot-bucket sizing job is
+    skipped outright — the pair set must still equal the guarded
+    path's, stats must certify n_hot == 0, and pair_filter must still
+    engage (an unbounded cap means every bucket is cold by
+    construction, exactly the all-cold condition the filter needs)."""
+    rows = [(i, 0, 100) for i in range(6)] + [(i, 1, 200) for i in (10, 11, 12)]
+    st = _stacked(spark, rows)
+    stats = {}
+    fast = {
+        (r.id_a, r.id_b)
+        for r in dedup.banded_candidate_pairs(
+            st, "doc_id", max_bucket_size=2**31 - 1, stats=stats
+        ).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b)
+        for r in dedup.banded_candidate_pairs(
+            st, "doc_id", max_bucket_size=512
+        ).collect()
+    }
+    assert fast == slow
+    assert stats["n_hot"] == 0
+
+    def reject_all(A, B):
+        return F.lit(False)
+
+    filtered = dedup.banded_candidate_pairs(
+        st, "doc_id", max_bucket_size=2**31 - 1,
+        payload=(), pair_filter=reject_all,
+    )
+    assert filtered.count() == 0  # the filter really ran on the fast path
