@@ -60,6 +60,16 @@ def assign_clusters(
     itself, so assignment is embarrassingly parallel: no join, no
     shuffle, whole-stage codegen end to end. Ties break to the smallest
     centroid id. Adds ``cluster_id`` and ``centroid_sim``.
+
+    NOTE (r11 session 3, measured dead ends — do not retry without new
+    evidence): (a) spreading ``emb`` to session parallelism before the
+    map made every semantic query SLOWER at sf1h (assign +17%, kmeans
+    +3%, blas +4% — the exchange costs more than the fold gains,
+    because the wall is driver planning/codegen of the k x dim literal
+    plan, not executor fold time); (b) shipping centroids as broadcast
+    DATA instead of literals (value-independent generated code,
+    bit-identical output) measured neutral for the same reason —
+    per-iteration Catalyst analysis dominates, not Janino compiles.
     """
     with_norm = emb.withColumn("_ad", F.col(vec_col).cast("array<double>")).withColumn(
         "_vnorm", F.sqrt(_dot(F.col("_ad"), F.col("_ad")))

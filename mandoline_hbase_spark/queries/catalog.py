@@ -156,8 +156,14 @@ _REVERIFY_FIRST = {
     "dedup_cluster_assign": 9,
     "split_leakage_report": 9,
     "cluster_aware_split": 9,
-    "dedup_prefix_filter": 9,
     "er_entity_clusters": 9,
+    # round 11 (session 3): unbounded-cap short-circuit in
+    # banded_candidate_pairs (hot-bucket sizing job skipped — these two
+    # are the unbounded-cap callers) + lazy prefix-table checkpoint in
+    # the PPJoin path. Pair sets identical (re-swept MATCH); job
+    # structure changed, so re-verify first.
+    "dedup_prefix_filter": 11,
+    "dedup_simhash": 11,
 }
 
 
